@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Deterministic, oracle-safe numeric helpers.
+  *
+  * Summing doubles is order-dependent, and shuffle order differs run to
+  * run and engine to engine. Every oracle-checked aggregate therefore
+  * casts to DECIMAL(38,6) first (exact integer arithmetic, associative),
+  * sums exactly, and converts to double only at the very end — the same
+  * recipe the paired DuckDB oracle SQL uses, giving bit-identical output
+  * regardless of partitioning, AQE re-plans, or engine.
+  *
+  * This is also the 100 TB-safe pattern: decimal sums stay inside
+  * whole-stage codegen and partial (map-side) aggregation still applies.
+  */
+object Det {
+  private val Dec = DecimalType(38, 6)
+
+  /** Exact sum of a numeric column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Exact-sum average, returned as double (one final IEEE division). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Windowed exact sum (same decimal trick over a frame). */
+  def dsumOver(c: Column, w: WindowSpec): Column =
+    sum(c.cast(Dec)).over(w).cast(DoubleType)
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, as a positive
+    * BIGINT. Engine-independent (md5 is md5 everywhere), unlike
+    * xxhash64/murmur whose seeds/variants differ between Spark and
+    * DuckDB. Used for dedup fingerprints, MinHash permutations, LSH.
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded variant: distinct hash families per seed. */
+  def h60(c: Column, seed: Int): Column =
+    h60(concat_ws(":", lit(seed.toString), c))
+
+  // ---- Oracle-SQL fragments mirroring the Column helpers above ----
+  def oSum(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+  def oAvg(e: String): String = s"${oSum(e)} / COUNT(($e))"
+  def oH60(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+  def oH60(e: String, seed: Int): String =
+    oH60(s"concat('$seed', ':', $e)")
+}

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables._
+import graft.functions.Det._
+
+/** Multi-dimensional aggregation (rollup / cube / grouping sets) and
+  * window functions (ranking, frames, lag/lead). Absent from the
+  * reference (SURVEY.md §2.2 — no GROUP BY or window anywhere); these are
+  * the analytics layer over the sensor-stream analog (`events`).
+  *
+  * Scale notes: window partitions are keyed on high-cardinality columns
+  * (user, customer) so state per partition stays small; rollup/cube
+  * expand rows *after* partial aggregation (Expand over grouped data).
+  * Group columns are COALESCE'd to 'ALL' so no NULL sort-key ordering
+  * differences between engines arise.
+  */
+object Analytic {
+
+  val all: Seq[Q] = Seq(
+    // --- q10: rollup with grouping_id.
+    Q(
+      "q10_rollup",
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping_id().cast("bigint").as("gid"),
+          count(lit(1)).as("cnt"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("gid", "rf", "ls")
+    },
+
+    // --- q11: cube over two order dimensions.
+    Q(
+      "q11_cube",
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin
+    ) { (s, d) =>
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping_id().cast("bigint").as("gid"),
+          count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(
+          col("gid"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"), col("sum_price"))
+        .orderBy("gid", "status", "priority")
+    },
+
+    // --- q12: explicit GROUPING SETS via SQL.
+    Q(
+      "q12_grouping_sets",
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, rf, ls""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d).createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT CAST(grouping_id() AS BIGINT) AS gid,
+          |  COALESCE(l_returnflag, 'ALL') AS rf,
+          |  COALESCE(l_linestatus, 'ALL') AS ls,
+          |  COUNT(*) AS cnt
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY gid, rf, ls""".stripMargin)
+    },
+
+    // --- q13: ranking window — top-3 orders per market segment.
+    Q(
+      "q13_window_topk",
+      """SELECT c_mktsegment, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |) WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    // --- q14: frame window — rolling 4-row sum/avg of event values per
+    // user (the reference's sensor-analytics analog; decimal-exact frame
+    // sums so segment-tree vs streaming frame evaluation can't diverge).
+    Q(
+      "q14_window_rolling",
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |  CAST(COUNT(value) OVER w AS BIGINT) AS roll_cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS roll_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |    / COUNT(value) OVER w AS roll_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+      events(s, d)
+        .select(
+          col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"),
+          count(col("value")).over(w).as("roll_cnt"),
+          dsumOver(col("value"), w).as("roll_sum"))
+        .withColumn("roll_avg", col("roll_sum") / col("roll_cnt"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // --- q15: lag/lead — per-user deltas between consecutive readings.
+    Q(
+      "q15_lag_lead",
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |  value - LAG(value) OVER w AS delta_prev,
+        |  LEAD(value) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(
+          col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+          lead(col("value"), 1).over(w).as("next_value"))
+        .orderBy("user_id", "event_id")
+    }
+  )
+}

@@ -1,0 +1,267 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables._
+import graft.functions.Det._
+
+/** Core relational operators over the harness tables: scan, filter,
+  * projection, hash aggregation, every join flavor, set ops, sort/top-k.
+  * (Capability audit: SURVEY.md §2.2 — the reference has projection only,
+  * `/root/reference/consumer/sensor_data_consumer.py:116-122`; the rest is
+  * the analytics surface this engine supplies.)
+  *
+  * Scale notes: dims (`region`, `nation`) are explicitly broadcast;
+  * fact-fact joins shuffle on their keys and rely on AQE for skew; every
+  * aggregate uses exact decimal sums (see [[graft.functions.Det]]) so
+  * results are partition-order-independent — a 1000-executor cluster
+  * produces the same bits as local[32].
+  */
+object Relational {
+
+  val all: Seq[Q] = Seq(
+    // --- q01: pricing summary (TPC-H Q1 shape): scan → filter → hash agg.
+    // Partial aggregation is map-side; 6 groups → tiny shuffle at any SF.
+    Q(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // --- q02: predicate pushdown + column pruning; both filters reach the
+    // parquet scan (verify via .explain: PushedFilters on l_shipdate).
+    Q(
+      "q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |       CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")) &&
+          col("l_discount") > 0.05)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // --- q03: 3-way fact join + agg + top-k (TPC-H Q3 shape). customer is
+    // filtered before the join (segment predicate pushed to scan); the
+    // orders⋈lineitem join shuffles on orderkey.
+    Q(
+      "q03_shipping_priority",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS order_date
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15 00:00:00")))
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > to_timestamp(lit("1996-03-15 00:00:00")))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select("l_orderkey", "revenue", "order_date")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    },
+
+    // --- q04: star join with explicit broadcast of the two dim tables —
+    // at 100 TB region/nation stay KB-sized, so the 5-way join costs one
+    // fact shuffle (orders⋈lineitem) plus broadcast hash joins.
+    Q(
+      "q04_region_revenue",
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM region
+        |JOIN nation   ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders   ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin
+    ) { (s, d) =>
+      broadcast(region(s, d))
+        .join(broadcast(nation(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .join(customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // --- q05: left-semi join (EXISTS). The semi join short-circuits on
+    // first match — no fan-out, output bounded by the left side.
+    Q(
+      "q05_semi_join",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      orders(s, d)
+        .join(
+          lineitem(s, d).filter(col("l_discount") >= 0.09),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // --- q06: left-anti join (NOT EXISTS): customers with no recent order.
+    Q(
+      "q06_anti_join",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      customer(s, d)
+        .join(
+          orders(s, d).filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // --- q07: left outer join + agg with empty-group handling.
+    Q(
+      "q07_outer_join_agg",
+      """SELECT c_custkey,
+        |  COUNT(o_orderkey) AS order_cnt,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("order_cnt"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    // --- q08: distinct aggregation (exact). Catalyst expands this into a
+    // two-phase aggregate; the distinct keyspace (25 nations) is tiny.
+    Q(
+      "q08_distinct_agg",
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_customers,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
+    ) { (s, d) =>
+      customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          davg(col("c_acctbal")).as("avg_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // --- q09: approximate distinct (HLL). No oracle: DuckDB's approx HLL
+    // yields different estimates; driver rows-only check. At 100 TB this
+    // is the right default for cardinality (no exact-distinct shuffle).
+    Q.noOracle("q09_approx_distinct") { (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // --- q16: global sort + limit (top-k). Spark runs TakeOrderedAndProject:
+    // per-partition heap + driver merge — no full sort at scale.
+    Q(
+      "q16_top_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("order_date"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // --- q17: set operations (UNION distinct / INTERSECT / EXCEPT).
+    Q(
+      "q17_set_ops",
+      """SELECT op, cnt FROM (
+        |  SELECT 'union_distinct' AS op, COUNT(*) AS cnt FROM (
+        |    SELECT DISTINCT c_custkey FROM (
+        |      SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |      UNION ALL
+        |      SELECT c_custkey FROM customer WHERE c_acctbal > 5000))
+        |  UNION ALL
+        |  SELECT 'intersect', COUNT(*) FROM (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |    INTERSECT
+        |    SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |  UNION ALL
+        |  SELECT 'except', COUNT(*) FROM (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |    EXCEPT
+        |    SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |) ORDER BY op""".stripMargin
+    ) { (s, d) =>
+      val auto = customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+      val rich = customer(s, d).filter(col("c_acctbal") > 5000).select("c_custkey")
+      val u = auto.union(rich).distinct().agg(count(lit(1)).as("cnt"))
+        .select(lit("union_distinct").as("op"), col("cnt"))
+      val i = auto.intersect(rich).agg(count(lit(1)).as("cnt"))
+        .select(lit("intersect").as("op"), col("cnt"))
+      val e = auto.except(rich).agg(count(lit(1)).as("cnt"))
+        .select(lit("except").as("op"), col("cnt"))
+      u.unionByName(i).unionByName(e).orderBy("op")
+    }
+  )
+}

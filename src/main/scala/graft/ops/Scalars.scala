@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables._
+import graft.functions.Det._
+
+/** Scalar function coverage: string, date/time, math, conditional, JSON.
+  * The reference's only scalar op is epoch→timestamp
+  * (`/root/reference/consumer/sensor_data_consumer.py:132`, mapped in
+  * [[graft.pipeline.Pipeline]]); this module supplies the standard scalar
+  * library over the harness tables. Everything here is a codegen'd
+  * built-in `Column` expression — no UDFs — so the whole stage fuses.
+  *
+  * Cross-engine care: only IEEE-exact math ops are oracle-checked (abs,
+  * sqrt, floor/ceil, sign, x*x); libm-dependent ops (ln, pow) are kept
+  * out of oracle outputs. Int widths are pinned with explicit casts
+  * (DuckDB length/extract return BIGINT, Spark INT).
+  */
+object Scalars {
+
+  val all: Seq[Q] = Seq(
+    // --- q18: string functions.
+    Q(
+      "q18_string_funcs",
+      """SELECT p_partkey,
+        |  upper(p_name) AS up_name,
+        |  lower(p_brand) AS lo_brand,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  substr(p_name, 1, 5) AS name_pfx,
+        |  concat(p_brand, '/', p_type) AS brand_type,
+        |  replace(p_name, ' ', '_') AS snake_name,
+        |  p_name LIKE '%red%' AS has_red,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin
+    ) { (s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          lower(col("p_brand")).as("lo_brand"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+          col("p_name").like("%red%").as("has_red"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          size(split(col("p_name"), " ")).as("n_words"))
+        .orderBy("p_partkey")
+    },
+
+    // --- q19: date/time functions.
+    Q(
+      "q19_date_funcs",
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dd,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INTEGER) AS days_since_epoch0,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val od = col("o_orderdate").cast("date")
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          od.as("order_date"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dd"),
+          quarter(col("o_orderdate")).as("q"),
+          (dayofweek(od) - 1).as("dow"),
+          trunc(od, "month").as("month_start"),
+          date_add(od, 30).as("plus_30d"),
+          datediff(od, to_date(lit("1995-01-01"))).as("days_since_epoch0"),
+          last_day(od).as("month_end"))
+        .orderBy("o_orderkey")
+    },
+
+    // --- q20: math functions (IEEE-exact subset only; see scaladoc).
+    Q(
+      "q20_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25.0) AS abs_dev,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |  sqrt(l_quantity) AS sqrt_qty,
+        |  l_quantity * l_quantity AS qty_sq,
+        |  CAST(l_linenumber % 3 AS INTEGER) AS ln_mod3,
+        |  CAST(sign(l_quantity - 25.0) AS INTEGER) AS dev_sign,
+        |  greatest(l_tax, l_discount) AS max_rate,
+        |  least(l_tax, l_discount) AS min_rate
+        |FROM lineitem
+        |WHERE l_orderkey % 7 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25.0).as("abs_dev"),
+          ceil(col("l_extendedprice")).as("ceil_price"),
+          floor(col("l_extendedprice")).as("floor_price"),
+          sqrt(col("l_quantity")).as("sqrt_qty"),
+          (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+          (col("l_linenumber") % 3).as("ln_mod3"),
+          signum(col("l_quantity") - 25.0).cast("int").as("dev_sign"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+          least(col("l_tax"), col("l_discount")).as("min_rate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // --- q21: conditional logic (CASE WHEN) + agg.
+    Q(
+      "q21_case_bucket",
+      """SELECT o_orderstatus,
+        |  CASE WHEN o_totalprice < 50000 THEN 'S'
+        |       WHEN o_totalprice < 150000 THEN 'M'
+        |       WHEN o_totalprice < 300000 THEN 'L'
+        |       ELSE 'XL' END AS bucket,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_orderstatus, bucket""".stripMargin
+    ) { (s, d) =>
+      orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "S")
+            .when(col("o_totalprice") < 150000, "M")
+            .when(col("o_totalprice") < 300000, "L")
+            .otherwise("XL"))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(count(lit(1)).as("cnt"), davg(col("o_totalprice")).as("avg_price"))
+        .orderBy("o_orderstatus", "bucket")
+    },
+
+    // --- q22: JSON extraction from the events.props payload column.
+    Q(
+      "q22_json_extract",
+      """SELECT CAST(props->>'$.k' AS INTEGER) AS k,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k""".stripMargin
+    ) { (s, d) =>
+      events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("cnt"), davg(col("value")).as("avg_value"))
+        .orderBy("k")
+    }
+  )
+}

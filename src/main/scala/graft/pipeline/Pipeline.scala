@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables
+import graft.functions.Det._
+
+/** Batch analog of the reference's whole dataflow (SURVEY.md §2.1 R1–R10):
+  * source → project to the `{machine_id, sensor, reading, t_stamp}` shape
+  * (`/root/reference/schema/schema.avsc:5-10`) → epoch-double → timestamp
+  * conversion (the reference's single scalar transform,
+  * `/root/reference/consumer/sensor_data_consumer.py:131-134`) → append
+  * sink / aggregation. The streaming form lives in
+  * [[graft.streaming.Streams]]; this batch form is what the DuckDB oracle
+  * can check.
+  */
+object Pipeline {
+
+  /** `events` projected onto the reference's sensor-reading schema:
+    * user→machine, event_type→sensor, value→reading, ts→epoch-seconds
+    * double (exactly how the reference producer emits `time.time()`,
+    * `/root/reference/producer/sensor_data_producer.py:53-59`).
+    */
+  def sensorReadings(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      concat(lit("M"), (col("user_id") % 3) + 1).as("machine_id"),
+      col("event_type").as("sensor"),
+      col("value").as("reading"),
+      (unix_micros(col("ts")) / lit(1000000.0)).as("t_stamp"))
+
+  /** R9: the reference's epoch-double → TimestampType conversion
+    * (`datetime.fromtimestamp` ↦ `timestamp_seconds`, UTC session). */
+  def withEventTime(readings: DataFrame): DataFrame =
+    readings.withColumn("event_time", timestamp_seconds(col("t_stamp")))
+
+  /** R10 batch sink: append to parquet, partitioned by machine so a
+    * 100 TB history prunes on the hot key. */
+  def appendSink(readings: DataFrame, path: String): Unit =
+    withEventTime(readings)
+      .write.mode("append").partitionBy("machine_id").parquet(path)
+
+  val all: Seq[Q] = Seq(
+    // --- q23: the full pipeline as one oracle-checked batch query:
+    // generate-shape projection (R7), epoch handling (R9), then the
+    // "analytics" the reference's README promises: per machine/sensor
+    // stats. machine_id/sensor form a 15-value keyspace → broadcastable
+    // result at any scale; the agg is one map-side-partial shuffle.
+    Q(
+      "q23_pipeline_batch",
+      """SELECT machine_id, sensor,
+        |  COUNT(*) AS n_readings,
+        |  CAST(SUM(CAST(reading AS DECIMAL(38,6))) AS DOUBLE) / COUNT(reading) AS avg_reading,
+        |  MIN(reading) AS min_reading,
+        |  MAX(reading) AS max_reading,
+        |  MAX(t_stamp) AS last_seen
+        |FROM (
+        |  SELECT concat('M', CAST((user_id % 3) + 1 AS VARCHAR)) AS machine_id,
+        |         event_type AS sensor,
+        |         value AS reading,
+        |         epoch_us(ts) / 1000000.0 AS t_stamp
+        |  FROM events)
+        |GROUP BY machine_id, sensor
+        |ORDER BY machine_id, sensor""".stripMargin
+    ) { (s, d) =>
+      sensorReadings(s, d)
+        .groupBy("machine_id", "sensor")
+        .agg(
+          count(lit(1)).as("n_readings"),
+          davg(col("reading")).as("avg_reading"),
+          min(col("reading")).as("min_reading"),
+          max(col("reading")).as("max_reading"),
+          max(col("t_stamp")).as("last_seen"))
+        .orderBy("machine_id", "sensor")
+    }
+  )
+}
