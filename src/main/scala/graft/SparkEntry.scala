@@ -13,6 +13,8 @@ object SparkEntry {
     ops.Relational.all ++
     ops.Analytic.all ++
     ops.Scalars.all ++
+    ops.Text.all ++
+    ops.Sim.all ++
     pipeline.Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

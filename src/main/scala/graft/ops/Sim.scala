@@ -1,0 +1,257 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables._
+import graft.functions.Det._
+import graft.functions.TextFeatures._
+import graft.functions.Vec._
+
+/** Near-duplicate detection and similarity search — the LLM-data-pipeline
+  * operators: MinHash+LSH, SimHash, n-gram Jaccard, brute-force cosine
+  * top-k, and LSH bucketing for approximate nearest neighbors.
+  *
+  * Scale design: every pairwise step goes through a bucket join (LSH band
+  * signatures, shared shingles, hyperplane buckets) — never an unbounded
+  * cross join. The only cross join in the file (q43) is query-side-bounded
+  * (20 probe vectors) and is the *baseline* the LSH path (q44) exists to
+  * replace at 100 TB. Hashing is md5-derived (Det.h60) so DuckDB can
+  * replay it bit-for-bit.
+  */
+object Sim {
+
+  private val K = 12          // MinHash permutations
+  private val BandRows = 4    // rows per LSH band → 3 bands
+
+  /** Distinct word-3-gram shingles per document: (doc_id, s). */
+  private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String) =
+    documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("w")))).as("s"))
+
+  private val oShingleRows: String =
+    s"""SELECT doc_id, unnest(list_distinct(${oShingles("w")})) AS s
+       |FROM (SELECT doc_id, ${oWords("text")} AS w FROM documents)
+       |WHERE len(w) >= 3""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // --- q40: MinHash + LSH near-dup pairs. K=12 md5-seeded permutations,
+    // 3 bands × 4 rows; candidate pairs come from equal band signatures
+    // (a bucket join, not a cross join), then the full signatures estimate
+    // Jaccard; pairs with est ≥ 0.5 survive.
+    Q(
+      "q40_minhash_lsh",
+      s"""WITH sh AS ($oShingleRows),
+         |minh AS (
+         |  SELECT doc_id, seed,
+         |         MIN(CAST('0x' || substr(md5(concat(CAST(seed AS VARCHAR), ':', s)), 1, 15) AS BIGINT)) AS mh
+         |  FROM sh, (SELECT unnest(range(0, $K)) AS seed)
+         |  GROUP BY doc_id, seed
+         |), bands AS (
+         |  SELECT doc_id, seed // $BandRows AS band,
+         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+         |  FROM minh GROUP BY doc_id, seed // $BandRows
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |)
+         |SELECT d1, d2,
+         |       CAST(SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS DOUBLE) / $K AS est_jaccard
+         |FROM cand
+         |JOIN minh m1 ON m1.doc_id = d1
+         |JOIN minh m2 ON m2.doc_id = d2 AND m2.seed = m1.seed
+         |GROUP BY d1, d2
+         |HAVING CAST(SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS DOUBLE) / $K >= 0.5
+         |ORDER BY d1, d2""".stripMargin
+    ) { (s, d) =>
+      val sh = shingleRows(s, d)
+      val minh = sh
+        .withColumn("seed", explode(sequence(lit(0), lit(K - 1))))
+        .groupBy("doc_id", "seed")
+        .agg(min(h60(concat(col("seed").cast("string"), lit(":"), col("s")))).as("mh"))
+      val bands = minh
+        .withColumn("band", expr(s"seed div $BandRows"))
+        .groupBy("doc_id", "band")
+        .agg(array_join(
+          transform(
+            sort_array(collect_list(struct(col("seed"), col("mh")))),
+            x => x.getField("mh").cast("string")), ",").as("sig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(minh.select(col("doc_id").as("d1"), col("seed"), col("mh").as("mh1")), Seq("d1"))
+        .join(minh.select(col("doc_id").as("d2"), col("seed"), col("mh").as("mh2")), Seq("d2", "seed"))
+        .groupBy("d1", "d2")
+        .agg((sum(when(col("mh1") === col("mh2"), 1).otherwise(0)).cast("double") / K)
+          .as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .select("d1", "d2", "est_jaccard")
+        .orderBy("d1", "d2")
+    },
+
+    // --- q41: SimHash fingerprint (16-bit) from shingle hashes: per bit,
+    // vote +1/-1 across shingles, set the bit when the vote is positive.
+    Q(
+      "q41_simhash",
+      s"""WITH sh AS ($oShingleRows),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |         SUM(CASE WHEN ((CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) >> b) & 1) = 1
+         |                  THEN 1 ELSE -1 END) AS v
+         |  FROM sh, (SELECT unnest(range(0, 16)) AS b)
+         |  GROUP BY doc_id, b
+         |)
+         |SELECT doc_id,
+         |       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash16
+         |FROM votes GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      shingleRows(s, d)
+        .withColumn("h", h60(col("s")))
+        .withColumn("b", explode(sequence(lit(0), lit(15))))
+        .groupBy("doc_id", "b")
+        .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("v"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("v") > 0, expr("CAST(1 AS BIGINT) << b")).otherwise(0L))
+          .cast("bigint").as("simhash16"))
+        .orderBy("doc_id")
+    },
+
+    // --- q42: exact n-gram Jaccard over candidate pairs sharing ≥1
+    // shingle (the shared-shingle join IS the candidate pruning — no
+    // cross join; skew-prone hot shingles are handled by AQE skew split).
+    Q(
+      "q42_ngram_jaccard",
+      s"""WITH sh AS ($oShingleRows),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT d1, d2,
+         |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = d1
+         |JOIN sizes sb ON sb.doc_id = d2
+         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
+         |ORDER BY d1, d2""".stripMargin
+    ) { (s, d) =>
+      val sh = shingleRows(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
+        .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("jaccard") >= 0.6)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    },
+
+    // --- q43: brute-force cosine top-k (the ANN baseline): 20 probe
+    // vectors against the full table; exact-decimal dot products; rank
+    // by cosine with vec_id tie-break.
+    Q(
+      "q43_cosine_topk",
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${oDnorm("embedding")} AS nrm FROM embeddings
+         |), pairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${oDdot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM n q, n c
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT q_id, c_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+         |  FROM pairs
+         |)
+         |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, c_id, cos
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
+    ) { (s, d) =>
+      val n = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), dnorm(col("embedding")).as("nrm"))
+      val q = n.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val c = n.select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      broadcast(q).join(c, col("c_id") =!= col("q_id"))
+        .withColumn("cos", ddot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .select(col("q_id"), col("c_id"), col("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "c_id", "cos")
+        .orderBy("q_id", "rnk")
+    },
+
+    // --- q44: LSH bucketing for ANN at scale — 8 md5-derived ±1
+    // hyperplanes; bucket = 8 sign bits of the plane dot products. This
+    // is the partition key a 100 TB ANN search shuffles on (candidates
+    // meet only within a bucket; q43's cross join disappears).
+    Q(
+      "q44_lsh_buckets",
+      s"""WITH dots AS (
+         |  SELECT vec_id, p,
+         |    CAST(list_sum(list_transform(range(1, len(embedding)+1),
+         |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+         |                CAST((CAST('0x' || substr(md5(concat(CAST(p AS VARCHAR), ':', CAST(i-1 AS VARCHAR))), 1, 15) AS BIGINT) & 1) * 2 - 1 AS DOUBLE)
+         |           AS DECIMAL(25,12)))) AS DOUBLE) AS dp
+         |  FROM embeddings, (SELECT unnest(range(0, 8)) AS p)
+         |), buckets AS (
+         |  SELECT vec_id,
+         |         CAST(SUM(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY vec_id
+         |)
+         |SELECT vec_id, bucket,
+         |       CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
+         |FROM buckets
+         |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      val sgn = transform(sequence(lit(0), lit(63)),
+        i => (h60(concat(col("p").cast("string"), lit(":"), i.cast("string")))
+          .bitwiseAND(1) * 2 - 1).cast("double"))
+      val dots = embeddings(s, d)
+        .withColumn("p", explode(sequence(lit(0), lit(7))))
+        .withColumn("dp", ddot(col("embedding"), sgn))
+      val buckets = dots.groupBy("vec_id")
+        .agg(sum(when(col("dp") > 0, expr("CAST(1 AS BIGINT) << p")).otherwise(0L))
+          .cast("bigint").as("bucket"))
+      buckets
+        .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("bucket")))
+        .select("vec_id", "bucket", "bucket_size")
+        .orderBy("vec_id")
+    },
+
+    // --- q45: embedding norm statistics per label (array HOFs + agg).
+    Q(
+      "q45_embed_stats",
+      s"""WITH n AS (SELECT label, ${oDnorm("embedding")} AS nrm FROM embeddings)
+         |SELECT label, COUNT(*) AS cnt,
+         |  ${oSum("nrm")} / COUNT(nrm) AS avg_norm,
+         |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+         |FROM n GROUP BY label
+         |ORDER BY label""".stripMargin
+    ) { (s, d) =>
+      embeddings(s, d)
+        .select(col("label"), dnorm(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("cnt"),
+          davg(col("nrm")).as("avg_norm"),
+          min(col("nrm")).as("min_norm"),
+          max(col("nrm")).as("max_norm"))
+        .orderBy("label")
+    }
+  )
+}
