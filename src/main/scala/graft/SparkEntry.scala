@@ -15,6 +15,8 @@ object SparkEntry {
     ops.Scalars.all ++
     ops.Text.all ++
     ops.Sim.all ++
+    ops.Advanced.all ++
+    ops.Multimodal.all ++
     pipeline.Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

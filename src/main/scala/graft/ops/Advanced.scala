@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables._
+import graft.functions.Det._
+
+/** Operators Spark has no single built-in for, composed the way they
+  * scale — as-of join, range join, pivot, correlated subqueries.
+  *
+  * - As-of join: NOT the naive `join(key, t2<=t1) + max` (that fans out
+  *   m×n per key before aggregating). Instead: union both sides into one
+  *   keyed timeline, single shuffle+sort per key, carry the last order
+  *   forward with `last(ignoreNulls)` — the same one-pass merge a
+  *   time-series store does, linear at 100 TB.
+  * - Range join: bucketize time so the predicate becomes an equi-join on
+  *   (key, bucket) with a residual filter — candidate pairs drop from
+  *   |key group|² to |bucket|², the standard interval-bucketing trick.
+  */
+object Advanced {
+
+  val all: Seq[Q] = Seq(
+    // --- q50: as-of join — each event matched to the user's latest order
+    // with o_orderdate <= ts (DuckDB oracle uses its native ASOF JOIN).
+    Q(
+      "q50_asof_join",
+      """WITH od AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |       od.o_orderkey AS matched_orderkey,
+        |       epoch_us(od.o_orderdate) AS matched_date_us
+        |FROM events e ASOF LEFT JOIN od
+        |  ON e.user_id = od.o_custkey AND od.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin
+    ) { (s, d) =>
+      // dedupe the right side to one order per (custkey, date): max orderkey
+      val od = orders(s, d)
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+        .agg(max("o_orderkey").as("ord_key"))
+        .select(col("k"), col("t"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"),
+          col("ord_key"), col("t").as("ord_date"))
+      val ev = events(s, d)
+        .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("side"),
+          col("event_id"),
+          lit(null).cast("long").as("ord_key"),
+          lit(null).cast("timestamp").as("ord_date"))
+      // one timeline per key; orders sort before events at equal t (side
+      // 0 < 1) so `<=` semantics hold; last non-null carries forward.
+      val w = Window.partitionBy("k").orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      od.unionByName(ev)
+        .withColumn("matched_orderkey", last("ord_key", ignoreNulls = true).over(w))
+        .withColumn("matched_date", last("ord_date", ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(
+          col("event_id"), col("k").as("user_id"), unix_micros(col("t")).as("ts_us"),
+          col("matched_orderkey"), unix_micros(col("matched_date")).as("matched_date_us"))
+        .orderBy("event_id")
+    },
+
+    // --- q51: range join — events within the next hour, same user,
+    // bucketized to hour grains (each candidate is in bucket b or b+1).
+    Q(
+      "q51_range_join",
+      """SELECT a.event_id, a.user_id, COUNT(b.event_id) AS cnt_next_hour
+        |FROM events a LEFT JOIN events b
+        |  ON b.user_id = a.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |GROUP BY a.event_id, a.user_id
+        |ORDER BY a.event_id""".stripMargin
+    ) { (s, d) =>
+      val e = events(s, d).select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("bkt", expr("unix_micros(ts) div 3600000000"))
+      // each probe event looks in its own hour-bucket and the next one
+      val probes = e
+        .withColumn("jbkt", explode(array(col("bkt"), col("bkt") + 1)))
+        .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"), col("jbkt"))
+      val cands = e.select(col("user_id"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"), col("bkt").as("jbkt"))
+      probes.join(cands, Seq("user_id", "jbkt"), "left")
+        .groupBy(col("a_id").as("event_id"), col("user_id"))
+        .agg(sum(when(
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"), 1).otherwise(0))
+          .as("cnt_next_hour"))
+        .orderBy("event_id")
+    },
+
+    // --- q52: pivot — per-user average value by event type (the oracle
+    // is the equivalent conditional aggregation).
+    Q(
+      "q52_pivot",
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type='click'    THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) / COUNT(CASE WHEN event_type='click'    THEN value END) AS click,
+        |  CAST(SUM(CASE WHEN event_type='error'    THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) / COUNT(CASE WHEN event_type='error'    THEN value END) AS error,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) / COUNT(CASE WHEN event_type='purchase' THEN value END) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type='signup'   THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) / COUNT(CASE WHEN event_type='signup'   THEN value END) AS signup,
+        |  CAST(SUM(CASE WHEN event_type='view'     THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) / COUNT(CASE WHEN event_type='view'     THEN value END) AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(davg(col("value")))
+        .orderBy("user_id")
+    },
+
+    // --- q53: correlated scalar subquery — orders 1.5× above their
+    // customer's decimal-exact average (Catalyst decorrelates this into
+    // an aggregate + join; no per-row re-execution).
+    Q(
+      "q53_corr_subquery",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(o2.o_totalprice)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("sq_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM sq_orders o
+          |WHERE o_totalprice > 1.5 * (
+          |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(o2.o_totalprice)
+          |  FROM sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }
+  )
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables._
+import graft.functions.Det._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns plus typed metadata, with decode / feature-extraction as
+  * partition-local batch functions. The actual codec decode is STUBBED
+  * (no image/audio libraries in this environment) behind
+  * [[Multimodal.stubDecode]] — a deterministic fake — but the Spark-side
+  * plumbing (schema, binary columns, mapPartitions batching, feature
+  * aggregation) is real and tested.
+  *
+  * Scale notes: binary payloads stay columnar in parquet; metadata-only
+  * queries never deserialize the blob (column pruning drops it at the
+  * scan). Feature extraction runs per-partition with no driver
+  * round-trip.
+  */
+object Multimodal {
+
+  /** Typed row for the decoded-feature path. */
+  final case class MediaFeature(doc_id: Long, media_type: String, feature: Array[Float])
+
+  /** The media table: harness documents re-cast as binary payloads with
+    * a deterministic modality assignment. */
+  def media(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("content"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
+
+  /** STUB decoder — stands in for a real codec (e.g. JPEG → pixels).
+    * Deterministic fake: 4 features derived from the byte content's
+    * length and a rolling byte hash, so tests and re-runs agree. */
+  def stubDecode(bytes: Array[Byte]): Array[Float] = {
+    var h = 1125899906842597L // fake "decode": rolling hash over bytes
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
+    Array(
+      bytes.length.toFloat,
+      ((h & 0xffff) / 65536.0).toFloat,
+      (((h >>> 16) & 0xffff) / 65536.0).toFloat,
+      (((h >>> 32) & 0xffff) / 65536.0).toFloat)
+  }
+
+  /** Partition-local feature extraction (the mapInPandas analog): one
+    * decoder instance per partition, rows streamed through it. */
+  def extractFeatures(
+      df: DataFrame,
+      decode: Array[Byte] => Array[Float] = stubDecode): Dataset[MediaFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("doc_id", "media_type", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mt, bytes) => MediaFeature(id, mt, decode(bytes)) }
+      }
+  }
+
+  val all: Seq[Q] = Seq(
+    // --- q60: metadata extraction over binary media columns — byte
+    // length, content fingerprint, and hash-derived (deterministic fake)
+    // image dimensions / media duration.
+    Q(
+      "q60_multimodal_meta",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+        |    md5(text) AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, media_type, byte_len, fp,
+        |  CASE WHEN media_type = 'image'
+        |       THEN 160 + (CAST('0x' || substr(md5(concat('w:', fp)), 1, 15) AS BIGINT) % 1760)
+        |       END AS width,
+        |  CASE WHEN media_type = 'image'
+        |       THEN 90 + (CAST('0x' || substr(md5(concat('h:', fp)), 1, 15) AS BIGINT) % 990)
+        |       END AS height,
+        |  CASE WHEN media_type <> 'image'
+        |       THEN 1000 + (CAST('0x' || substr(md5(concat('d:', fp)), 1, 15) AS BIGINT) % 600000)
+        |       END AS duration_ms
+        |FROM m
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val m = media(s, d).select(
+        col("doc_id"), col("media_type"),
+        length(col("content")).as("byte_len"),
+        md5(col("content")).as("fp"))
+      m.select(
+          col("doc_id"), col("media_type"), col("byte_len"), col("fp"),
+          when(col("media_type") === "image",
+            lit(160) + h60(concat(lit("w:"), col("fp"))) % 1760).as("width"),
+          when(col("media_type") === "image",
+            lit(90) + h60(concat(lit("h:"), col("fp"))) % 990).as("height"),
+          when(col("media_type") =!= "image",
+            lit(1000) + h60(concat(lit("d:"), col("fp"))) % 600000).as("duration_ms"))
+        .orderBy("doc_id")
+    },
+
+    // --- q61: feature aggregation per modality. The expression-side
+    // fake feature mirrors the stubDecode idea (hash-derived, exact) so
+    // the oracle can replay it; the mapPartitions path is unit-tested.
+    Q(
+      "q61_multimodal_features",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+        |    octet_length(CAST(text AS BLOB)) AS byte_len,
+        |    (CAST('0x' || substr(md5(concat('f0:', md5(text))), 1, 15) AS BIGINT) % 1000) / 1000.0 AS f0
+        |  FROM documents
+        |)
+        |SELECT media_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(byte_len AS DECIMAL(38,6))) AS DOUBLE) / COUNT(byte_len) AS avg_bytes,
+        |  CAST(SUM(CAST(f0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(f0) AS avg_f0
+        |FROM m GROUP BY media_type
+        |ORDER BY media_type""".stripMargin
+    ) { (s, d) =>
+      media(s, d)
+        .select(
+          col("media_type"),
+          length(col("content")).as("byte_len"),
+          (h60(concat(lit("f0:"), md5(col("content")))) % 1000 / lit(1000.0)).as("f0"))
+        .groupBy("media_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          davg(col("byte_len")).as("avg_bytes"),
+          davg(col("f0")).as("avg_f0"))
+        .orderBy("media_type")
+    }
+  )
+}

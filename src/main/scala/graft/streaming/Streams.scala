@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming form of the reference pipeline (SURVEY.md §2.1
+  * R1–R10) and the event-time operators the reference lacks (§2.2):
+  * watermarked tumbling/sliding/session windows and keyed custom state.
+  *
+  * The reference's Kafka transport is connector-swappable: the
+  * transforms below take any streaming DataFrame with the sensor schema
+  * (`machine_id, sensor, reading, event_time`) — a Kafka source (jar not
+  * shipped in this environment), the rate source used by the demo, or a
+  * MemoryStream in tests. Checkpointing replaces the reference's manual
+  * offset commit (`/root/reference/consumer/sensor_data_consumer.py:108`)
+  * and removes its lose-batch-then-commit bug (SURVEY.md §2.3 B1).
+  */
+object Streams {
+
+  /** R1/R2 analog: rate source → deterministic pseudo-random readings
+    * (hash-mixed, not rand(): replayable under retries). */
+  def rateReadings(spark: SparkSession, rowsPerSecond: Int = 1000): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .option("numPartitions", "4").load()
+      .select(
+        concat(lit("M"), (xxhash64(col("value")) % 3 + 3) % 3 + 1).as("machine_id"),
+        element_at(
+          array(lit("temperature"), lit("pressure"), lit("vibration")),
+          (((xxhash64(col("value"), lit(1)) % 3) + 3) % 3 + 1).cast("int")).as("sensor"),
+        (((xxhash64(col("value"), lit(2)) % 10000000L) + 10000000L) % 10000000L / 100000.0)
+          .as("reading"),
+        col("timestamp").as("event_time"))
+
+  /** R8+R10 analog: micro-batched append sink with checkpointing. The
+    * reference's size-OR-time flush trigger maps to ProcessingTime +
+    * the engine's own per-batch sizing; exactly-once to files. */
+  def toParquetSink(readings: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    readings.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("machine_id")
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** Event-time tumbling window stats with late-data handling — the
+    * watermark bounds state; the reference tolerated unbounded lateness
+    * only because it never aggregated. */
+  def tumblingStats(readings: DataFrame, window_ : String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    readings
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("machine_id"), col("sensor"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg("reading").as("avg_reading"),
+        min("reading").as("min_reading"),
+        max("reading").as("max_reading"))
+
+  /** Sliding-window variant (overlapping windows). */
+  def slidingStats(readings: DataFrame, window_ : String = "1 minute",
+      slide: String = "20 seconds", watermark: String = "10 minutes"): DataFrame =
+    readings
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_, slide), col("machine_id"))
+      .agg(count(lit(1)).as("n"), avg("reading").as("avg_reading"))
+
+  /** Session windows per machine (gap-based). */
+  def sessionStats(readings: DataFrame, gap: String = "30 seconds",
+      watermark: String = "10 minutes"): DataFrame =
+    readings
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("machine_id"))
+      .agg(count(lit(1)).as("n"))
+
+  // ---- keyed custom state: running per-(machine,sensor) extremes ----
+
+  final case class Reading(machine_id: String, sensor: String, reading: Double,
+      event_time: java.sql.Timestamp)
+  final case class SensorState(n: Long, sum: Double, maxSeen: Double)
+  final case class SensorUpdate(machine_id: String, sensor: String, n: Long,
+      mean: Double, maxSeen: Double)
+
+  /** mapGroupsWithState: incremental running stats per sensor key —
+    * state is O(1) per key regardless of stream length. */
+  def runningStats(readings: Dataset[Reading]): Dataset[SensorUpdate] = {
+    val spark = readings.sparkSession
+    import spark.implicits._
+    readings
+      .groupByKey(r => (r.machine_id, r.sensor))
+      .mapGroupsWithState[SensorState, SensorUpdate](GroupStateTimeout.NoTimeout) {
+        case ((m, sen), rows, state: GroupState[SensorState]) =>
+          val prev = state.getOption.getOrElse(SensorState(0L, 0.0, Double.MinValue))
+          val next = rows.foldLeft(prev) { (st, r) =>
+            SensorState(st.n + 1, st.sum + r.reading, math.max(st.maxSeen, r.reading))
+          }
+          state.update(next)
+          SensorUpdate(m, sen, next.n, next.sum / next.n, next.maxSeen)
+      }
+  }
+
+  /** Demo main: rate source → sensor readings → windowed stats to
+    * console + raw appends to parquet, for ~15 seconds. */
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/graft_stream_demo"
+    val spark = graft.Sessions.builder("local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val readings = rateReadings(spark, 500)
+    val sink = toParquetSink(readings, s"$out/data", s"$out/ckpt")
+    val agg = tumblingStats(readings, "10 seconds", "30 seconds")
+      .writeStream.format("console").outputMode(OutputMode.Update)
+      .option("truncate", "false").trigger(Trigger.ProcessingTime("5 seconds")).start()
+    sink.awaitTermination(15000)
+    agg.stop(); sink.stop(); spark.stop()
+  }
+}

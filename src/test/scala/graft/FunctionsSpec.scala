@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Det, TextFeatures, Vec}
+
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("h60 matches the DuckDB/md5 reference value") {
+    // python: int(hashlib.md5(b"7:abc def").hexdigest()[:15], 16)
+    val v = Seq("abc def").toDF("s")
+      .select(Det.h60(col("s"), 7).as("h")).head().getLong(0)
+    assert(v === 52211974417049249L)
+  }
+
+  test("dsum is exact where double summation is not") {
+    val df = Seq.fill(10000)(0.1).toDF("x")
+    val exact = df.select(Det.dsum(col("x"))).head().getDouble(0)
+    assert(exact === 1000.0) // naive double fold gives 1000.0000000001588
+  }
+
+  test("davg divides the exact sum") {
+    val v = Seq(1.0, 2.0, 4.0).toDF("x")
+      .select(Det.davg(col("x"))).head().getDouble(0)
+    assert(v === 7.0 / 3)
+  }
+
+  test("ddot is an exact decimal fold over float arrays") {
+    val v = Seq((Array(0.5f, 0.25f), Array(2.0f, 4.0f)))
+      .toDF("a", "b").select(Vec.ddot(col("a"), col("b"))).head().getDouble(0)
+    assert(v === 2.0)
+  }
+
+  test("norm collapses whitespace and case") {
+    val v = Seq("  Hello   WORLD  ").toDF("t")
+      .select(TextFeatures.norm(col("t"))).head().getString(0)
+    assert(v === "hello world")
+  }
+
+  test("shingles are word 3-grams") {
+    val v = Seq("a b c d").toDF("t")
+      .select(TextFeatures.shingles(TextFeatures.words(col("t"))))
+      .head().getSeq[String](0)
+    assert(v === Seq("a b c", "b c d"))
+  }
+}

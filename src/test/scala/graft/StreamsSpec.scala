@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.streaming.Streams.Reading
+
+class StreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window aggregates by event time and drops late data") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = Streams.tumblingStats(mem.toDF(), "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(
+        Reading("M1", "temperature", 10.0, ts("2024-01-01 00:00:10")),
+        Reading("M1", "temperature", 20.0, ts("2024-01-01 00:00:40")),
+        Reading("M2", "pressure", 5.0, ts("2024-01-01 00:01:10")))
+      q.processAllAvailable()
+      // advance watermark far past the first window, then emit a late row
+      mem.addData(Reading("M3", "vibration", 1.0, ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      mem.addData(Reading("M1", "temperature", 99.0, ts("2024-01-01 00:00:50"))) // late
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .selectExpr("machine_id", "sensor", "n", "avg_reading").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("M1", "temperature", 2L, 15.0))) // late 99.0 NOT applied
+      assert(!rows.exists { case (m, _, _, avg) => m == "M1" && avg > 15.0 })
+      assert(rows.contains(("M2", "pressure", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-sensor stats across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = Streams.runningStats(mem.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Reading("M1", "temperature", 10.0, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      mem.addData(Reading("M1", "temperature", 30.0, ts("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      val last = spark.table("running")
+        .filter("machine_id = 'M1'").orderBy("n").collect().last
+      assert(last.getAs[Long]("n") === 2L)       // state survived the batch boundary
+      assert(last.getAs[Double]("mean") === 20.0)
+      assert(last.getAs[Double]("maxSeen") === 30.0)
+    } finally q.stop()
+  }
+
+  test("rate-source readings conform to the sensor schema") {
+    val df = Streams.rateReadings(spark, 10)
+    assert(df.isStreaming)
+    assert(df.columns.toSeq === Seq("machine_id", "sensor", "reading", "event_time"))
+  }
+}
