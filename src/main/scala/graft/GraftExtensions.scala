@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.ScaledDotProduct
+
+/** Engine extensions, injected via
+  * `spark.sql.extensions=graft.GraftExtensions` (see [[Sessions]]):
+  * registers the custom codegen functions so they are first-class SQL
+  * (`SELECT scaled_dot(a, b) ...`) as well as Column API citizens.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("scaled_dot"),
+      new ExpressionInfo(classOf[ScaledDotProduct].getName, "scaled_dot"),
+      (children: Seq[Expression]) => ScaledDotProduct(children(0), children(1))))
+  }
+}

@@ -21,5 +21,7 @@ object Sessions {
       // AQE: runtime partition coalescing + skew-join splitting — the
       // at-scale defaults we design for.
       .config("spark.sql.adaptive.enabled", "true")
+      // Custom codegen expressions (scaled_dot, …) as SQL functions.
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
 }

@@ -216,6 +216,26 @@ object Relational {
         .orderBy("o_orderpriority")
     },
 
+    // --- q24: custom typed UDAF (Aggregator extension point): exact
+    // weighted mean of price by quantity — see
+    // [[graft.functions.WeightedMean]] for the determinism contract.
+    Q(
+      "q24_custom_udaf",
+      s"""SELECT l_returnflag,
+         |  ${graft.functions.WeightedMean.oracle("l_extendedprice", "l_quantity")} AS wavg_price,
+         |  COUNT(*) AS cnt
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          graft.functions.WeightedMean(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+
     // --- q16: global sort + limit (top-k). Spark runs TakeOrderedAndProject:
     // per-partition heap + driver merge — no full sort at scale.
     Q(

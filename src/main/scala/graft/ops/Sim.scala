@@ -23,6 +23,17 @@ object Sim {
 
   private val K = 12          // MinHash permutations
   private val BandRows = 4    // rows per LSH band → 3 bands
+  private val NBands = K / BandRows
+
+  // Universal-hash MinHash permutations: each shingle is md5-hashed ONCE
+  // (the expensive part), then the K permutations are derived with
+  // (a_k·h + b_k) mod p — integer-only, overflow-free under ANSI
+  // (a_k, h mod p < 2^31 ⇒ product < 2^62). ~12× fewer md5 calls than
+  // seed-concatenation hashing; at 100 TB the hash is the scan-dominant
+  // cost, so this is the difference between 1 pass and 12.
+  private val P = 2147483647L // 2^31 - 1 (prime)
+  private val HashA: Seq[Long] = (0 until K).map(k => 1L + (2654435761L * (k + 1)) % (P - 1))
+  private val HashB: Seq[Long] = (0 until K).map(k => (2654435761L * (40503L + k)) % P)
 
   /** Distinct word-3-gram shingles per document: (doc_id, s). */
   private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -37,60 +48,71 @@ object Sim {
        |WHERE len(w) >= 3""".stripMargin
 
   val all: Seq[Q] = Seq(
-    // --- q40: MinHash + LSH near-dup pairs. K=12 md5-seeded permutations,
+    // --- q40: MinHash + LSH near-dup pairs. One md5 per shingle, K=12
+    // universal-hash permutations min-aggregated per doc (no explode),
     // 3 bands × 4 rows; candidate pairs come from equal band signatures
-    // (a bucket join, not a cross join), then the full signatures estimate
-    // Jaccard; pairs with est ≥ 0.5 survive.
+    // (a bucket join, not a cross join), then the full signatures
+    // estimate Jaccard; pairs with est ≥ 0.5 survive.
     Q(
-      "q40_minhash_lsh",
-      s"""WITH sh AS ($oShingleRows),
-         |minh AS (
-         |  SELECT doc_id, seed,
-         |         MIN(CAST('0x' || substr(md5(concat(CAST(seed AS VARCHAR), ':', s)), 1, 15) AS BIGINT)) AS mh
-         |  FROM sh, (SELECT unnest(range(0, $K)) AS seed)
-         |  GROUP BY doc_id, seed
-         |), bands AS (
-         |  SELECT doc_id, seed // $BandRows AS band,
-         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-         |  FROM minh GROUP BY doc_id, seed // $BandRows
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         |)
-         |SELECT d1, d2,
-         |       CAST(SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS DOUBLE) / $K AS est_jaccard
-         |FROM cand
-         |JOIN minh m1 ON m1.doc_id = d1
-         |JOIN minh m2 ON m2.doc_id = d2 AND m2.seed = m1.seed
-         |GROUP BY d1, d2
-         |HAVING CAST(SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS DOUBLE) / $K >= 0.5
-         |ORDER BY d1, d2""".stripMargin
+      "q40_minhash_lsh", {
+        val oMins = (0 until K)
+          .map(k => s"MIN((${HashA(k)} * hm + ${HashB(k)}) % $P) AS m$k").mkString(",\n         ")
+        val oBandSigs = (0 until NBands).map { b =>
+          val cols = (b * BandRows until (b + 1) * BandRows)
+            .map(k => s"CAST(m$k AS VARCHAR)").mkString(" || ',' || ")
+          s"($b, $cols)"
+        }.mkString(", ")
+        val oSigArr = (0 until K).map(k => s"m$k").mkString("[", ", ", "]")
+        s"""WITH sh AS ($oShingleRows),
+           |hm AS (
+           |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P AS hm FROM sh
+           |), minsig AS (
+           |  SELECT doc_id,
+           |         $oMins
+           |  FROM hm GROUP BY doc_id
+           |), bands AS (
+           |  SELECT doc_id, b.band, b.sig
+           |  FROM minsig, LATERAL (SELECT * FROM (VALUES $oBandSigs) v(band, sig)) b
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+           |), sigs AS (SELECT doc_id, $oSigArr AS sig FROM minsig)
+           |SELECT d1, d2,
+           |       len(list_filter(list_transform(range(1, ${K + 1}), i -> s1.sig[i] = s2.sig[i]), x -> x)) / $K.0 AS est_jaccard
+           |FROM cand
+           |JOIN sigs s1 ON s1.doc_id = d1
+           |JOIN sigs s2 ON s2.doc_id = d2
+           |WHERE len(list_filter(list_transform(range(1, ${K + 1}), i -> s1.sig[i] = s2.sig[i]), x -> x)) / $K.0 >= 0.5
+           |ORDER BY d1, d2""".stripMargin
+      }
     ) { (s, d) =>
-      val sh = shingleRows(s, d)
-      val minh = sh
-        .withColumn("seed", explode(sequence(lit(0), lit(K - 1))))
-        .groupBy("doc_id", "seed")
-        .agg(min(h60(concat(col("seed").cast("string"), lit(":"), col("s")))).as("mh"))
-      val bands = minh
-        .withColumn("band", expr(s"seed div $BandRows"))
-        .groupBy("doc_id", "band")
-        .agg(array_join(
-          transform(
-            sort_array(collect_list(struct(col("seed"), col("mh")))),
-            x => x.getField("mh").cast("string")), ",").as("sig"))
+      val hm = shingleRows(s, d).select(col("doc_id"), (h60(col("s")) % P).as("hm"))
+      val minsig = hm.groupBy("doc_id")
+        .agg(
+          min((col("hm") * HashA(0) + HashB(0)) % P).as("m0"),
+          (1 until K).map(k => min((col("hm") * HashA(k) + HashB(k)) % P).as(s"m$k")): _*)
+      val bandStructs = (0 until NBands).map { b =>
+        val sig = concat_ws(",",
+          (b * BandRows until (b + 1) * BandRows).map(k => col(s"m$k").cast("string")): _*)
+        struct(lit(b).as("band"), sig.as("sig"))
+      }
+      val bands = minsig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
+      val sigs = minsig.select(col("doc_id"),
+        array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
       cand
-        .join(minh.select(col("doc_id").as("d1"), col("seed"), col("mh").as("mh1")), Seq("d1"))
-        .join(minh.select(col("doc_id").as("d2"), col("seed"), col("mh").as("mh2")), Seq("d2", "seed"))
-        .groupBy("d1", "d2")
-        .agg((sum(when(col("mh1") === col("mh2"), 1).otherwise(0)).cast("double") / K)
-          .as("est_jaccard"))
+        .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
+        .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
+        .withColumn("est_jaccard",
+          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b)) / lit(K.toDouble))
         .filter(col("est_jaccard") >= 0.5)
         .select("d1", "d2", "est_jaccard")
         .orderBy("d1", "d2")
@@ -127,9 +149,11 @@ object Sim {
     // --- q42: exact n-gram Jaccard over candidate pairs sharing ≥1
     // shingle (the shared-shingle join IS the candidate pruning — no
     // cross join; skew-prone hot shingles are handled by AQE skew split).
+    // The join key is the 60-bit shingle hash, not the string — same
+    // result on both engines (identical hash), ~3× cheaper to shuffle.
     Q(
       "q42_ngram_jaccard",
-      s"""WITH sh AS ($oShingleRows),
+      s"""WITH sh AS (SELECT doc_id, ${oH60("s")} AS s FROM ($oShingleRows)),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
@@ -144,7 +168,7 @@ object Sim {
          |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
          |ORDER BY d1, d2""".stripMargin
     ) { (s, d) =>
-      val sh = shingleRows(s, d)
+      val sh = shingleRows(s, d).select(col("doc_id"), h60(col("s")).as("s"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -204,9 +228,9 @@ object Sim {
       s"""WITH dots AS (
          |  SELECT vec_id, p,
          |    CAST(list_sum(list_transform(range(1, len(embedding)+1),
-         |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+         |      i -> CAST(floor(CAST(embedding[i] AS DOUBLE) *
          |                CAST((CAST('0x' || substr(md5(concat(CAST(p AS VARCHAR), ':', CAST(i-1 AS VARCHAR))), 1, 15) AS BIGINT) & 1) * 2 - 1 AS DOUBLE)
-         |           AS DECIMAL(25,12)))) AS DOUBLE) AS dp
+         |                * 1.0e12) AS BIGINT))) AS DOUBLE) / 1.0e12 AS dp
          |  FROM embeddings, (SELECT unnest(range(0, 8)) AS p)
          |), buckets AS (
          |  SELECT vec_id,
@@ -220,10 +244,10 @@ object Sim {
     ) { (s, d) =>
       val sgn = transform(sequence(lit(0), lit(63)),
         i => (h60(concat(col("p").cast("string"), lit(":"), i.cast("string")))
-          .bitwiseAND(1) * 2 - 1).cast("double"))
+          .bitwiseAND(1) * 2 - 1).cast("float"))
       val dots = embeddings(s, d)
         .withColumn("p", explode(sequence(lit(0), lit(7))))
-        .withColumn("dp", ddot(col("embedding"), sgn))
+        .withColumn("dp", ddot(col("embedding"), sgn.cast("array<float>")))
       val buckets = dots.groupBy("vec_id")
         .agg(sum(when(col("dp") > 0, expr("CAST(1 AS BIGINT) << p")).otherwise(0L))
           .cast("bigint").as("bucket"))

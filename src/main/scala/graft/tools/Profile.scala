@@ -1,0 +1,30 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry}
+
+/** Ad-hoc profiler: runs the named queries twice (cold + warm) and
+  * prints timings, or `explain <name>` for the formatted plan.
+  * Usage: runMain graft.tools.Profile [explain] q30_dedup_exact ...
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (mode, names) =
+      if (args.headOption.contains("explain")) ("explain", args.drop(1)) else ("time", args)
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      if (mode == "explain") {
+        println(s"===== $n ====="); fn(spark, sfDir).explain("formatted")
+      } else {
+        for (round <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val c = fn(spark, sfDir).count()
+          println(f"[$n round $round] ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+        }
+      }
+    }
+    spark.stop()
+  }
+}
