@@ -120,6 +120,47 @@ object Scalars {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // --- q26: array + map function coverage over the embedding column:
+    // size/min/max, HOF filter/exists/forall, slice with fixed-point
+    // fold, and map construction + extraction. All scalar outputs (no
+    // raw arrays/maps in the result — cross-engine encodings differ).
+    Q(
+      "q26_array_map_funcs",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  list_max(embedding) AS vmax,
+        |  list_min(embedding) AS vmin,
+        |  CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS INTEGER) AS n_pos,
+        |  len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.3)) > 0 AS any_big,
+        |  len(list_filter(embedding, x -> NOT (abs(CAST(x AS DOUBLE)) < 1.0))) = 0 AS all_small,
+        |  CAST(list_sum(list_transform(embedding[1:3],
+        |       x -> CAST(floor(CAST(x AS DOUBLE) * 1.0e6) AS BIGINT))) AS BIGINT) AS first3_fp,
+        |  map(['lo','hi'], [list_min(embedding), list_max(embedding)])['hi'][1] AS map_hi
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      import graft.model.Tables.embeddings
+      embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          array_max(col("embedding")).as("vmax"),
+          array_min(col("embedding")).as("vmin"),
+          size(filter(col("embedding"), x => x.cast("double") > 0.0)).as("n_pos"),
+          exists(col("embedding"), x => x.cast("double") > 0.3).as("any_big"),
+          forall(col("embedding"), x => abs(x.cast("double")) < 1.0).as("all_small"),
+          aggregate(
+            transform(slice(col("embedding"), 1, 3),
+              x => floor(x.cast("double") * 1.0e6).cast("long")),
+            lit(0L), (a, v) => a + v).as("first3_fp"),
+          element_at(
+            map_from_arrays(
+              array(lit("lo"), lit("hi")),
+              array(array_min(col("embedding")), array_max(col("embedding")))),
+            "hi").as("map_hi"))
+        .orderBy("vec_id")
+    },
+
     // --- q21: conditional logic (CASE WHEN) + agg.
     Q(
       "q21_case_bucket",

@@ -47,6 +47,34 @@ object Sim {
        |FROM (SELECT doc_id, ${oWords("text")} AS w FROM documents)
        |WHERE len(w) >= 3""".stripMargin
 
+  /** 8 md5-derived ±1 hyperplanes → 8-bit LSH bucket per vector (shared
+    * by q44 assignment and q46 in-bucket search). */
+  private def lshBucketDF(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sgn = transform(sequence(lit(0), lit(63)),
+      i => (h60(concat(col("p").cast("string"), lit(":"), i.cast("string")))
+        .bitwiseAND(1) * 2 - 1).cast("float"))
+    embeddings(s, d)
+      .withColumn("p", explode(sequence(lit(0), lit(7))))
+      .withColumn("dp", ddot(col("embedding"), sgn.cast("array<float>")))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dp") > 0, expr("CAST(1 AS BIGINT) << p")).otherwise(0L))
+        .cast("bigint").as("bucket"))
+  }
+
+  private val oLshBucketCtes: String =
+    """dots AS (
+      |  SELECT vec_id, p,
+      |    CAST(list_sum(list_transform(range(1, len(embedding)+1),
+      |      i -> CAST(floor(CAST(embedding[i] AS DOUBLE) *
+      |                CAST((CAST('0x' || substr(md5(concat(CAST(p AS VARCHAR), ':', CAST(i-1 AS VARCHAR))), 1, 15) AS BIGINT) & 1) * 2 - 1 AS DOUBLE)
+      |                * 1.0e12) AS BIGINT))) AS DOUBLE) / 1.0e12 AS dp
+      |  FROM embeddings, (SELECT unnest(range(0, 8)) AS p)
+      |), buckets AS (
+      |  SELECT vec_id,
+      |         CAST(SUM(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id
+      |)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // --- q40: MinHash + LSH near-dup pairs. One md5 per shingle, K=12
     // universal-hash permutations min-aggregated per doc (no explode),
@@ -225,35 +253,54 @@ object Sim {
     // meet only within a bucket; q43's cross join disappears).
     Q(
       "q44_lsh_buckets",
-      s"""WITH dots AS (
-         |  SELECT vec_id, p,
-         |    CAST(list_sum(list_transform(range(1, len(embedding)+1),
-         |      i -> CAST(floor(CAST(embedding[i] AS DOUBLE) *
-         |                CAST((CAST('0x' || substr(md5(concat(CAST(p AS VARCHAR), ':', CAST(i-1 AS VARCHAR))), 1, 15) AS BIGINT) & 1) * 2 - 1 AS DOUBLE)
-         |                * 1.0e12) AS BIGINT))) AS DOUBLE) / 1.0e12 AS dp
-         |  FROM embeddings, (SELECT unnest(range(0, 8)) AS p)
-         |), buckets AS (
-         |  SELECT vec_id,
-         |         CAST(SUM(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM dots GROUP BY vec_id
-         |)
+      s"""WITH $oLshBucketCtes
          |SELECT vec_id, bucket,
          |       CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
          |FROM buckets
          |ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
-      val sgn = transform(sequence(lit(0), lit(63)),
-        i => (h60(concat(col("p").cast("string"), lit(":"), i.cast("string")))
-          .bitwiseAND(1) * 2 - 1).cast("float"))
-      val dots = embeddings(s, d)
-        .withColumn("p", explode(sequence(lit(0), lit(7))))
-        .withColumn("dp", ddot(col("embedding"), sgn.cast("array<float>")))
-      val buckets = dots.groupBy("vec_id")
-        .agg(sum(when(col("dp") > 0, expr("CAST(1 AS BIGINT) << p")).otherwise(0L))
-          .cast("bigint").as("bucket"))
-      buckets
+      lshBucketDF(s, d)
         .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy("bucket")))
         .select("vec_id", "bucket", "bucket_size")
+        .orderBy("vec_id")
+    },
+
+    // --- q46: in-bucket ANN search — each vector's best cosine neighbor
+    // among its LSH bucket mates. This is the full scale path: candidate
+    // generation is the bucket equi-join (|bucket|² pairs, not |table|²),
+    // scoring is the codegen scaled_dot, ranking a per-vector window.
+    Q(
+      "q46_lsh_ann", {
+        val cos = s"${oDdot("a.embedding", "c.embedding")} / (a.nrm * c.nrm)"
+        s"""WITH $oLshBucketCtes,
+           |n AS (
+           |  SELECT b.vec_id, b.bucket, e.embedding, ${oDnorm("e.embedding")} AS nrm
+           |  FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+           |), ranked AS (
+           |  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id, a.bucket AS bucket,
+           |         $cos AS cos,
+           |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |                            ORDER BY $cos DESC, c.vec_id) AS rnk
+           |  FROM n a JOIN n c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+           |)
+           |SELECT vec_id, neighbor_id, bucket, cos
+           |FROM ranked WHERE rnk = 1
+           |ORDER BY vec_id""".stripMargin
+      }
+    ) { (s, d) =>
+      val n = lshBucketDF(s, d)
+        .join(embeddings(s, d).select("vec_id", "embedding"), Seq("vec_id"))
+        .withColumn("nrm", dnorm(col("embedding")))
+      val a = n.select(col("vec_id"), col("bucket"), col("embedding").as("ae"), col("nrm").as("an"))
+      val c = n.select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
+      a.join(c, Seq("bucket"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", ddot(col("ae"), col("ce")) / (col("an") * col("cn")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select("vec_id", "neighbor_id", "bucket", "cos")
         .orderBy("vec_id")
     },
 

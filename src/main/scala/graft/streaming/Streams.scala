@@ -33,6 +33,16 @@ object Streams {
           .as("reading"),
         col("timestamp").as("event_time"))
 
+  /** File-based streaming source over a parquet landing directory (the
+    * connector-agnostic stand-in for the Kafka topic: files arriving =
+    * messages arriving; offsets = file names, tracked in the
+    * checkpoint). */
+  def fileReadings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "machine_id STRING, sensor STRING, reading DOUBLE, event_time TIMESTAMP"))
+      .parquet(dir)
+
   /** R8+R10 analog: micro-batched append sink with checkpointing. The
     * reference's size-OR-time flush trigger maps to ProcessingTime +
     * the engine's own per-batch sizing; exactly-once to files. */

@@ -56,6 +56,28 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("checkpointed file->parquet pipeline is exactly-once across restart") {
+    // the reference loses a failed batch AND commits its offsets
+    // (SURVEY.md §2.3 B1); here the checkpoint must give no-loss,
+    // no-duplicate delivery across a stop/restart boundary.
+    val root = java.nio.file.Files.createTempDirectory("graft_eo").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    def write(machine: String, n: Int): Unit =
+      Seq.tabulate(n)(i => (machine, "temperature", i.toDouble, ts("2024-01-01 00:00:01")))
+        .toDF("machine_id", "sensor", "reading", "event_time")
+        .write.mode("append").parquet(in)
+    def run(): Unit = {
+      val q = Streams.toParquetSink(Streams.fileReadings(spark, in), out, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    write("M1", 100); run()                     // first incarnation
+    write("M2", 50); run()                      // restart from same checkpoint
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() === 150)                // no loss, no duplicates
+    assert(sunk.filter("machine_id = 'M1'").count() === 100) // batch 1 not re-emitted
+  }
+
   test("rate-source readings conform to the sensor schema") {
     val df = Streams.rateReadings(spark, 10)
     assert(df.isStreaming)
