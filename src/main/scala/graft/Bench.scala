@@ -6,26 +6,33 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: loads parquet reader, codegen, shuffle machinery
-    // once so the first timed query isn't charged ~7 s of JVM start-up.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Two timed iterations per query, report the min: the first
+    // Untimed warmup on the benchmarked dataset: loads parquet reader,
+    // codegen, shuffle machinery once so the first timed query isn't
+    // charged ~7 s of JVM start-up.
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // Three timed iterations per query, report the min: the first
     // execution of each distinct plan pays one-off janino/codegen
     // compilation that steady-state throughput (the thing a cluster
-    // cares about) never sees.
+    // cares about) never sees. A query that fails on every iteration is
+    // reported as -1 and listed in "failed" — never as a fast timing.
     val iterations = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to iterations).map { _ =>
+      val times = (1 to iterations).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+        }
       }
-      name -> times.min
+      name -> times.minOption.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iterations,"timing":"min"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iterations,"timing":"min","failed":$failed}""")
     spark.stop()
   }
 }

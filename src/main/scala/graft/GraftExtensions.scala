@@ -15,6 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("scaled_dot"),
       new ExpressionInfo(classOf[ScaledDotProduct].getName, "scaled_dot"),
-      (children: Seq[Expression]) => ScaledDotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"scaled_dot requires exactly 2 arguments (array<float>, array<float>), got ${children.size}")
+        ScaledDotProduct(children(0), children(1))
+      }))
   }
 }

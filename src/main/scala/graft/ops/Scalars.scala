@@ -139,7 +139,6 @@ object Scalars {
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
-      import graft.model.Tables.embeddings
       embeddings(s, d)
         .select(
           col("vec_id"),

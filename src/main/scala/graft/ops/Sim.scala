@@ -50,7 +50,10 @@ object Sim {
   /** 8 md5-derived ±1 hyperplanes → 8-bit LSH bucket per vector (shared
     * by q44 assignment and q46 in-bucket search). */
   private def lshBucketDF(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sgn = transform(sequence(lit(0), lit(63)),
+    // plane length tracks the actual embedding dim (the oracle iterates
+    // len(embedding) too — a literal here would silently diverge if the
+    // fixture dim ever changed)
+    val sgn = transform(sequence(lit(0), size(col("embedding")) - 1),
       i => (h60(concat(col("p").cast("string"), lit(":"), i.cast("string")))
         .bitwiseAND(1) * 2 - 1).cast("float"))
     embeddings(s, d)

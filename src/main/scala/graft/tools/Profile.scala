@@ -9,7 +9,8 @@ import graft.{Sessions, SparkEntry}
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Sessions.builder("local[32]", 32).getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (mode, names) =
       if (args.headOption.contains("explain")) ("explain", args.drop(1)) else ("time", args)
