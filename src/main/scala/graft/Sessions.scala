@@ -23,5 +23,7 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       // Custom codegen expressions (scaled_dot, …) as SQL functions.
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Managed tables (bucketed-join demos/tests) go to tmp, not cwd.
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
 }

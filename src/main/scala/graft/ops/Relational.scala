@@ -236,6 +236,35 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // --- q28: salted two-phase aggregation — the skew pattern. events
+    // has ~15 distinct users, so a plain groupBy(user_id) funnels whole
+    // users into single tasks; salting by event_id%16 spreads the
+    // partial aggregation across 16× more keys, and the exact decimal
+    // partials merge to bit-identical results (the oracle is the PLAIN
+    // group-by — proving salting is semantics-free).
+    Q(
+      "q28_salted_agg",
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val partial = events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("user_id", "salt")
+        .agg(
+          count(lit(1)).as("pc"),
+          sum(col("value").cast(DecimalType(38, 6))).as("ps"))
+      partial
+        .groupBy("user_id")
+        .agg(
+          sum(col("pc")).as("n_events"),
+          (sum(col("ps")).cast("double") / sum(col("pc"))).as("avg_value"))
+        .orderBy("user_id")
+    },
+
     // --- q16: global sort + limit (top-k). Spark runs TakeOrderedAndProject:
     // per-partition heap + driver merge — no full sort at scale.
     Q(
