@@ -195,8 +195,14 @@ object Scalars {
         |GROUP BY 1
         |ORDER BY k""".stripMargin
     ) { (s, d) =>
+      // schema'd from_json (not get_json_object string-probing): the
+      // parse happens once per row against a typed struct
       events(s, d)
-        .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+        .select(
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"),
+          col("value"))
         .groupBy("k")
         .agg(count(lit(1)).as("cnt"), davg(col("value")).as("avg_value"))
         .orderBy("k")

@@ -113,6 +113,25 @@ object Streams {
       }
   }
 
+  /** R14 analog (the reference's `total_msgs_received/flushed` counters,
+    * `/root/reference/consumer/sensor_data_consumer.py:29-30,139-140`):
+    * a StreamingQueryListener accumulating rows in/out per query — the
+    * same conservation eyeball-invariant, engine-side and crash-safe.
+    */
+  final class ConservationListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val in = new java.util.concurrent.atomic.AtomicLong(0)
+    private val out = new java.util.concurrent.atomic.AtomicLong(0)
+    def totalIn: Long = in.get
+    def totalOut: Long = out.get
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      in.addAndGet(e.progress.numInputRows)
+      Option(e.progress.sink).foreach(s => out.addAndGet(math.max(0L, s.numOutputRows)))
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  }
+
   /** Demo main: rate source → sensor readings → windowed stats to
     * console + raw appends to parquet, for ~15 seconds. */
   def main(args: Array[String]): Unit = {

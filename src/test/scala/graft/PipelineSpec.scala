@@ -25,6 +25,15 @@ class PipelineSpec extends SparkTestBase {
     assert(!row.isNullAt(3))
   }
 
+  test("typed Dataset[PlcReading] view works at the ingest boundary") {
+    val ds = graft.model.PlcReading.ds(Pipeline.sensorReadings(spark, sfDir))
+    val r = ds.head()
+    assert(Set("M1", "M2", "M3").contains(r.machine_id))
+    assert(r.t_stamp > 1.7e9) // 2024 epoch seconds
+    // typed filter + map still runs distributed
+    assert(ds.filter(_.reading >= 0).count() === 1000)
+  }
+
   test("appendSink writes machine-partitioned parquet (R10)") {
     val out = Files.createTempDirectory("graft_sink").toString + "/data"
     Pipeline.appendSink(Pipeline.sensorReadings(spark, sfDir), out)

@@ -78,6 +78,23 @@ class StreamsSpec extends SparkTestBase {
     assert(sunk.filter("machine_id = 'M1'").count() === 100) // batch 1 not re-emitted
   }
 
+  test("ConservationListener tracks rows in = rows out (R14 counters)") {
+    implicit val sq = spark.sqlContext
+    val listener = new Streams.ConservationListener
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[Reading]
+    val q = mem.toDF().writeStream.format("memory").queryName("conserve")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Reading("M1", "temperature", 1.0, ts("2024-01-01 00:00:00")),
+        Reading("M2", "pressure", 2.0, ts("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      assert(spark.table("conserve").count() === 2)
+      assert(listener.totalIn === 2)
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+  }
+
   test("rate-source readings conform to the sensor schema") {
     val df = Streams.rateReadings(spark, 10)
     assert(df.isStreaming)
