@@ -94,6 +94,63 @@ object Analytic {
           |ORDER BY gid, rf, ls""".stripMargin)
     },
 
+    // --- q27: generator / lateral view (UDTF class): posexplode the
+    // first 4 embedding dims into rows, aggregate per position.
+    Q(
+      "q27_posexplode",
+      """SELECT CAST(pos AS INTEGER) AS pos, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(val) AS avg_val
+        |FROM (
+        |  SELECT p.pos AS pos, embedding[p.pos] AS val
+        |  FROM embeddings, LATERAL (SELECT unnest(range(1, 5)) AS pos) p
+        |)
+        |GROUP BY pos
+        |ORDER BY pos""".stripMargin
+    ) { (s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)))
+        .select((col("pos") + 1).as("pos"), col("col").as("val"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("cnt"), davg(col("val").cast("double")).as("avg_val"))
+        .orderBy("pos")
+    },
+
+    // --- q29: statistical aggregates from exact moments — stddev and
+    // variance assembled from decimal-exact Σx and Σx² with the SAME
+    // final float formula on both engines (built-in stddev/var use
+    // engine-specific accumulation orders and can't hash-match).
+    Q(
+      "q29_moment_stats",
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_qty,
+        |  (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |      * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1) AS var_qty,
+        |  sqrt((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |      * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1)) AS stddev_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      val agg = lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("s1"),
+          dsum(col("l_quantity") * col("l_quantity")).as("s2"))
+      val variance = (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)
+      agg.select(
+          col("l_returnflag"), col("n"),
+          (col("s1") / col("n")).as("mean_qty"),
+          variance.as("var_qty"),
+          sqrt(variance).as("stddev_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // --- q13: ranking window — top-3 orders per market segment.
     Q(
       "q13_window_topk",
