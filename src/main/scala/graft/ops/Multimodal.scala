@@ -103,6 +103,29 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // --- q62: frame sampling — split each payload into 4 equal-size
+    // "frames" (the video-frame / audio-segment sampling pattern) and
+    // fingerprint each. Chunking is pure integer arithmetic on the
+    // payload, so the oracle replays it; the real decode stays stubbed.
+    Q(
+      "q62_frame_sample",
+      """SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        |  CAST(clen AS INTEGER) AS frame_len,
+        |  md5(substr(text, CAST(pos * clen + 1 AS INTEGER), CAST(clen AS INTEGER))) AS frame_fp
+        |FROM (
+        |  SELECT doc_id, text, len(text) // 4 AS clen FROM documents
+        |), (SELECT unnest(range(0, 4)) AS pos)
+        |ORDER BY doc_id, pos""".stripMargin
+    ) { (s, d) =>
+      documents(s, d)
+        .withColumn("clen", expr("length(text) div 4"))
+        .withColumn("pos", explode(sequence(lit(0), lit(3))))
+        .select(
+          col("doc_id"), col("pos"), col("clen").cast("int").as("frame_len"),
+          md5(expr("substring(text, pos * clen + 1, clen)")).as("frame_fp"))
+        .orderBy("doc_id", "pos")
+    },
+
     // --- q61: feature aggregation per modality. The expression-side
     // fake feature mirrors the stubDecode idea (hash-derived, exact) so
     // the oracle can replay it; the mapPartitions path is unit-tested.

@@ -307,6 +307,45 @@ object Sim {
         .orderBy("vec_id")
     },
 
+    // --- q47: IVF-style coarse quantizer — the second ANN scale path.
+    // Deterministic centroids (the embeddings at vec_id = 37·j) are
+    // broadcast; every vector is assigned to its max-cosine centroid.
+    // At 100 TB this is the partition key of an IVF index: the probe
+    // set only scans its centroid's cell. Assignment is exact
+    // (scaled_dot) so DuckDB replays it bit-for-bit.
+    Q(
+      "q47_ivf_assign",
+      s"""WITH cent AS (
+         |  SELECT vec_id AS c_id, embedding AS ce, ${oDnorm("embedding")} AS cn
+         |  FROM embeddings WHERE vec_id % 37 = 0
+         |), n AS (
+         |  SELECT vec_id, embedding, ${oDnorm("embedding")} AS nrm FROM embeddings
+         |), scored AS (
+         |  SELECT n.vec_id, cent.c_id,
+         |         ${oDdot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) AS cos,
+         |         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |           ORDER BY ${oDdot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) DESC, cent.c_id) AS rnk
+         |  FROM n, cent
+         |)
+         |SELECT vec_id, c_id AS centroid_id, cos,
+         |       CAST(COUNT(*) OVER (PARTITION BY c_id) AS BIGINT) AS cell_size
+         |FROM scored WHERE rnk = 1
+         |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      val n = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), dnorm(col("embedding")).as("nrm"))
+      val cent = n.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
+      n.crossJoin(broadcast(cent))
+        .withColumn("cos", ddot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("c_id").as("centroid_id"), col("cos"))
+        .withColumn("cell_size", count(lit(1)).over(Window.partitionBy("centroid_id")))
+        .orderBy("vec_id")
+    },
+
     // --- q45: embedding norm statistics per label (array HOFs + agg).
     Q(
       "q45_embed_stats",
