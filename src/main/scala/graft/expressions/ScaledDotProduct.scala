@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 case class ScaledDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  final val Scale = 1.0e12
+  import ScaledDotProduct.Scale
 
   override def dataType: DataType = LongType
 
@@ -47,7 +47,11 @@ case class ScaledDotProduct(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += math.floor(x.getFloat(i).toDouble * y.getFloat(i).toDouble * Scale).toLong
+      // null elements contribute nothing — matches the oracle, where a
+      // NULL element makes its product term NULL and list_sum skips it
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        acc += math.floor(x.getFloat(i).toDouble * y.getFloat(i).toDouble * Scale).toLong
+      }
       i += 1
     }
     acc
@@ -61,8 +65,10 @@ case class ScaledDotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |${ev.value} = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += (long) java.lang.Math.floor(
-         |    (double) $a.getFloat($i) * (double) $b.getFloat($i) * 1.0E12);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    ${ev.value} += (long) java.lang.Math.floor(
+         |      (double) $a.getFloat($i) * (double) $b.getFloat($i) * ${ScaledDotProduct.Scale});
+         |  }
          |}
        """.stripMargin
     })
@@ -72,4 +78,10 @@ case class ScaledDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "scaled_dot"
+}
+
+object ScaledDotProduct {
+  /** The single fixed-point scale: eval, codegen, Vec, and the DuckDB
+    * oracle fragments all reference this one constant. */
+  final val Scale = 1.0e12
 }

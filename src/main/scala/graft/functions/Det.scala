@@ -38,9 +38,23 @@ object Det {
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
-  /** Seeded variant: distinct hash families per seed. */
+  /** Seeded variant: distinct hash families per seed. NULL input hashes
+    * as the empty string on BOTH engines (DuckDB's concat ignores NULL
+    * args while Spark's propagates them — coalesce pins the semantics).
+    */
   def h60(c: Column, seed: Int): Column =
-    h60(concat_ws(":", lit(seed.toString), c))
+    h60(concat(lit(seed.toString), lit(":"), coalesce(c, lit(""))))
+
+  /** Driver-side twin of [[h60]] for precomputing literal hash tables
+    * (e.g. LSH plane signs) without per-row hashing. Must stay
+    * bit-compatible with the Column/oracle forms (see FunctionsSpec).
+    */
+  def h60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
 
   // ---- Oracle-SQL fragments mirroring the Column helpers above ----
   def oSum(e: String): String =
@@ -49,5 +63,5 @@ object Det {
   def oH60(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
   def oH60(e: String, seed: Int): String =
-    oH60(s"concat('$seed', ':', $e)")
+    oH60(s"concat('$seed', ':', COALESCE($e, ''))")
 }

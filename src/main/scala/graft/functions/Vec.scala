@@ -15,7 +15,7 @@ import graft.expressions.ScaledDotProduct
   * `aggregate(zip_with(...))` HOF fold it replaced).
   */
 object Vec {
-  private val Scale = 1.0e12
+  private val Scale = ScaledDotProduct.Scale
 
   /** Raw scaled dot product as a long: Σ ⌊aᵢ·bᵢ·10¹²⌋. */
   def sdot(a: Column, b: Column): Column =
@@ -32,8 +32,8 @@ object Vec {
   // ---- DuckDB twins (identical fixed-point arithmetic) ----
   def oSdot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), " +
-      s"i -> CAST(floor(CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE) * 1.0e12) AS BIGINT)))"
+      s"i -> CAST(floor(CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE) * $Scale) AS BIGINT)))"
   def oDdot(a: String, b: String): String =
-    s"(CAST(${oSdot(a, b)} AS DOUBLE) / 1.0e12)"
+    s"(CAST(${oSdot(a, b)} AS DOUBLE) / $Scale)"
   def oDnorm(a: String): String = s"sqrt(${oDdot(a, a)})"
 }

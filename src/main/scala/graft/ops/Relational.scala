@@ -255,13 +255,14 @@ object Relational {
         .withColumn("salt", pmod(col("event_id"), lit(16)))
         .groupBy("user_id", "salt")
         .agg(
-          count(lit(1)).as("pc"),
+          count(lit(1)).as("pc"),           // all rows (oracle COUNT(*))
+          count(col("value")).as("pv"),     // non-null (oracle COUNT(value))
           sum(col("value").cast(DecimalType(38, 6))).as("ps"))
       partial
         .groupBy("user_id")
         .agg(
           sum(col("pc")).as("n_events"),
-          (sum(col("ps")).cast("double") / sum(col("pc"))).as("avg_value"))
+          (sum(col("ps")).cast("double") / sum(col("pv"))).as("avg_value"))
         .orderBy("user_id")
     },
 

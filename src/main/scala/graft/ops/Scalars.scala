@@ -188,7 +188,7 @@ object Scalars {
     // --- q22: JSON extraction from the events.props payload column.
     Q(
       "q22_json_extract",
-      """SELECT CAST(props->>'$.k' AS INTEGER) AS k,
+      """SELECT COALESCE(CAST(props->>'$.k' AS INTEGER), -1) AS k,
         |  COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
         |FROM events
@@ -197,11 +197,15 @@ object Scalars {
     ) { (s, d) =>
       // schema'd from_json (not get_json_object string-probing): the
       // parse happens once per row against a typed struct
+      // COALESCE the group key: a malformed/missing k would otherwise
+      // sort NULLS FIRST in Spark but NULLS LAST in DuckDB
       events(s, d)
         .select(
-          from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-            .getField("k").as("k"),
+          coalesce(
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k"),
+            lit(-1)).as("k"),
           col("value"))
         .groupBy("k")
         .agg(count(lit(1)).as("cnt"), davg(col("value")).as("avg_value"))

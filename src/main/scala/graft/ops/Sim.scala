@@ -48,20 +48,28 @@ object Sim {
        |WHERE len(w) >= 3""".stripMargin
 
   /** 8 md5-derived ±1 hyperplanes → 8-bit LSH bucket per vector (shared
-    * by q44 assignment and q46 in-bucket search). */
+    * by q44 assignment and q46 in-bucket search).
+    *
+    * The plane signs depend only on (plane, dim), so they are
+    * precomputed driver-side with [[graft.functions.Det.h60Local]]
+    * (bit-compatible with the oracle's md5 SQL) and shipped as array
+    * literals — no per-row hashing, no explode, no re-aggregation:
+    * one projection with 8 codegen dot products per vector. Literals
+    * are longer (1024) than any plausible dim; ScaledDotProduct bounds
+    * the loop to the shorter (= actual embedding) length, exactly like
+    * the oracle's range(1, len(embedding)+1).
+    */
+  private val Planes: Seq[org.apache.spark.sql.Column] = (0 until 8).map { p =>
+    typedlit((0 until 1024).map { i =>
+      (((graft.functions.Det.h60Local(s"$p:$i") & 1L) * 2 - 1).toFloat)
+    }.toArray)
+  }
+
   private def lshBucketDF(s: org.apache.spark.sql.SparkSession, d: String) = {
-    // plane length tracks the actual embedding dim (the oracle iterates
-    // len(embedding) too — a literal here would silently diverge if the
-    // fixture dim ever changed)
-    val sgn = transform(sequence(lit(0), size(col("embedding")) - 1),
-      i => (h60(concat(col("p").cast("string"), lit(":"), i.cast("string")))
-        .bitwiseAND(1) * 2 - 1).cast("float"))
-    embeddings(s, d)
-      .withColumn("p", explode(sequence(lit(0), lit(7))))
-      .withColumn("dp", ddot(col("embedding"), sgn.cast("array<float>")))
-      .groupBy("vec_id")
-      .agg(sum(when(col("dp") > 0, expr("CAST(1 AS BIGINT) << p")).otherwise(0L))
-        .cast("bigint").as("bucket"))
+    val bucket = (0 until 8).map { p =>
+      when(sdot(col("embedding"), Planes(p)) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _).cast("bigint")
+    embeddings(s, d).select(col("vec_id"), bucket.as("bucket"))
   }
 
   private val oLshBucketCtes: String =

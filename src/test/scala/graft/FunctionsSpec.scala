@@ -13,6 +13,12 @@ class FunctionsSpec extends SparkTestBase {
     assert(v === 52211974417049249L)
   }
 
+  test("h60Local is bit-compatible with the Column form") {
+    assert(Det.h60Local("7:abc def") === 52211974417049249L)
+    val fromCol = Seq("3:17").toDF("s").select(Det.h60(col("s")).as("h")).head().getLong(0)
+    assert(Det.h60Local("3:17") === fromCol)
+  }
+
   test("dsum is exact where double summation is not") {
     val df = Seq.fill(10000)(0.1).toDF("x")
     val exact = df.select(Det.dsum(col("x"))).head().getDouble(0)

@@ -22,8 +22,21 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
-    names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
+    dirs = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
     n_fail = 0
+    # cross-check against the registry manifest: a crashed query has no
+    # output dir; a renamed/removed query leaves a stale one
+    try:
+        registered = sorted(json.load(open(f"{out}/queries.json")))
+    except FileNotFoundError:
+        registered = dirs
+    for miss in sorted(set(registered) - set(dirs)):
+        print(f"FAIL  {miss}: registered but produced no output (crashed in Verify?)")
+        n_fail += 1
+    for stale in sorted(set(dirs) - set(registered)):
+        print(f"FAIL  {stale}: output dir exists but query is not registered (stale?)")
+        n_fail += 1
+    names = sorted(set(dirs) & set(registered))
     for name in names:
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
@@ -54,15 +67,19 @@ def main():
                 sb = odf.sort_values(list(odf.columns), ignore_index=True)[c].values
                 (order_only if eq(sa, sb) else bad).append(c)
         dt = [c for c in sdf.columns if str(sdf[c].dtype) != str(odf[c].dtype)]
-        if bad or order_only:
-            print(f"FAIL  {name}: value-mismatch cols={bad} order-mismatch cols={order_only} dtype-diff={dt}")
+        # zero-sign mismatches (-0.0 vs 0.0) survive == but not a bit-hash
+        zs = [c for c in sdf.columns
+              if sdf[c].dtype.kind == 'f' and odf[c].dtype.kind == 'f'
+              and not np.array_equal(np.signbit(sdf[c].values), np.signbit(odf[c].values))]
+        if bad or order_only or dt or zs:
+            print(f"FAIL  {name}: value-mismatch cols={bad} order-mismatch cols={order_only} "
+                  f"dtype-diff={dt} zero-sign-diff={zs}")
             for c in (bad + order_only)[:2]:
                 i = first_diff(sdf[c].values, odf[c].values)
                 print(f"      {c}[{i}]: spark={sdf[c].values[i]!r} oracle={odf[c].values[i]!r}")
             n_fail += 1
         else:
-            extra = f"  dtype-diff={dt}" if dt else ""
-            print(f"ok    {name}: rows={len(sdf)}{extra}")
+            print(f"ok    {name}: rows={len(sdf)}")
     print(f"== {len(names) - n_fail}/{len(names)} pass")
     sys.exit(min(n_fail, 99))
 
