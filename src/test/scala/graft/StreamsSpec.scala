@@ -78,6 +78,38 @@ class StreamsSpec extends SparkTestBase {
     assert(sunk.filter("machine_id = 'M1'").count() === 100) // batch 1 not re-emitted
   }
 
+  test("windowed aggregation state survives a checkpointed restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    def write(rows: Seq[(String, String, Double, java.sql.Timestamp)]): Unit =
+      rows.toDF("machine_id", "sensor", "reading", "event_time")
+        .write.mode("append").parquet(in)
+    def run(): Unit = {
+      val agg = Streams.tumblingStats(Streams.fileReadings(spark, in), "1 minute", "5 minutes")
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // incarnation 1: two readings in the 00:00 window — not emitted yet
+    // (watermark hasn't passed the window end)
+    write(Seq(("M1", "t", 10.0, ts("2024-01-01 00:00:10")),
+              ("M1", "t", 30.0, ts("2024-01-01 00:00:40"))))
+    run()
+    // incarnation 2 (fresh query object, same checkpoint): late-window
+    // data plus an event far enough ahead to close the 00:00 window.
+    // The count=2/avg=20 state must have been recovered, not recomputed
+    // from only the new file.
+    write(Seq(("M1", "t", 99.0, ts("2024-01-01 00:30:00"))))
+    run()
+    val rows = spark.read.parquet(out)
+      .selectExpr("machine_id", "n", "avg_reading").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.contains(("M1", 2L, 20.0)),
+      s"expected recovered 2-row window state, got ${rows.toSeq}")
+  }
+
   test("ConservationListener tracks rows in = rows out (R14 counters)") {
     implicit val sq = spark.sqlContext
     val listener = new Streams.ConservationListener
