@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.ScaledDotProduct
+import graft.expressions.{Hamming64, ScaledDotProduct}
 
 /** Engine extensions, injected via
   * `spark.sql.extensions=graft.GraftExtensions` (see [[Sessions]]):
@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"scaled_dot requires exactly 2 arguments (array<float>, array<float>), got ${children.size}")
         ScaledDotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hamming64"),
+      new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"hamming64 requires exactly 2 arguments (bigint, bigint), got ${children.size}")
+        Hamming64(children(0), children(1))
       }))
   }
 }

@@ -72,6 +72,32 @@ object Sim {
     embeddings(s, d).select(col("vec_id"), bucket.as("bucket"))
   }
 
+  /** Per-doc 16-bit SimHash (shared by q41 fingerprinting and q48
+    * near-dup pairing). */
+  private def simhashDF(s: org.apache.spark.sql.SparkSession, d: String) =
+    shingleRows(s, d)
+      .withColumn("h", h60(col("s")))
+      .withColumn("b", explode(sequence(lit(0), lit(15))))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("CAST(1 AS BIGINT) << b")).otherwise(0L))
+        .cast("bigint").as("simhash16"))
+
+  private val oSimhashCtes: String =
+    s"""sh AS ($oShingleRows),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |         SUM(CASE WHEN ((CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) >> b) & 1) = 1
+       |                  THEN 1 ELSE -1 END) AS v
+       |  FROM sh, (SELECT unnest(range(0, 16)) AS b)
+       |  GROUP BY doc_id, b
+       |), simhash AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash16
+       |  FROM votes GROUP BY doc_id
+       |)""".stripMargin
+
   private val oLshBucketCtes: String =
     """dots AS (
       |  SELECT vec_id, p,
@@ -161,28 +187,65 @@ object Sim {
     // vote +1/-1 across shingles, set the bit when the vote is positive.
     Q(
       "q41_simhash",
-      s"""WITH sh AS ($oShingleRows),
-         |votes AS (
-         |  SELECT doc_id, b,
-         |         SUM(CASE WHEN ((CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) >> b) & 1) = 1
-         |                  THEN 1 ELSE -1 END) AS v
-         |  FROM sh, (SELECT unnest(range(0, 16)) AS b)
-         |  GROUP BY doc_id, b
-         |)
-         |SELECT doc_id,
-         |       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash16
-         |FROM votes GROUP BY doc_id
+      s"""WITH $oSimhashCtes
+         |SELECT doc_id, simhash16 FROM simhash
          |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      shingleRows(s, d)
-        .withColumn("h", h60(col("s")))
-        .withColumn("b", explode(sequence(lit(0), lit(15))))
-        .groupBy("doc_id", "b")
-        .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("v"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("v") > 0, expr("CAST(1 AS BIGINT) << b")).otherwise(0L))
-          .cast("bigint").as("simhash16"))
-        .orderBy("doc_id")
+      simhashDF(s, d).orderBy("doc_id")
+    },
+
+    // --- q48: SimHash near-dup pairs. Banded candidate generation
+    // (16 bits → 3 chunks; hamming ≤ 2 touches ≤ 2 chunks, so by
+    // pigeonhole true pairs share ≥ 1 chunk — an equi-join, no cross
+    // join), scored by the codegen hamming64 expression.
+    Q(
+      "q48_simhash_pairs",
+      s"""WITH $oSimhashCtes,
+         |chunks AS (
+         |  SELECT doc_id, c.chunk_id, c.chunk_val
+         |  FROM simhash, LATERAL (SELECT * FROM (VALUES
+         |    (0, simhash16 & 63),
+         |    (1, (simhash16 >> 6) & 31),
+         |    (2, (simhash16 >> 11) & 31)) v(chunk_id, chunk_val)) c
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+         |   AND a.doc_id < b.doc_id
+         |)
+         |SELECT d1, d2,
+         |       CAST(bit_count(xor(s1.simhash16, s2.simhash16)) AS INTEGER) AS hamming
+         |FROM cand
+         |JOIN simhash s1 ON s1.doc_id = d1
+         |JOIN simhash s2 ON s2.doc_id = d2
+         |WHERE bit_count(xor(s1.simhash16, s2.simhash16)) <= 2
+         |ORDER BY d1, d2""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.GraftBridge
+      import graft.expressions.Hamming64
+      def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        GraftBridge.column(Hamming64(GraftBridge.expression(a), GraftBridge.expression(b)))
+      val sim = simhashDF(s, d)
+      val chunks = sim.select(col("doc_id"), explode(array(
+          struct(lit(0).as("chunk_id"), (col("simhash16").bitwiseAND(63)).as("chunk_val")),
+          struct(lit(1).as("chunk_id"), expr("(simhash16 >> 6) & 31").as("chunk_val")),
+          struct(lit(2).as("chunk_id"), expr("(simhash16 >> 11) & 31").as("chunk_val"))))
+          .as("c"))
+        .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_val"))
+      val cand = chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.chunk_id") === col("b.chunk_id") &&
+            col("a.chunk_val") === col("b.chunk_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(sim.select(col("doc_id").as("d1"), col("simhash16").as("s1")), Seq("d1"))
+        .join(sim.select(col("doc_id").as("d2"), col("simhash16").as("s2")), Seq("d2"))
+        .withColumn("hamming", hamming(col("s1"), col("s2")))
+        .filter(col("hamming") <= 2)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
     },
 
     // --- q42: exact n-gram Jaccard over candidate pairs sharing ≥1

@@ -57,6 +57,23 @@ object Streams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** R10 via foreachBatch — the pattern for sinks without native
+    * transactional support (the reference's Postgres bulk-INSERT,
+    * `/root/reference/consumer/sensor_data_consumer.py:124-145`):
+    * each micro-batch lands under its batchId so a replayed batch
+    * overwrites its own output instead of duplicating it
+    * (at-least-once delivery + idempotent write = effectively-once).
+    */
+  def toForeachBatchSink(readings: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    readings.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Event-time tumbling window stats with late-data handling — the
     * watermark bounds state; the reference tolerated unbounded lateness
     * only because it never aggregated. */

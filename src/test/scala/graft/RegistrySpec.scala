@@ -11,6 +11,28 @@ class RegistrySpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("query names follow the qNN_ convention") {
+    SparkEntry.registry.foreach(q =>
+      assert(q.name.matches("q\\d{2}_[a-z0-9_]+"), s"bad name: ${q.name}"))
+  }
+
+  test("oracle SQL references only harness tables") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    SparkEntry.oracleSql.foreach { case (name, rawSql) =>
+      // EXTRACT(unit FROM col) is not a table reference
+      val sql = rawSql.replaceAll("(?i)EXTRACT\\s*\\([^)]*\\)", "")
+      // strip CTE names declared in this query before checking
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
+        assert(tables.contains(t) || ctes.contains(t),
+          s"$name references unknown table '$t'")
+      }
+    }
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

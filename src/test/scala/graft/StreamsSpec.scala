@@ -110,6 +110,20 @@ class StreamsSpec extends SparkTestBase {
       s"expected recovered 2-row window state, got ${rows.toSeq}")
   }
 
+  test("foreachBatch sink is idempotent per batch id") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    Seq(("M1", "t", 1.0, ts("2024-01-01 00:00:00")))
+      .toDF("machine_id", "sensor", "reading", "event_time")
+      .write.mode("append").parquet(in)
+    val q = Streams.toForeachBatchSink(Streams.fileReadings(spark, in), out, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() === 1)
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("batch_id=")))
+  }
+
   test("ConservationListener tracks rows in = rows out (R14 counters)") {
     implicit val sq = spark.sqlContext
     val listener = new Streams.ConservationListener
