@@ -270,7 +270,12 @@ object Sim {
          |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
          |ORDER BY d1, d2""".stripMargin
     ) { (s, d) =>
+      // the hashed shingle table feeds both join sides AND the sizes —
+      // without persist Catalyst recomputes the regex+md5 subtree 4×
+      // (no exchange to reuse). At 100 TB this intermediate would be a
+      // materialized table; here MEMORY_AND_DISK is its stand-in.
       val sh = shingleRows(s, d).select(col("doc_id"), h60(col("s")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
