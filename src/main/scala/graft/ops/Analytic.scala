@@ -151,6 +151,28 @@ object Analytic {
         .orderBy("l_returnflag")
     },
 
+    // --- q49: discrete percentiles (median / p90) — order statistics
+    // that RETURN actual data values, so no interpolation float math
+    // can diverge between engines (unlike percentile_cont).
+    Q(
+      "q49_percentile_disc",
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.5) AS median_qty,
+        |  quantile_disc(l_quantity, 0.9) AS p90_qty,
+        |  quantile_disc(l_extendedprice, 0.5) AS median_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("median_qty"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_qty"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("median_price"))
+        .orderBy("l_returnflag")
+    },
+
     // --- q13: ranking window — top-3 orders per market segment.
     Q(
       "q13_window_topk",
