@@ -111,6 +111,93 @@ object Advanced {
         .orderBy("user_id")
     },
 
+    // --- q54: time-series gap fill — a generated month calendar LEFT
+    // JOINed against sparse monthly revenue, missing months filled with
+    // zeros. The calendar side is rows-from-nothing (sequence +
+    // explode), the canonical downsample-with-gaps pattern.
+    Q(
+      "q54_gapfill",
+      """WITH sparse AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |         COUNT(*) AS cnt,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000
+        |  GROUP BY 1
+        |), b AS (
+        |  SELECT min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS lo,
+        |         max(CAST(date_trunc('month', o_orderdate) AS DATE)) AS hi
+        |  FROM orders
+        |), cal AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month FROM b
+        |)
+        |SELECT cal.month, COALESCE(sparse.cnt, 0) AS cnt, COALESCE(sparse.rev, 0.0) AS rev
+        |FROM cal LEFT JOIN sparse ON sparse.month = cal.month
+        |ORDER BY cal.month""".stripMargin
+    ) { (s, d) =>
+      val o = orders(s, d)
+      val sparse = o
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 450000)
+        .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("month"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("rev"))
+      val cal = o
+        .agg(
+          min(trunc(col("o_orderdate").cast("date"), "month")).as("lo"),
+          max(trunc(col("o_orderdate").cast("date"), "month")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, INTERVAL 1 MONTH)")).as("month"))
+      cal.join(sparse, Seq("month"), "left")
+        .select(col("month"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          coalesce(col("rev"), lit(0.0)).as("rev"))
+        .orderBy("month")
+    },
+
+    // --- q55: batch sessionization — gap-based session ids per user
+    // (new session when > 30 min idle), then per-session stats. The
+    // lag + running-sum window composite is the batch twin of the
+    // streaming session_window in graft.streaming.Streams.
+    Q(
+      "q55_sessionize",
+      """WITH marked AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, session_id,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us,
+        |  MAX(ts_us) AS end_us,
+        |  (MAX(ts_us) - MIN(ts_us)) / 1000000.0 AS duration_s
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val marked = events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+        .withColumn("is_new",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L ||
+               lag(col("ts_us"), 1).over(w).isNull, 1).otherwise(0))
+      val wRun = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      marked
+        .withColumn("session_id", sum(col("is_new")).over(wRun).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          ((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000.0)).as("duration_s"))
+        .orderBy("user_id", "session_id")
+    },
+
     // --- q53: correlated scalar subquery — orders 1.5× above their
     // customer's decimal-exact average (Catalyst decorrelates this into
     // an aggregate + join; no per-row re-execution).
