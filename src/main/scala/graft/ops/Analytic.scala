@@ -195,6 +195,55 @@ object Analytic {
         .orderBy("c_mktsegment", "rn")
     },
 
+    // --- q56: ranking-family completeness — dense_rank, ntile,
+    // percent_rank, cume_dist (rank arithmetic only: (rank-1)/(n-1)
+    // and rank/n divide identical integers on both engines).
+    Q(
+      "q56_rank_family",
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WHERE o_orderkey % 101 = 0
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderstatus, drank, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .filter(col("o_orderkey") % 101 === 0)
+        .select(
+          col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderstatus", "drank", "o_orderkey")
+    },
+
+    // --- q57: ordered string aggregation (LISTAGG class): nations per
+    // region as a deterministic sorted CSV (sort_array + array_join ≙
+    // string_agg ORDER BY).
+    Q(
+      "q57_string_agg",
+      """SELECT r_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin
+    ) { (s, d) =>
+      broadcast(region(s, d))
+        .join(nation(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_nations"),
+          array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy("r_name")
+    },
+
     // --- q14: frame window — rolling 4-row sum/avg of event values per
     // user (the reference's sensor-analytics analog; decimal-exact frame
     // sums so segment-tree vs streaming frame evaluation can't diverge).
