@@ -179,14 +179,17 @@ object Advanced {
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin
     ) { (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // both windows order by (ts_us, event_id) — order-isomorphic to
+      // (ts, event_id) but syntactically identical between the two
+      // specs, so Catalyst satisfies the second Window with the first
+      // one's output ordering (one sort, not two)
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       val marked = events(s, d)
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
         .withColumn("is_new",
           when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L ||
                lag(col("ts_us"), 1).over(w).isNull, 1).otherwise(0))
-      val wRun = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       marked
         .withColumn("session_id", sum(col("is_new")).over(wRun).cast("int"))
         .groupBy("user_id", "session_id")

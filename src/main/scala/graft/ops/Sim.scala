@@ -281,13 +281,18 @@ object Sim {
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("c"))
-      inter
+      val result = inter
         .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
         .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
         .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
         .filter(col("jaccard") >= 0.6)
         .select("d1", "d2", "jaccard")
         .orderBy("d1", "d2")
+        // materialize the (small) pair set eagerly so the big shingle
+        // cache can be released instead of pinning session memory
+        .localCheckpoint(true)
+      sh.unpersist()
+      result
     },
 
     // --- q43: brute-force cosine top-k (the ANN baseline): 20 probe

@@ -64,11 +64,17 @@ object Streams {
     * overwrites its own output instead of duplicating it
     * (at-least-once delivery + idempotent write = effectively-once).
     */
+  /** The per-batch write: overwrite-by-batchId makes a replayed batch
+    * land on its own output instead of duplicating (tested directly —
+    * see StreamsSpec "replayed batch"). */
+  def writeBatch(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
   def toForeachBatchSink(readings: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
     readings.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        writeBatch(batch, batchId, path)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

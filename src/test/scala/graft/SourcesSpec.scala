@@ -18,10 +18,13 @@ class SourcesSpec extends SparkTestBase {
     df.write.json(s"$dir/json")
     val csv = spark.read.option("header", "true").schema(df.schema).csv(s"$dir/csv")
     val json = spark.read.schema(df.schema).json(s"$dir/json")
-    def fingerprint(x: DataFrame): (Long, Double, Double) = (
+    def fingerprint(x: DataFrame): (Long, Double, Double, Double) = (
       x.count(),
       x.select(dsum(col("reading"))).head().getDouble(0),
-      x.select(dsum(col("t_stamp"))).head().getDouble(0))
+      x.select(dsum(col("t_stamp"))).head().getDouble(0),
+      // string-sensitive term: any corruption of the text columns moves it
+      x.select(dsum(h60(concat_ws("|", col("machine_id"), col("sensor"))) % 1000003))
+        .head().getDouble(0))
     assert(fingerprint(csv) === fingerprint(df))
     assert(fingerprint(json) === fingerprint(df))
   }

@@ -122,6 +122,12 @@ class StreamsSpec extends SparkTestBase {
     val sunk = spark.read.parquet(out)
     assert(sunk.count() === 1)
     assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("batch_id=")))
+    // replayed batch (same batchId re-delivered after a crash-before-
+    // commit): overwrites its own directory — still exactly 1 row
+    val replay = spark.read.parquet(in)
+    Streams.writeBatch(replay, 0L, out)
+    Streams.writeBatch(replay, 0L, out)
+    assert(spark.read.parquet(out).count() === 1)
   }
 
   test("ConservationListener tracks rows in = rows out (R14 counters)") {
