@@ -9,7 +9,12 @@ object Bench {
     // Untimed warmup on the benchmarked dataset: loads parquet reader,
     // codegen, shuffle machinery once so the first timed query isn't
     // charged ~7 s of JVM start-up.
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    // Evaluate via the noop sink, not count(): count() lets Catalyst prune
+    // every projected column and drop the final sort, so projection-only
+    // queries would time a bare scan instead of their operators.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    try run(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     // Three timed iterations per query, report the min: the first
     // execution of each distinct plan pays one-off janino/codegen
@@ -20,7 +25,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iterations).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }

@@ -27,7 +27,11 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
     * natively; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
     * and this loader converts nanos → microsecond TimestampType with
-    * integral (truncating) division, matching DuckDB's ns→µs read.
+    * `div` — integral division truncating toward zero. That matches
+    * DuckDB's ns→µs parquet read on BOTH sides of the epoch: verified
+    * empirically (DuckDB 1.0, pyarrow TIMESTAMP(NANOS) fixture) that
+    * -1500 ns reads as -1 µs (truncation), not -2 µs (floor), so
+    * pre-1970 timestamps round identically in both engines.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -225,7 +225,11 @@ object Sim {
       import graft.expressions.Hamming64
       def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         GraftBridge.column(Hamming64(GraftBridge.expression(a), GraftBridge.expression(b)))
+      // sim feeds the chunk explode AND both signature joins — same
+      // materialized-intermediate pattern as q42 (lazy persist, tiny:
+      // one 16-bit signature per doc; CacheManager dedupes re-runs).
       val sim = simhashDF(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val chunks = sim.select(col("doc_id"), explode(array(
           struct(lit(0).as("chunk_id"), (col("simhash16").bitwiseAND(63)).as("chunk_val")),
           struct(lit(1).as("chunk_id"), expr("(simhash16 >> 6) & 31").as("chunk_val")),
@@ -270,10 +274,15 @@ object Sim {
          |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
          |ORDER BY d1, d2""".stripMargin
     ) { (s, d) =>
-      // the hashed shingle table feeds both join sides AND the sizes —
-      // without persist Catalyst recomputes the regex+md5 subtree 4×
-      // (no exchange to reuse). At 100 TB this intermediate would be a
-      // materialized table; here MEMORY_AND_DISK is its stand-in.
+      // The hashed shingle table feeds both self-join sides AND both
+      // `sizes` joins; without materialization Catalyst re-inlines the
+      // regex+md5 shingling into every consumer (~6 full passes — the
+      // self-join goes broadcast, so there is no shuffle exchange to
+      // reuse). A *lazy* persist is the idiomatic stand-in for the
+      // materialized intermediate a 100 TB pipeline would write:
+      // construction stays side-effect-free (no job, no checkpoint
+      // blocks), and CacheManager dedupes by canonicalized plan, so
+      // repeated runs share one entry instead of accumulating.
       val sh = shingleRows(s, d).select(col("doc_id"), h60(col("s")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -281,18 +290,13 @@ object Sim {
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("c"))
-      val result = inter
+      inter
         .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
         .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
         .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
         .filter(col("jaccard") >= 0.6)
         .select("d1", "d2", "jaccard")
         .orderBy("d1", "d2")
-        // materialize the (small) pair set eagerly so the big shingle
-        // cache can be released instead of pinning session memory
-        .localCheckpoint(true)
-      sh.unpersist()
-      result
     },
 
     // --- q43: brute-force cosine top-k (the ANN baseline): 20 probe
