@@ -72,31 +72,38 @@ object Sim {
     embeddings(s, d).select(col("vec_id"), bucket.as("bucket"))
   }
 
-  /** Per-doc 16-bit SimHash (shared by q41 fingerprinting and q48
-    * near-dup pairing). */
-  private def simhashDF(s: org.apache.spark.sql.SparkSession, d: String) =
-    shingleRows(s, d)
-      .withColumn("h", h60(col("s")))
-      .withColumn("b", explode(sequence(lit(0), lit(15))))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("v"))
+  /** Per-doc SimHash of `bits` bits (shared by q41 fingerprinting at 16
+    * bits and q48 near-dup pairing at 32). Per-bit ±1 votes are computed
+    * as `bits` conditional sums in ONE hash aggregate — no
+    * explode(bit-index): the exploded form shuffles `bits`× the shingle
+    * rows and needs a second aggregation, which at 100 TB is the
+    * difference between one map-side-combined pass and a 32× shuffle.
+    */
+  private def simhashDF(s: org.apache.spark.sql.SparkSession, d: String, bits: Int) = {
+    val votes = shingleRows(s, d)
+      .select(col("doc_id"), h60(col("s")).as("h"))
       .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("CAST(1 AS BIGINT) << b")).otherwise(0L))
-        .cast("bigint").as("simhash16"))
+      .agg(
+        sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("v0"),
+        (1 until bits).map(b =>
+          sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")): _*)
+    votes.select(
+      col("doc_id"),
+      (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _).cast("bigint").as(s"simhash$bits"))
+  }
 
-  private val oSimhashCtes: String =
-    s"""sh AS ($oShingleRows),
-       |votes AS (
-       |  SELECT doc_id, b,
-       |         SUM(CASE WHEN ((CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) >> b) & 1) = 1
-       |                  THEN 1 ELSE -1 END) AS v
-       |  FROM sh, (SELECT unnest(range(0, 16)) AS b)
-       |  GROUP BY doc_id, b
-       |), simhash AS (
-       |  SELECT doc_id,
-       |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash16
-       |  FROM votes GROUP BY doc_id
-       |)""".stripMargin
+  private def oSimhashCtes(bits: Int): String = {
+    val vs = (0 until bits)
+      .map(b => s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n         ")
+    val hash = (0 until bits)
+      .map(b => s"CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""sh AS (SELECT doc_id, ${oH60("s")} AS h FROM ($oShingleRows)),
+       |votes AS (SELECT doc_id, $vs FROM sh GROUP BY doc_id),
+       |simhash AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash$bits FROM votes)""".stripMargin
+  }
 
   private val oLshBucketCtes: String =
     """dots AS (
@@ -187,26 +194,30 @@ object Sim {
     // vote +1/-1 across shingles, set the bit when the vote is positive.
     Q(
       "q41_simhash",
-      s"""WITH $oSimhashCtes
+      s"""WITH ${oSimhashCtes(16)}
          |SELECT doc_id, simhash16 FROM simhash
          |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      simhashDF(s, d).orderBy("doc_id")
+      simhashDF(s, d, 16).orderBy("doc_id")
     },
 
     // --- q48: SimHash near-dup pairs. Banded candidate generation
-    // (16 bits → 3 chunks; hamming ≤ 2 touches ≤ 2 chunks, so by
-    // pigeonhole true pairs share ≥ 1 chunk — an equi-join, no cross
-    // join), scored by the codegen hamming64 expression.
+    // (32 bits → 3 chunks of 11/11/10 bits; hamming ≤ 2 touches ≤ 2
+    // chunks, so by pigeonhole true pairs share ≥ 1 chunk — an
+    // equi-join, no cross join), scored by the codegen hamming64
+    // expression. 32-bit signatures (vs 16) make the chunk buckets
+    // selective: 1024–2048 values per chunk instead of 32–64, so the
+    // self-join is skew-free and random collisions (P[hamming≤2]
+    // ≈ 1.2e-7) vanish — surviving pairs are genuine near-duplicates.
     Q(
       "q48_simhash_pairs",
-      s"""WITH $oSimhashCtes,
+      s"""WITH ${oSimhashCtes(32)},
          |chunks AS (
          |  SELECT doc_id, c.chunk_id, c.chunk_val
          |  FROM simhash, LATERAL (SELECT * FROM (VALUES
-         |    (0, simhash16 & 63),
-         |    (1, (simhash16 >> 6) & 31),
-         |    (2, (simhash16 >> 11) & 31)) v(chunk_id, chunk_val)) c
+         |    (0, simhash32 & 2047),
+         |    (1, (simhash32 >> 11) & 2047),
+         |    (2, (simhash32 >> 22) & 1023)) v(chunk_id, chunk_val)) c
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM chunks a JOIN chunks b
@@ -214,11 +225,11 @@ object Sim {
          |   AND a.doc_id < b.doc_id
          |)
          |SELECT d1, d2,
-         |       CAST(bit_count(xor(s1.simhash16, s2.simhash16)) AS INTEGER) AS hamming
+         |       CAST(bit_count(xor(s1.simhash32, s2.simhash32)) AS INTEGER) AS hamming
          |FROM cand
          |JOIN simhash s1 ON s1.doc_id = d1
          |JOIN simhash s2 ON s2.doc_id = d2
-         |WHERE bit_count(xor(s1.simhash16, s2.simhash16)) <= 2
+         |WHERE bit_count(xor(s1.simhash32, s2.simhash32)) <= 2
          |ORDER BY d1, d2""".stripMargin
     ) { (s, d) =>
       import org.apache.spark.sql.GraftBridge
@@ -227,13 +238,13 @@ object Sim {
         GraftBridge.column(Hamming64(GraftBridge.expression(a), GraftBridge.expression(b)))
       // sim feeds the chunk explode AND both signature joins — same
       // materialized-intermediate pattern as q42 (lazy persist, tiny:
-      // one 16-bit signature per doc; CacheManager dedupes re-runs).
-      val sim = simhashDF(s, d)
+      // one 32-bit signature per doc; CacheManager dedupes re-runs).
+      val sim = simhashDF(s, d, 32)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val chunks = sim.select(col("doc_id"), explode(array(
-          struct(lit(0).as("chunk_id"), (col("simhash16").bitwiseAND(63)).as("chunk_val")),
-          struct(lit(1).as("chunk_id"), expr("(simhash16 >> 6) & 31").as("chunk_val")),
-          struct(lit(2).as("chunk_id"), expr("(simhash16 >> 11) & 31").as("chunk_val"))))
+          struct(lit(0).as("chunk_id"), (col("simhash32").bitwiseAND(2047)).as("chunk_val")),
+          struct(lit(1).as("chunk_id"), expr("(simhash32 >> 11) & 2047").as("chunk_val")),
+          struct(lit(2).as("chunk_id"), expr("(simhash32 >> 22) & 1023").as("chunk_val"))))
           .as("c"))
         .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_val"))
       val cand = chunks.as("a")
@@ -244,8 +255,8 @@ object Sim {
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
       cand
-        .join(sim.select(col("doc_id").as("d1"), col("simhash16").as("s1")), Seq("d1"))
-        .join(sim.select(col("doc_id").as("d2"), col("simhash16").as("s2")), Seq("d2"))
+        .join(sim.select(col("doc_id").as("d1"), col("simhash32").as("s1")), Seq("d1"))
+        .join(sim.select(col("doc_id").as("d2"), col("simhash32").as("s2")), Seq("d2"))
         .withColumn("hamming", hamming(col("s1"), col("s2")))
         .filter(col("hamming") <= 2)
         .select("d1", "d2", "hamming")
@@ -429,6 +440,42 @@ object Sim {
         .select(col("vec_id"), col("c_id").as("centroid_id"), col("cos"))
         .withColumn("cell_size", count(lit(1)).over(Window.partitionBy("centroid_id")))
         .orderBy("vec_id")
+    },
+
+    // --- q63: embedding-cosine near-duplicate pairs — the vector-space
+    // member of the near-dup family (q40 MinHash, q42 Jaccard, q48
+    // SimHash are token-space). Candidates come from the LSH bucket
+    // equi-join (|bucket|² pairs, never |table|²); each candidate pair
+    // is scored with the exact-decimal dot product and kept when
+    // cos ≥ 0.3. At 100 TB the bucket is the shuffle key and the only
+    // pairing scope, exactly like a production embedding-dedup pass.
+    Q(
+      "q63_embed_neardup", {
+        val cos = s"${oDdot("a.embedding", "c.embedding")} / (a.nrm * c.nrm)"
+        s"""WITH $oLshBucketCtes,
+           |n AS (
+           |  SELECT b.vec_id, b.bucket, e.embedding, ${oDnorm("e.embedding")} AS nrm
+           |  FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+           |)
+           |SELECT a.vec_id AS v1, c.vec_id AS v2, a.bucket AS bucket, $cos AS cos
+           |FROM n a JOIN n c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           |WHERE $cos >= 0.3
+           |ORDER BY v1, v2""".stripMargin
+      }
+    ) { (s, d) =>
+      val n = lshBucketDF(s, d)
+        .join(embeddings(s, d).select("vec_id", "embedding"), Seq("vec_id"))
+        .withColumn("nrm", dnorm(col("embedding")))
+      val a = n.select(col("vec_id").as("v1"), col("bucket"),
+        col("embedding").as("ae"), col("nrm").as("an"))
+      val c = n.select(col("vec_id").as("v2"), col("bucket"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+      a.join(c, Seq("bucket"))
+        .filter(col("v1") < col("v2"))
+        .withColumn("cos", ddot(col("ae"), col("ce")) / (col("an") * col("cn")))
+        .filter(col("cos") >= 0.3)
+        .select("v1", "v2", "bucket", "cos")
+        .orderBy("v1", "v2")
     },
 
     // --- q45: embedding norm statistics per label (array HOFs + agg).

@@ -19,10 +19,12 @@ object Profile {
       if (mode == "explain") {
         println(s"===== $n ====="); fn(spark, sfDir).explain("formatted")
       } else {
-        for (round <- 1 to 2) {
+        for (round <- 1 to 3) {
           val t0 = System.nanoTime()
-          val c = fn(spark, sfDir).count()
-          println(f"[$n round $round] ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+          // same full-evaluation sink as Bench (count() would let Catalyst
+          // prune columns and drop sorts)
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          println(f"[$n round $round] ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
       }
     }
