@@ -12,6 +12,9 @@ import graft.expressions.{Hamming64, ScaledDotProduct}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: native as-of join (logical node built by
+    // graft.plans.AsofJoin.asofLeft, planned to SortMergeAsofJoinExec)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("scaled_dot"),
       new ExpressionInfo(classOf[ScaledDotProduct].getName, "scaled_dot"),

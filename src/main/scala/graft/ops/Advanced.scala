@@ -62,6 +62,40 @@ object Advanced {
         .orderBy("event_id")
     },
 
+    // --- q64: the SAME as-of semantics as q50, through the engine's
+    // native operator (graft.plans.AsofJoin → SortMergeAsofJoinExec):
+    // co-partition by key, sort by (key, time), one streaming merge
+    // pass — no union row inflation, no window state. The DuckDB oracle
+    // is identical to q50's, so the custom operator is cross-checked
+    // against both the composed plan and DuckDB's native ASOF JOIN.
+    Q(
+      "q64_asof_native",
+      """WITH od AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |       od.o_orderkey AS matched_orderkey,
+        |       epoch_us(od.o_orderdate) AS matched_date_us
+        |FROM events e ASOF LEFT JOIN od
+        |  ON e.user_id = od.o_custkey AND od.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin
+    ) { (s, d) =>
+      val od = orders(s, d)
+        // NTZ → TIMESTAMP (identity instant under the UTC session) so the
+        // merge compares like-typed times and unix_micros applies
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_orderdate"))
+        .agg(max("o_orderkey").as("matched_orderkey"))
+      val ev = events(s, d).select("event_id", "user_id", "ts")
+      graft.plans.AsofJoin
+        .asofLeft(ev, od, Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate")
+        .select(
+          col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("matched_orderkey"),
+          unix_micros(col("o_orderdate")).as("matched_date_us"))
+        .orderBy("event_id")
+    },
+
     // --- q51: range join — events within the next hour, same user,
     // bucketized to hour grains (each candidate is in bucket b or b+1).
     Q(

@@ -1,13 +1,19 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Bridge into `private[sql]` surface: wraps a raw Catalyst Expression
-  * into a public Column (and back) for graft's custom expressions.
-  * Lives in the o.a.s.sql package solely to satisfy the access scope —
-  * no Spark internals are modified.
+  * into a public Column (and back), a LogicalPlan into a DataFrame, and
+  * exposes a frame's analyzed plan — for graft's custom expressions and
+  * custom operators. Lives in the o.a.s.sql package solely to satisfy
+  * the access scope — no Spark internals are modified.
   */
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 }
