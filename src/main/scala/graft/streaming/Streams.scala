@@ -136,6 +136,64 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup at ingest — the first stage of a
+    * training-data pipeline: duplicate records (at-least-once replays,
+    * duplicated source files) are dropped on their identity key, with
+    * state bounded by the watermark instead of growing forever.
+    * At 100 TB/day the watermark IS the feasibility condition: state
+    * holds only keys newer than (max event time - watermark). */
+  def dedupReadings(readings: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    readings
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("machine_id", "sensor", "event_time")
+
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class ClosedSession(machine_id: String, start_ms: Long, end_ms: Long, n: Long)
+
+  /** flatMapGroupsWithState with an event-time timeout: per-machine
+    * sessions that CLOSE — each emitted row is a finished session
+    * (start, end, count), produced either when in-stream data shows a
+    * gap > `gapMs`, or when the watermark passes the open session's
+    * end + gap (the timeout path). This is the arbitrary-stateful
+    * complement of the built-in `session_window` aggregation: the state
+    * is explicit (one open session per key), the output is append-only,
+    * and eviction is watermark-driven. */
+  def closedSessions(readings: Dataset[Reading], gapMs: Long = 30000,
+      watermark: String = "10 seconds"): Dataset[ClosedSession] = {
+    val spark = readings.sparkSession
+    import spark.implicits._
+    readings
+      .withWatermark("event_time", watermark)
+      .groupByKey(_.machine_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (m, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(m, s.start, s.end, s.n))
+          } else {
+            // fold sorted event times into the open session, closing on
+            // every in-data gap > gapMs
+            val times = rows.map(_.event_time.getTime).toArray.sorted
+            var open = state.getOption.orNull
+            val closed = Seq.newBuilder[ClosedSession]
+            times.foreach { t =>
+              open = open match {
+                case null => SessionState(t, t, 1)
+                case s if t - s.end <= gapMs => SessionState(s.start, t, s.n + 1)
+                case s =>
+                  closed += ClosedSession(m, s.start, s.end, s.n)
+                  SessionState(t, t, 1)
+              }
+            }
+            state.update(open)
+            state.setTimeoutTimestamp(open.end + gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+
   /** R14 analog (the reference's `total_msgs_received/flushed` counters,
     * `/root/reference/consumer/sensor_data_consumer.py:29-30,139-140`):
     * a StreamingQueryListener accumulating rows in/out per query — the

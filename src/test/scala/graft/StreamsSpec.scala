@@ -147,6 +147,56 @@ class StreamsSpec extends SparkTestBase {
     } finally { q.stop(); spark.streams.removeListener(listener) }
   }
 
+  test("streaming dedup drops at-least-once replays within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = Streams.dedupReadings(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Reading("M1", "temperature", 10.0, ts("2024-01-01 00:00:10")),
+        Reading("M1", "temperature", 10.0, ts("2024-01-01 00:00:10")), // in-batch dup
+        Reading("M2", "pressure", 5.0, ts("2024-01-01 00:00:20")))
+      q.processAllAvailable()
+      // cross-batch replay of the same record (at-least-once redelivery)
+      mem.addData(Reading("M1", "temperature", 10.0, ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() === 2) // M1 once, M2 once
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState closes sessions on in-data gaps and timeouts") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = Streams.closedSessions(mem.toDS(), gapMs = 30000, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // burst 1 then burst 2 for M1 in ONE batch, > gap apart: the fold
+      // must close burst 1 immediately (in-data gap path)
+      mem.addData(
+        Reading("M1", "t", 1.0, ts("2024-01-01 00:00:00")),
+        Reading("M1", "t", 1.0, ts("2024-01-01 00:00:10")),
+        Reading("M1", "t", 1.0, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sessions").as[Streams.ClosedSession].collect()
+      assert(afterBatch1.toSeq === Seq(
+        Streams.ClosedSession("M1", ts("2024-01-01 00:00:00").getTime,
+          ts("2024-01-01 00:00:10").getTime, 2)))
+      // another key far ahead advances the watermark past M1's open
+      // session end + gap; the timeout fires on the following batch
+      mem.addData(Reading("M2", "t", 1.0, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      mem.addData(Reading("M2", "t", 1.0, ts("2024-01-01 01:00:01")))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[Streams.ClosedSession].collect()
+      assert(all.exists(s => s.machine_id == "M1" &&
+        s.start_ms == ts("2024-01-01 00:05:00").getTime && s.n == 1),
+        s"open M1 session not closed by event-time timeout: ${all.toSeq}")
+    } finally q.stop()
+  }
+
   test("rate-source readings conform to the sensor schema") {
     val df = Streams.rateReadings(spark, 10)
     assert(df.isStreaming)
