@@ -119,6 +119,78 @@ object Sim {
       |  FROM dots GROUP BY vec_id
       |)""".stripMargin
 
+  /** MinHash near-dup pairs from a (doc_id, s) shingle table: K
+    * universal-hash permutations min-aggregated per doc (no explode),
+    * banded candidate generation (equal band signature = equi-join),
+    * full-signature Jaccard estimate ≥ 0.5. Returns (d1, d2,
+    * est_jaccard) with d1 < d2. Shared by q40 and the q65 pipeline. */
+  private def minhashPairs(sh: org.apache.spark.sql.DataFrame) = {
+    val hm = sh.select(col("doc_id"), (h60(col("s")) % P).as("hm"))
+    val minsig = hm.groupBy("doc_id")
+      .agg(
+        min((col("hm") * HashA(0) + HashB(0)) % P).as("m0"),
+        (1 until K).map(k => min((col("hm") * HashA(k) + HashB(k)) % P).as(s"m$k")): _*)
+    val bandStructs = (0 until NBands).map { b =>
+      val sig = concat_ws(",",
+        (b * BandRows until (b + 1) * BandRows).map(k => col(s"m$k").cast("string")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val bands = minsig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sigs = minsig.select(col("doc_id"),
+      array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
+    cand
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b)) / lit(K.toDouble))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("d1", "d2", "est_jaccard")
+  }
+
+  /** Oracle CTE chain `hm → minsig → bands → cand → sigs → pairs`;
+    * expects a CTE named `sh(doc_id, s)` to be in scope. */
+  private val oMinhashPairCtes: String = {
+    val oMins = (0 until K)
+      .map(k => s"MIN((${HashA(k)} * hm + ${HashB(k)}) % $P) AS m$k").mkString(",\n         ")
+    val oBandSigs = (0 until NBands).map { b =>
+      val cols = (b * BandRows until (b + 1) * BandRows)
+        .map(k => s"CAST(m$k AS VARCHAR)").mkString(" || ',' || ")
+      s"($b, $cols)"
+    }.mkString(", ")
+    val oSigArr = (0 until K).map(k => s"m$k").mkString("[", ", ", "]")
+    val oEst =
+      s"len(list_filter(list_transform(range(1, ${K + 1}), i -> s1.sig[i] = s2.sig[i]), x -> x)) / $K.0"
+    s"""hm AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P AS hm FROM sh
+       |), minsig AS (
+       |  SELECT doc_id,
+       |         $oMins
+       |  FROM hm GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, b.band, b.sig
+       |  FROM minsig, LATERAL (SELECT * FROM (VALUES $oBandSigs) v(band, sig)) b
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |), sigs AS (SELECT doc_id, $oSigArr AS sig FROM minsig),
+       |pairs AS (
+       |  SELECT d1, d2, $oEst AS est_jaccard
+       |  FROM cand
+       |  JOIN sigs s1 ON s1.doc_id = d1
+       |  JOIN sigs s2 ON s2.doc_id = d2
+       |  WHERE $oEst >= 0.5
+       |)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // --- q40: MinHash + LSH near-dup pairs. One md5 per shingle, K=12
     // universal-hash permutations min-aggregated per doc (no explode),
@@ -126,68 +198,13 @@ object Sim {
     // (a bucket join, not a cross join), then the full signatures
     // estimate Jaccard; pairs with est ≥ 0.5 survive.
     Q(
-      "q40_minhash_lsh", {
-        val oMins = (0 until K)
-          .map(k => s"MIN((${HashA(k)} * hm + ${HashB(k)}) % $P) AS m$k").mkString(",\n         ")
-        val oBandSigs = (0 until NBands).map { b =>
-          val cols = (b * BandRows until (b + 1) * BandRows)
-            .map(k => s"CAST(m$k AS VARCHAR)").mkString(" || ',' || ")
-          s"($b, $cols)"
-        }.mkString(", ")
-        val oSigArr = (0 until K).map(k => s"m$k").mkString("[", ", ", "]")
-        s"""WITH sh AS ($oShingleRows),
-           |hm AS (
-           |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P AS hm FROM sh
-           |), minsig AS (
-           |  SELECT doc_id,
-           |         $oMins
-           |  FROM hm GROUP BY doc_id
-           |), bands AS (
-           |  SELECT doc_id, b.band, b.sig
-           |  FROM minsig, LATERAL (SELECT * FROM (VALUES $oBandSigs) v(band, sig)) b
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-           |), sigs AS (SELECT doc_id, $oSigArr AS sig FROM minsig)
-           |SELECT d1, d2,
-           |       len(list_filter(list_transform(range(1, ${K + 1}), i -> s1.sig[i] = s2.sig[i]), x -> x)) / $K.0 AS est_jaccard
-           |FROM cand
-           |JOIN sigs s1 ON s1.doc_id = d1
-           |JOIN sigs s2 ON s2.doc_id = d2
-           |WHERE len(list_filter(list_transform(range(1, ${K + 1}), i -> s1.sig[i] = s2.sig[i]), x -> x)) / $K.0 >= 0.5
-           |ORDER BY d1, d2""".stripMargin
-      }
+      "q40_minhash_lsh",
+      s"""WITH sh AS ($oShingleRows),
+         |$oMinhashPairCtes
+         |SELECT d1, d2, est_jaccard FROM pairs
+         |ORDER BY d1, d2""".stripMargin
     ) { (s, d) =>
-      val hm = shingleRows(s, d).select(col("doc_id"), (h60(col("s")) % P).as("hm"))
-      val minsig = hm.groupBy("doc_id")
-        .agg(
-          min((col("hm") * HashA(0) + HashB(0)) % P).as("m0"),
-          (1 until K).map(k => min((col("hm") * HashA(k) + HashB(k)) % P).as(s"m$k")): _*)
-      val bandStructs = (0 until NBands).map { b =>
-        val sig = concat_ws(",",
-          (b * BandRows until (b + 1) * BandRows).map(k => col(s"m$k").cast("string")): _*)
-        struct(lit(b).as("band"), sig.as("sig"))
-      }
-      val bands = minsig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      val sigs = minsig.select(col("doc_id"),
-        array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
-      cand
-        .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
-        .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
-        .withColumn("est_jaccard",
-          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b)) / lit(K.toDouble))
-        .filter(col("est_jaccard") >= 0.5)
-        .select("d1", "d2", "est_jaccard")
-        .orderBy("d1", "d2")
+      minhashPairs(shingleRows(s, d)).orderBy("d1", "d2")
     },
 
     // --- q41: SimHash fingerprint (16-bit) from shingle hashes: per bit,
@@ -476,6 +493,80 @@ object Sim {
         .filter(col("cos") >= 0.3)
         .select("v1", "v2", "bucket", "cos")
         .orderBy("v1", "v2")
+    },
+
+    // --- q65: the composed corpus-prep pipeline — what a training-data
+    // run actually executes, end to end: quality gate (q32 semantics)
+    // → language filter (q33 'en' rule) → exact dedup on the normalized
+    // fingerprint (q30) → near-dup removal via MinHash/LSH pairs (q40),
+    // dropping the higher doc_id of every near-dup pair. Each stage is a
+    // narrow projection or one keyed shuffle, so the pipeline is as
+    // scan-bound at 100 TB as its most expensive stage, not their sum.
+    Q(
+      "q65_corpus_prep",
+      s"""WITH base AS (
+         |  SELECT doc_id, text, ${oWords("text")} AS w,
+         |         length(replace(${oNorm("text")}, ' ', '')) AS letters
+         |  FROM documents
+         |), feat AS (
+         |  SELECT doc_id, text, w,
+         |    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) AS stop_ratio,
+         |    len(list_filter(list_distinct(w), x -> x IN ('the','a','of','and','to'))) AS hits_en,
+         |    len(list_filter(list_distinct(w), x -> x IN ('der','die','das','und','ist'))) AS hits_de,
+         |    len(list_filter(list_distinct(w), x -> x IN ('le','la','et','les','des'))) AS hits_fr,
+         |    len(list_filter(list_distinct(w), x -> x IN ('el','los','una','por','con'))) AS hits_es
+         |  FROM base
+         |  WHERE len(w) BETWEEN 20 AND 400
+         |), lang AS (
+         |  SELECT doc_id, text, w FROM feat
+         |  WHERE stop_ratio >= 0.02
+         |    AND greatest(hits_en, hits_de, hits_fr, hits_es) > 0
+         |    AND hits_en >= greatest(hits_de, hits_fr, hits_es)
+         |), dedup AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, w,
+         |           MIN(doc_id) OVER (PARTITION BY md5(${oNorm("text")})) AS canonical
+         |    FROM lang
+         |  ) WHERE doc_id = canonical
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(${oShingles("w")})) AS s
+         |  FROM dedup WHERE len(w) >= 3
+         |),
+         |$oMinhashPairCtes
+         |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words
+         |FROM dedup
+         |WHERE doc_id NOT IN (SELECT d2 FROM pairs)
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+      def hits(ws: Seq[String]) =
+        size(filter(array_distinct(col("w")), x => x.isin(ws: _*)))
+      val base = documents(s, d).select(
+        col("doc_id"), col("text"), words(col("text")).as("w"))
+        .filter(size(col("w")).between(20, 400))
+      val stopRatio =
+        size(filter(col("w"), x => x.isin(stops: _*))).cast("double") / size(col("w"))
+      val (en, de, fr, es) = (
+        hits(Seq("the", "a", "of", "and", "to")),
+        hits(Seq("der", "die", "das", "und", "ist")),
+        hits(Seq("le", "la", "et", "les", "des")),
+        hits(Seq("el", "los", "una", "por", "con")))
+      val lang = base.filter(
+        stopRatio >= 0.02 &&
+          greatest(en, de, fr, es) > 0 &&
+          en >= greatest(de, fr, es))
+      val dedup = lang
+        .withColumn("canonical",
+          min("doc_id").over(Window.partitionBy(md5(norm(col("text"))))))
+        .filter(col("doc_id") === col("canonical"))
+        .select(col("doc_id"), col("w"))
+      val sh = dedup.filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(shingles(col("w")))).as("s"))
+      val nearDup = minhashPairs(sh).select(col("d2")).distinct()
+      dedup
+        .join(nearDup, dedup("doc_id") === nearDup("d2"), "left_anti")
+        .select(col("doc_id"), size(col("w")).as("n_words"))
+        .orderBy("doc_id")
     },
 
     // --- q45: embedding norm statistics per label (array HOFs + agg).
