@@ -163,6 +163,45 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // --- q66: deterministic train/val/test split + per-split token
+    // budget. Split assignment is a pure hash of the document id
+    // (h60(id) mod 100 → 80/10/10), so it is reproducible across runs,
+    // engines, and cluster sizes, needs no shuffle to assign, and any
+    // future document lands in a stable split — the standard way a
+    // 100 TB corpus is split without a global sort or sample().
+    Q(
+      "q66_hash_split",
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         ${oH60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |         len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens
+         |  FROM documents
+         |)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens,
+         |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM s
+         |GROUP BY 1
+         |ORDER BY split""".stripMargin
+    ) { (s, d) =>
+      val bucket = h60(col("doc_id").cast("string")) % 100
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("ws_tokens"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("n_tokens"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+        .orderBy("split")
+    },
+
     // --- q34: document fingerprinting — whole-document 60-bit hash plus
     // the min shingle hash (a 1-permutation MinHash, the rolling-hash
     // analog). Deterministic md5-derived hashing (see Det.h60).

@@ -28,4 +28,14 @@ class SourcesSpec extends SparkTestBase {
     assert(fingerprint(csv) === fingerprint(df))
     assert(fingerprint(json) === fingerprint(df))
   }
+
+  test("orc source round-trips the readings exactly (columnar alternative)") {
+    val df = Pipeline.sensorReadings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    df.write.orc(s"$dir/orc")
+    val orc = spark.read.orc(s"$dir/orc")
+    assert(orc.schema === df.schema) // ORC keeps types natively (no re-parse)
+    assert(orc.count() === df.count())
+    assert(orc.exceptAll(df).isEmpty && df.exceptAll(orc).isEmpty)
+  }
 }
