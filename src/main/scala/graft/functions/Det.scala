@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.expressions
 
 /** Deterministic, oracle-safe numeric helpers.
   *
@@ -19,9 +20,39 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object Det {
   private val Dec = DecimalType(38, 6)
+  private val DecWide = DecimalType(38, 0)
 
-  /** Exact sum of a numeric column, returned as double. */
-  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+  /** Exact sum of a numeric column, returned as double.
+    *
+    * Each value is rounded to 6 decimal places once, by the codegen'd
+    * [[graft.expressions.ToFixed6]] expression — the identical HALF_UP
+    * rounding a `DECIMAL(38,6)` cast (and the DuckDB oracle) performs,
+    * but as primitive arithmetic instead of a per-row
+    * `Double.toString` + BigDecimal. The resulting unscaled long is
+    * split into three 20-bit limbs summed as plain codegen'd LONG
+    * aggregates — exact, associative, map-side-combined, and free of
+    * per-row decimal allocation (speedup measured in
+    * `graft.tools.AggProbe`). Limb sums stay inside long range for
+    * < 2⁴³ rows per group (ample at 100 TB); the limbs are reassembled
+    * in decimal once per GROUP, and the exact total converts to double
+    * once at the end — bit-identical to a decimal-sum implementation
+    * and to the oracle.
+    *
+    * Input domain: |x| < 10¹² (beyond it the value nulls out and is
+    * skipped by the sum — the non-ANSI cast-overflow behavior; every
+    * dataset column summed here is orders of magnitude below the cap).
+    */
+  def dsum(c: Column): Column = {
+    val v = GraftBridge.column(
+      expressions.ToFixed6(GraftBridge.expression(c.cast(DoubleType))))
+    val s0 = sum(v.bitwiseAND(lit(0xFFFFFL)))
+    val s1 = sum(shiftright(v, 20).bitwiseAND(lit(0xFFFFFL)))
+    val s2 = sum(shiftright(v, 40))
+    val total = s0.cast(DecWide) +
+      s1.cast(DecWide) * lit(1048576L) +         // 2^20
+      s2.cast(DecWide) * lit(1099511627776L)     // 2^40
+    (total / lit(1000000L)).cast(DoubleType)
+  }
 
   /** Exact-sum average, returned as double (one final IEEE division). */
   def davg(c: Column): Column = dsum(c) / count(c)
