@@ -569,6 +569,65 @@ object Sim {
         .orderBy("doc_id")
     },
 
+    // --- q70: one Lloyd (k-means) refinement iteration over the q47
+    // IVF cells: assign every vector to its nearest coarse centroid,
+    // then recompute each centroid as the exact per-dimension mean of
+    // its members. Scale shape: assignment is a broadcast of the tiny
+    // centroid table (never a shuffle of the vectors); the refinement
+    // explodes to (cell, dim, value) and reduces with partial+final
+    // aggregation — the standard distributed k-means step, with the
+    // means computed decimal-exact (Det.davg) so the refined centroids
+    // are bit-identical on any partitioning and in the oracle.
+    Q(
+      "q70_centroid_refine",
+      s"""WITH cent AS (
+         |  SELECT vec_id AS c_id, embedding AS ce, ${oDnorm("embedding")} AS cn
+         |  FROM embeddings WHERE vec_id % 37 = 0
+         |), n AS (
+         |  SELECT vec_id, embedding, ${oDnorm("embedding")} AS nrm FROM embeddings
+         |), assign AS (
+         |  SELECT vec_id, c_id, ce, embedding FROM (
+         |    SELECT n.vec_id, cent.c_id, cent.ce, n.embedding,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${oDdot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) DESC,
+         |                      cent.c_id) AS rnk
+         |    FROM n, cent
+         |  ) WHERE rnk = 1
+         |), ex AS (
+         |  SELECT c_id, ce,
+         |         CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+         |         unnest(embedding) AS v
+         |  FROM assign
+         |)
+         |SELECT c_id AS centroid_id, dim,
+         |       COUNT(*) AS n_members,
+         |       ${oAvg("CAST(v AS DOUBLE)")} AS refined,
+         |       MAX(CAST(ce[dim + 1] AS DOUBLE)) AS previous
+         |FROM ex GROUP BY c_id, dim
+         |ORDER BY centroid_id, dim""".stripMargin
+    ) { (s, d) =>
+      val n = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), dnorm(col("embedding")).as("nrm"))
+      val cent = n.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
+      val assign = n.crossJoin(broadcast(cent))
+        .withColumn("cos", ddot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select("vec_id", "c_id", "ce", "embedding")
+      assign
+        .select(col("c_id"), col("ce"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("c_id", "dim")
+        .agg(
+          count(lit(1)).as("n_members"),
+          davg(col("v").cast("double")).as("refined"),
+          max(element_at(col("ce"), col("dim") + 1).cast("double")).as("previous"))
+        .select(col("c_id").as("centroid_id"), col("dim"), col("n_members"),
+          col("refined"), col("previous"))
+        .orderBy("centroid_id", "dim")
+    },
+
     // --- q45: embedding norm statistics per label (array HOFs + agg).
     Q(
       "q45_embed_stats",

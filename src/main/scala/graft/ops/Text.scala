@@ -202,6 +202,154 @@ object Text {
         .orderBy("split")
     },
 
+    // --- q67: TF-IDF-style term relevance, top-3 terms per document.
+    // The idf surrogate ((N-df+1)·10⁶ ÷ (df+1), floored) is rational —
+    // monotone in df exactly like log(N/df) but bit-identical across
+    // engines, where a cross-engine `ln` could differ in the last ulp
+    // and flip a ranking. Scale shape: explode → (doc,term) partial+
+    // final count; df is a second agg keyed on term (its own shuffle —
+    // vocab-sized, small relative to the corpus); N is a broadcast
+    // 1-row join, never a driver collect; top-k runs as
+    // WindowGroupLimit partial/final, so no doc's full term list is
+    // ever sorted globally.
+    Q(
+      "q67_tfidf_topk",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${oWords("text")}) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+         |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |         tf.tf * CAST(floor((n.n_docs - df.df + 1) * 1000000.0 / (df.df + 1)) AS BIGINT) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n
+         |), ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rnk
+         |  FROM scored
+         |)
+         |SELECT doc_id, rnk, term, tf, df, score
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf") * floor((col("n_docs") - col("df") + 1) * lit(1000000.0) / (col("df") + 1)))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rnk")
+    },
+
+    // --- q68: repetition-based quality metrics (Gopher-style filters):
+    // duplicate-word fraction and most-common-bigram share, with a
+    // categorical verdict. One explode over bigrams; per-doc word stats
+    // ride through the explode and reduce with MAX (functionally
+    // dependent on doc_id), so the whole query is a single shuffled
+    // aggregation pair — no join back, no collect.
+    Q(
+      "q68_rep_quality",
+      s"""WITH f AS (
+         |  SELECT doc_id, ${oWords("text")} AS w FROM documents
+         |), base AS (
+         |  SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS ndw,
+         |         list_transform(range(len(w) - 1), i -> (w)[i+1] || ' ' || (w)[i+2]) AS bg
+         |  FROM f WHERE len(w) >= 2
+         |), ex AS (
+         |  SELECT doc_id, nw, ndw, unnest(bg) AS b FROM base
+         |), bc AS (
+         |  SELECT doc_id, MAX(nw) AS nw, MAX(ndw) AS ndw, b, COUNT(*) AS c
+         |  FROM ex GROUP BY doc_id, b
+         |), agg AS (
+         |  SELECT doc_id, MAX(nw) AS nw, MAX(ndw) AS ndw,
+         |         MAX(c) AS top_bigram_count, COUNT(*) AS n_distinct_bigrams
+         |  FROM bc GROUP BY doc_id
+         |)
+         |SELECT doc_id,
+         |  CAST(nw AS INTEGER) AS n_words,
+         |  CAST(ndw AS INTEGER) AS n_distinct_words,
+         |  CAST(nw - ndw AS DOUBLE) / nw AS dup_word_frac,
+         |  top_bigram_count,
+         |  n_distinct_bigrams,
+         |  CAST(top_bigram_count AS DOUBLE) / (nw - 1) AS top_bigram_share,
+         |  CASE WHEN CAST(top_bigram_count AS DOUBLE) / (nw - 1) > 0.08
+         |         OR CAST(nw - ndw AS DOUBLE) / nw > 0.55
+         |       THEN 'repetitive' ELSE 'ok' END AS verdict
+         |FROM agg
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val base = documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(
+          col("doc_id"),
+          size(col("w")).as("nw"),
+          size(array_distinct(col("w"))).as("ndw"),
+          transform(
+            sequence(lit(0), size(col("w")) - 2),
+            i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))
+          ).as("bg"))
+      val bc = base
+        .select(col("doc_id"), col("nw"), col("ndw"), explode(col("bg")).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(max("nw").as("nw"), max("ndw").as("ndw"), count(lit(1)).as("c"))
+      val agg = bc.groupBy("doc_id")
+        .agg(max("nw").as("nw"), max("ndw").as("ndw"),
+          max("c").as("top_bigram_count"), count(lit(1)).as("n_distinct_bigrams"))
+      val dupFrac = (col("nw") - col("ndw")).cast("double") / col("nw")
+      val topShare = col("top_bigram_count").cast("double") / (col("nw") - 1)
+      agg.select(
+          col("doc_id"),
+          col("nw").as("n_words"),
+          col("ndw").as("n_distinct_words"),
+          dupFrac.as("dup_word_frac"),
+          col("top_bigram_count"),
+          col("n_distinct_bigrams"),
+          topShare.as("top_bigram_share"),
+          when(topShare > 0.08 || dupFrac > 0.55, "repetitive")
+            .otherwise("ok").as("verdict"))
+        .orderBy("doc_id")
+    },
+
+    // --- q69: corpus vocabulary census — global term counts with a
+    // parts-per-million share, top 100. The 100 TB wordcount: explode →
+    // partial+final hash agg on term; the corpus-total token count is a
+    // 1-row broadcast (never a second scan of the exploded data, never a
+    // collect); final top-100 is TakeOrderedAndProject.
+    Q(
+      "q69_vocab_topk",
+      s"""WITH toks AS (
+         |  SELECT unnest(${oWords("text")}) AS term FROM documents
+         |), tc AS (
+         |  SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+         |), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tc)
+         |SELECT term, cnt,
+         |       CAST(floor(cnt * 1000000.0 / total) AS BIGINT) AS share_ppm
+         |FROM tc CROSS JOIN tot
+         |ORDER BY cnt DESC, term
+         |LIMIT 100""".stripMargin
+    ) { (s, d) =>
+      val tc = documents(s, d)
+        .select(explode(words(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = tc.agg(sum("cnt").as("total"))
+      tc.crossJoin(broadcast(tot))
+        .select(col("term"), col("cnt"),
+          floor(col("cnt") * lit(1000000.0) / col("total")).as("share_ppm"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(100)
+    },
+
     // --- q34: document fingerprinting — whole-document 60-bit hash plus
     // the min shingle hash (a 1-permutation MinHash, the rolling-hash
     // analog). Deterministic md5-derived hashing (see Det.h60).
