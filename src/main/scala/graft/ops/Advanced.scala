@@ -145,6 +145,38 @@ object Advanced {
         .orderBy("user_id")
     },
 
+    // --- q72: unpivot (melt) — the inverse of q52: wide per-flag
+    // measure columns back to tall (flag, measure, value) rows. The
+    // unpivot itself is a zero-shuffle map-side Expand over the (tiny)
+    // aggregated table; all heavy lifting stays in the preceding
+    // partial+final aggregation.
+    Q(
+      "q72_unpivot",
+      s"""WITH wide AS (
+         |  SELECT l_returnflag,
+         |         ${oSum("l_quantity")} AS sum_qty,
+         |         ${oSum("l_extendedprice")} AS sum_price,
+         |         ${oSum("l_discount")} AS sum_disc
+         |  FROM lineitem GROUP BY l_returnflag
+         |)
+         |SELECT l_returnflag, measure, value
+         |FROM (UNPIVOT wide ON sum_qty, sum_price, sum_disc
+         |      INTO NAME measure VALUE value)
+         |ORDER BY l_returnflag, measure""".stripMargin
+    ) { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_discount")).as("sum_disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    },
+
     // --- q54: time-series gap fill — a generated month calendar LEFT
     // JOINed against sparse monthly revenue, missing months filled with
     // zeros. The calendar side is rows-from-nothing (sequence +

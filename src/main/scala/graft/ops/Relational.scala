@@ -312,6 +312,33 @@ object Relational {
       val e = auto.except(rich).agg(count(lit(1)).as("cnt"))
         .select(lit("except").as("op"), col("cnt"))
       u.unionByName(i).unionByName(e).orderBy("op")
+    },
+
+    // --- q71: multiset set ops (EXCEPT ALL / INTERSECT ALL) — the
+    // bag-semantics counterparts of q17, preserving multiplicity. The
+    // result multisets are re-aggregated to (op, priority, count) so the
+    // output is small and totally ordered regardless of scale.
+    Q(
+      "q71_set_ops_all",
+      """WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 300000),
+        |     b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderdate >= DATE '1997-01-01')
+        |SELECT op, p, cnt FROM (
+        |  SELECT 'except_all' AS op, p, COUNT(*) AS cnt FROM (
+        |    SELECT p FROM a EXCEPT ALL SELECT p FROM b) GROUP BY p
+        |  UNION ALL
+        |  SELECT 'intersect_all', p, COUNT(*) FROM (
+        |    SELECT p FROM a INTERSECT ALL SELECT p FROM b) GROUP BY p
+        |) ORDER BY op, p""".stripMargin
+    ) { (s, d) =>
+      val a = orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_orderpriority").as("p"))
+      val b = orders(s, d).filter(col("o_orderdate") >= lit("1997-01-01").cast("date"))
+        .select(col("o_orderpriority").as("p"))
+      val ea = a.exceptAll(b).groupBy("p").agg(count(lit(1)).as("cnt"))
+        .select(lit("except_all").as("op"), col("p"), col("cnt"))
+      val ia = a.intersectAll(b).groupBy("p").agg(count(lit(1)).as("cnt"))
+        .select(lit("intersect_all").as("op"), col("p"), col("cnt"))
+      ea.unionByName(ia).orderBy("op", "p")
     }
   )
 }

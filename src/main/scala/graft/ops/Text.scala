@@ -350,6 +350,54 @@ object Text {
         .limit(100)
     },
 
+    // --- q73: PII scrubbing — regex redaction of emails and phone
+    // numbers with per-doc match counts and a scrubbed-text fingerprint
+    // proving byte-identical redaction across engines. The corpus is
+    // word salad, so deterministic synthetic PII (derived from doc_id)
+    // is appended first — the scrubber provably removes what was
+    // planted. Regexes use the Java∩RE2 common subset (character
+    // classes + bounded quantifiers; no backrefs/lookaround), so Spark
+    // and DuckDB compile identical automata. Pure map-side scan at
+    // scale: no shuffle until the final ORDER BY.
+    Q(
+      "q73_pii_scrub",
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |         '@example.com or +1-555-01' || CAST(doc_id % 100 AS VARCHAR) AS t
+         |  FROM documents
+         |), scrubbed AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+         |    CAST(len(regexp_extract_all(t, '\\+[0-9][0-9-]{4,}[0-9]')) AS INTEGER) AS n_phones,
+         |    regexp_replace(regexp_replace(t,
+         |      '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\+[0-9][0-9-]{4,}[0-9]', '<PHONE>', 'g') AS clean
+         |  FROM seeded
+         |)
+         |SELECT doc_id, n_emails, n_phones,
+         |       CAST(length(clean) AS INTEGER) AS clean_len,
+         |       md5(clean) AS clean_fp
+         |FROM scrubbed
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+[0-9][0-9-]{4,}[0-9]"
+      documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-01"), (col("doc_id") % 100).cast("string")).as("t"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).as("n_phones"),
+          regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("clean"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("clean")).as("clean_len"), md5(col("clean")).as("clean_fp"))
+        .orderBy("doc_id")
+    },
+
     // --- q34: document fingerprinting — whole-document 60-bit hash plus
     // the min shingle hash (a 1-permutation MinHash, the rolling-hash
     // analog). Deterministic md5-derived hashing (see Det.h60).
