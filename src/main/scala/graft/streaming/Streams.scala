@@ -80,6 +80,17 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Stream-static enrichment join: readings joined to a (small) static
+    * dimension table — machine metadata, calibration constants. The
+    * static side is broadcast, so each micro-batch joins map-side with
+    * no shuffle of the stream and no streaming state; the static table
+    * is re-resolved per batch, so a reloaded dimension snapshot is
+    * picked up without restarting the query. Left join: an unknown
+    * machine still flows through (nulls), never silently dropped.
+    */
+  def enrichedReadings(readings: DataFrame, machineDim: DataFrame): DataFrame =
+    readings.join(broadcast(machineDim), Seq("machine_id"), "left")
+
   /** Event-time tumbling window stats with late-data handling — the
     * watermark bounds state; the reference tolerated unbounded lateness
     * only because it never aggregated. */

@@ -29,6 +29,52 @@ class SourcesSpec extends SparkTestBase {
     assert(fingerprint(json) === fingerprint(df))
   }
 
+  test("binaryFile source ingests opaque blobs with metadata (multimodal ingest path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    val payloads = Map(
+      "a.img" -> Array[Byte](1, 2, 3, 4, 5),
+      "b.img" -> Array.tabulate(1024)(i => (i % 251).toByte),
+      "skip.txt" -> Array[Byte](9))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    }
+    // binaryFile is how image/audio/video blobs enter the engine from a
+    // raw object store (vs. the pre-packed binary columns in the
+    // multimodal parquet): one row per file, content as a binary column.
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img").load(dir.toString)
+    assert(df.schema.fieldNames.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+    val rows = df.select(col("path"), col("length"), col("content"))
+      .collect().map(r => r.getString(0).split('/').last ->
+        ((r.getLong(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    assert(rows.keySet === Set("a.img", "b.img")) // glob filtered .txt out
+    assert(rows("a.img") === ((5L, payloads("a.img").toSeq)))
+    assert(rows("b.img") === ((1024L, payloads("b.img").toSeq)))
+    // and the blobs feed the standard multimodal feature path unchanged
+    val decodeUdf = udf(graft.ops.Multimodal.stubDecode _)
+    val feats = df.select(col("length"), decodeUdf(col("content")).as("f"))
+      .collect()
+    assert(feats.forall(r => r.getAs[Seq[Float]](1).head === r.getLong(0).toFloat))
+  }
+
+  test("partitioned parquet writes are partition-pruned on read") {
+    val df = Pipeline.sensorReadings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    df.write.partitionBy("machine_id").parquet(s"$dir/part")
+    val back = spark.read.parquet(s"$dir/part")
+      .filter(col("machine_id") === "M1")
+    val scan = back.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    // the predicate must land in PartitionFilters (directory pruning —
+    // the thing that turns a 100 TB scan into a 30 TB scan), not in
+    // post-scan Filter
+    assert(scan.partitionFilters.map(_.toString).exists(_.contains("machine_id")))
+    assert(scan.selectedPartitions.partitionCount === 1)
+    assert(back.count() === df.filter(col("machine_id") === "M1").count())
+  }
+
   test("orc source round-trips the readings exactly (columnar alternative)") {
     val df = Pipeline.sensorReadings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString

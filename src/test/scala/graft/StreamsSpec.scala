@@ -37,6 +37,31 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join enriches readings without streaming state") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    val dim = Seq(("M1", "plant-a", 1.5), ("M2", "plant-b", 2.0))
+      .toDF("machine_id", "site", "calibration")
+    val q = Streams.enrichedReadings(mem.toDF(), dim)
+      .selectExpr("machine_id", "site", "reading * calibration AS calibrated")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Reading("M1", "temperature", 10.0, ts("2024-01-01 00:00:10")),
+        Reading("M2", "pressure", 4.0, ts("2024-01-01 00:00:20")),
+        Reading("M9", "vibration", 7.0, ts("2024-01-01 00:00:30"))) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(rows === Set(
+        ("M1", Some("plant-a"), Some(15.0)),
+        ("M2", Some("plant-b"), Some(8.0)),
+        ("M9", None, None))) // left join: unknown machine flows through
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-sensor stats across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Reading]
