@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{Hamming64, ScaledDotProduct}
+import graft.expressions.{Hamming64, Md560, ScaledDotProduct, ToFixed6}
 
 /** Engine extensions, injected via
   * `spark.sql.extensions=graft.GraftExtensions` (see [[Sessions]]):
@@ -22,6 +22,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"scaled_dot requires exactly 2 arguments (array<float>, array<float>), got ${children.size}")
         ScaledDotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_60"),
+      new ExpressionInfo(classOf[Md560].getName, "md5_60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"md5_60 requires exactly 1 argument (string|binary), got ${children.size}")
+        Md560(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("fixed6"),
+      new ExpressionInfo(classOf[ToFixed6].getName, "fixed6"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"fixed6 requires exactly 1 argument (double), got ${children.size}")
+        ToFixed6(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("hamming64"),

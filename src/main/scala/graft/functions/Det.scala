@@ -65,9 +65,12 @@ object Det {
     * BIGINT. Engine-independent (md5 is md5 everywhere), unlike
     * xxhash64/murmur whose seeds/variants differ between Spark and
     * DuckDB. Used for dedup fingerprints, MinHash permutations, LSH.
+    * Runs as the codegen [[graft.expressions.Md560]] expression (one
+    * thread-local digest, no hex round-trip) — bit-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)`.
     */
   def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    GraftBridge.column(expressions.Md560(GraftBridge.expression(c)))
 
   /** Seeded variant: distinct hash families per seed. NULL input hashes
     * as the empty string on BOTH engines (DuckDB's concat ignores NULL

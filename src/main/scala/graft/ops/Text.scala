@@ -253,10 +253,13 @@ object Text {
 
     // --- q68: repetition-based quality metrics (Gopher-style filters):
     // duplicate-word fraction and most-common-bigram share, with a
-    // categorical verdict. One explode over bigrams; per-doc word stats
-    // ride through the explode and reduce with MAX (functionally
-    // dependent on doc_id), so the whole query is a single shuffled
-    // aggregation pair — no join back, no collect.
+    // categorical verdict. The explode branch emits ONLY (doc_id,
+    // bigram): any doc-level expression carried through a Generate ends
+    // up in the projection above it and is re-evaluated once per
+    // exploded row — measured 16× slower here (the regex tokenization
+    // ran per bigram instead of per document). The per-doc word stats
+    // are a separate cheap branch joined back after the bigram
+    // aggregation has already reduced to one row per document.
     Q(
       "q68_rep_quality",
       s"""WITH f AS (
@@ -288,24 +291,22 @@ object Text {
          |FROM agg
          |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      val base = documents(s, d)
+      val docsW = documents(s, d)
         .select(col("doc_id"), words(col("text")).as("w"))
         .filter(size(col("w")) >= 2)
-        .select(
-          col("doc_id"),
-          size(col("w")).as("nw"),
-          size(array_distinct(col("w"))).as("ndw"),
-          transform(
-            sequence(lit(0), size(col("w")) - 2),
-            i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))
-          ).as("bg"))
-      val bc = base
-        .select(col("doc_id"), col("nw"), col("ndw"), explode(col("bg")).as("b"))
-        .groupBy("doc_id", "b")
-        .agg(max("nw").as("nw"), max("ndw").as("ndw"), count(lit(1)).as("c"))
+      val stats = docsW.select(
+        col("doc_id"),
+        size(col("w")).as("nw"),
+        size(array_distinct(col("w"))).as("ndw"))
+      val bc = docsW
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("w")) - 2),
+          i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))
+        )).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
       val agg = bc.groupBy("doc_id")
-        .agg(max("nw").as("nw"), max("ndw").as("ndw"),
-          max("c").as("top_bigram_count"), count(lit(1)).as("n_distinct_bigrams"))
+        .agg(max("c").as("top_bigram_count"), count(lit(1)).as("n_distinct_bigrams"))
+        .join(stats, "doc_id")
       val dupFrac = (col("nw") - col("ndw")).cast("double") / col("nw")
       val topShare = col("top_bigram_count").cast("double") / (col("nw") - 1)
       agg.select(
