@@ -154,6 +154,18 @@ object Analytic {
     // --- q49: discrete percentiles (median / p90) — order statistics
     // that RETURN actual data values, so no interpolation float math
     // can diverge between engines (unlike percentile_cont).
+    //
+    // Computed rank-based rather than with `percentile_disc(...)`:
+    // Spark's percentile aggregate buffers every value of a group in
+    // one aggregation buffer, which a 100 TB group blows straight
+    // through; here the values flow through a partitioned window SORT
+    // (externally spillable, the distributed-sort formulation of exact
+    // percentiles) and the percentile is the row whose 1-based rank is
+    // ceil(p·n) — percentile_disc's "smallest v with cume_dist ≥ p",
+    // with ceil(p·n) done in integer arithmetic ((p·n+denom-1) div
+    // denom) so no float rounding can shift a rank. The second window
+    // (price order) reuses the first's hash partitioning — one extra
+    // sort, no extra shuffle.
     Q(
       "q49_percentile_disc",
       """SELECT l_returnflag,
@@ -164,12 +176,38 @@ object Analytic {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin
     ) { (s, d) =>
+      val wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      val wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val li = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      // group sizes as a broadcast join, not an unbounded-frame window:
+      // no full-partition buffering pass, and the target ranks are known
+      // before the sort starts
+      val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      li.join(broadcast(counts), "l_returnflag")
+        .withColumn("rq", row_number().over(wq))
+        .withColumn("rp", row_number().over(wp))
+        .groupBy("l_returnflag")
+        .agg(
+          max(when(col("rq") === expr("(n + 1) DIV 2"), col("l_quantity"))).as("median_qty"),
+          max(when(col("rq") === expr("(9 * n + 9) DIV 10"), col("l_quantity"))).as("p90_qty"),
+          max(when(col("rp") === expr("(n + 1) DIV 2"), col("l_extendedprice"))).as("median_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // --- q74: approximate percentiles — the at-scale companion of q49:
+    // a mergeable fixed-size sketch (Greenwald-Khanna) per group, one
+    // partial+final aggregation pass, no sort at all. Like the HLL in
+    // q09 it is engine-specific (no DuckDB twin), so the driver records
+    // a rows-only check; the ScalaTest spec bounds its error against
+    // q49's exact ranks instead.
+    Q.noOracle("q74_approx_quantile") { (s, d) =>
       lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("median_qty"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_qty"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("median_price"))
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("median_qty_approx"),
+          percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("p90_qty_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("median_price_approx"))
         .orderBy("l_returnflag")
     },
 

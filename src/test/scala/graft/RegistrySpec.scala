@@ -37,6 +37,21 @@ class RegistrySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx quantiles track the exact rank-based percentiles") {
+    // q74 has no DuckDB oracle (sketch is engine-specific); bound it
+    // against q49's exact answers instead. accuracy=10000 ⇒ rank error
+    // ≤ n/10000, far below these tolerances at any sf.
+    val exact = SparkEntry.queries("q49_percentile_disc")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    SparkEntry.queries("q74_approx_quantile")(spark, sfDir)
+      .collect().foreach { a =>
+        val e = exact(a.getString(0))
+        assert(math.abs(a.getDouble(1) - e.getDouble(1)) <= 2.0)   // qty is 1..50
+        assert(math.abs(a.getDouble(2) - e.getDouble(2)) <= 2.0)
+        assert(math.abs(a.getDouble(3) - e.getDouble(3)) / e.getDouble(3) <= 0.02)
+      }
+  }
+
   test("every query returns a non-empty, deterministic-schema result") {
     SparkEntry.registry.foreach { q =>
       val df = q.fn(spark, sfDir)
