@@ -309,6 +309,35 @@ object Analytic {
         .orderBy("user_id", "event_id")
     },
 
+    // --- q75: RANGE-frame window — trailing 1-hour sum on the event
+    // timeline. Unlike q14's ROWS frame (fixed row count), the frame
+    // here is value-based: all events within 3600 s of the current
+    // event's time, however many there are, and time-ties are peers on
+    // both engines by definition of RANGE. Ordering is on the epoch-µs
+    // BIGINT (never raw timestamps — interval frame arithmetic and tz
+    // rendering differ across engines; integer range offsets cannot).
+    Q(
+      "q75_range_frame",
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS hour_cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS hour_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+        .select(
+          col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w).as("hour_cnt"),
+          dsumOver(col("value"), w).as("hour_sum"))
+        .orderBy("user_id", "event_id")
+    },
+
     // --- q15: lag/lead — per-user deltas between consecutive readings.
     Q(
       "q15_lag_lead",

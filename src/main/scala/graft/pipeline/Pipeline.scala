@@ -40,6 +40,43 @@ object Pipeline {
     withEventTime(readings)
       .write.mode("append").partitionBy("machine_id").parquet(path)
 
+  /** Partition-level upsert without a transaction log: dynamic
+    * partition overwrite replaces ONLY the partitions present in
+    * `updates` and leaves every other partition untouched — the
+    * idempotent reprocess/backfill primitive for a parquet lake when a
+    * Delta/Iceberg jar isn't available. (Static overwrite mode — the
+    * default — would truncate the whole table first.)
+    */
+  def upsertPartitions(updates: DataFrame, path: String): Unit =
+    withEventTime(updates)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("machine_id").parquet(path)
+
+  /** Small-file compaction for a partitioned parquet table — the
+    * maintenance job every long-lived streaming sink needs: micro-batch
+    * appends accumulate tiny files; this rewrites each partition's data
+    * clustered and bounded per file. Reads with partition discovery,
+    * repartitions BY the partition column (so each output task writes
+    * into exactly one partition directory instead of every task
+    * spraying a file into every partition), and rewrites via dynamic
+    * overwrite of a disk-backed cached snapshot (job-scale tables; a
+    * warehouse-scale compactor writes to a staging path and swaps, the
+    * same plan shape).
+    */
+  def compact(spark: SparkSession, path: String,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val snapshot = spark.read.parquet(path).cache()
+    snapshot.count() // materialize before overwriting the source dir
+    try snapshot
+      .repartition(col("machine_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy("machine_id").parquet(path)
+    finally snapshot.unpersist()
+  }
+
   val all: Seq[Q] = Seq(
     // --- q23: the full pipeline as one oracle-checked batch query:
     // generate-shape projection (R7), epoch handling (R9), then the

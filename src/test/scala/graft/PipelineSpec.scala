@@ -42,4 +42,45 @@ class PipelineSpec extends SparkTestBase {
     val back = spark.read.parquet(out)
     assert(back.count() === 1000) // sf0.001 events rows, none lost (no B1 bug)
   }
+
+  test("upsertPartitions replaces only the partitions present in the update") {
+    val out = Files.createTempDirectory("graft_upsert").toString + "/data"
+    val all = Pipeline.sensorReadings(spark, sfDir)
+    Pipeline.appendSink(all, out)
+    // reprocess M1 only, readings doubled (a backfill correction)
+    val fix = all.filter(col("machine_id") === "M1")
+      .withColumn("reading", col("reading") * 2)
+    Pipeline.upsertPartitions(fix, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 1000) // M1 replaced 1:1, M2/M3 untouched
+    val m1 = back.filter(col("machine_id") === "M1")
+      .agg(functions.sum("reading")).head().getDouble(0)
+    val m1Orig = all.filter(col("machine_id") === "M1")
+      .agg(functions.sum("reading")).head().getDouble(0)
+    assert(math.abs(m1 - 2 * m1Orig) < 1e-6)
+    val m2 = back.filter(col("machine_id") === "M2").count()
+    assert(m2 === all.filter(col("machine_id") === "M2").count())
+  }
+
+  test("compact merges small files without changing the data") {
+    val out = Files.createTempDirectory("graft_compact").toString + "/data"
+    val all = Pipeline.sensorReadings(spark, sfDir).cache()
+    // simulate many micro-batch appends -> many small files
+    (1 to 5).foreach { i =>
+      Pipeline.appendSink(all.filter(col("reading") * 100 % 5 === i - 1), out)
+    }
+    def dataFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("machine_id="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val before = dataFiles
+    val sumBefore = spark.read.parquet(out)
+      .agg(functions.sum("reading")).head().getDouble(0)
+    Pipeline.compact(spark, out)
+    assert(dataFiles < before)
+    assert(dataFiles === 3) // one task per machine partition
+    val after = spark.read.parquet(out)
+    assert(after.count() === 1000)
+    assert(math.abs(after.agg(functions.sum("reading")).head().getDouble(0) - sumBefore) < 1e-9)
+    all.unpersist()
+  }
 }
