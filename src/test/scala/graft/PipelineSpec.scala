@@ -54,9 +54,9 @@ class PipelineSpec extends SparkTestBase {
     val back = spark.read.parquet(out)
     assert(back.count() === 1000) // M1 replaced 1:1, M2/M3 untouched
     val m1 = back.filter(col("machine_id") === "M1")
-      .agg(functions.sum("reading")).head().getDouble(0)
+      .agg(org.apache.spark.sql.functions.sum("reading")).head().getDouble(0)
     val m1Orig = all.filter(col("machine_id") === "M1")
-      .agg(functions.sum("reading")).head().getDouble(0)
+      .agg(org.apache.spark.sql.functions.sum("reading")).head().getDouble(0)
     assert(math.abs(m1 - 2 * m1Orig) < 1e-6)
     val m2 = back.filter(col("machine_id") === "M2").count()
     assert(m2 === all.filter(col("machine_id") === "M2").count())
@@ -65,22 +65,24 @@ class PipelineSpec extends SparkTestBase {
   test("compact merges small files without changing the data") {
     val out = Files.createTempDirectory("graft_compact").toString + "/data"
     val all = Pipeline.sensorReadings(spark, sfDir).cache()
-    // simulate many micro-batch appends -> many small files
+    // simulate many micro-batch appends -> many small files; the hash
+    // bucket is a true partition of the rows (the old double-mod filter
+    // dropped rows whose reading*100 wasn't an exact multiple)
     (1 to 5).foreach { i =>
-      Pipeline.appendSink(all.filter(col("reading") * 100 % 5 === i - 1), out)
+      Pipeline.appendSink(all.filter(pmod(hash(col("t_stamp")), lit(5)) === i - 1), out)
     }
     def dataFiles = new java.io.File(out).listFiles()
       .filter(_.getName.startsWith("machine_id="))
       .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
     val before = dataFiles
     val sumBefore = spark.read.parquet(out)
-      .agg(functions.sum("reading")).head().getDouble(0)
+      .agg(org.apache.spark.sql.functions.sum("reading")).head().getDouble(0)
     Pipeline.compact(spark, out)
     assert(dataFiles < before)
     assert(dataFiles === 3) // one task per machine partition
     val after = spark.read.parquet(out)
     assert(after.count() === 1000)
-    assert(math.abs(after.agg(functions.sum("reading")).head().getDouble(0) - sumBefore) < 1e-9)
+    assert(math.abs(after.agg(org.apache.spark.sql.functions.sum("reading")).head().getDouble(0) - sumBefore) < 1e-9)
     all.unpersist()
   }
 }
