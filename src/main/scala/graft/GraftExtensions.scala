@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{Hamming64, Md560, ScaledDotProduct, ToFixed6}
+import graft.expressions.{AvroDecodePlc, AvroEncodePlc, Hamming64, Md560, ScaledDotProduct, ToFixed6}
 
 /** Engine extensions, injected via
   * `spark.sql.extensions=graft.GraftExtensions` (see [[Sessions]]):
@@ -38,6 +38,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"fixed6 requires exactly 1 argument (double), got ${children.size}")
         ToFixed6(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("avro_encode_plc"),
+      new ExpressionInfo(classOf[AvroEncodePlc].getName, "avro_encode_plc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          s"avro_encode_plc requires exactly 4 arguments (string, string, double, double), got ${children.size}")
+        AvroEncodePlc(children(0), children(1), children(2), children(3))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("avro_decode_plc"),
+      new ExpressionInfo(classOf[AvroDecodePlc].getName, "avro_decode_plc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"avro_decode_plc requires exactly 1 argument (binary), got ${children.size}")
+        AvroDecodePlc(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("hamming64"),

@@ -109,6 +109,56 @@ object Pipeline {
           max(col("reading")).as("max_reading"),
           max(col("t_stamp")).as("last_seen"))
         .orderBy("machine_id", "sensor")
+    },
+
+    // --- q76: the reference's Avro wire format, end to end (R3+R6):
+    // project to the PLCData shape, serialize each row to
+    // Confluent-framed Avro binary, deserialize it back, and aggregate
+    // FROM THE DECODED STRUCT — any encode/decode defect changes the
+    // sums and breaks the hash-match. `wire_bytes` additionally pins
+    // the framing itself: the oracle recomputes the exact on-wire size
+    // (5-byte Confluent header + zigzag-varint length prefixes + UTF-8
+    // + 2×8-byte doubles) from the string lengths, so a framing bug
+    // (wrong header width, wrong varint) surfaces as a byte-count
+    // mismatch even when the roundtrip is value-correct. Encode and
+    // decode are single codegen'd static calls in the scan's
+    // whole-stage loop — this costs one narrow pass, no shuffle beyond
+    // the 15-key aggregate.
+    Q(
+      "q76_avro_wire",
+      s"""SELECT machine_id, sensor,
+        |  CAST(COUNT(*) AS BIGINT) AS n_readings,
+        |  ${oSum("reading")} AS sum_reading,
+        |  MAX(t_stamp) AS last_seen,
+        |  CAST(SUM(
+        |    5 + (CASE WHEN length(machine_id) < 64 THEN 1 ELSE 2 END)
+        |      + length(machine_id)
+        |      + (CASE WHEN length(sensor) < 64 THEN 1 ELSE 2 END)
+        |      + length(sensor) + 16) AS BIGINT) AS wire_bytes
+        |FROM (
+        |  SELECT concat('M', CAST((user_id % 3) + 1 AS VARCHAR)) AS machine_id,
+        |         event_type AS sensor,
+        |         value AS reading,
+        |         epoch_us(ts) / 1000000.0 AS t_stamp
+        |  FROM events)
+        |GROUP BY machine_id, sensor
+        |ORDER BY machine_id, sensor""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.Wire._
+      val enc = sensorReadings(s, d).select(
+        avroEncodePlc(col("machine_id"), col("sensor"),
+          col("reading"), col("t_stamp")).as("rec"))
+      val dec = enc.select(
+        avroDecodePlc(col("rec")).as("r"),
+        length(col("rec")).as("nbytes"))
+      dec
+        .groupBy(col("r.machine_id").as("machine_id"), col("r.sensor").as("sensor"))
+        .agg(
+          count(lit(1)).as("n_readings"),
+          dsum(col("r.reading")).as("sum_reading"),
+          max(col("r.t_stamp")).as("last_seen"),
+          sum(col("nbytes").cast("long")).as("wire_bytes"))
+        .orderBy("machine_id", "sensor")
     }
   )
 }
