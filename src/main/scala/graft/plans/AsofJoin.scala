@@ -68,6 +68,26 @@ object AsofJoin {
         throw new IllegalArgumentException(
           s"asofLeft: column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
     require(leftKeys.size == rightKeys.size, "asofLeft: key lists must align")
+    // Guard the documented preconditions explicitly — violated, they
+    // would otherwise surface as silently wrong results, not errors:
+    // (1) a direct self-join gives both sides the same attribute ids,
+    // so key/time expressions on the right would bind to LEFT columns
+    // in the merged row (Spark's Join analyzer dedups attribute ids;
+    // this custom node intentionally does not).
+    val sharedIds = lPlan.outputSet.intersect(rPlan.outputSet)
+    if (sharedIds.nonEmpty) throw new IllegalArgumentException(
+      s"asofLeft: left and right share attribute id(s) for " +
+        s"[${sharedIds.map(_.name).mkString(", ")}] — direct self-joins are " +
+        "not supported; re-alias one side first (e.g. " +
+        "df.select(df.columns.map(c => col(c).as(c)): _*)) so its " +
+        "attributes get fresh ids")
+    // (2) colliding output names make the joined frame's duplicate
+    // columns unselectable by name downstream.
+    val nameClash = lPlan.output.map(_.name).toSet
+      .intersect(rPlan.output.map(_.name).toSet)
+    if (nameClash.nonEmpty) throw new IllegalArgumentException(
+      s"asofLeft: output column name(s) [${nameClash.mkString(", ")}] appear " +
+        "on both sides — rename the right-side columns before joining")
     val node = AsofJoin(
       lPlan, rPlan,
       leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),

@@ -112,6 +112,30 @@ class AsofJoinSpec extends SparkTestBase {
     }
   }
 
+  test("direct self-join is rejected, not silently wrong") {
+    val q = quotes
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofLeft(q, q, Seq("k"), Seq("k"), "t", "t")
+    }
+    assert(e.getMessage.contains("share attribute id"))
+    // the documented workaround — re-alias one side for fresh ids (and
+    // fresh names, to clear the collision guard) — must work
+    val aliased = q.select(q.columns.map(c => col(c).as("r_" + c)): _*)
+    val ok = AsofJoin.asofLeft(q, aliased, Seq("k"), Seq("r_k"), "t", "r_t")
+    assert(ok.count() === quotes.count())
+  }
+
+  test("colliding output column names are rejected") {
+    val r = quotes.select(col("k"), col("t"), col("quote").as("q2"))
+      .select(quotes.columns.map { // fresh ids but same k/t names
+        case "quote" => col("q2").as("quote2"); case c => col(c).as(c)
+      }.toSeq: _*)
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofLeft(quotes, r, Seq("k"), Seq("k"), "t", "t")
+    }
+    assert(e.getMessage.contains("both sides"))
+  }
+
   test("plans as SortMergeAsofJoin with co-partitioned exchanges") {
     val df = AsofJoin.asofLeft(
       trades, quotes.withColumnRenamed("k", "qk").withColumnRenamed("t", "qt"),

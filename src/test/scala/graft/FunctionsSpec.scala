@@ -49,4 +49,22 @@ class FunctionsSpec extends SparkTestBase {
       .head().getSeq[String](0)
     assert(v === Seq("a b c", "b c d"))
   }
+
+  test("q09's HLL estimate is within 3*rsd of q08-style exact distinct") {
+    // q09 is rows-only at the driver gate (HLL estimates are
+    // engine-specific); this pins its accuracy contract instead: at
+    // rsd=0.01 the estimate must sit within 3 standard deviations (3%)
+    // of the exact per-group distinct count. Deterministic: Spark's
+    // HLL++ has no randomness for fixed input.
+    val orders = graft.model.Tables.orders(spark, sfDir)
+    val both = orders.groupBy("o_orderpriority").agg(
+      approx_count_distinct(col("o_custkey"), 0.01).as("est"),
+      countDistinct(col("o_custkey")).as("exact"))
+    both.collect().foreach { r =>
+      val est = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(est - exact) / exact <= 0.03,
+        s"${r.getString(0)}: HLL $est vs exact $exact beyond 3*rsd")
+    }
+  }
 }

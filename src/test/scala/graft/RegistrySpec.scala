@@ -11,6 +11,14 @@ class RegistrySpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("rows-only queries are exactly the documented sketch waivers") {
+    // every other query MUST carry DuckDB oracle SQL (SURVEY §2.2b);
+    // the two waivers are engine-specific sketches whose accuracy is
+    // pinned by specs instead (HLL in FunctionsSpec, GK here below)
+    val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(noOracle === Set("q09_approx_distinct", "q74_approx_quantile"))
+  }
+
   test("query names follow the qNN_ convention") {
     SparkEntry.registry.foreach(q =>
       assert(q.name.matches("q\\d{2}_[a-z0-9_]+"), s"bad name: ${q.name}"))
