@@ -287,6 +287,132 @@ object Advanced {
           |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(o2.o_totalprice)
           |  FROM sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // --- q78: time-series resample + linear interpolation — regularize
+    // each (machine, sensor) series onto an hourly grid, interpolating
+    // between the surrounding readings. The surrounding readings come
+    // from TWO passes of the native as-of join (plans.AsofJoin):
+    // backward for the latest reading <= grid point, and forward via
+    // time negation (as-of backward on -t IS as-of forward on t), so
+    // one operator serves both directions. Scale shape: the grid is
+    // generated distributed (sequence+explode per series, no driver
+    // loop); each as-of is one co-partitioned sort-merge pass; the
+    // DuckDB oracle uses its native ASOF JOIN both ways, cross-checking
+    // our operator against an independent implementation AGAIN in the
+    // forward direction.
+    Q(
+      "q78_interp_resample",
+      """WITH rd AS (
+        |  SELECT machine_id, sensor, t_stamp, MAX(reading) AS reading
+        |  FROM (
+        |    SELECT concat('M', CAST((user_id % 3) + 1 AS VARCHAR)) AS machine_id,
+        |           event_type AS sensor,
+        |           value AS reading,
+        |           epoch_us(ts) / 1000000.0 AS t_stamp
+        |    FROM events)
+        |  GROUP BY machine_id, sensor, t_stamp
+        |), b AS (
+        |  SELECT machine_id, sensor,
+        |         CAST(ceil(MIN(t_stamp) / 3600) AS BIGINT) AS h0,
+        |         CAST(floor(MAX(t_stamp) / 3600) AS BIGINT) AS h1
+        |  FROM rd GROUP BY machine_id, sensor
+        |), grid AS (
+        |  SELECT machine_id, sensor,
+        |         CAST(unnest(range(h0, h1 + 1)) * 3600 AS DOUBLE) AS g
+        |  FROM b
+        |), p AS (
+        |  SELECT grid.machine_id, grid.sensor, grid.g,
+        |         rd.t_stamp AS tp, rd.reading AS vp
+        |  FROM grid ASOF LEFT JOIN rd
+        |    ON grid.machine_id = rd.machine_id AND grid.sensor = rd.sensor
+        |   AND rd.t_stamp <= grid.g
+        |), n AS (
+        |  SELECT grid.machine_id, grid.sensor, grid.g,
+        |         rd.t_stamp AS tn, rd.reading AS vn
+        |  FROM grid ASOF LEFT JOIN rd
+        |    ON grid.machine_id = rd.machine_id AND grid.sensor = rd.sensor
+        |   AND rd.t_stamp >= grid.g
+        |)
+        |SELECT p.machine_id, p.sensor, p.g,
+        |       CASE WHEN n.tn = p.tp THEN p.vp
+        |            ELSE p.vp + (n.vn - p.vp) * ((p.g - p.tp) / (n.tn - p.tp))
+        |       END AS v
+        |FROM p JOIN n ON p.machine_id = n.machine_id
+        |            AND p.sensor = n.sensor AND p.g = n.g
+        |ORDER BY p.machine_id, p.sensor, p.g""".stripMargin
+    ) { (s, d) =>
+      val rd = graft.pipeline.Pipeline.sensorReadings(s, d)
+        .groupBy("machine_id", "sensor", "t_stamp")
+        .agg(max("reading").as("reading"))
+      val grid = rd.groupBy("machine_id", "sensor")
+        .agg(
+          ceil(min("t_stamp") / 3600).cast("long").as("h0"),
+          floor(max("t_stamp") / 3600).cast("long").as("h1"))
+        .select(col("machine_id"), col("sensor"),
+          explode(sequence(col("h0"), col("h1"))).as("h"))
+        .select(col("machine_id"), col("sensor"),
+          (col("h") * 3600).cast("double").as("g"))
+        .withColumn("neg_g", -col("g"))
+      val prevR = rd.select(
+        col("machine_id").as("pm"), col("sensor").as("ps"),
+        col("t_stamp").as("tp"), col("reading").as("vp"))
+      val nextR = rd.select(
+        col("machine_id").as("nm"), col("sensor").as("ns"),
+        (-col("t_stamp")).as("neg_tn"), col("t_stamp").as("tn"),
+        col("reading").as("vn"))
+      val withPrev = graft.plans.AsofJoin.asofLeft(
+        grid, prevR, Seq("machine_id", "sensor"), Seq("pm", "ps"), "g", "tp")
+      val withBoth = graft.plans.AsofJoin.asofLeft(
+        withPrev, nextR, Seq("machine_id", "sensor"), Seq("nm", "ns"), "neg_g", "neg_tn")
+      withBoth.select(
+        col("machine_id"), col("sensor"), col("g"),
+        when(col("tn") === col("tp"), col("vp"))
+          .otherwise(col("vp") + (col("vn") - col("vp")) *
+            ((col("g") - col("tp")) / (col("tn") - col("tp")))).as("v"))
+        .orderBy("machine_id", "sensor", "g")
+    },
+
+    // --- q79: exponentially-weighted moving average (bounded kernel):
+    // per-user EWMA of event values over the trailing 8 observations,
+    // decay 0.75. True EWMA is a recursion no SQL window expresses;
+    // the K-term kernel is its standard bounded form (weight beyond 8
+    // terms < 0.76) — and unlike the recursion it is PARALLEL: one
+    // window sort per key, each row a fixed dot product, identical
+    // IEEE arithmetic on both engines (0.75^i are dyadic, written as
+    // exact literals, summed in fixed order).
+    Q(
+      "q79_ewma", {
+        val ws = (0 until 8).map(i => math.pow(0.75, i))
+        val num = (0 until 8).map(i =>
+          if (i == 0) s"COALESCE(value * ${ws(0)}, 0.0)"
+          else s"COALESCE(LAG(value, $i) OVER w * ${ws(i)}, 0.0)")
+          .mkString(" + ")
+        val den = (0 until 8).map(i =>
+          if (i == 0) s"(CASE WHEN value IS NULL THEN 0.0 ELSE ${ws(0)} END)"
+          else s"(CASE WHEN LAG(value, $i) OVER w IS NULL THEN 0.0 ELSE ${ws(i)} END)")
+          .mkString(" + ")
+        s"""SELECT event_id, user_id, ($num) / ($den) AS ewma
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |ORDER BY event_id""".stripMargin
+      }
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ws = (0 until 8).map(i => math.pow(0.75, i))
+      def term(i: Int) =
+        if (i == 0) col("value") * ws(0) else lag(col("value"), i).over(w) * ws(i)
+      def weight(i: Int) = {
+        val x = if (i == 0) col("value") else lag(col("value"), i).over(w)
+        when(x.isNull, 0.0).otherwise(ws(i))
+      }
+      val num = (1 until 8).foldLeft(coalesce(term(0), lit(0.0))) {
+        (acc, i) => acc + coalesce(term(i), lit(0.0))
+      }
+      val den = (1 until 8).foldLeft(weight(0): org.apache.spark.sql.Column)((acc, i) => acc + weight(i))
+      events(s, d)
+        .select(col("event_id"), col("user_id"), (num / den).as("ewma"))
+        .orderBy("event_id")
     }
   )
 }

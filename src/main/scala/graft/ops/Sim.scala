@@ -36,14 +36,6 @@ object Sim {
   private val HashB: Seq[Long] = (0 until K).map(k => (2654435761L * (40503L + k)) % P)
 
   /** Distinct word-3-gram shingles per document: (doc_id, s). */
-  /** q42 candidate-generation document-frequency cap: shingles seen in
-    * more than this many docs are too common to vouch for a near-dup
-    * pair and are excluded from candidate generation (scores still use
-    * the full sets). Bounds the shingle self-join fan-out at dfCap² per
-    * key regardless of corpus size.
-    */
-  private val dfCap = 50
-
   private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String) =
     documents(s, d)
       .select(col("doc_id"), words(col("text")).as("w"))
@@ -132,12 +124,22 @@ object Sim {
     * banded candidate generation (equal band signature = equi-join),
     * full-signature Jaccard estimate ≥ 0.5. Returns (d1, d2,
     * est_jaccard) with d1 < d2. Shared by q40 and the q65 pipeline. */
-  private def minhashPairs(sh: org.apache.spark.sql.DataFrame) = {
+  /** K-permutation MinHash signature per doc (no explode — one min-agg
+    * per permutation over a single md5 per shingle). */
+  private def minhashSignatures(sh: org.apache.spark.sql.DataFrame) = {
     val hm = sh.select(col("doc_id"), (h60(col("s")) % P).as("hm"))
-    val minsig = hm.groupBy("doc_id")
+    hm.groupBy("doc_id")
       .agg(
         min((col("hm") * HashA(0) + HashB(0)) % P).as("m0"),
         (1 until K).map(k => min((col("hm") * HashA(k) + HashB(k)) % P).as(s"m$k")): _*)
+  }
+
+  /** Banded LSH candidate pairs (d1 < d2) from a MinHash signature
+    * table: equal band signature = equi-join on the band bucket, so
+    * candidate volume is bounded by bucket co-membership, never
+    * all-pairs. Shared by q40/q65 (estimate scoring) and q42 (exact
+    * scoring). */
+  private def minhashCandidates(minsig: org.apache.spark.sql.DataFrame) = {
     val bandStructs = (0 until NBands).map { b =>
       val sig = concat_ws(",",
         (b * BandRows until (b + 1) * BandRows).map(k => col(s"m$k").cast("string")): _*)
@@ -146,12 +148,17 @@ object Sim {
     val bands = minsig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+  }
+
+  private def minhashPairs(sh: org.apache.spark.sql.DataFrame) = {
+    val minsig = minhashSignatures(sh)
+    val cand = minhashCandidates(minsig)
     val sigs = minsig.select(col("doc_id"),
       array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
     cand
@@ -288,76 +295,51 @@ object Sim {
         .orderBy("d1", "d2")
     },
 
-    // --- q42: exact n-gram Jaccard with df-capped candidate generation.
-    // Candidates come only from shingles whose document frequency is
-    // ≤ DF_CAP (standard suffix/frequency filtering in production
-    // dedup): the self-join's per-key fan-out is bounded by DF_CAP², so
-    // total candidate cost is O(#shingles · DF_CAP) — linear in corpus
-    // size — instead of Σ_shingles df², which goes quadratic on hot
-    // shingles (common trigrams) at 100×. Exact Jaccard is then
-    // recomputed over the FULL shingle sets of candidate pairs only, so
-    // scores are unchanged; a true near-dup pair (J ≥ 0.6) shares most
-    // of its shingles and is recalled unless ALL its shared shingles
-    // are corpus-hot, which at DF_CAP=50 does not occur in natural text.
+    // --- q42: exact n-gram Jaccard, scored over q40's MinHash-band
+    // candidates — the production recall/precision split: LSH bands
+    // bound the candidate volume (bucket co-membership, never
+    // all-pairs and never Σ_shingles df², which goes quadratic on hot
+    // shingles at 100×), then the exact score runs as an in-memory
+    // array intersection per candidate — O(|cand| · set size), no row
+    // explosion, one equi-join per side against the per-doc hash-set
+    // table. A shared-shingle self-join variant was measured 8× slower
+    // at sf0.1 on this high-collision corpus and is the wrong shape at
+    // any scale.
     Q(
       "q42_ngram_jaccard",
-      s"""WITH sh AS (SELECT doc_id, ${oH60("s")} AS s FROM ($oShingleRows)),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |rare AS (
-         |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $dfCap
+      s"""WITH sh AS ($oShingleRows),
+         |$oMinhashPairCtes,
+         |hsets AS (
+         |  SELECT doc_id, list(DISTINCT ${oH60("s")}) AS hs FROM sh GROUP BY doc_id
          |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM sh a JOIN rare r ON a.s = r.s
-         |            JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |),
-         |inter AS (
-         |  SELECT c.d1, c.d2, COUNT(*) AS c
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.d1
-         |  JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
-         |  GROUP BY c.d1, c.d2
+         |scored AS (
+         |  SELECT d1, d2,
+         |         len(list_intersect(a.hs, b.hs)) AS c,
+         |         len(a.hs) AS na, len(b.hs) AS nb
+         |  FROM cand
+         |  JOIN hsets a ON a.doc_id = d1
+         |  JOIN hsets b ON b.doc_id = d2
          |)
-         |SELECT d1, d2,
-         |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON sa.doc_id = d1
-         |JOIN sizes sb ON sb.doc_id = d2
-         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
+         |SELECT d1, d2, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+         |FROM scored
+         |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.6
          |ORDER BY d1, d2""".stripMargin
     ) { (s, d) =>
-      // The hashed shingle table feeds the candidate join, the exact
-      // re-score join, and `sizes`; without materialization Catalyst
-      // re-inlines the regex+md5 shingling into every consumer. A
-      // *lazy* persist is the idiomatic stand-in for the materialized
-      // intermediate a 100 TB pipeline would write: construction stays
-      // side-effect-free (no job, no checkpoint blocks), and
-      // CacheManager dedupes by canonicalized plan, so repeated runs
-      // share one entry instead of accumulating.
-      val sh = shingleRows(s, d).select(col("doc_id"), h60(col("s")).as("s"))
+      // one shingle scan feeds both the signature table and the
+      // hash-set table; lazy persist = the materialized intermediate a
+      // 100 TB pipeline would write (side-effect-free construction,
+      // CacheManager dedupes by canonicalized plan)
+      val shRaw = shingleRows(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // df-capped candidate generation: only shingles seen in ≤ DF_CAP
-      // docs can vouch for a pair → per-key fan-out ≤ DF_CAP².
-      val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap).select("s")
-      val rareSh = sh.join(rare, Seq("s"))
-      val cand = rareSh.as("a")
-        .join(rareSh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      // Exact intersection over FULL shingle sets, but only for
-      // candidate pairs: cost = Σ_cand |shingles(d1)| — bounded by the
-      // candidate count, not the corpus pair count.
-      val inter = cand
-        .join(sh.as("a"), col("d1") === col("a.doc_id"))
-        .join(sh.as("b"), col("d2") === col("b.doc_id") && col("b.s") === col("a.s"))
-        .groupBy("d1", "d2")
-        .agg(count(lit(1)).as("c"))
-      inter
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), Seq("d1"))
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), Seq("d2"))
-        .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      val cand = minhashCandidates(minhashSignatures(shRaw))
+      val hsets = shRaw.select(col("doc_id"), h60(col("s")).as("h"))
+        .groupBy("doc_id").agg(collect_set("h").as("hs"))
+      cand
+        .join(hsets.select(col("doc_id").as("d1"), col("hs").as("h1")), Seq("d1"))
+        .join(hsets.select(col("doc_id").as("d2"), col("hs").as("h2")), Seq("d2"))
+        .withColumn("c", size(array_intersect(col("h1"), col("h2"))))
+        .withColumn("jaccard",
+          col("c").cast("double") / (size(col("h1")) + size(col("h2")) - col("c")))
         .filter(col("jaccard") >= 0.6)
         .select("d1", "d2", "jaccard")
         .orderBy("d1", "d2")

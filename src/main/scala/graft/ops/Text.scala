@@ -422,6 +422,158 @@ object Text {
           h60(col("nt")).as("fp_doc"),
           array_min(transform(shingles(col("w")), sh => h60(sh))).as("fp_min_shingle"))
         .orderBy("doc_id")
+    },
+
+    // --- q77: sequence packing (concat-then-chunk): the pre-training
+    // step that concatenates documents in a deterministic order and
+    // slices the token stream into fixed context windows. Distributed
+    // shape: documents are hash-sharded (here 4 shards; a cluster uses
+    // thousands), each shard packs INDEPENDENTLY — packing is
+    // inherently sequential, so the shard is the unit of parallelism
+    // and the only coordination is the shard hash itself. Within a
+    // shard, one window cumsum (single sort, spillable) assigns each
+    // doc the context window its first token lands in. No driver
+    // involvement at any width.
+    Q(
+      "q77_seq_packing",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         ${oH60("CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+         |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, shard, toks,
+         |         CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t
+         |)
+         |SELECT shard, (cum - toks) // 256 AS bin_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c
+         |GROUP BY shard, bin_id
+         |ORDER BY shard, bin_id""".stripMargin
+    ) { (s, d) =>
+      val t = documents(s, d).select(
+        col("doc_id"),
+        (h60(col("doc_id").cast("string")) % 4).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cum", sum("toks").over(w))
+        .withColumn("bin_id", expr("(cum - toks) div 256"))
+        .groupBy("shard", "bin_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("toks").as("n_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("shard", "bin_id")
+    },
+
+    // --- q80: chunk-level (line-level) dedup — the C4/RefinedWeb move:
+    // split every document into non-overlapping 20-word chunks, keep
+    // only the corpus-wide FIRST occurrence of each chunk (min doc_id,
+    // then min position), and reassemble documents from their surviving
+    // chunks. The corpus is doubled with suffix-extended copies so
+    // whole-prefix chunks provably dedup while each copy's modified
+    // tail chunk survives. Scale shape: explode is linear in tokens;
+    // the only shuffle is the chunk-hash grouping (same key shape as
+    // exact dedup); reassembly groups by doc_id. No all-pairs anything.
+    Q(
+      "q80_chunk_dedup",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, concat(text, ' zz unique tail marker') FROM documents
+         |), w AS (
+         |  SELECT doc_id, ${oWords("text")} AS w FROM corpus
+         |), ch AS (
+         |  SELECT doc_id, unnest(range(0, CAST(ceil(len(w)/20.0) AS BIGINT))) AS pos, w
+         |  FROM w
+         |), chunks AS (
+         |  SELECT doc_id, pos,
+         |         array_to_string(w[(pos*20+1):(pos*20+20)], ' ') AS chunk
+         |  FROM ch
+         |), ranked AS (
+         |  SELECT doc_id, pos, chunk,
+         |         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+         |  FROM chunks
+         |)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         |       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '')) AS clean_fp
+         |FROM ranked
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zz unique tail marker")).as("text")))
+      val chunks = corpus
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .select(col("doc_id"), posexplode(
+          transform(
+            sequence(lit(0), ceil(size(col("w")) / 20.0).cast("int") - 1),
+            i => array_join(slice(col("w"), i * 20 + 1, lit(20)), " "))))
+        .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+      val ranked = chunks.withColumn("rn",
+        row_number().over(Window.partitionBy("chunk").orderBy("doc_id", "pos")))
+      ranked.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("chunk"))))),
+              x => x.getField("chunk")),
+            " ")).as("clean_fp"))
+        .orderBy("doc_id")
+    },
+
+    // --- q81: stratified (per-language) deterministic sampling — the
+    // data-mixing primitive: rebalance a corpus by sampling each
+    // stratum at its own rate, reproducibly (hash of doc id, not rand,
+    // so the sample is stable across runs, engines, and cluster
+    // sizes). The rate table is a broadcast-of-tiny join, never a
+    // driver loop; the scan stays a single narrow pass.
+    Q(
+      "q81_stratified_sample",
+      s"""WITH t AS (
+         |  SELECT lang, source,
+         |         CASE WHEN lang = 'en' THEN 250 ELSE 800 END AS permille,
+         |         ${oH60("concat('sample:', CAST(doc_id AS VARCHAR))")} % 1000 AS bucket,
+         |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+         |  FROM documents
+         |)
+         |SELECT lang, source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN bucket < permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(SUM(CASE WHEN bucket < permille THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM t
+         |GROUP BY lang, source
+         |ORDER BY lang, source""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      // per-stratum rates as data, not code: a real pipeline feeds this
+      // from a config table; broadcast keeps the join shuffle-free
+      val rates = Seq(("en", 250)).toDF("lang", "rate_permille")
+      documents(s, d)
+        .join(broadcast(rates), Seq("lang"), "left")
+        .withColumn("permille", coalesce(col("rate_permille"), lit(800)))
+        .withColumn("bucket",
+          h60(concat(lit("sample:"), col("doc_id").cast("string"))) % 1000)
+        .withColumn("toks", size(split(trim(col("text")), "\\s+")).cast("long"))
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("bucket") < col("permille"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("bucket") < col("permille"), col("toks")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("lang", "source")
     }
   )
 }
