@@ -91,6 +91,26 @@ object Streams {
   def enrichedReadings(readings: DataFrame, machineDim: DataFrame): DataFrame =
     readings.join(broadcast(machineDim), Seq("machine_id"), "left")
 
+  /** Stream-stream interval join: each reading is matched with the
+    * alerts raised on the same machine within the preceding minute.
+    * BOTH sides carry watermarks and the join condition bounds the
+    * event-time distance in BOTH directions, so Spark derives a
+    * retention bound for each side's join buffer and evicts state as
+    * the watermark advances — an unbounded stream-stream buffer is the
+    * classic always-on-pipeline OOM, and this is the shape that avoids
+    * it. Inner join: unmatched rows on either side simply age out.
+    */
+  def readingsWithAlerts(readings: DataFrame, alerts: DataFrame,
+      watermark: String = "2 minutes"): DataFrame =
+    readings.withWatermark("event_time", watermark)
+      .join(
+        alerts.withWatermark("alert_time", watermark),
+        col("machine_id") === col("alert_machine") &&
+          col("event_time") >= col("alert_time") &&
+          col("event_time") <= col("alert_time") + expr("INTERVAL 1 MINUTE"))
+      .select("machine_id", "sensor", "reading", "event_time",
+        "alert_level", "alert_time")
+
   /** Event-time tumbling window stats with late-data handling — the
     * watermark bounds state; the reference tolerated unbounded lateness
     * only because it never aggregated. */
@@ -125,6 +145,8 @@ object Streams {
 
   final case class Reading(machine_id: String, sensor: String, reading: Double,
       event_time: java.sql.Timestamp)
+  final case class Alert(alert_machine: String, alert_level: String,
+      alert_time: java.sql.Timestamp)
   final case class SensorState(n: Long, sum: Double, maxSeen: Double)
   final case class SensorUpdate(machine_id: String, sensor: String, n: Long,
       mean: Double, maxSeen: Double)

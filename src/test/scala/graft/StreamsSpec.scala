@@ -37,6 +37,32 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches alerts within the bounded window") {
+    implicit val sq = spark.sqlContext
+    val rmem = MemoryStream[Reading]
+    val amem = MemoryStream[Streams.Alert]
+    val q = Streams.readingsWithAlerts(rmem.toDF(), amem.toDF())
+      .writeStream.format("memory").queryName("rd_alerts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      amem.addData(
+        Streams.Alert("M1", "warn", ts("2024-01-01 00:01:00")),
+        Streams.Alert("M2", "crit", ts("2024-01-01 00:01:00")))
+      rmem.addData(
+        Reading("M1", "temperature", 10.0, ts("2024-01-01 00:01:30")), // in window
+        Reading("M1", "temperature", 11.0, ts("2024-01-01 00:03:00")), // past 1 min
+        Reading("M1", "temperature", 12.0, ts("2024-01-01 00:00:30")), // before alert
+        Reading("M2", "pressure", 5.0, ts("2024-01-01 00:02:00")))     // boundary: == +1 min
+      q.processAllAvailable()
+      val rows = spark.table("rd_alerts")
+        .selectExpr("machine_id", "reading", "alert_level").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+      assert(rows === Set(
+        ("M1", 10.0, "warn"),
+        ("M2", 5.0, "crit")))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches readings without streaming state") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Reading]
