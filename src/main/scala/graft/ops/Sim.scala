@@ -477,6 +477,85 @@ object Sim {
         .orderBy("vec_id")
     },
 
+    // --- q82: IVF search with multi-probe (nprobe = 4) — the full ANN
+    // query the q47 coarse quantizer exists for: each probe vector
+    // ranks the centroids, searches the members of its 4 nearest cells
+    // exactly, and returns its top-5. Cost per probe is
+    // nprobe/ncells of the table (the IVF contract) instead of a full
+    // scan; centroids are broadcast at both stages, the cell
+    // equi-join is the only shuffle-scale edge, and everything scores
+    // through the codegen scaled_dot. Measured recall@5 vs the q43
+    // exact baseline is pinned in SimRecallSpec — single-bucket LSH
+    // (q46) retrieves planted near-dups but has near-zero recall on
+    // this near-uniform synthetic corpus, which is exactly why the
+    // multi-probe IVF path exists.
+    Q(
+      "q82_ivf_search", {
+        val cosNC = s"${oDdot("n.embedding", "cent.ce")} / (n.nrm * cent.cn)"
+        val cosPC = s"${oDdot("p.embedding", "cent.ce")} / (p.nrm * cent.cn)"
+        val cosPV = s"${oDdot("p.pe", "v.embedding")} / (p.pn * v.nrm)"
+        s"""WITH cent AS (
+           |  SELECT vec_id AS c_id, embedding AS ce, ${oDnorm("embedding")} AS cn
+           |  FROM embeddings WHERE vec_id % 37 = 0
+           |), n AS (
+           |  SELECT vec_id, embedding, ${oDnorm("embedding")} AS nrm FROM embeddings
+           |), assign AS (
+           |  SELECT vec_id, c_id FROM (
+           |    SELECT n.vec_id, cent.c_id,
+           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+           |             ORDER BY $cosNC DESC, cent.c_id) AS rnk
+           |    FROM n, cent)
+           |  WHERE rnk = 1
+           |), probecells AS (
+           |  SELECT vec_id AS q_id, c_id FROM (
+           |    SELECT p.vec_id, cent.c_id,
+           |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+           |             ORDER BY $cosPC DESC, cent.c_id) AS rnk
+           |    FROM (SELECT * FROM n WHERE vec_id < 20) p, cent)
+           |  WHERE rnk <= 4
+           |), scored AS (
+           |  SELECT p.q_id, v.vec_id AS neighbor_id, $cosPV AS cos,
+           |         ROW_NUMBER() OVER (PARTITION BY p.q_id
+           |           ORDER BY $cosPV DESC, v.vec_id) AS rnk
+           |  FROM (SELECT pc.q_id, pc.c_id, n.embedding AS pe, n.nrm AS pn
+           |        FROM probecells pc JOIN n ON n.vec_id = pc.q_id) p
+           |  JOIN assign a ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+           |  JOIN n v ON v.vec_id = a.vec_id
+           |)
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
+           |FROM scored WHERE rnk <= 5
+           |ORDER BY q_id, rnk""".stripMargin
+      }
+    ) { (s, d) =>
+      val n = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), dnorm(col("embedding")).as("nrm"))
+      val cent = n.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
+      val assign = n.crossJoin(broadcast(cent))
+        .withColumn("cos", ddot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("c_id"))
+      val probeCells = n.filter(col("vec_id") < 20).crossJoin(broadcast(cent))
+        .withColumn("cos", ddot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") <= 4)
+        .select(col("vec_id").as("q_id"), col("c_id"),
+          col("embedding").as("pe"), col("nrm").as("pn"))
+      val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+      probeCells
+        .join(assign.select(col("c_id"), col("vec_id").as("neighbor_id")), Seq("c_id"))
+        .filter(col("neighbor_id") =!= col("q_id"))
+        .join(n.select(col("vec_id").as("neighbor_id"), col("embedding").as("ve"),
+          col("nrm").as("vn")), Seq("neighbor_id"))
+        .withColumn("cos", ddot(col("pe"), col("ve")) / (col("pn") * col("vn")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk").cast("int").as("rnk"), col("neighbor_id"), col("cos"))
+        .orderBy("q_id", "rnk")
+    },
+
     // --- q63: embedding-cosine near-duplicate pairs — the vector-space
     // member of the near-dup family (q40 MinHash, q42 Jaccard, q48
     // SimHash are token-space). Candidates come from the LSH bucket
