@@ -556,6 +556,72 @@ object Sim {
         .orderBy("q_id", "rnk")
     },
 
+    // --- q83: dedup cluster resolution — connected components over the
+    // MinHash near-dup pair graph (q40's edges). Pairs alone don't
+    // dedup a corpus: A~B and B~C must collapse to ONE cluster with one
+    // survivor, which is a union-find, not a join. Implementation is
+    // iterative min-label propagation: each round every node adopts the
+    // smallest label among itself and its neighbors (one equi-join +
+    // one min-aggregate per round, all distributed; the driver only
+    // checks convergence — a boolean, never data). Rounds needed =
+    // graph diameter (near-dup clusters are shallow; capped at 20 —
+    // a planet-scale CC would switch to the large-star/small-star
+    // alternation, same per-round plan shape, O(log n) rounds). This
+    // query is necessarily EAGER at construction (iteration cannot be
+    // expressed lazily as one plan); Bench times the whole loop.
+    // The DuckDB oracle computes the same fixpoint as a recursive CTE.
+    Q(
+      "q83_dedup_clusters",
+      s"""WITH RECURSIVE sh AS ($oShingleRows),
+         |$oMinhashPairCtes,
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION ALL
+         |  SELECT d2 AS a, d1 AS b FROM pairs
+         |),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+         |)
+         |SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+         |       CAST(COUNT(*) OVER (PARTITION BY MIN(lbl)) AS BIGINT) AS cluster_size
+         |FROM reach
+         |GROUP BY node
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val pairs = minhashPairs(shingleRows(s, d)).select("d1", "d2")
+      val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = documents(s, d)
+        .select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val prop = edges
+          .join(labels, col("b") === col("node"))
+          .select(col("a").as("node"), col("lbl"))
+        val next = labels.unionByName(prop)
+          .groupBy("node").agg(min("lbl").as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        converged = next
+          .join(labels.select(col("node"), col("lbl").as("old")), Seq("node"))
+          .filter(col("lbl") =!= col("old"))
+          .isEmpty
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      edges.unpersist()
+      labels
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    },
+
     // --- q63: embedding-cosine near-duplicate pairs — the vector-space
     // member of the near-dup family (q40 MinHash, q42 Jaccard, q48
     // SimHash are token-space). Candidates come from the LSH bucket

@@ -31,8 +31,9 @@ class RegistrySpec extends SparkTestBase {
     SparkEntry.oracleSql.foreach { case (name, rawSql) =>
       // EXTRACT(unit FROM col) is not a table reference
       val sql = rawSql.replaceAll("(?i)EXTRACT\\s*\\([^)]*\\)", "")
-      // strip CTE names declared in this query before checking
-      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+      // strip CTE names declared in this query before checking —
+      // including recursive CTEs with a column list: name(col, ...) AS (
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         assert(tables.contains(t) || ctes.contains(t),
