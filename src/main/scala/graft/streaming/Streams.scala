@@ -33,6 +33,34 @@ object Streams {
           .as("reading"),
         col("timestamp").as("event_time"))
 
+  /** R3 on the stream: frame each reading as the reference's wire
+    * message — a Confluent-framed Avro binary `value` (what the
+    * producer hands Kafka,
+    * `/root/reference/producer/sensor_data_producer.py:67-72`) plus the
+    * machine id as the partition `key`. Pure codegen projection — the
+    * codec adds no shuffle and no state to the stream. */
+  def toWire(readings: DataFrame): DataFrame =
+    readings.select(
+      col("machine_id").as("key"),
+      graft.functions.Wire.avroEncodePlc(
+        col("machine_id"), col("sensor"), col("reading"),
+        (unix_micros(col("event_time")) / lit(1000000.0))).as("value"))
+
+  /** R6 on the stream: decode wire messages back to typed readings,
+    * quarantining undecodable ones (the reference consumer's
+    * try/except drop, `consumer/sensor_data_consumer.py:94-102` — but
+    * kept observable as a `decode_ok=false` stream instead of a log
+    * line). */
+  def fromWire(wire: DataFrame): DataFrame =
+    wire
+      .withColumn("r", graft.functions.Wire.avroDecodePlc(col("value")))
+      .select(
+        col("r.machine_id").as("machine_id"),
+        col("r.sensor").as("sensor"),
+        col("r.reading").as("reading"),
+        timestamp_seconds(col("r.t_stamp")).as("event_time"),
+        col("r").isNotNull.as("decode_ok"))
+
   /** File-based streaming source over a parquet landing directory (the
     * connector-agnostic stand-in for the Kafka topic: files arriving =
     * messages arriving; offsets = file names, tracked in the

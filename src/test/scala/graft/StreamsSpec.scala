@@ -37,6 +37,34 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("Avro wire roundtrip on the stream quarantines corrupt frames (R3/R6)") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[Reading]
+    val wire = Streams.toWire(mem.toDF())
+    // corrupt M2's frames in flight (magic byte smashed)
+    val tampered = wire.withColumn("value",
+      when(col("key") === "M2",
+        expr("concat(X'09', substring(value, 2, length(value) - 1))"))
+        .otherwise(col("value")))
+    val q = Streams.fromWire(tampered)
+      .writeStream.format("memory").queryName("wire_rt")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Reading("M1", "temperature", 21.5, ts("2024-01-01 00:00:10")),
+        Reading("M2", "pressure", 3.25, ts("2024-01-01 00:00:20")))
+      q.processAllAvailable()
+      val rows = spark.table("wire_rt")
+        .selectExpr("machine_id", "sensor", "reading", "decode_ok").collect()
+        .map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getDouble(2), r.getBoolean(3))).toSet
+      assert(rows === Set(
+        ("M1", "temperature", 21.5, true),
+        (null, null, null, false))) // M2 quarantined, not dropped
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches alerts within the bounded window") {
     implicit val sq = spark.sqlContext
     val rmem = MemoryStream[Reading]
