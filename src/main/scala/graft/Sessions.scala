@@ -26,4 +26,24 @@ object Sessions {
       // Managed tables (bucketed-join demos/tests) go to tmp, not cwd.
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
+
+  /** A sibling session sharing the SparkContext (and cached data) but with
+    * query-scoped conf overrides — how a multi-tenant cluster pins
+    * per-query planner knobs without mutating the shared session.
+    * Plan-affecting confs are read at ACTION time, not DataFrame
+    * construction, so `set`-then-reset on the caller's session would race;
+    * a derived session makes the override airtight. `newSession()`
+    * carries the builder's initial options; the determinism-critical keys
+    * are re-pinned anyway in case the parent was built elsewhere (tests).
+    */
+  def derived(parent: SparkSession, overrides: (String, String)*): SparkSession = {
+    val s2 = parent.newSession()
+    for (k <- Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone",
+                  "spark.sql.legacy.parquet.nanosAsLong",
+                  "spark.sql.parquet.outputTimestampType",
+                  "spark.sql.adaptive.enabled"))
+      s2.conf.set(k, parent.conf.get(k))
+    overrides.foreach { case (k, v) => s2.conf.set(k, v) }
+    s2
+  }
 }

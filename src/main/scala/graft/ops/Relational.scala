@@ -339,6 +339,87 @@ object Relational {
       val ia = a.intersectAll(b).groupBy("p").agg(count(lit(1)).as("cnt"))
         .select(lit("intersect_all").as("op"), col("p"), col("cnt"))
       ea.unionByName(ia).orderBy("op", "p")
+    },
+
+    // --- q84: runtime bloom-filter join — the 100 TB shuffle-join
+    // pattern when the dim is too big to broadcast. A selective filter
+    // on `part` makes Catalyst's InjectRuntimeFilter build a bloom
+    // filter over the surviving p_partkeys and push `might_contain`
+    // into the lineitem scan, so most fact rows die at the scan instead
+    // of crossing the shuffle. Thresholds are lowered via a derived
+    // session because the production defaults (10 GB application-side
+    // scan) only trip at real scale; semantics are untouched — the
+    // oracle is the PLAIN join (bloom false positives are re-checked by
+    // the join itself). `BloomJoinSpec` asserts the filter is actually
+    // in the optimized plan.
+    Q(
+      "q84_bloom_join",
+      """SELECT p.p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size <= 10 AND p.p_type = 'PROMO'
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin
+    ) { (s, d) =>
+      val s2 = graft.Sessions.derived(s,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+      val p = part(s2, d)
+        .filter(col("p_size") <= 10 && col("p_type") === "PROMO")
+        .select("p_partkey", "p_brand")
+      lineitem(s2, d)
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          graft.functions.Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("p_brand")
+    },
+
+    // --- q87: salted skew JOIN (the join-side counterpart of q28's
+    // salted agg). events has ~15 users, so a shuffle join keyed on
+    // user_id alone lands each user's millions of rows in ONE task;
+    // salting the fact side by event_id%8 and exploding the per-user
+    // dim ×8 spreads every user over 8 tasks with zero semantic change
+    // (oracle = the plain join). Broadcast is disabled in the derived
+    // session because this pattern exists precisely for dims too big to
+    // broadcast — with a broadcastable dim you'd broadcast instead.
+    // AQE skew-split is the runtime alternative; explicit salting is
+    // the deterministic-partitioning variant that also fixes skew in
+    // the SORT within each task.
+    Q(
+      "q87_salted_join",
+      """WITH ua AS (
+        |  SELECT user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_v
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT e.user_id, COUNT(*) AS n_above,
+        |       CAST(MAX(e.value - ua.avg_v) AS DOUBLE) AS max_excess
+        |FROM events e JOIN ua ON e.user_id = ua.user_id
+        |WHERE e.value > ua.avg_v
+        |GROUP BY e.user_id
+        |ORDER BY e.user_id""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val s2 = graft.Sessions.derived(s,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val ev = events(s2, d)
+      val ua = ev.groupBy("user_id")
+        .agg((sum(col("value").cast(DecimalType(38, 6))).cast("double") / count(col("value"))).as("avg_v"))
+        .withColumn("salt", explode(sequence(lit(0), lit(7))))
+      ev.select(col("user_id"), col("value"), col("event_id"))
+        .withColumn("salt", pmod(col("event_id"), lit(8)).cast("int"))
+        .join(ua, Seq("user_id", "salt"))
+        .filter(col("value") > col("avg_v"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_above"),
+          max(col("value") - col("avg_v")).cast("double").as("max_excess"))
+        .orderBy("user_id")
     }
   )
 }
