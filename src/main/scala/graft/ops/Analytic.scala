@@ -356,6 +356,84 @@ object Analytic {
           (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
           lead(col("value"), 1).over(w).as("next_value"))
         .orderBy("user_id", "event_id")
+    },
+
+    // --- q86: windowed distinct counts — per-day DAU plus trailing-7-day
+    // WAU, the canonical sliding-distinct. Exact sliding distinct cannot
+    // run as a window frame (COUNT(DISTINCT) OVER is unsupported and
+    // would buffer the frame anyway); the scale shape is a BOUNDED
+    // explode: each event contributes its user to the <= 7 day-labels
+    // whose trailing window covers it, then a (day,user) dedup runs
+    // map-side partial before the shuffle — so the wire carries at most
+    // 7 x |daily actives| rows, never 7 x |events|. The day list to
+    // label against is data-derived and tiny (one row per day) ->
+    // broadcast semi restriction, no inequality join anywhere.
+    Q(
+      "q86_windowed_distinct",
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+        |), days AS (
+        |  SELECT DISTINCT d FROM e
+        |), dau AS (
+        |  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM e GROUP BY d
+        |), wau AS (
+        |  SELECT days.d, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+        |  FROM days JOIN e ON e.d BETWEEN days.d - 6 AND days.d
+        |  GROUP BY days.d
+        |)
+        |SELECT dau.d, dau.n_events, dau.dau, wau.wau
+        |FROM dau JOIN wau USING (d)
+        |ORDER BY d""".stripMargin
+    ) { (s, d) =>
+      val e = events(s, d).select(to_date(col("ts")).as("d"), col("user_id"))
+      val days = e.select("d").distinct()
+      val dau = e.groupBy("d")
+        .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("dau"))
+      val wau = e
+        .withColumn("off", explode(sequence(lit(0), lit(6))))
+        .select(date_add(col("d"), col("off")).as("d"), col("user_id"))
+        .join(broadcast(days), Seq("d"))
+        .groupBy("d")
+        .agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, Seq("d"))
+        .select(col("d"), col("n_events"), col("dau"), col("wau"))
+        .orderBy("d")
+    },
+
+    // --- q88: equi-width histogram (width_bucket) — the numeric
+    // profiling pass a 100 TB pipeline runs before choosing ANY other
+    // bucketing/clipping threshold. Constant bucket edges mean this is
+    // a pure single-pass partial+final aggregation with a fixed (21)
+    // group count: map-side combine collapses each partition to <= 21
+    // rows, the shuffle is measured in kilobytes regardless of input
+    // size. Bounds 0..105000 / 21 give an exact 5000.0 double bucket
+    // width, so Spark's width_bucket and the oracle's floor division
+    // are the same IEEE ops — bit-identical bucket ids.
+    Q(
+      "q88_histogram",
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS INTEGER) + 1 AS bucket,
+        |       CAST((CAST(floor(l_extendedprice / 5000.0) AS INTEGER)) * 5000.0 AS DOUBLE) AS lo_edge,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+        |       MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |ORDER BY bucket""".stripMargin
+    ) { (s, d) =>
+      val b = width_bucket(col("l_extendedprice"), lit(0.0), lit(105000.0), lit(21L))
+        .cast("int")
+      lineitem(s, d)
+        .select(col("l_extendedprice"), b.as("bucket"))
+        .withColumn("lo_edge", ((col("bucket") - 1) * 5000.0).cast("double"))
+        .groupBy("bucket", "lo_edge")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("total"),
+          min("l_extendedprice").as("lo"),
+          max("l_extendedprice").as("hi"))
+        .orderBy("bucket")
     }
   )
 }

@@ -574,6 +574,129 @@ object Text {
           sum(when(col("bucket") < col("permille"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("bucket") < col("permille"), col("toks")).otherwise(0L)).as("kept_tokens"))
         .orderBy("lang", "source")
+    },
+
+    // --- q85: train/test contamination audit over q66's deterministic
+    // split — the eval-integrity check every training pipeline runs
+    // before publishing a benchmark number. A test doc is contaminated
+    // when it shares >= 3 distinct word-3-gram shingles with some train
+    // doc. Scale shape: inverted index (shingle -> train docs) joined
+    // by the test side's shingles — candidates meet only on shared
+    // shingles, never test × train. The df <= 64 cap drops
+    // non-discriminative hot shingles BEFORE the join (inert at this
+    // corpus, max df 7, but it is the bound that keeps per-key fan-out
+    // O(K) when a common trigram's df grows linearly with corpus size —
+    // the same Σdf² blowup q42 avoids via LSH bands). The test side is
+    // ~10% of the corpus, so the joined index stays test-sized.
+    Q(
+      "q85_contamination",
+      s"""WITH w AS (
+         |  SELECT doc_id, ${oWords("text")} AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(${oShingles("w")})) AS s
+         |  FROM w WHERE len(w) >= 3
+         |), sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN ${oH60("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |              WHEN ${oH60("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents
+         |), tr AS (
+         |  SELECT sh.s, sh.doc_id FROM sh JOIN sp USING (doc_id) WHERE sp.split = 'train'
+         |), te AS (
+         |  SELECT sh.s, sh.doc_id FROM sh JOIN sp USING (doc_id) WHERE sp.split = 'test'
+         |), keep AS (
+         |  SELECT s FROM tr GROUP BY s HAVING COUNT(*) <= 64
+         |), tsz AS (
+         |  SELECT doc_id AS test_doc, COUNT(*) AS n_test_shingles FROM te GROUP BY doc_id
+         |), ov AS (
+         |  SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc, COUNT(*) AS shared
+         |  FROM te JOIN keep USING (s) JOIN tr USING (s)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT ov.test_doc, ov.train_doc, CAST(ov.shared AS BIGINT) AS shared,
+         |       CAST(tsz.n_test_shingles AS BIGINT) AS n_test_shingles,
+         |       CAST(ov.shared AS DOUBLE) / tsz.n_test_shingles AS contam_frac
+         |FROM ov JOIN tsz USING (test_doc)
+         |WHERE ov.shared >= 3
+         |ORDER BY test_doc, train_doc""".stripMargin
+    ) { (s, d) =>
+      val bucket = h60(col("doc_id").cast("string")) % 100
+      val sh = documents(s, d)
+        .select(
+          col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+          words(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), col("split"), explode(array_distinct(shingles(col("w")))).as("s"))
+      val tr = sh.filter(col("split") === "train").select(col("s"), col("doc_id").as("train_doc"))
+      val te = sh.filter(col("split") === "test").select(col("s"), col("doc_id").as("test_doc"))
+      val keep = tr.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 64).select("s")
+      val tsz = te.groupBy("test_doc").agg(count(lit(1)).as("n_test_shingles"))
+      te.join(keep, Seq("s"))
+        .join(tr, Seq("s"))
+        .groupBy("test_doc", "train_doc")
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+        .join(tsz, Seq("test_doc"))
+        .select(
+          col("test_doc"), col("train_doc"), col("shared"), col("n_test_shingles"),
+          (col("shared").cast("double") / col("n_test_shingles")).as("contam_frac"))
+        .orderBy("test_doc", "train_doc")
+    },
+
+    // --- q89: URL parsing / provenance rollup — every web-scale corpus
+    // carries a source URL, and the first governance question is "how
+    // many docs and tokens per registrable host". The URL here is
+    // synthesized deterministically from the doc's metadata (the
+    // corpus tables carry no raw URL) and then parsed BACK with
+    // Spark's parse_url — the point under test is the extraction
+    // operator, a codegen scalar, not the synthesis. Scale shape: pure
+    // projection + one partial+final agg on host (cardinality =
+    // |sources|, tiny); the per-doc URL never shuffles.
+    Q(
+      "q89_url_extract",
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |         'https://' || source || '.example.com/' || lang || '/doc/' ||
+        |           CAST(doc_id AS VARCHAR) || '?ref=r' || CAST(doc_id % 7 AS VARCHAR) AS url,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), p AS (
+        |  SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+        |         regexp_extract(url, 'https?://[^/]+([^?]*)', 1) AS path,
+        |         regexp_extract(url, 'ref=([^&]+)', 1) AS ref,
+        |         lang, toks
+        |  FROM u
+        |)
+        |SELECT host, ref,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |       MIN(path) AS first_path
+        |FROM p
+        |GROUP BY host, ref
+        |ORDER BY host, ref""".stripMargin
+    ) { (s, d) =>
+      val u = documents(s, d).select(
+        col("doc_id"), col("lang"),
+        concat(
+          lit("https://"), col("source"), lit(".example.com/"), col("lang"), lit("/doc/"),
+          col("doc_id").cast("string"), lit("?ref=r"), (col("doc_id") % 7).cast("string")).as("url"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      u.select(
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"),
+          col("lang"), col("toks"))
+        .groupBy("host", "ref")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          sum("toks").as("n_tokens"),
+          min("path").as("first_path"))
+        .orderBy("host", "ref")
     }
   )
 }
