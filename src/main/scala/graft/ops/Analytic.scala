@@ -387,7 +387,10 @@ object Analytic {
         |FROM dau JOIN wau USING (d)
         |ORDER BY d""".stripMargin
     ) { (s, d) =>
+      // (day,user) projection feeds three branches (days, dau, wau) —
+      // persist the 2-column intermediate instead of re-scanning events
       val e = events(s, d).select(to_date(col("ts")).as("d"), col("user_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val days = e.select("d").distinct()
       val dau = e.groupBy("d")
         .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("dau"))

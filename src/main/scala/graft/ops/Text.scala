@@ -622,6 +622,11 @@ object Text {
          |ORDER BY test_doc, train_doc""".stripMargin
     ) { (s, d) =>
       val bucket = h60(col("doc_id").cast("string")) % 100
+      // the split-tagged shingle table feeds four branches (test side,
+      // test sizes, train index, df cap) — persist it once, exactly the
+      // materialized intermediate a 100 TB run would write (lazy, so
+      // construction stays side-effect-free; CacheManager dedupes by
+      // canonicalized plan)
       val sh = documents(s, d)
         .select(
           col("doc_id"),
@@ -629,6 +634,7 @@ object Text {
           words(col("text")).as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), col("split"), explode(array_distinct(shingles(col("w")))).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tr = sh.filter(col("split") === "train").select(col("s"), col("doc_id").as("train_doc"))
       val te = sh.filter(col("split") === "test").select(col("s"), col("doc_id").as("test_doc"))
       val keep = tr.groupBy("s").agg(count(lit(1)).as("df"))
