@@ -413,6 +413,140 @@ object Advanced {
       events(s, d)
         .select(col("event_id"), col("user_id"), (num / den).as("ewma"))
         .orderBy("event_id")
+    },
+
+    // --- q90: SCD2 dimension merge (the parquet-era MERGE INTO): apply
+    // a deterministic update batch (20% attribute changes + ~5% new
+    // keys, both derived by id hash so the oracle reproduces them) to
+    // the customer dimension, emitting history rows — changed keys
+    // close their old version (valid_to=2) and insert the new one,
+    // unmatched keys pass through, new keys insert. Scale shape: ONE
+    // full-outer shuffle join on the key, then each joined row expands
+    // to its 1–2 output versions through a Generate — the dim is
+    // scanned once, never re-joined per branch (the UNION-of-branches
+    // formulation the oracle uses would scan it four times).
+    Q(
+      "q90_scd2_merge",
+      s"""WITH dim AS (SELECT * FROM customer),
+         |upd AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+         |         'SEG' || CAST(c_custkey % 3 AS VARCHAR) AS c_mktsegment
+         |  FROM dim WHERE ${oH60("'upd:' || CAST(c_custkey AS VARCHAR)")} % 10 < 2
+         |), ins AS (
+         |  SELECT c_custkey + 10000000 AS c_custkey, 'NEW ' || c_name AS c_name,
+         |         c_nationkey, 500.0 AS c_acctbal, 'SEG_NEW' AS c_mktsegment
+         |  FROM dim WHERE ${oH60("'new:' || CAST(c_custkey AS VARCHAR)")} % 20 = 0
+         |), batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+         |diff AS (
+         |  SELECT d.c_custkey,
+         |         d.c_name AS o_name, d.c_nationkey AS o_nationkey,
+         |         d.c_acctbal AS o_acctbal, d.c_mktsegment AS o_mktsegment,
+         |         b.c_name AS n_name, b.c_nationkey AS n_nationkey,
+         |         b.c_acctbal AS n_acctbal, b.c_mktsegment AS n_mktsegment,
+         |         (d.c_name <> b.c_name OR d.c_nationkey <> b.c_nationkey
+         |          OR d.c_acctbal <> b.c_acctbal OR d.c_mktsegment <> b.c_mktsegment) AS changed
+         |  FROM dim d JOIN batch b USING (c_custkey)
+         |)
+         |SELECT c_custkey, o_name AS c_name, o_nationkey AS c_nationkey,
+         |       o_acctbal AS c_acctbal, o_mktsegment AS c_mktsegment,
+         |       CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to, FALSE AS is_current
+         |FROM diff WHERE changed
+         |UNION ALL
+         |SELECT c_custkey, n_name, n_nationkey, n_acctbal, n_mktsegment,
+         |       CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         |FROM diff WHERE changed
+         |UNION ALL
+         |SELECT c_custkey, o_name, o_nationkey, o_acctbal, o_mktsegment,
+         |       CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         |FROM diff WHERE NOT changed
+         |UNION ALL
+         |SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
+         |       CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         |FROM dim d WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.c_custkey = d.c_custkey)
+         |UNION ALL
+         |SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal, b.c_mktsegment,
+         |       CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         |FROM batch b WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = b.c_custkey)
+         |ORDER BY c_custkey, valid_from""".stripMargin
+    ) { (s, d) =>
+      val attrs = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val dim = customer(s, d)
+      val upd = dim
+        .filter(h60(concat(lit("upd:"), col("c_custkey").cast("string"))) % 10 < 2)
+        .select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"),
+          concat(lit("SEG"), (col("c_custkey") % 3).cast("string")).as("c_mktsegment"))
+      val ins = dim
+        .filter(h60(concat(lit("new:"), col("c_custkey").cast("string"))) % 20 === 0)
+        .select(
+          (col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(lit("NEW "), col("c_name")).as("c_name"),
+          col("c_nationkey"), lit(500.0).as("c_acctbal"), lit("SEG_NEW").as("c_mktsegment"))
+      val batch = upd.unionByName(ins)
+      val o = dim.select(col("c_custkey") +: attrs.map(a => col(a).as(s"o_$a")): _*)
+      val n = batch.select(col("c_custkey") +: attrs.map(a => col(a).as(s"n_$a")): _*)
+      val nullTo = lit(null).cast("bigint")
+      def version(pfx: String, from: Int, to: org.apache.spark.sql.Column, cur: Boolean) =
+        struct(
+          col(s"${pfx}c_name").as("c_name"), col(s"${pfx}c_nationkey").as("c_nationkey"),
+          col(s"${pfx}c_acctbal").as("c_acctbal"), col(s"${pfx}c_mktsegment").as("c_mktsegment"),
+          lit(from.toLong).as("valid_from"), to.as("valid_to"), lit(cur).as("is_current"))
+      val changed = attrs
+        .map(a => col(s"o_$a") =!= col(s"n_$a"))
+        .reduce(_ || _)
+      o.join(n, Seq("c_custkey"), "full_outer")
+        .withColumn("versions",
+          when(col("o_c_name").isNull, array(version("n_", 2, nullTo, cur = true)))
+            .when(col("n_c_name").isNull, array(version("o_", 1, nullTo, cur = true)))
+            .when(changed, array(
+              version("o_", 1, lit(2L), cur = false),
+              version("n_", 2, nullTo, cur = true)))
+            .otherwise(array(version("o_", 1, nullTo, cur = true))))
+        .select(col("c_custkey"), explode(col("versions")).as("v"))
+        .select(col("c_custkey"), col("v.*"))
+        .orderBy("c_custkey", "valid_from")
+    },
+
+    // --- q91: CDC changelog compaction — keep the latest version per
+    // (user_id, event_type) key, treating events as an upsert stream.
+    // Deliberately an AGGREGATE (max_by over a single wide ordering
+    // scalar: ts_us·10⁶ + event_id, decimal so it cannot overflow), not
+    // a row_number window: partial max_by combines map-side, so each
+    // partition ships one candidate row per key instead of sorting the
+    // full changelog — at 100 TB that is the difference between a
+    // key-sized shuffle and a data-sized sort. The same shape Kafka log
+    // compaction / a CDC materializer uses.
+    Q(
+      "q91_cdc_compact",
+      """WITH c AS (
+        |  SELECT user_id, event_type,
+        |         CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id AS ord,
+        |         value, epoch_us(ts) AS ts_us, event_id
+        |  FROM events
+        |)
+        |SELECT user_id, event_type,
+        |       max_by(value, ord) AS last_value,
+        |       CAST(max_by(ts_us, ord) AS BIGINT) AS last_ts_us,
+        |       CAST(max_by(event_id, ord) AS BIGINT) AS last_event_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_versions
+        |FROM c
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ord = (unix_micros(col("ts")).cast(DecimalType(38, 0)) * 1000000)
+        .+(col("event_id")).as("ord")
+      events(s, d)
+        .select(col("user_id"), col("event_type"), ord,
+          col("value"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .groupBy("user_id", "event_type")
+        .agg(
+          max_by(col("value"), col("ord")).as("last_value"),
+          max_by(col("ts_us"), col("ord")).as("last_ts_us"),
+          max_by(col("event_id"), col("ord")).as("last_event_id"),
+          count(lit(1)).as("n_versions"))
+        .orderBy("user_id", "event_type")
     }
   )
 }
