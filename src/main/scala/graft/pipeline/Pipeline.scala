@@ -77,6 +77,26 @@ object Pipeline {
     finally snapshot.unpersist()
   }
 
+  /** Batch data-quality gate via `observe`: row count, null/out-of-range
+    * tallies, and the timestamp span are collected as AccumulatorV2
+    * side-outputs DURING whatever action the caller runs — zero extra
+    * passes over the data, which is the only affordable way to audit a
+    * 100 TB write (a separate validation query would double the scan).
+    * Batch counterpart of the streaming `ConservationListener` (R11–R14
+    * monitoring). Read the metrics from the returned Observation AFTER
+    * an action: `obs.get("n_rows")`.
+    */
+  def observedReadings(readings: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("quality")
+    val observed = readings.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("reading").isNull, 1L).otherwise(0L)).as("null_readings"),
+      sum(when(col("reading") < 0.0, 1L).otherwise(0L)).as("negative_readings"),
+      min("t_stamp").as("min_ts"),
+      max("t_stamp").as("max_ts"))
+    (observed, obs)
+  }
+
   val all: Seq[Q] = Seq(
     // --- q23: the full pipeline as one oracle-checked batch query:
     // generate-shape projection (R7), epoch handling (R9), then the
