@@ -197,6 +197,42 @@ object Streams {
       }
   }
 
+  /** transformWithState (Spark 4 arbitrary-state API) form of
+    * [[runningStats]]: the same O(1)-per-key incremental stats, but on
+    * the StatefulProcessor interface — typed `ValueState` handles with
+    * per-state TTL support, timers decoupled from output mode, and a
+    * RocksDB-only backend (the API refuses the heap provider), which is
+    * the configuration a 100 TB keyed stream runs anyway. Kept alongside
+    * the mapGroupsWithState form to cover both state APIs.
+    */
+  final class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(String, String), Reading, SensorUpdate] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SensorState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SensorState]("sensorState",
+        org.apache.spark.sql.Encoders.product[SensorState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: (String, String), rows: Iterator[Reading],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SensorUpdate] = {
+      val prev = Option(st.get()).getOrElse(SensorState(0L, 0.0, Double.MinValue))
+      val next = rows.foldLeft(prev) { (s, r) =>
+        SensorState(s.n + 1, s.sum + r.reading, math.max(s.maxSeen, r.reading))
+      }
+      st.update(next)
+      Iterator.single(SensorUpdate(key._1, key._2, next.n, next.sum / next.n, next.maxSeen))
+    }
+  }
+
+  def runningStatsTws(readings: Dataset[Reading]): Dataset[SensorUpdate] = {
+    val spark = readings.sparkSession
+    import spark.implicits._
+    readings
+      .groupByKey(r => (r.machine_id, r.sensor))
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming exact dedup at ingest — the first stage of a
     * training-data pipeline: duplicate records (at-least-once replays,
     * duplicated source files) are dropped on their identity key, with

@@ -50,6 +50,31 @@ class StateStoreSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState running stats accumulate across batches (RocksDB-backed)") {
+    val s2 = Sessions.derived(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sq = s2.sqlContext
+    val mem = MemoryStream[Reading]
+    val q = Streams.runningStatsTws(mem.toDS())
+      .writeStream.format("memory").queryName("tws_running")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(
+        Reading("M1", "temperature", 10.0, ts("2024-01-01 00:00:10")),
+        Reading("M1", "temperature", 30.0, ts("2024-01-01 00:00:20")))
+      q.processAllAvailable()
+      mem.addData(Reading("M1", "temperature", 20.0, ts("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      val last = s2.table("tws_running")
+        .filter("machine_id = 'M1'").selectExpr("n", "mean", "maxSeen")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .maxBy(_._1)
+      // state carried across batches: 3 readings total, mean 20, max 30
+      assert(last == ((3L, 20.0, 30.0)), s"unexpected state: $last")
+    } finally q.stop()
+  }
+
   test("observe quality gate collects metrics during the action's own scan") {
     val (observed, obs) = Pipeline.observedReadings(
       Pipeline.sensorReadings(spark, sfDir))
