@@ -810,6 +810,51 @@ object Sim {
           min(col("nrm")).as("min_norm"),
           max(col("nrm")).as("max_norm"))
         .orderBy("label")
+    },
+
+    // --- q92: fuzzy (edit-distance) matching — misspelling resolution
+    // against a catalog, run the way it scales: on the DISTINCT value
+    // dictionary, never the raw table. p_name has ~36 distinct values
+    // over 20k rows at sf0.1; a 100 TB catalog is the same story
+    // (dictionary orders of magnitude smaller than the data), so the
+    // quadratic-ish levenshtein comparison runs on the dictionary and
+    // the result maps back to row counts by equi-join. Misspellings are
+    // planted deterministically (last char -> 'x'); candidate pairs are
+    // blocked on the shared first word, so comparisons are per-block,
+    // not dictionary². levenshtein is a pure metric — identical across
+    // engines.
+    Q(
+      "q92_fuzzy_match",
+      """WITH dict AS (
+        |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts FROM part GROUP BY p_name
+        |), vars AS (
+        |  SELECT substr(p_name, 1, length(p_name) - 1) || 'x' AS variant, p_name AS origin
+        |  FROM dict
+        |), cand AS (
+        |  SELECT v.variant, v.origin, d.p_name AS matched, d.n_parts
+        |  FROM vars v JOIN dict d
+        |    ON split_part(v.variant, ' ', 1) = split_part(d.p_name, ' ', 1)
+        |)
+        |SELECT variant, matched, CAST(levenshtein(variant, matched) AS INTEGER) AS dist, n_parts
+        |FROM cand
+        |WHERE levenshtein(variant, matched) <= 1 AND variant <> matched
+        |ORDER BY variant, matched""".stripMargin
+    ) { (s, d) =>
+      val dict = part(s, d).groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      val vars = dict.select(
+        concat(expr("substring(p_name, 1, length(p_name) - 1)"), lit("x")).as("variant"),
+        col("p_name").as("origin"))
+      val blocked = vars
+        .withColumn("blk", substring_index(col("variant"), " ", 1))
+        .join(
+          dict.select(col("p_name").as("matched"), col("n_parts"),
+            substring_index(col("p_name"), " ", 1).as("blk")),
+          Seq("blk"))
+      blocked
+        .withColumn("dist", levenshtein(col("variant"), col("matched")))
+        .filter(col("dist") <= 1 && col("variant") =!= col("matched"))
+        .select(col("variant"), col("matched"), col("dist"), col("n_parts"))
+        .orderBy("variant", "matched")
     }
   )
 }
