@@ -437,6 +437,149 @@ object Analytic {
           min("l_extendedprice").as("lo"),
           max("l_extendedprice").as("hi"))
         .orderBy("bucket")
+    },
+
+    // --- q93: strict-sequence funnel (view → click → purchase): per
+    // user, the earliest view, the earliest click AFTER that view, the
+    // earliest purchase AFTER that click. Each stage is a filtered
+    // partial+final min-aggregation joined on the user key — the type
+    // filter pushes to the scan, the join key is the natural
+    // partitioning, and nothing ever sorts the raw event log. stage is
+    // how deep the user converted.
+    Q(
+      "q93_funnel",
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS view_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS click_ts
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.view_ts
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_ts
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_ts
+        |  GROUP BY e.user_id
+        |)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        |       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |                 WHEN c.user_id IS NOT NULL THEN 2
+        |                 ELSE 1 END AS INTEGER) AS stage
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin
+    ) { (s, d) =>
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("view_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts_us") > col("view_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("click_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts_us") > col("click_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("purchase_ts"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("purchase_ts").isNotNull, 3)
+            .when(col("click_ts").isNotNull, 2).otherwise(1))
+        .select("user_id", "view_ts", "click_ts", "purchase_ts", "stage")
+        .orderBy("user_id")
+    },
+
+    // --- q94: cohort retention — users grouped by first-activity day,
+    // retention = distinct users active at day offsets 0–7. Two
+    // aggregations: cohort assignment is a per-user min (user-sized,
+    // tiny next to the event log), joined back on the user key, then a
+    // (cohort, offset, user) dedup runs map-side partial before the
+    // final count — the same bounded-shuffle shape as q86.
+    Q(
+      "q94_retention",
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(d) AS cohort_d FROM e GROUP BY user_id
+        |), act AS (
+        |  SELECT DISTINCT c.cohort_d, e.d - c.cohort_d AS offset_days, e.user_id
+        |  FROM e JOIN cohort c ON c.user_id = e.user_id
+        |  WHERE e.d - c.cohort_d BETWEEN 0 AND 7
+        |)
+        |SELECT cohort_d, CAST(offset_days AS BIGINT) AS offset_days,
+        |       CAST(COUNT(*) AS BIGINT) AS n_active
+        |FROM act
+        |GROUP BY cohort_d, offset_days
+        |ORDER BY cohort_d, offset_days""".stripMargin
+    ) { (s, d) =>
+      val e = events(s, d).select(col("user_id"), to_date(col("ts")).as("d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cohort = e.groupBy("user_id").agg(min("d").as("cohort_d"))
+      e.join(cohort, Seq("user_id"))
+        .withColumn("offset_days", datediff(col("d"), col("cohort_d")).cast("long"))
+        .filter(col("offset_days").between(0, 7))
+        .select("cohort_d", "offset_days", "user_id").distinct()
+        .groupBy("cohort_d", "offset_days")
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_d", "offset_days")
+    },
+
+    // --- q95: correlation / covariance from EXACT decimal sums — the
+    // built-in corr() accumulates doubles in partition order, so its
+    // last-ulp result varies with the split layout (non-deterministic
+    // at scale, and never bit-equal to another engine). Instead the six
+    // sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are computed in
+    // TRUE decimal arithmetic — the inputs are 2-dp values, so the
+    // DECIMAL(18,2) cast is exact and products/sums stay exact (note
+    // NOT the fixed6 kernel: price² ≈ 10¹⁰ would push its ×10⁶ fixed-
+    // point beyond double's 2⁵³ exact range) — and the final corr/covar
+    // formula runs once on those six scalars: identical IEEE ops in
+    // both engines. One caveat pins the output contract at 12 dp: the
+    // decimal→double CAST of a sum whose unscaled value exceeds 2⁵³
+    // (Σprice² ≈ 7·10¹² at scale 4) is double-rounded by DuckDB
+    // (int128→double, then /10⁴) but single-rounded by the JVM's
+    // BigDecimal — a 1-ulp divergence ROUND(…, 12) absorbs (the
+    // statistic itself is exact to ~15 significant digits).
+    // One partial+final pass.
+    Q(
+      "q95_corr_covar",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  ROUND((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 12) AS corr_qty_price,
+        |  ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp_qty_price
+        |FROM s
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val qd = col("l_quantity").cast(DecimalType(18, 2))
+      val pd = col("l_extendedprice").cast(DecimalType(18, 2))
+      val stats = lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(qd).cast("double").as("sx"),
+          sum(pd).cast("double").as("sy"),
+          sum(qd * pd).cast("double").as("sxy"),
+          sum(qd * qd).cast("double").as("sxx"),
+          sum(pd * pd).cast("double").as("syy"))
+      stats.select(
+          col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                 (col("n") * col("syy") - col("sy") * col("sy"))), 12)
+            .as("corr_qty_price"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
+            .as("covar_samp_qty_price"))
+        .orderBy("l_returnflag")
     }
   )
 }
