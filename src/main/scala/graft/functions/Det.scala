@@ -41,6 +41,14 @@ object Det {
     * Input domain: |x| < 10¹² (beyond it the value nulls out and is
     * skipped by the sum — the non-ANSI cast-overflow behavior; every
     * dataset column summed here is orders of magnitude below the cap).
+    *
+    * ORACLE-EXACTNESS envelope is tighter: |x| ≲ 9·10⁹ (2⁵³/10⁶).
+    * Above that, the ×10⁶ fixed-point product exceeds double's exact
+    * integer range, so the per-value rounding can differ by 1 μunit
+    * from a true `DECIMAL(38,6)` cast — deterministic within Spark but
+    * not bit-identical to the oracle. For larger magnitudes (e.g.
+    * price² in q95_corr_covar) sum a true decimal cast instead:
+    * `sum(col.cast(DecimalType(18,2)) * …)` stays exact at any scale.
     */
   def dsum(c: Column): Column = {
     val v = GraftBridge.column(
