@@ -195,6 +195,68 @@ object Analytic {
         .orderBy("l_returnflag")
     },
 
+    // --- q96: percentile_cont — the interpolated (SQL-standard
+    // continuous) complement of q49's percentile_disc, same distributed
+    // shape: spillable window sort per group, target ranks known
+    // up-front from a broadcast count join, ONE extra value picked per
+    // percentile (the rank above) and a final linear interpolation
+    // v_lo + frac·(v_hi − v_lo). The oracle mirrors the interpolation
+    // EXPRESSION rather than calling quantile_cont, so both engines run
+    // the identical IEEE ops (built-ins differ in interpolation
+    // associativity at the last ulp).
+    Q(
+      "q96_percentile_cont",
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag
+        |), r AS (
+        |  SELECT l.l_returnflag, l.l_quantity, l.l_extendedprice, c.n,
+        |         ROW_NUMBER() OVER (PARTITION BY l.l_returnflag ORDER BY l.l_quantity) AS rq,
+        |         ROW_NUMBER() OVER (PARTITION BY l.l_returnflag ORDER BY l.l_extendedprice) AS rp
+        |  FROM lineitem l JOIN c ON c.l_returnflag = l.l_returnflag
+        |), a AS (
+        |  SELECT l_returnflag, MAX(n) AS n,
+        |    MAX(CASE WHEN rq = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN l_quantity END) AS vq50l,
+        |    MAX(CASE WHEN rq = CAST(floor((n - 1) * 0.5) AS BIGINT) + 2 THEN l_quantity END) AS vq50h,
+        |    MAX(CASE WHEN rq = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1 THEN l_quantity END) AS vq90l,
+        |    MAX(CASE WHEN rq = CAST(floor((n - 1) * 0.9) AS BIGINT) + 2 THEN l_quantity END) AS vq90h,
+        |    MAX(CASE WHEN rp = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN l_extendedprice END) AS vp50l,
+        |    MAX(CASE WHEN rp = CAST(floor((n - 1) * 0.5) AS BIGINT) + 2 THEN l_extendedprice END) AS vp50h
+        |  FROM r GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  vq50l + ((n - 1) * 0.5 - floor((n - 1) * 0.5)) * (vq50h - vq50l) AS p50_qty,
+        |  vq90l + ((n - 1) * 0.9 - floor((n - 1) * 0.9)) * (vq90h - vq90l) AS p90_qty,
+        |  vp50l + ((n - 1) * 0.5 - floor((n - 1) * 0.5)) * (vp50h - vp50l) AS p50_price
+        |FROM a
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      val wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      val wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val li = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      def pick(rank: org.apache.spark.sql.Column, at: String, v: String) =
+        max(when(rank === expr(at), col(v)))
+      val a = li.join(broadcast(counts), "l_returnflag")
+        .withColumn("rq", row_number().over(wq))
+        .withColumn("rp", row_number().over(wp))
+        .groupBy("l_returnflag")
+        .agg(
+          max("n").as("n"),
+          pick(col("rq"), "CAST(floor((n - 1) * 0.5) AS BIGINT) + 1", "l_quantity").as("vq50l"),
+          pick(col("rq"), "CAST(floor((n - 1) * 0.5) AS BIGINT) + 2", "l_quantity").as("vq50h"),
+          pick(col("rq"), "CAST(floor((n - 1) * 0.9) AS BIGINT) + 1", "l_quantity").as("vq90l"),
+          pick(col("rq"), "CAST(floor((n - 1) * 0.9) AS BIGINT) + 2", "l_quantity").as("vq90h"),
+          pick(col("rp"), "CAST(floor((n - 1) * 0.5) AS BIGINT) + 1", "l_extendedprice").as("vp50l"),
+          pick(col("rp"), "CAST(floor((n - 1) * 0.5) AS BIGINT) + 2", "l_extendedprice").as("vp50h"))
+      a.select(
+          col("l_returnflag"), col("n"),
+          expr("vq50l + ((n - 1) * 0.5 - floor((n - 1) * 0.5)) * (vq50h - vq50l)").as("p50_qty"),
+          expr("vq90l + ((n - 1) * 0.9 - floor((n - 1) * 0.9)) * (vq90h - vq90l)").as("p90_qty"),
+          expr("vp50l + ((n - 1) * 0.5 - floor((n - 1) * 0.5)) * (vp50h - vp50l)").as("p50_price"))
+        .orderBy("l_returnflag")
+    },
+
     // --- q74: approximate percentiles — the at-scale companion of q49:
     // a mergeable fixed-size sketch (Greenwald-Khanna) per group, one
     // partial+final aggregation pass, no sort at all. Like the HLL in

@@ -139,6 +139,27 @@ object Streams {
       .select("machine_id", "sensor", "reading", "event_time",
         "alert_level", "alert_time")
 
+  /** LEFT OUTER variant of [[readingsWithAlerts]]: every reading is
+    * emitted, alert columns null when no alert landed in the window.
+    * The outer semantics change WHEN rows can be produced: an unmatched
+    * left row is held until the watermark proves no future right-side
+    * match can arrive, THEN emitted with nulls — so outer results trail
+    * the watermark by design (the join emits nothing "missing"; it
+    * emits late-but-complete). Same two-sided time bound, same state
+    * eviction.
+    */
+  def readingsWithAlertsOuter(readings: DataFrame, alerts: DataFrame,
+      watermark: String = "2 minutes"): DataFrame =
+    readings.withWatermark("event_time", watermark)
+      .join(
+        alerts.withWatermark("alert_time", watermark),
+        col("machine_id") === col("alert_machine") &&
+          col("event_time") >= col("alert_time") &&
+          col("event_time") <= col("alert_time") + expr("INTERVAL 1 MINUTE"),
+        "left_outer")
+      .select("machine_id", "sensor", "reading", "event_time",
+        "alert_level", "alert_time")
+
   /** Event-time tumbling window stats with late-data handling — the
     * watermark bounds state; the reference tolerated unbounded lateness
     * only because it never aggregated. */

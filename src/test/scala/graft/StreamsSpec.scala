@@ -91,6 +91,60 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched readings once the watermark closes them") {
+    implicit val sq = spark.sqlContext
+    val rmem = MemoryStream[Reading]
+    val amem = MemoryStream[Streams.Alert]
+    val q = Streams.readingsWithAlertsOuter(rmem.toDF(), amem.toDF(), "1 minute")
+      .writeStream.format("memory").queryName("rd_alerts_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      amem.addData(Streams.Alert("M1", "warn", ts("2024-01-01 00:01:00")))
+      rmem.addData(
+        Reading("M1", "temperature", 10.0, ts("2024-01-01 00:01:30")), // matches
+        Reading("M2", "pressure", 5.0, ts("2024-01-01 00:01:30")))    // no alert -> null row later
+      q.processAllAvailable()
+      // unmatched row is NOT emitted yet: a matching alert could still arrive
+      val early = spark.table("rd_alerts_outer")
+        .filter("machine_id = 'M2'").count()
+      assert(early == 0, "outer row must wait for the watermark")
+      // advance both watermarks past the join window; the held row closes
+      amem.addData(Streams.Alert("M9", "info", ts("2024-01-01 00:30:00")))
+      rmem.addData(Reading("M9", "vibration", 1.0, ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("rd_alerts_outer")
+        .selectExpr("machine_id", "reading", "alert_level").collect()
+        .map(r => (r.getString(0), r.getDouble(1), Option(r.getString(2)))).toSet
+      assert(rows.contains(("M1", 10.0, Some("warn"))))
+      assert(rows.contains(("M2", 5.0, None)),
+        s"expected the null-padded outer row, got: $rows")
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains the backlog and stops (batch backfill mode)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    mem.addData(
+      Reading("M1", "temperature", 10.0, ts("2024-01-01 00:00:10")),
+      Reading("M2", "pressure", 5.0, ts("2024-01-01 00:01:10")))
+    val out = "/tmp/graft_available_now"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rm); p.delete()
+    }
+    rm(new java.io.File(out))
+    // AvailableNow = process everything present, checkpoint, terminate —
+    // the scheduled-backfill trigger: same exactly-once sink, no
+    // always-on cluster. awaitTermination returning (not timing out)
+    // IS the semantics under test.
+    val q = Streams.toParquetSink(mem.toDF(), s"$out/data", s"$out/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    val rows = spark.read.parquet(s"$out/data").count()
+    assert(rows == 2, s"expected the full backlog drained, got $rows")
+    rm(new java.io.File(out))
+  }
+
   test("stream-static join enriches readings without streaming state") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Reading]
