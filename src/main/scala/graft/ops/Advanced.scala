@@ -547,6 +547,48 @@ object Advanced {
           max_by(col("event_id"), col("ord")).as("last_event_id"),
           count(lit(1)).as("n_versions"))
         .orderBy("user_id", "event_type")
+    },
+
+    // --- q97: batch sessionization via the BUILT-IN session_window —
+    // the operator surface q55 composes by hand (lag → gap flag →
+    // cumulative session id). session_window runs as a dedicated
+    // merging-session aggregation: one shuffle on the user key, sessions
+    // merged in-place without materializing per-event session ids — at
+    // 100 TB the composed form pays a full window sort THEN an
+    // aggregation, while this is aggregation-only. Spark defines the
+    // window end as last_event + gap, so the oracle emits
+    // max(ts)+gap, not max(ts).
+    Q(
+      "q97_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |  MIN(ts_us) AS start_us,
+        |  MAX(ts_us) + 1800000000 AS wend_us,
+        |  COUNT(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin
+    ) { (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("wend_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
     }
   )
 }
