@@ -703,6 +703,49 @@ object Text {
           sum("toks").as("n_tokens"),
           min("path").as("first_path"))
         .orderBy("host", "ref")
+    },
+
+    // --- q98: out-of-vocabulary rate per source — the tokenizer-prep
+    // question "how much of each slice does a fixed vocab NOT cover".
+    // The vocab is the corpus top-100 (count desc, term asc tie-break —
+    // q69's ranking made deterministic by the tie-break) and is by
+    // construction tiny → broadcast to the token stream; membership is
+    // a broadcast LEFT join null-check, the per-source rollup is one
+    // partial+final agg. At 100 TB the vocab side is a real tokenizer's
+    // fixed table (32k–256k rows — still broadcast-sized) and the token
+    // stream never shuffles on the term.
+    Q(
+      "q98_oov_rate",
+      s"""WITH toks AS (
+         |  SELECT d.source, unnest(${oWords("d.text")}) AS term FROM documents d
+         |), tc AS (
+         |  SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+         |), vocab AS (
+         |  SELECT term FROM tc ORDER BY cnt DESC, term LIMIT 100
+         |)
+         |SELECT t.source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+         |FROM toks t LEFT JOIN vocab v ON v.term = t.term
+         |GROUP BY t.source
+         |ORDER BY t.source""".stripMargin
+    ) { (s, d) =>
+      val toks = documents(s, d)
+        .select(col("source"), explode(words(col("text"))).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(100)
+        .select(col("term").as("vterm"))
+      toks
+        .join(broadcast(vocab), col("term") === col("vterm"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("vterm").isNull, 1L).otherwise(0L)).as("n_oov"),
+          (sum(when(col("vterm").isNull, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("oov_rate"))
+        .orderBy("source")
     }
   )
 }
