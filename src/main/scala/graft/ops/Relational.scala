@@ -420,6 +420,88 @@ object Relational {
           count(lit(1)).as("n_above"),
           max(col("value") - col("avg_v")).cast("double").as("max_excess"))
         .orderBy("user_id")
+    },
+
+    // --- q99: referential-integrity audit — orphan counts across the
+    // star schema's foreign keys, the data-quality check every
+    // warehouse load gate runs. Each FK is a LEFT ANTI join (one
+    // shuffle on the key, partial-agg'd counts); the per-FK results
+    // union into one report row each, so a 100 TB audit costs one anti
+    // join per edge and nothing is ever collected. The synthetic data
+    // is referentially clean — the audit proves ZERO orphans, which is
+    // exactly what the gate asserts in production.
+    Q(
+      "q99_integrity_audit",
+      """SELECT 'lineitem.l_orderkey->orders' AS fk,
+        |       CAST((SELECT COUNT(*) FROM lineitem l
+        |             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans,
+        |       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |       CAST((SELECT COUNT(*) FROM orders o
+        |             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |       CAST((SELECT COUNT(*) FROM lineitem l
+        |             WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+        |       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+        |ORDER BY fk""".stripMargin
+    ) { (s, d) =>
+      def audit(fk: String, fact: org.apache.spark.sql.DataFrame, key: String,
+          dim: org.apache.spark.sql.DataFrame, dimKey: String) = {
+        val orphans = fact.join(dim, fact(key) === dim(dimKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        val total = fact.agg(count(lit(1)).as("n_rows"))
+        orphans.crossJoin(total).select(lit(fk).as("fk"), col("n_orphans"), col("n_rows"))
+      }
+      val li = lineitem(s, d)
+      audit("lineitem.l_orderkey->orders", li, "l_orderkey", orders(s, d), "o_orderkey")
+        .unionByName(audit("orders.o_custkey->customer", orders(s, d), "o_custkey",
+          customer(s, d), "c_custkey"))
+        .unionByName(audit("lineitem.l_partkey->part", li, "l_partkey",
+          part(s, d), "p_partkey"))
+        .orderBy("fk")
+    },
+
+    // --- q100: incremental aggregate maintenance — the materialized-
+    // view pattern: the base window's PARTIAL aggregates (sum/count/
+    // min/max per key, stored once) merge with the delta batch's
+    // partials by RE-AGGREGATION, never rescanning the base. The query
+    // computes both halves' partials and merges; the oracle aggregates
+    // the full table directly — hash-equality IS the algebraic proof
+    // that merge(partial(base), partial(delta)) = agg(base ∪ delta),
+    // the property that makes nightly incremental pipelines correct.
+    // Sums are decimal-exact so the merge is associativity-safe.
+    Q(
+      "q100_incremental_agg",
+      """SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+        |  MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val cutoff = "2024-01-15"
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(38, 6))).as("dsum"),
+          min("value").as("min_v"),
+          max("value").as("max_v"))
+      val e = events(s, d)
+      val base = partials(e.filter(to_date(col("ts")) < cutoff))
+      val delta = partials(e.filter(to_date(col("ts")) >= cutoff))
+      base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+          sum("n").as("n"),
+          sum("dsum").cast("double").as("total"),
+          min("min_v").as("min_v"),
+          max("max_v").as("max_v"))
+        .orderBy("user_id")
     }
   )
 }
