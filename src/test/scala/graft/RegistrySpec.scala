@@ -21,7 +21,7 @@ class RegistrySpec extends SparkTestBase {
 
   test("query names follow the qNN_ convention") {
     SparkEntry.registry.foreach(q =>
-      assert(q.name.matches("q\\d{2}_[a-z0-9_]+"), s"bad name: ${q.name}"))
+      assert(q.name.matches("q\\d{2,3}_[a-z0-9_]+"), s"bad name: ${q.name}"))
   }
 
   test("oracle SQL references only harness tables") {
