@@ -47,7 +47,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val iters = names.map { case (k, _) =>
-      "\"" + k + "\":" + iterTimes(k).map(t => f"$t%.3f").mkString("[", ",", "]")
+      // Locale.ROOT: f"" uses the JVM default locale, and a comma
+      // decimal separator would corrupt the JSON artifact
+      "\"" + k + "\":" + iterTimes(k)
+        .map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")

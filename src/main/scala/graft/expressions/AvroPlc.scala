@@ -99,8 +99,12 @@ object AvroPlcCodec {
       if (p >= bytes.length || shift > 63) return null
       b = bytes(p) & 0xff; z |= (b & 0x7fL) << shift; shift += 7; p += 1
     } while ((b & 0x80) != 0)
-    val mLen = ((z >>> 1) ^ -(z & 1)).toInt
-    if (mLen < 0 || p + mLen > bytes.length) return null
+    // bound-check on the LONG before narrowing: a crafted varint can
+    // decode to ~2^31, and `p + mLen` in Int overflows negative and
+    // slips past a naive `> bytes.length` check (then indexes negative)
+    val mLenL = (z >>> 1) ^ -(z & 1)
+    if (mLenL < 0 || mLenL > bytes.length - p) return null
+    val mLen = mLenL.toInt
     val mid = UTF8String.fromBytes(bytes, p, mLen); p += mLen
     // sensor
     z = 0L; shift = 0
@@ -108,8 +112,9 @@ object AvroPlcCodec {
       if (p >= bytes.length || shift > 63) return null
       b = bytes(p) & 0xff; z |= (b & 0x7fL) << shift; shift += 7; p += 1
     } while ((b & 0x80) != 0)
-    val sLen = ((z >>> 1) ^ -(z & 1)).toInt
-    if (sLen < 0 || p + sLen > bytes.length) return null
+    val sLenL = (z >>> 1) ^ -(z & 1)
+    if (sLenL < 0 || sLenL > bytes.length - p) return null
+    val sLen = sLenL.toInt
     val sensor = UTF8String.fromBytes(bytes, p, sLen); p += sLen
     // two little-endian doubles, and nothing may trail them
     if (p + 16 != bytes.length) return null

@@ -349,6 +349,10 @@ object Advanced {
         .agg(
           ceil(min("t_stamp") / 3600).cast("long").as("h0"),
           floor(max("t_stamp") / 3600).cast("long").as("h1"))
+        // a series that never crosses an hour boundary has h0 > h1: the
+        // oracle's range() is empty there, but Spark's sequence() runs
+        // BACKWARDS — guard, or phantom grid rows appear
+        .filter(col("h0") <= col("h1"))
         .select(col("machine_id"), col("sensor"),
           explode(sequence(col("h0"), col("h1"))).as("h"))
         .select(col("machine_id"), col("sensor"),

@@ -224,9 +224,12 @@ object Analytic {
         |  FROM r GROUP BY l_returnflag
         |)
         |SELECT l_returnflag, n,
-        |  vq50l + ((n - 1) * 0.5 - floor((n - 1) * 0.5)) * (vq50h - vq50l) AS p50_qty,
-        |  vq90l + ((n - 1) * 0.9 - floor((n - 1) * 0.9)) * (vq90h - vq90l) AS p90_qty,
-        |  vp50l + ((n - 1) * 0.5 - floor((n - 1) * 0.5)) * (vp50h - vp50l) AS p50_price
+        |  CASE WHEN (n - 1) * 0.5 = floor((n - 1) * 0.5) THEN vq50l
+        |       ELSE vq50l + ((n - 1) * 0.5 - floor((n - 1) * 0.5)) * (vq50h - vq50l) END AS p50_qty,
+        |  CASE WHEN (n - 1) * 0.9 = floor((n - 1) * 0.9) THEN vq90l
+        |       ELSE vq90l + ((n - 1) * 0.9 - floor((n - 1) * 0.9)) * (vq90h - vq90l) END AS p90_qty,
+        |  CASE WHEN (n - 1) * 0.5 = floor((n - 1) * 0.5) THEN vp50l
+        |       ELSE vp50l + ((n - 1) * 0.5 - floor((n - 1) * 0.5)) * (vp50h - vp50l) END AS p50_price
         |FROM a
         |ORDER BY l_returnflag""".stripMargin
     ) { (s, d) =>
@@ -249,11 +252,17 @@ object Analytic {
           pick(col("rq"), "CAST(floor((n - 1) * 0.9) AS BIGINT) + 2", "l_quantity").as("vq90h"),
           pick(col("rp"), "CAST(floor((n - 1) * 0.5) AS BIGINT) + 1", "l_extendedprice").as("vp50l"),
           pick(col("rp"), "CAST(floor((n - 1) * 0.5) AS BIGINT) + 2", "l_extendedprice").as("vp50h"))
+      // frac = 0 (single-row groups, or p·(n−1) landing on a rank) must
+      // short-circuit to v_lo: the rank-above value may not exist, and
+      // 0 · NULL = NULL would swallow the answer
       a.select(
           col("l_returnflag"), col("n"),
-          expr("vq50l + ((n - 1) * 0.5 - floor((n - 1) * 0.5)) * (vq50h - vq50l)").as("p50_qty"),
-          expr("vq90l + ((n - 1) * 0.9 - floor((n - 1) * 0.9)) * (vq90h - vq90l)").as("p90_qty"),
-          expr("vp50l + ((n - 1) * 0.5 - floor((n - 1) * 0.5)) * (vp50h - vp50l)").as("p50_price"))
+          expr("CASE WHEN (n - 1) * 0.5 = floor((n - 1) * 0.5) THEN vq50l " +
+            "ELSE vq50l + ((n - 1) * 0.5 - floor((n - 1) * 0.5)) * (vq50h - vq50l) END").as("p50_qty"),
+          expr("CASE WHEN (n - 1) * 0.9 = floor((n - 1) * 0.9) THEN vq90l " +
+            "ELSE vq90l + ((n - 1) * 0.9 - floor((n - 1) * 0.9)) * (vq90h - vq90l) END").as("p90_qty"),
+          expr("CASE WHEN (n - 1) * 0.5 = floor((n - 1) * 0.5) THEN vp50l " +
+            "ELSE vp50l + ((n - 1) * 0.5 - floor((n - 1) * 0.5)) * (vp50h - vp50l) END").as("p50_price"))
         .orderBy("l_returnflag")
     },
 

@@ -614,6 +614,11 @@ object Sim {
         labels = next
         rounds += 1
       }
+      // a diameter > cap graph would exit with non-minimal labels — a
+      // silent wrong result; fail loudly instead (a planet-scale run
+      // raises the cap or switches to large-star/small-star)
+      require(converged,
+        s"q83 label propagation did not converge within $rounds rounds")
       edges.unpersist()
       labels
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))

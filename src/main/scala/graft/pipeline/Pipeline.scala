@@ -138,7 +138,9 @@ object Pipeline {
     // sums and breaks the hash-match. `wire_bytes` additionally pins
     // the framing itself: the oracle recomputes the exact on-wire size
     // (5-byte Confluent header + zigzag-varint length prefixes + UTF-8
-    // + 2×8-byte doubles) from the string lengths, so a framing bug
+    // + 2×8-byte doubles) from the UTF-8 BYTE lengths
+    // (octet_length(encode(…)) — character length() would undercount
+    // non-ASCII values), so a framing bug
     // (wrong header width, wrong varint) surfaces as a byte-count
     // mismatch even when the roundtrip is value-correct. Encode and
     // decode are single codegen'd static calls in the scan's
@@ -151,10 +153,10 @@ object Pipeline {
         |  ${oSum("reading")} AS sum_reading,
         |  MAX(t_stamp) AS last_seen,
         |  CAST(SUM(
-        |    5 + (CASE WHEN length(machine_id) < 64 THEN 1 ELSE 2 END)
-        |      + length(machine_id)
-        |      + (CASE WHEN length(sensor) < 64 THEN 1 ELSE 2 END)
-        |      + length(sensor) + 16) AS BIGINT) AS wire_bytes
+        |    5 + (CASE WHEN octet_length(encode(machine_id)) < 64 THEN 1 ELSE 2 END)
+        |      + octet_length(encode(machine_id))
+        |      + (CASE WHEN octet_length(encode(sensor)) < 64 THEN 1 ELSE 2 END)
+        |      + octet_length(encode(sensor)) + 16) AS BIGINT) AS wire_bytes
         |FROM (
         |  SELECT concat('M', CAST((user_id % 3) + 1 AS VARCHAR)) AS machine_id,
         |         event_type AS sensor,

@@ -130,14 +130,7 @@ object Streams {
     */
   def readingsWithAlerts(readings: DataFrame, alerts: DataFrame,
       watermark: String = "2 minutes"): DataFrame =
-    readings.withWatermark("event_time", watermark)
-      .join(
-        alerts.withWatermark("alert_time", watermark),
-        col("machine_id") === col("alert_machine") &&
-          col("event_time") >= col("alert_time") &&
-          col("event_time") <= col("alert_time") + expr("INTERVAL 1 MINUTE"))
-      .select("machine_id", "sensor", "reading", "event_time",
-        "alert_level", "alert_time")
+    intervalJoin(readings, alerts, watermark, "inner")
 
   /** LEFT OUTER variant of [[readingsWithAlerts]]: every reading is
     * emitted, alert columns null when no alert landed in the window.
@@ -150,13 +143,20 @@ object Streams {
     */
   def readingsWithAlertsOuter(readings: DataFrame, alerts: DataFrame,
       watermark: String = "2 minutes"): DataFrame =
+    intervalJoin(readings, alerts, watermark, "left_outer")
+
+  /** Shared interval-join core: one definition of the watermark wiring
+    * and the two-sided time bound, so the inner and outer variants
+    * cannot drift apart. */
+  private def intervalJoin(readings: DataFrame, alerts: DataFrame,
+      watermark: String, joinType: String): DataFrame =
     readings.withWatermark("event_time", watermark)
       .join(
         alerts.withWatermark("alert_time", watermark),
         col("machine_id") === col("alert_machine") &&
           col("event_time") >= col("alert_time") &&
           col("event_time") <= col("alert_time") + expr("INTERVAL 1 MINUTE"),
-        "left_outer")
+        joinType)
       .select("machine_id", "sensor", "reading", "event_time",
         "alert_level", "alert_time")
 

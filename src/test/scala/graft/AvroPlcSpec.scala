@@ -66,6 +66,17 @@ object AvroPlcProps extends Properties("graft.avro_plc") {
         AvroPlcCodec.decode(null) == null &&
         AvroPlcCodec.schemaId(badMagic) == -1
     }
+
+  property("crafted huge-varint lengths decode to null, never crash") = {
+    // zigzag varint FE FF FF FF 0F decodes to ~Int.MaxValue; a naive
+    // `p + len > bytes.length` bounds check overflows Int and indexes
+    // negative (found by review; regression-pinned here)
+    val frame = new Array[Byte](30)
+    frame(0) = 0x00
+    frame(5) = 0xFE.toByte; frame(6) = 0xFF.toByte; frame(7) = 0xFF.toByte
+    frame(8) = 0xFF.toByte; frame(9) = 0x0F
+    Prop(AvroPlcCodec.decode(frame) == null)
+  }
 }
 
 /** The codec as registered SQL functions + Column API, on a real session

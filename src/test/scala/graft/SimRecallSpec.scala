@@ -9,19 +9,13 @@ package graft
   * intentionally NOT held to this bar: on near-uniform vectors its
   * bucket-collision probability is ~2⁻⁸ per plane-agreement, so it
   * retrieves planted near-dups (q63's regime), not uniform top-k.
+  * The metric itself lives in [[graft.tools.Recall]], shared with the
+  * RecallProbe dev harness.
   */
 class SimRecallSpec extends SparkTestBase {
 
   test("IVF multi-probe search recalls >= 40% of the exact top-5") {
-    val exact = SparkEntry.queries("q43_cosine_topk")(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(2)))
-      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
-    val ivf = SparkEntry.queries("q82_ivf_search")(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(2)))
-      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
-    assert(ivf.keySet === exact.keySet, "every probe must return results")
-    val recall5 = ivf.map { case (q, ns) => (exact(q) & ns).size / 5.0 }
-    val mean = recall5.sum / recall5.size
+    val mean = graft.tools.Recall.ivfRecallAt5(spark, sfDir)
     assert(mean >= 0.4, f"IVF recall@5 $mean%.2f below contract floor 0.40")
   }
 }
