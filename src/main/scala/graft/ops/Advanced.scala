@@ -593,6 +593,101 @@ object Advanced {
           unix_micros(col("w.end")).as("wend_us"),
           col("n_events"))
         .orderBy("user_id", "start_us")
+    },
+
+    // --- q102: time-weighted average — the correct mean for
+    // irregularly-sampled sensor/metric series (a reading "holds" until
+    // the next one, so each value is weighted by how long it was
+    // current; an unweighted AVG over-counts bursts). One window shuffle
+    // on the series key, then a plain aggregate. Determinism: the
+    // value×duration products are summed as exact DECIMAL(38,0) fixed-
+    // point (value at 10⁻⁶ resolution × integer microseconds — a
+    // long×long product can reach 10²¹ and overflow, decimal cannot),
+    // so the sum is order-independent and bit-identical to the oracle;
+    // the single final division is pinned with ROUND.
+    Q(
+      "q102_time_weighted_avg",
+      """WITH seq AS (
+        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+        |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_holds,
+        |  CAST(SUM(next_us - ts_us) AS BIGINT) AS dur_us,
+        |  ROUND(CAST(SUM(CAST(CAST(round(value * 1e6) AS BIGINT) AS DECIMAL(38,0))
+        |                 * (next_us - ts_us)) AS DOUBLE)
+        |        / 1e6 / SUM(next_us - ts_us), 12) AS twa_value
+        |FROM seq
+        |WHERE next_us IS NOT NULL
+        |GROUP BY user_id
+        |HAVING SUM(next_us - ts_us) > 0
+        |ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("ts_us"),
+          lead(unix_micros(col("ts")), 1).over(w).as("next_us"))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dt", col("next_us") - col("ts_us"))
+        .withColumn("v6",
+          round(col("value") * 1e6).cast("long").cast(DecimalType(38, 0)))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_holds"),
+          sum(col("dt")).as("dur_us"),
+          round(sum(col("v6") * col("dt")).cast("double") / 1e6 / sum(col("dt")), 12)
+            .as("twa_value"))
+        .filter(col("dur_us") > 0)
+        .orderBy("user_id")
+    },
+
+    // --- q104: Z-order (Morton) clustering key — the multi-dimensional
+    // data-layout primitive: writing a 100 TB table sorted by the
+    // bit-interleaved key clusters rows that are close in BOTH
+    // dimensions into the same files, so min/max file statistics prune
+    // scans for predicates on EITHER column (a single-column sort only
+    // prunes one). The key is a pure bit-twiddling Column expression
+    // (codegen'd shifts/masks, no UDF); the audit below groups by
+    // z-bucket and reports each bucket's bounding box — locality means
+    // small boxes. The same expression would feed
+    // `df.orderBy(zorder).write` as a repartitionByRange clustering key.
+    Q(
+      "q104_zorder_layout", {
+        def oz(c: String, off: Int) = (0 until 8)
+          .map(i => s"((($c >> $i) & 1) << ${2 * i + off})")
+          .mkString(" + ")
+        s"""WITH z AS (
+           |  SELECT ${oz("(l_partkey % 256)", 1)} + ${oz("(l_suppkey % 256)", 0)} AS zv,
+           |         l_partkey % 256 AS px, l_suppkey % 256 AS sx
+           |  FROM lineitem
+           |)
+           |SELECT zv // 1024 AS z_bucket,
+           |  CAST(COUNT(*) AS BIGINT) AS cnt,
+           |  MIN(px) AS min_px, MAX(px) AS max_px,
+           |  MIN(sx) AS min_sx, MAX(sx) AS max_sx,
+           |  CAST((MAX(px) - MIN(px) + 1) * (MAX(sx) - MIN(sx) + 1) AS BIGINT) AS bbox_area
+           |FROM z
+           |GROUP BY z_bucket
+           |ORDER BY z_bucket""".stripMargin
+      }
+    ) { (s, d) =>
+      def interleave(c: org.apache.spark.sql.Column, off: Int) = (0 until 8)
+        .map(i => shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i + off))
+        .reduce((a, b) => a + b)
+      val li = lineitem(s, d)
+        .select(pmod(col("l_partkey"), lit(256L)).as("px"),
+          pmod(col("l_suppkey"), lit(256L)).as("sx"))
+        .withColumn("zv", interleave(col("px"), 1) + interleave(col("sx"), 0))
+      li.groupBy((col("zv") / 1024).cast("long").as("z_bucket"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          min("px").as("min_px"), max("px").as("max_px"),
+          min("sx").as("min_sx"), max("sx").as("max_sx"),
+          ((max("px") - min("px") + 1) * (max("sx") - min("sx") + 1))
+            .cast("long").as("bbox_area"))
+        .orderBy("z_bucket")
     }
   )
 }

@@ -651,6 +651,62 @@ object Analytic {
           round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
             .as("covar_samp_qty_price"))
         .orderBy("l_returnflag")
+    },
+
+    // --- q105: robust outlier detection via median/MAD — the anomaly
+    // gate that survives the anomalies themselves (mean/stddev z-scores
+    // are dragged by the outliers they hunt; the median absolute
+    // deviation is 50%-breakdown robust). Exact medians run as q49's
+    // distributed rank-pick: spillable window sort per group, target
+    // rank known up-front from a broadcast count join — no aggregation
+    // buffer to blow through at 100 TB. Two window sorts on the same
+    // group key (value order, then deviation order), both picked values
+    // are raw doubles (no arithmetic), so cross-engine equality is
+    // exact; the 5·MAD threshold compare runs the same IEEE ops on both
+    // sides.
+    Q(
+      "q105_mad_outliers",
+      """WITH m AS (
+        |  SELECT event_type, quantile_disc(value, 0.5) AS med,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type
+        |), dv AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS dev, m.med, m.n
+        |  FROM events e JOIN m USING (event_type)
+        |), md AS (
+        |  SELECT event_type, quantile_disc(dev, 0.5) AS mad FROM dv GROUP BY event_type
+        |)
+        |SELECT dv.event_type, MAX(dv.n) AS n, MAX(dv.med) AS med, MAX(md.mad) AS mad,
+        |  CAST(SUM(CASE WHEN dv.dev > 5 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dv JOIN md USING (event_type)
+        |GROUP BY dv.event_type
+        |ORDER BY dv.event_type""".stripMargin
+    ) { (s, d) =>
+      val ev = events(s, d).select(col("event_type"), col("value"))
+      val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val wv = Window.partitionBy("event_type").orderBy("value")
+      val med = ev.join(broadcast(counts), "event_type")
+        .withColumn("rv", row_number().over(wv))
+        .groupBy("event_type")
+        .agg(max(when(col("rv") === expr("(n + 1) DIV 2"), col("value"))).as("med"),
+          max("n").as("n"))
+      val dv = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val wd = Window.partitionBy("event_type").orderBy("dev")
+      val mad = dv
+        .withColumn("rd", row_number().over(wd))
+        .groupBy("event_type")
+        .agg(max(when(col("rd") === expr("(n + 1) DIV 2"), col("dev"))).as("mad"))
+      dv.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+          max("n").as("n"),
+          max("med").as("med"),
+          max("mad").as("mad"),
+          sum(when(col("dev") > lit(5) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
     }
   )
 }

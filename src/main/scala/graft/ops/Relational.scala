@@ -507,6 +507,47 @@ object Relational {
           min("min_v").as("min_v"),
           max("max_v").as("max_v"))
         .orderBy("user_id")
+    },
+
+    // --- q107: recursive CTE — iterative SQL (hierarchy walks,
+    // transitive closure, graph reachability) runs natively in Spark
+    // 4's WITH RECURSIVE: each iteration is a distributed join/union
+    // step materialized by the engine, the same loop-until-fixpoint
+    // execution q83's label propagation hand-rolls for connected
+    // components. The walk here is a binary ancestry chain (node →
+    // node/2 until 0, ~log₂ key depth ≤ 15 iterations at any SF);
+    // per start key it aggregates the chain's depth and path sum.
+    // Recursion depth is bounded and data-independent-per-row, so the
+    // plan is iteration-count × (scan-sized map + union) — no shuffle
+    // inside an iteration (the step is a pure projection).
+    Q(
+      "q107_recursive_cte",
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS start_key, p_partkey AS node, 0 AS depth
+        |  FROM part WHERE p_partkey % 7 = 0
+        |  UNION ALL
+        |  SELECT start_key, node // 2, depth + 1 FROM anc WHERE node > 0
+        |)
+        |SELECT start_key,
+        |  CAST(MAX(depth) AS INTEGER) AS steps,
+        |  CAST(SUM(node) AS BIGINT) AS path_sum
+        |FROM anc
+        |GROUP BY start_key
+        |ORDER BY start_key""".stripMargin
+    ) { (s, d) =>
+      s.sql(
+        s"""WITH RECURSIVE anc AS (
+           |  SELECT p_partkey AS start_key, p_partkey AS node, 0 AS depth
+           |  FROM parquet.`$d/part.parquet` WHERE p_partkey % 7 = 0
+           |  UNION ALL
+           |  SELECT start_key, node DIV 2, depth + 1 FROM anc WHERE node > 0
+           |)
+           |SELECT start_key,
+           |  CAST(MAX(depth) AS INT) AS steps,
+           |  SUM(node) AS path_sum
+           |FROM anc
+           |GROUP BY start_key
+           |ORDER BY start_key""".stripMargin)
     }
   )
 }

@@ -860,6 +860,74 @@ object Sim {
         .filter(col("dist") <= 1 && col("variant") =!= col("matched"))
         .select(col("variant"), col("matched"), col("dist"), col("n_parts"))
         .orderBy("variant", "matched")
+    },
+
+    // --- q103: int8 embedding quantization audit — symmetric per-vector
+    // quantization (scale = 127 / max|xᵢ|, qᵢ = round(xᵢ·scale)) is how
+    // a 100 TB vector store cuts storage and bandwidth 4×; this query
+    // measures what that costs, reporting per-label mean squared
+    // reconstruction error and the scale range. Scale shape: a single
+    // narrow scan — all per-element math stays inside one projection,
+    // then one partial-agg'd groupBy on the (tiny) label key.
+    // Determinism: per-element squared errors are fixed-point-floored
+    // to ⌊err²·10¹²⌋ BIGINTs (the ScaledDotProduct trick in HOF form —
+    // order-independent integer sums), accumulated per label as
+    // DECIMAL(38,0) so a trillion-row corpus cannot overflow the
+    // partial sums; only the final per-label division returns to
+    // double.
+    Q(
+      "q103_quantize_int8",
+      """WITH q AS (
+        |  SELECT label,
+        |    127.0 / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+        |      AS scale,
+        |    embedding
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT label, scale,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(floor(
+        |             (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * scale) / scale)
+        |           * (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * scale) / scale)
+        |           * 1e12) AS BIGINT))) AS fx
+        |  FROM q
+        |)
+        |SELECT label,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  ROUND(CAST(SUM(CAST(fx AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / COUNT(*) / 64, 12)
+        |    AS mse,
+        |  MIN(scale) AS min_scale,
+        |  MAX(scale) AS max_scale
+        |FROM e
+        |GROUP BY label
+        |ORDER BY label""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      embeddings(s, d)
+        .select(col("label"),
+          (lit(127.0) / array_max(transform(col("embedding"), e => abs(e)))
+            .cast("double")).as("scale"),
+          col("embedding"))
+        // HOF fold (CodegenFallback) is fine off the hot path; a
+        // throughput-critical variant would be a doGenCode Expression
+        // like ScaledDotProduct
+        .select(col("label"), col("scale"),
+          aggregate(
+            transform(col("embedding"),
+              e => floor(((e.cast("double") -
+                round(e.cast("double") * col("scale")) / col("scale")) *
+                (e.cast("double") -
+                  round(e.cast("double") * col("scale")) / col("scale")) *
+                lit(1e12))).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("fx"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("fx").cast(DecimalType(38, 0))).cast("double") / 1e12 /
+            count(lit(1)) / 64, 12).as("mse"),
+          min(col("scale")).as("min_scale"),
+          max(col("scale")).as("max_scale"))
+        .orderBy("label")
     }
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -746,6 +746,105 @@ object Text {
           (sum(when(col("vterm").isNull, 1L).otherwise(0L)).cast("double") /
             count(lit(1))).as("oov_rate"))
         .orderBy("source")
+    },
+
+    // --- q101: data-mixture planning — given per-source mixture
+    // weights and a global token budget, compute each source's target
+    // token allocation, its sampling rate (< 1 = downsample), and its
+    // oversampling factor (> 1 = repeat for multiple epochs). This is
+    // the allocation table a training-data pipeline materializes before
+    // building a mixture; the sampling itself is q81's deterministic
+    // hash gate. Scale shape: one partial-agg pass over the corpus to
+    // source-level rows, then a #sources-sized window for the totals —
+    // nothing data-sized ever moves twice. Determinism: counts are
+    // exact BIGINTs; the budget split is a single IEEE division of
+    // exact-by-2⁵³ doubles (identical in any engine), floored back to
+    // integer tokens.
+    Q(
+      "q101_mixture_weights",
+      """WITH per_src AS (
+        |  SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS toks,
+        |    CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0 THEN 2 ELSE 1 END AS w
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT *,
+        |    SUM(toks) OVER () AS total_toks,
+        |    SUM(w) OVER () AS sum_w
+        |  FROM per_src
+        |)
+        |SELECT source, n_docs, toks, CAST(w AS INTEGER) AS weight,
+        |  CAST(floor(floor(0.6 * total_toks) * w / sum_w) AS BIGINT) AS target_toks,
+        |  ROUND(LEAST(1.0, floor(floor(0.6 * total_toks) * w / sum_w) / toks), 12)
+        |    AS sample_rate,
+        |  ROUND(floor(floor(0.6 * total_toks) * w / sum_w) / toks, 12) AS epochs
+        |FROM tot
+        |ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      val perSrc = documents(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("toks"))
+        // weight as derived config (even-numbered sources get 2×): in a
+        // real pipeline this is a broadcast config table, as in q81
+        .withColumn("w",
+          when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 2)
+            .otherwise(1))
+      val wAll = Window.partitionBy()
+      val target = floor(floor(lit(0.6) * sum("toks").over(wAll)) * col("w") /
+        sum("w").over(wAll))
+      perSrc
+        .select(col("source"), col("n_docs"), col("toks"), col("w").as("weight"),
+          target.cast("long").as("target_toks"),
+          round(least(lit(1.0), target / col("toks")), 12).as("sample_rate"),
+          round(target / col("toks"), 12).as("epochs"))
+        .orderBy("source")
+    },
+
+    // --- q106: exact heavy hitters via a mergeable Misra-Gries sketch
+    // ([[graft.functions.MisraGries]]) — the 100 TB way to find every
+    // token above a frequency threshold: pass 1 aggregates at most
+    // k=255 counters per partition (map-side combine, one sketch row
+    // per partition shuffled — never the token stream), guaranteed to
+    // retain every term with freq > N/256; pass 2 exact-counts ONLY the
+    // <= 255 candidates (broadcast semi-filter, candidate-sized
+    // shuffle) and thresholds at N/100 > N/256. The output is therefore
+    // EXACT and independent of sketch merge order — a naive global
+    // groupBy(term) would shuffle every distinct token instead. The
+    // token scan is shared by both passes via a lazy persist.
+    Q(
+      "q106_heavy_hitters",
+      s"""WITH w AS (
+         |  SELECT unnest(${oWords("text")}) AS term FROM documents
+         |), tot AS (
+         |  SELECT COUNT(*) AS total FROM w
+         |), c AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY term
+         |)
+         |SELECT term, cnt, CAST(cnt AS DOUBLE) / total AS freq
+         |FROM c, tot
+         |WHERE cnt > total / 100.0
+         |ORDER BY cnt DESC, term""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val toks = documents(s, d)
+        .select(explode(words(col("text"))).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mg = new graft.functions.MisraGries(255, implicitly[Encoder[Seq[String]]])
+      val cands = toks.as[String].select(mg.toColumn.name("cands"))
+        .select(explode(col("cands")).as("cand"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      toks
+        .join(broadcast(cands), col("term") === col("cand"), "left_semi")
+        .groupBy("term")
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") > col("total") / 100.0)
+        .select(col("term"), col("cnt"),
+          (col("cnt").cast("double") / col("total")).as("freq"))
+        .orderBy(col("cnt").desc, col("term"))
     }
   )
 }
