@@ -691,8 +691,13 @@ object Analytic {
         .groupBy("event_type")
         .agg(max(when(col("rv") === expr("(n + 1) DIV 2"), col("value"))).as("med"),
           max("n").as("n"))
+      // dev feeds BOTH the MAD rank-pick and the final threshold agg:
+      // lazy persist so the deviation table is computed once (the
+      // intermediate a 100 TB run would materialize), not re-derived
+      // from a fresh events scan per consumer
       val dv = ev.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("value") - col("med")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wd = Window.partitionBy("event_type").orderBy("dev")
       val mad = dv
         .withColumn("rd", row_number().over(wd))
