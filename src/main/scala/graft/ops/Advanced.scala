@@ -396,7 +396,7 @@ object Advanced {
           if (i == 0) s"(CASE WHEN value IS NULL THEN 0.0 ELSE ${ws(0)} END)"
           else s"(CASE WHEN LAG(value, $i) OVER w IS NULL THEN 0.0 ELSE ${ws(i)} END)")
           .mkString(" + ")
-        s"""SELECT event_id, user_id, ($num) / ($den) AS ewma
+        s"""SELECT event_id, user_id, ($num) / NULLIF(($den), 0.0) AS ewma
            |FROM events
            |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
            |ORDER BY event_id""".stripMargin
@@ -415,7 +415,11 @@ object Advanced {
       }
       val den = (1 until 8).foldLeft(weight(0): org.apache.spark.sql.Column)((acc, i) => acc + weight(i))
       events(s, d)
-        .select(col("event_id"), col("user_id"), (num / den).as("ewma"))
+        // den = 0.0 when a row's value and all 7 lags are NULL: Spark's
+        // non-ANSI 0/0 is NULL but DuckDB's IEEE float division is NaN —
+        // emit NULL explicitly on both engines (oracle uses NULLIF)
+        .select(col("event_id"), col("user_id"),
+          when(den > 0.0, num / den).as("ewma"))
         .orderBy("event_id")
     },
 

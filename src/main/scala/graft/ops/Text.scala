@@ -516,6 +516,12 @@ object Text {
           concat(col("text"), lit(" zz unique tail marker")).as("text")))
       val chunks = corpus
         .select(col("doc_id"), words(col("text")).as("w"))
+        // empty/whitespace-only docs: size(w)=0 would make the sequence
+        // bound -1 and Spark's sequence(0,-1) runs BACKWARDS ([0,-1]),
+        // fabricating phantom chunks; the oracle's range(0,0) is empty,
+        // so drop wordless docs to match (same guard shape as q78's
+        // h0<=h1)
+        .filter(size(col("w")) >= 1)
         .select(col("doc_id"), posexplode(
           transform(
             sequence(lit(0), ceil(size(col("w")) / 20.0).cast("int") - 1),

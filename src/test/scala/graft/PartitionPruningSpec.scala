@@ -72,7 +72,10 @@ class PartitionPruningSpec extends SparkTestBase {
   override def afterAll(): Unit = {
     // best-effort temp cleanup; directory layout is per-suite
     def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
       Files.deleteIfExists(p)
     }
     rm(Paths.get(base))
