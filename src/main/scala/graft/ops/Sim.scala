@@ -559,17 +559,16 @@ object Sim {
     // --- q83: dedup cluster resolution — connected components over the
     // MinHash near-dup pair graph (q40's edges). Pairs alone don't
     // dedup a corpus: A~B and B~C must collapse to ONE cluster with one
-    // survivor, which is a union-find, not a join. Implementation is
-    // iterative min-label propagation: each round every node adopts the
-    // smallest label among itself and its neighbors (one equi-join +
-    // one min-aggregate per round, all distributed; the driver only
-    // checks convergence — a boolean, never data). Rounds needed =
-    // graph diameter (near-dup clusters are shallow; capped at 20 —
-    // a planet-scale CC would switch to the large-star/small-star
-    // alternation, same per-round plan shape, O(log n) rounds). This
-    // query is necessarily EAGER at construction (iteration cannot be
-    // expressed lazily as one plan); Bench times the whole loop.
-    // The DuckDB oracle computes the same fixpoint as a recursive CTE.
+    // survivor, which is a union-find, not a join. Resolution is the
+    // large-star/small-star alternation in [[graft.ops.Cc]]: O(log n)
+    // rounds regardless of cluster shape (min-label propagation, the
+    // previous implementation, needed one full-data pass per hop of
+    // graph diameter), one driver-visible fingerprint job per round,
+    // and a final edge-consistency proof instead of trusting the
+    // convergence heuristic. This query is necessarily EAGER at
+    // construction (iteration cannot be expressed lazily as one plan);
+    // Bench times the whole loop. The DuckDB oracle computes the same
+    // fixpoint as a recursive CTE.
     Q(
       "q83_dedup_clusters",
       s"""WITH RECURSIVE sh AS ($oShingleRows),
@@ -592,34 +591,8 @@ object Sim {
     ) { (s, d) =>
       val pairs = minhashPairs(shingleRows(s, d)).select("d1", "d2")
       val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-        .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = documents(s, d)
-        .select(col("doc_id").as("node"), col("doc_id").as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val prop = edges
-          .join(labels, col("b") === col("node"))
-          .select(col("a").as("node"), col("lbl"))
-        val next = labels.unionByName(prop)
-          .groupBy("node").agg(min("lbl").as("lbl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        converged = next
-          .join(labels.select(col("node"), col("lbl").as("old")), Seq("node"))
-          .filter(col("lbl") =!= col("old"))
-          .isEmpty
-        labels.unpersist()
-        labels = next
-        rounds += 1
-      }
-      // a diameter > cap graph would exit with non-minimal labels — a
-      // silent wrong result; fail loudly instead (a planet-scale run
-      // raises the cap or switches to large-star/small-star)
-      require(converged,
-        s"q83 label propagation did not converge within $rounds rounds")
-      edges.unpersist()
+      val nodes = documents(s, d).select(col("doc_id").as("node"))
+      val (labels, _) = Cc.connectedComponents(nodes, edges)
       labels
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .withColumn("cluster_size",

@@ -16,4 +16,16 @@ object GraftBridge {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Re-root a frame on its executed RDD (a flat LogicalRDD): cuts the
+    * accumulated logical plan so iterative algorithms (q83's connected
+    * components) pay O(1) analysis per round instead of re-analyzing a
+    * plan that deepens every round. Consuming the result executes the
+    * source frame's plan — persist it first so that read hits cache,
+    * not a recompute. InternalRow passthrough: no Row conversion.
+    */
+  def truncateLineage(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
+  }
 }
