@@ -1,0 +1,220 @@
+package graft.sources
+
+import java.io.DataOutputStream
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `wirelog` — a complete DataSourceV2 streaming connector (SURVEY.md
+  * §2.1 R4/R5's capability class, built without the absent kafka-sql
+  * jar): micro-batch SOURCE with checkpointed offsets and exactly-once
+  * replay, plus streaming SINK with coordinated, idempotent epoch
+  * commits, over the [[WireLog]] segment-log topic layout. Messages are
+  * (key, binary value) exactly like Kafka records; the value is the
+  * Confluent-framed Avro PLCData payload
+  * (`/root/reference/producer/sensor_data_producer.py:67-72`), decoded
+  * downstream by `Streams.fromWire`.
+  *
+  * Source semantics: an offset is the highest committed segment number
+  * (`{"maxSeg":n}`); a micro-batch is the half-open segment range
+  * `(start, end]`, planned one InputPartition per part file so a
+  * many-part segment fans out across executors. Segments are immutable
+  * once their `_COMMITTED` marker exists, so replaying a batch from the
+  * checkpoint re-reads byte-identical data — the property the
+  * reference's manual offset commit loses (SURVEY.md §2.3 B1).
+  *
+  * Sink semantics: each task stages its rows to `_tmp/epoch-e/…` and
+  * reports the staged file in its commit message; the DRIVER publishes
+  * `seg-(e+1)` only in `commit(epochId, …)`, marker last, and a replayed
+  * epoch sees the marker and cleans up instead of duplicating —
+  * two-phase commit exactly like Spark's own file sinks.
+  */
+class WireLogProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "wirelog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WireLogProvider.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new WireLogTable(WireLogProvider.dir(properties.asScala.toMap))
+}
+
+object WireLogProvider {
+  val Schema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", BinaryType, nullable = false),
+    StructField("segment", LongType, nullable = false),
+    StructField("pos", IntegerType, nullable = false)))
+
+  private def dir(options: Map[String, String]): String =
+    options.getOrElse("path",
+      throw new IllegalArgumentException("wirelog requires a path option"))
+}
+
+class WireLogTable(dir: String) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"wirelog:$dir"
+  override def schema(): StructType = WireLogProvider.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new WireLogScan(dir)
+    }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val schema = info.schema()
+    val valIdx = schema.fieldNames.indexOf("value")
+    require(valIdx >= 0,
+      s"wirelog sink requires a binary `value` column; got ${schema.simpleString}")
+    require(schema(valIdx).dataType == BinaryType,
+      s"wirelog sink `value` must be BINARY, got ${schema(valIdx).dataType}")
+    val keyIdx = schema.fieldNames.indexOf("key")
+    if (keyIdx >= 0) require(schema(keyIdx).dataType == StringType,
+      s"wirelog sink `key` must be STRING, got ${schema(keyIdx).dataType}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new WireLogStreamingWrite(dir, keyIdx, valIdx)
+      }
+    }
+  }
+}
+
+class WireLogScan(dir: String) extends Scan {
+  override def readSchema(): StructType = WireLogProvider.Schema
+  override def description(): String = s"wirelog scan of $dir"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WireLogMicroBatchStream(dir)
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val f = WireLog.fs(dir)
+      WireLog.listSegments(dir).flatMap { case (seg, p) =>
+        WireLog.listParts(f, p).map(part => WirePartition(seg, part.toString))
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory = WireReaderFactory
+  }
+}
+
+case class WireLogOffset(maxSeg: Long) extends Offset {
+  override def json(): String = s"""{"maxSeg":$maxSeg}"""
+}
+
+class WireLogMicroBatchStream(dir: String) extends MicroBatchStream {
+  override def initialOffset(): Offset = WireLogOffset(0L)
+  override def latestOffset(): Offset =
+    WireLogOffset(WireLog.listSegments(dir).lastOption.map(_._1).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset =
+    WireLogOffset("""-?\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(s"bad wirelog offset: $json")))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[WireLogOffset].maxSeg,
+      end.asInstanceOf[WireLogOffset].maxSeg)
+    val f = WireLog.fs(dir)
+    WireLog.listSegments(dir)
+      .filter { case (seg, _) => seg > s && seg <= e }
+      .flatMap { case (seg, p) =>
+        WireLog.listParts(f, p).map(part => WirePartition(seg, part.toString))
+      }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = WireReaderFactory
+  // Kafka-style retention: consumed segments stay until a retention
+  // sweep, so a second consumer group (another query) can re-read them.
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class WirePartition(segment: Long, partPath: String) extends InputPartition
+
+object WireReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WirePartition]
+    new PartitionReader[InternalRow] {
+      private val it = WireLog.readPart(
+        WireLog.fs(p.partPath), new HPath(p.partPath))
+      private var pos = -1
+      private var cur: (String, Array[Byte]) = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); pos += 1; true } else false
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          if (cur._1 == null) null else UTF8String.fromString(cur._1),
+          cur._2, p.segment, pos))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+case class WirePartCommit(partitionId: Int, stagedPath: String, records: Long)
+  extends WriterCommitMessage
+
+/** Serializable factory shipped to executors (MUST NOT capture the
+  * driver-side [[WireLogStreamingWrite]], which is not serializable). */
+case class WireWriterFactory(dir: String, keyIdx: Int, valIdx: Int)
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new WirePartWriter(dir, keyIdx, valIdx, partitionId, taskId, epochId)
+}
+
+class WireLogStreamingWrite(dir: String, keyIdx: Int, valIdx: Int)
+  extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    WireWriterFactory(dir, keyIdx, valIdx)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val f = WireLog.fs(dir)
+    val staged = messages.collect {
+      case WirePartCommit(pid, path, n) if n > 0 => (pid, new HPath(path))
+    }.sortBy(_._1).map(_._2).toSeq
+    // an all-empty epoch publishes nothing — segment numbers may skip,
+    // which the half-open (start, end] batch range handles naturally
+    if (staged.nonEmpty) WireLog.publishSegment(f, dir, epochId + 1, staged)
+    f.delete(new HPath(dir, s"${WireLog.TmpDir}/epoch-$epochId"), true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    WireLog.fs(dir).delete(new HPath(dir, s"${WireLog.TmpDir}/epoch-$epochId"), true)
+}
+
+/** Task-side staged writer: speculative attempts stage to distinct
+  * UUID-suffixed files; the commit coordinator admits one winner per
+  * partition and only its staged file reaches `publishSegment`. */
+class WirePartWriter(dir: String, keyIdx: Int, valIdx: Int,
+    partitionId: Int, taskId: Long, epochId: Long)
+  extends DataWriter[InternalRow] {
+  private val staged = new HPath(dir,
+    s"${WireLog.TmpDir}/epoch-$epochId/p$partitionId-t$taskId-${UUID.randomUUID()}")
+  private lazy val out: DataOutputStream =
+    new DataOutputStream(WireLog.fs(dir).create(staged, true))
+  private var records = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val key = if (keyIdx < 0 || row.isNullAt(keyIdx)) null
+      else row.getUTF8String(keyIdx).toString
+    WireLog.writeRecord(out, key, row.getBinary(valIdx))
+    records += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    if (records > 0) out.close()
+    WirePartCommit(partitionId, staged.toString, records)
+  }
+  override def abort(): Unit = {
+    if (records > 0) out.close()
+    WireLog.fs(dir).delete(staged, false)
+  }
+  override def close(): Unit = ()
+}

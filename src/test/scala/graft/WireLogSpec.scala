@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.WireLog
+import graft.streaming.Streams
+
+/** The custom `wirelog` DataSourceV2 connector — the R4/R5 capability
+  * class (Kafka-shaped transport: keyed binary messages, offsets,
+  * checkpointed exactly-once consume, coordinated idempotent produce)
+  * without the absent kafka jar. The headline test runs the FULL
+  * reference pipeline R1→R10 through it: produce Confluent-framed Avro
+  * → wirelog source → decode (R6) → transform → re-encode (R3) →
+  * wirelog sink, with a checkpoint restart in the middle proving no
+  * loss and no duplication.
+  */
+class WireLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"wirelog-$name").toString
+
+  /** Deterministic R1-style readings batch, ids in [from, until). */
+  private def readings(from: Int, until: Int): DataFrame =
+    spark.range(from, until).select(
+      concat(lit("M"), (col("id") % 3 + 1)).as("machine_id"),
+      element_at(array(lit("temperature"), lit("pressure"), lit("vibration")),
+        (col("id") % 3 + 1).cast("int")).as("sensor"),
+      (col("id") * 1.5 + 0.25).as("reading"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("event_time"))
+
+  /** Produce one wirelog segment holding the readings as wire messages. */
+  private def produce(dir: String, df: DataFrame): Unit = {
+    val recs = Streams.toWire(df).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
+    WireLog.append(dir, recs)
+  }
+
+  private def decodeOut(outDir: String): DataFrame =
+    Streams.fromWire(spark.read.format("wirelog").load(outDir))
+
+  test("full R1-R10 pipeline through the connector, exactly-once across restart") {
+    val in = tmp("in"); val out = tmp("out"); val chk = tmp("chk")
+
+    def runPipeline(): Unit = {
+      val wire = spark.readStream.format("wirelog").load(in)
+      val decoded = Streams.fromWire(wire).filter(col("decode_ok"))
+        .select("machine_id", "sensor", "reading", "event_time")
+      val q = Streams.toWire(decoded).writeStream
+        .format("wirelog").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive, "pipeline query should drain and stop")
+    }
+
+    produce(in, readings(0, 500))
+    produce(in, readings(500, 800))
+    runPipeline()
+
+    // restart from checkpoint with MORE data: only the new segment flows
+    produce(in, readings(800, 1000))
+    runPipeline()
+
+    // restart with NOTHING new: no new output segments may appear
+    val segsBefore = WireLog.listSegments(out).map(_._1)
+    runPipeline()
+    assert(WireLog.listSegments(out).map(_._1) == segsBefore,
+      "an empty restart must not publish new segments")
+
+    val got = decodeOut(out)
+      .select(col("machine_id"), col("sensor"), col("reading"),
+        unix_micros(col("event_time")).as("t"))
+      .as[(String, String, Double, Long)].collect().sorted
+    val want = readings(0, 1000)
+      .select(col("machine_id"), col("sensor"), col("reading"),
+        unix_micros(col("event_time")).as("t"))
+      .as[(String, String, Double, Long)].collect().sorted
+    assert(got.length == 1000, s"exactly-once: expected 1000 rows, got ${got.length}")
+    assert(got.toSeq == want.toSeq, "decoded output must equal produced input")
+  }
+
+  test("source fans a batch out one partition per part file") {
+    val in = tmp("fanout")
+    produce(in, readings(0, 10))
+    produce(in, readings(10, 20))
+    val parts = spark.read.format("wirelog").load(in).rdd.getNumPartitions
+    assert(parts == 2, s"two one-part segments should scan as 2 partitions, got $parts")
+  }
+
+  test("framing round-trips null keys and empty values") {
+    val dir = tmp("frame")
+    WireLog.append(dir, Seq((null, Array[Byte](1, 2, 3)), ("k", Array.empty[Byte])))
+    val rows = spark.read.format("wirelog").load(dir)
+      .select("key", "value").collect()
+    assert(rows.length == 2)
+    val byKey = rows.map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(byKey(null).toSeq == Seq[Byte](1, 2, 3))
+    assert(byKey("k").isEmpty)
+  }
+
+  test("segment publish is idempotent (replayed epoch commit)") {
+    val dir = tmp("idem")
+    val f = WireLog.fs(dir)
+    def stage(n: Int): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(dir, s"${WireLog.TmpDir}/s$n")
+      val o = new java.io.DataOutputStream(f.create(p, true))
+      WireLog.writeRecord(o, "k", Array[Byte](n.toByte)); o.close(); p
+    }
+    WireLog.publishSegment(f, dir, 1L, Seq(stage(1)))
+    WireLog.publishSegment(f, dir, 1L, Seq(stage(2))) // replay: must be a no-op
+    val vals = spark.read.format("wirelog").load(dir)
+      .select("value").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(vals.toSeq == Seq(Seq[Byte](1)), "replayed publish must not duplicate or overwrite")
+  }
+}
