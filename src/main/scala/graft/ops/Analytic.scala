@@ -180,18 +180,14 @@ object Analytic {
       val wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
       val li = lineitem(s, d)
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-      // group sizes as a broadcast join, not an unbounded-frame window:
-      // no full-partition buffering pass, and the target ranks are known
-      // before the sort starts
-      val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      li.join(broadcast(counts), "l_returnflag")
+      RankPick.withGroupSize(li, "l_returnflag")
         .withColumn("rq", row_number().over(wq))
         .withColumn("rp", row_number().over(wp))
         .groupBy("l_returnflag")
         .agg(
-          max(when(col("rq") === expr("(n + 1) DIV 2"), col("l_quantity"))).as("median_qty"),
-          max(when(col("rq") === expr("(9 * n + 9) DIV 10"), col("l_quantity"))).as("p90_qty"),
-          max(when(col("rp") === expr("(n + 1) DIV 2"), col("l_extendedprice"))).as("median_price"))
+          RankPick.pick(col("rq"), RankPick.discRank(1, 2), "l_quantity").as("median_qty"),
+          RankPick.pick(col("rq"), RankPick.discRank(9, 10), "l_quantity").as("p90_qty"),
+          RankPick.pick(col("rp"), RankPick.discRank(1, 2), "l_extendedprice").as("median_price"))
         .orderBy("l_returnflag")
     },
 
@@ -237,10 +233,8 @@ object Analytic {
       val wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
       val li = lineitem(s, d)
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-      val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      def pick(rank: org.apache.spark.sql.Column, at: String, v: String) =
-        max(when(rank === expr(at), col(v)))
-      val a = li.join(broadcast(counts), "l_returnflag")
+      import RankPick.pick
+      val a = RankPick.withGroupSize(li, "l_returnflag")
         .withColumn("rq", row_number().over(wq))
         .withColumn("rp", row_number().over(wp))
         .groupBy("l_returnflag")
@@ -684,12 +678,11 @@ object Analytic {
         |ORDER BY dv.event_type""".stripMargin
     ) { (s, d) =>
       val ev = events(s, d).select(col("event_type"), col("value"))
-      val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
       val wv = Window.partitionBy("event_type").orderBy("value")
-      val med = ev.join(broadcast(counts), "event_type")
+      val med = RankPick.withGroupSize(ev, "event_type")
         .withColumn("rv", row_number().over(wv))
         .groupBy("event_type")
-        .agg(max(when(col("rv") === expr("(n + 1) DIV 2"), col("value"))).as("med"),
+        .agg(RankPick.pick(col("rv"), RankPick.MedianRank, "value").as("med"),
           max("n").as("n"))
       // dev feeds BOTH the MAD rank-pick and the final threshold agg:
       // lazy persist so the deviation table is computed once (the
@@ -702,7 +695,7 @@ object Analytic {
       val mad = dv
         .withColumn("rd", row_number().over(wd))
         .groupBy("event_type")
-        .agg(max(when(col("rd") === expr("(n + 1) DIV 2"), col("dev"))).as("mad"))
+        .agg(RankPick.pick(col("rd"), RankPick.MedianRank, "dev").as("mad"))
       dv.join(broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
