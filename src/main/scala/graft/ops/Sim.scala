@@ -36,7 +36,7 @@ object Sim {
   private val HashB: Seq[Long] = (0 until K).map(k => (2654435761L * (40503L + k)) % P)
 
   /** Distinct word-3-gram shingles per document: (doc_id, s). */
-  private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[graft] def shingleRows(s: org.apache.spark.sql.SparkSession, d: String) =
     documents(s, d)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
@@ -156,7 +156,7 @@ object Sim {
       .distinct()
   }
 
-  private def minhashPairs(sh: org.apache.spark.sql.DataFrame) = {
+  private[graft] def minhashPairs(sh: org.apache.spark.sql.DataFrame) = {
     val minsig = minhashSignatures(sh)
     val cand = minhashCandidates(minsig)
     val sigs = minsig.select(col("doc_id"),
