@@ -158,14 +158,15 @@ object Analytic {
     // Computed rank-based rather than with `percentile_disc(...)`:
     // Spark's percentile aggregate buffers every value of a group in
     // one aggregation buffer, which a 100 TB group blows straight
-    // through; here the values flow through a partitioned window SORT
-    // (externally spillable, the distributed-sort formulation of exact
-    // percentiles) and the percentile is the row whose 1-based rank is
+    // through. The sort is RANGE-PARTITIONED on (group, value) — NOT a
+    // per-group window, whose parallelism is the number of groups
+    // (three return flags over 100 TB = three tasks sorting ~33 TB
+    // each). `RankPick.valuesAtRanks` locates each target rank
     // ceil(p·n) — percentile_disc's "smallest v with cume_dist ≥ p",
-    // with ceil(p·n) done in integer arithmetic ((p·n+denom-1) div
-    // denom) so no float rounding can shift a rank. The second window
-    // (price order) reuses the first's hash partitioning — one extra
-    // sort, no extra shuffle.
+    // integer arithmetic so no float rounding can shift a rank — from a
+    // metadata-sized per-partition count summary and ranks only the few
+    // candidate slices. The price percentile needs its own value order,
+    // hence a second kernel pass; the two tiny outputs union and pivot.
     Q(
       "q49_percentile_disc",
       """SELECT l_returnflag,
@@ -176,25 +177,23 @@ object Analytic {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin
     ) { (s, d) =>
-      val wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-      val wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
       val li = lineitem(s, d)
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-      RankPick.withGroupSize(li, "l_returnflag")
-        .withColumn("rq", row_number().over(wq))
-        .withColumn("rp", row_number().over(wp))
-        .groupBy("l_returnflag")
-        .agg(
-          RankPick.pick(col("rq"), RankPick.discRank(1, 2), "l_quantity").as("median_qty"),
-          RankPick.pick(col("rq"), RankPick.discRank(9, 10), "l_quantity").as("p90_qty"),
-          RankPick.pick(col("rp"), RankPick.discRank(1, 2), "l_extendedprice").as("median_price"))
+      val qty = RankPick.valuesAtRanks(li, "l_returnflag", "l_quantity",
+        Seq("median_qty" -> RankPick.discRank(1, 2),
+          "p90_qty" -> RankPick.discRank(9, 10)))
+      val price = RankPick.valuesAtRanks(li, "l_returnflag", "l_extendedprice",
+        Seq("median_price" -> RankPick.discRank(1, 2)))
+      RankPick.pivotLabels(qty.unionByName(price), "l_returnflag",
+          Seq("median_qty", "p90_qty", "median_price"))
+        .drop("n")
         .orderBy("l_returnflag")
     },
 
     // --- q96: percentile_cont — the interpolated (SQL-standard
     // continuous) complement of q49's percentile_disc, same distributed
-    // shape: spillable window sort per group, target ranks known
-    // up-front from a broadcast count join, ONE extra value picked per
+    // shape: range-partitioned rank location (parallelism ∝ partitions,
+    // not groups — see q49/RankPick), ONE extra value picked per
     // percentile (the rank above) and a final linear interpolation
     // v_lo + frac·(v_hi − v_lo). The oracle mirrors the interpolation
     // EXPRESSION rather than calling quantile_cont, so both engines run
@@ -229,23 +228,18 @@ object Analytic {
         |FROM a
         |ORDER BY l_returnflag""".stripMargin
     ) { (s, d) =>
-      val wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-      val wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
       val li = lineitem(s, d)
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-      import RankPick.pick
-      val a = RankPick.withGroupSize(li, "l_returnflag")
-        .withColumn("rq", row_number().over(wq))
-        .withColumn("rp", row_number().over(wp))
-        .groupBy("l_returnflag")
-        .agg(
-          max("n").as("n"),
-          pick(col("rq"), "CAST(floor((n - 1) * 0.5) AS BIGINT) + 1", "l_quantity").as("vq50l"),
-          pick(col("rq"), "CAST(floor((n - 1) * 0.5) AS BIGINT) + 2", "l_quantity").as("vq50h"),
-          pick(col("rq"), "CAST(floor((n - 1) * 0.9) AS BIGINT) + 1", "l_quantity").as("vq90l"),
-          pick(col("rq"), "CAST(floor((n - 1) * 0.9) AS BIGINT) + 2", "l_quantity").as("vq90h"),
-          pick(col("rp"), "CAST(floor((n - 1) * 0.5) AS BIGINT) + 1", "l_extendedprice").as("vp50l"),
-          pick(col("rp"), "CAST(floor((n - 1) * 0.5) AS BIGINT) + 2", "l_extendedprice").as("vp50h"))
+      val qty = RankPick.valuesAtRanks(li, "l_returnflag", "l_quantity", Seq(
+        "vq50l" -> "CAST(floor((n - 1) * 0.5) AS BIGINT) + 1",
+        "vq50h" -> "CAST(floor((n - 1) * 0.5) AS BIGINT) + 2",
+        "vq90l" -> "CAST(floor((n - 1) * 0.9) AS BIGINT) + 1",
+        "vq90h" -> "CAST(floor((n - 1) * 0.9) AS BIGINT) + 2"))
+      val price = RankPick.valuesAtRanks(li, "l_returnflag", "l_extendedprice", Seq(
+        "vp50l" -> "CAST(floor((n - 1) * 0.5) AS BIGINT) + 1",
+        "vp50h" -> "CAST(floor((n - 1) * 0.5) AS BIGINT) + 2"))
+      val a = RankPick.pivotLabels(qty.unionByName(price), "l_returnflag",
+        Seq("vq50l", "vq50h", "vq90l", "vq90h", "vp50l", "vp50h"))
       // frac = 0 (single-row groups, or p·(n−1) landing on a rank) must
       // short-circuit to v_lo: the rank-above value may not exist, and
       // 0 · NULL = NULL would swallow the answer
@@ -651,13 +645,12 @@ object Analytic {
     // gate that survives the anomalies themselves (mean/stddev z-scores
     // are dragged by the outliers they hunt; the median absolute
     // deviation is 50%-breakdown robust). Exact medians run as q49's
-    // distributed rank-pick: spillable window sort per group, target
-    // rank known up-front from a broadcast count join — no aggregation
-    // buffer to blow through at 100 TB. Two window sorts on the same
-    // group key (value order, then deviation order), both picked values
-    // are raw doubles (no arithmetic), so cross-engine equality is
-    // exact; the 5·MAD threshold compare runs the same IEEE ops on both
-    // sides.
+    // distributed rank-pick (`RankPick.valuesAtRanks`: range-partitioned
+    // rank location, parallelism ∝ partitions not groups, no
+    // aggregation buffer to blow through at 100 TB) — once over value
+    // order, once over deviation order. Both picked values are raw
+    // doubles (no arithmetic), so cross-engine equality is exact; the
+    // 5·MAD threshold compare runs the same IEEE ops on both sides.
     Q(
       "q105_mad_outliers",
       """WITH m AS (
@@ -678,12 +671,10 @@ object Analytic {
         |ORDER BY dv.event_type""".stripMargin
     ) { (s, d) =>
       val ev = events(s, d).select(col("event_type"), col("value"))
-      val wv = Window.partitionBy("event_type").orderBy("value")
-      val med = RankPick.withGroupSize(ev, "event_type")
-        .withColumn("rv", row_number().over(wv))
-        .groupBy("event_type")
-        .agg(RankPick.pick(col("rv"), RankPick.MedianRank, "value").as("med"),
-          max("n").as("n"))
+      val med = RankPick.pivotLabels(
+          RankPick.valuesAtRanks(ev, "event_type", "value",
+            Seq("med" -> RankPick.MedianRank)),
+          "event_type", Seq("med"))
       // dev feeds BOTH the MAD rank-pick and the final threshold agg:
       // lazy persist so the deviation table is computed once (the
       // intermediate a 100 TB run would materialize), not re-derived
@@ -691,11 +682,11 @@ object Analytic {
       val dv = ev.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("value") - col("med")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val wd = Window.partitionBy("event_type").orderBy("dev")
-      val mad = dv
-        .withColumn("rd", row_number().over(wd))
-        .groupBy("event_type")
-        .agg(RankPick.pick(col("rd"), RankPick.MedianRank, "dev").as("mad"))
+      val mad = RankPick.pivotLabels(
+          RankPick.valuesAtRanks(dv, "event_type", "dev",
+            Seq("mad" -> RankPick.MedianRank)),
+          "event_type", Seq("mad"))
+        .drop("n")
       dv.join(broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
