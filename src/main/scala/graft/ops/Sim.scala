@@ -345,6 +345,56 @@ object Sim {
         .orderBy("d1", "d2")
     },
 
+    // --- q109: containment dedup — the ASYMMETRIC member of the
+    // near-dup family. Jaccard (q42) misses subset relations: a short
+    // doc fully quoted inside a long one scores |A|/|B| ≪ threshold.
+    // Containment c/min(|A|,|B|) scores it 1.0, which is why excerpt/
+    // quotation dedup gates on it (Broder's containment, the
+    // train-test leak shape q85 hunts cross-corpus). Same LSH-band
+    // candidate scope and per-pair array intersection as q42 — the
+    // shuffle carries candidates, never all-pairs — plus `contained`:
+    // the smaller doc, i.e. the side a keep-one policy would drop.
+    Q(
+      "q109_containment",
+      s"""WITH sh AS ($oShingleRows),
+         |$oMinhashPairCtes,
+         |hsets AS (
+         |  SELECT doc_id, list(DISTINCT ${oH60("s")}) AS hs FROM sh GROUP BY doc_id
+         |),
+         |scored AS (
+         |  SELECT d1, d2,
+         |         len(list_intersect(a.hs, b.hs)) AS c,
+         |         len(a.hs) AS na, len(b.hs) AS nb
+         |  FROM cand
+         |  JOIN hsets a ON a.doc_id = d1
+         |  JOIN hsets b ON b.doc_id = d2
+         |)
+         |SELECT d1, d2,
+         |  CAST(c AS DOUBLE) / LEAST(na, nb) AS containment,
+         |  CASE WHEN na <= nb THEN d1 ELSE d2 END AS contained
+         |FROM scored
+         |WHERE CAST(c AS DOUBLE) / LEAST(na, nb) >= 0.8
+         |ORDER BY d1, d2""".stripMargin
+    ) { (s, d) =>
+      val shRaw = shingleRows(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = minhashCandidates(minhashSignatures(shRaw))
+      val hsets = shRaw.select(col("doc_id"), h60(col("s")).as("h"))
+        .groupBy("doc_id").agg(collect_set("h").as("hs"))
+      cand
+        .join(hsets.select(col("doc_id").as("d1"), col("hs").as("h1")), Seq("d1"))
+        .join(hsets.select(col("doc_id").as("d2"), col("hs").as("h2")), Seq("d2"))
+        .withColumn("na", size(col("h1")))
+        .withColumn("nb", size(col("h2")))
+        .withColumn("c", size(array_intersect(col("h1"), col("h2"))))
+        .withColumn("containment",
+          col("c").cast("double") / least(col("na"), col("nb")))
+        .filter(col("containment") >= 0.8)
+        .select(col("d1"), col("d2"), col("containment"),
+          when(col("na") <= col("nb"), col("d1")).otherwise(col("d2")).as("contained"))
+        .orderBy("d1", "d2")
+    },
+
     // --- q43: brute-force cosine top-k (the ANN baseline): 20 probe
     // vectors against the full table; exact-decimal dot products; rank
     // by cosine with vec_id tie-break.

@@ -851,6 +851,68 @@ object Text {
         .select(col("term"), col("cnt"),
           (col("cnt").cast("double") / col("total")).as("freq"))
         .orderBy(col("cnt").desc, col("term"))
+    },
+
+    // --- q108: bigram-LM quality scoring — the perplexity-style
+    // quality filter (CCNet/Gopher lineage): train a bigram model ON
+    // the corpus (one aggregation pass), score every document by how
+    // predictable its word transitions are under that model. Scored as
+    // mean/min conditional probability p(w2|w1) = c(w1,w2)/c(w1,·)
+    // rather than mean log-prob: the integer-ratio IEEE division is
+    // bit-identical across engines, while ln() is libm-dependent — the
+    // score is order-equivalent for gating. Scale shape: the model is
+    // vocabulary²-bounded (far below corpus-sized) and builds with
+    // map-side combine; scoring is ONE equi-shuffle of the corpus
+    // bigram stream against the model on (w1, w2) — no broadcast
+    // assumption (AQE may still choose one when the model fits), no
+    // window over the corpus. The unigram normalizer folds into the
+    // model table with a vocabulary-keyed window, so the corpus joins
+    // once, not twice. Mean is a decimal-exact dsum (order/partition
+    // independent); min is order-free by definition.
+    Q(
+      "q108_lm_quality",
+      s"""WITH t AS (
+         |  SELECT doc_id, ${oWords("text")} AS w FROM documents
+         |  WHERE len(${oWords("text")}) >= 2
+         |), bg AS (
+         |  SELECT doc_id, unnest(range(1, len(w))) AS g, w FROM t
+         |), pairs AS (
+         |  SELECT doc_id, w[g] AS w1, w[g + 1] AS w2 FROM bg
+         |), model AS (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs GROUP BY w1, w2
+         |), norm AS (
+         |  SELECT w1, w2, cb, SUM(cb) OVER (PARTITION BY w1) AS cu FROM model
+         |), p AS (
+         |  SELECT pairs.doc_id,
+         |         CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE) AS p
+         |  FROM pairs JOIN norm USING (w1, w2)
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  ${oAvg("p")} AS avg_p,
+         |  MIN(p) AS min_p
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // bigram stream feeds the model build AND the scoring join — lazy
+      // persist, same materialize-once pattern as q42/q106 (at 100 TB
+      // this is the intermediate the pipeline would write)
+      val pairs = documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("w")) - 1)).as("g"), col("w"))
+        .select(col("doc_id"),
+          element_at(col("w"), col("g")).as("w1"),
+          element_at(col("w"), col("g") + lit(1)).as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        .withColumn("cu", sum("cb").over(Window.partitionBy("w1")))
+      pairs.join(model, Seq("w1", "w2"))
+        .withColumn("p", col("cb").cast("double") / col("cu").cast("double"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          davg(col("p")).as("avg_p"),
+          min(col("p")).as("min_p"))
+        .orderBy("doc_id")
     }
   )
 }
