@@ -38,6 +38,10 @@ object Cc {
       .unionByName(e.select(col("b").as("u"), col("a").as("v")))
     val mins = sym.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
+    // distinct is load-bearing for cost, not correctness: smallStar's
+    // group-min would tolerate duplicates, but relabeling collapses
+    // many edges onto few (a, min) pairs, and deduping before the next
+    // shuffle was measured faster than carrying the multiset
     sym.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("a"), col("m").as("b"))
