@@ -19,7 +19,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
     "q90_scd2_merge",      // full-outer join + generate
     "q91_cdc_compact",     // max_by partial aggregation
     "q95_corr_covar",      // decimal sufficient statistics
-    "q96_percentile_cont") // interpolated ranks
+    "q96_percentile_cont", // interpolated ranks
+    "q105_mad_outliers",   // two chained rank-pick kernels + threshold agg
+    "q108_lm_quality",     // corpus-joined model, dsum mean of ratios
+    "q109_containment")    // LSH-band candidates + array intersection
 
   test("sensitive queries are invariant to shuffle partition count") {
     val a = Sessions.derived(spark, "spark.sql.shuffle.partitions" -> "2")
