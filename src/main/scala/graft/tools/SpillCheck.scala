@@ -23,7 +23,7 @@ object SpillCheck {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val queries = Seq("q49_percentile_disc", "q96_percentile_cont",
       "q105_mad_outliers", "q77_seq_packing", "q85_contamination",
-      "q106_heavy_hitters")
+      "q106_heavy_hitters", "q108_lm_quality")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.builder(s"local[$cpus]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,7 +10,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-QUERIES="q40_minhash_lsh,q42_ngram_jaccard,q48_simhash_pairs,q63_embed_neardup,q83_dedup_clusters,q85_contamination"
+QUERIES="q40_minhash_lsh,q42_ngram_jaccard,q48_simhash_pairs,q63_embed_neardup,q83_dedup_clusters,q85_contamination,q108_lm_quality,q109_containment"
 OUT=tools/scaling_curve_out
 mkdir -p "$OUT"
 
