@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -8,19 +8,12 @@ import org.apache.spark.storage.StorageLevel
 /** The shared distributed exact-rank-pick kernel behind the percentile
   * family (q49 percentile_disc, q96 percentile_cont, q105 median/MAD).
   *
-  * Two formulations:
-  *
-  * `withGroupSize`/`pick` — the per-group window-sort shape (broadcast
-  * count join so target ranks are known up-front, spillable window sort
-  * assigning `row_number`, `max(when(rank = target, value))` pick). It
-  * is correct and spill-proof at any group size, but its parallelism is
-  * the NUMBER OF GROUPS: `Window.partitionBy(grp)` puts each group in
-  * one task, so three return-flag groups over 100 TB mean three tasks
-  * sorting ~33 TB each. Retained for callers whose group key is
-  * high-cardinality (where it is the right plan).
-  *
-  * `valuesAtRanks` — the group-transcending formulation the low-
-  * cardinality callers use. Instead of sorting each group in one task:
+  * `valuesAtRanks` replaced the earlier per-group window-sort shape
+  * (broadcast count join + `Window.partitionBy(grp)` row_number +
+  * rank-pick aggregate), which was spill-proof but whose parallelism
+  * was the NUMBER OF GROUPS — three return-flag groups over 100 TB
+  * meant three tasks sorting ~33 TB each. Instead of sorting each
+  * group in one task:
   *
   *   1. range-partition by (group, value): one group spans MANY
   *      partitions, each holding a contiguous value slice — parallelism
@@ -45,15 +38,6 @@ import org.apache.spark.storage.StorageLevel
   * so no float rounding can shift a rank.
   */
 object RankPick {
-
-  /** Attach group sizes as column `n` (broadcast join, no window). */
-  def withGroupSize(df: DataFrame, key: String): DataFrame =
-    df.join(broadcast(df.groupBy(key).agg(count(lit(1)).as("n"))), key)
-
-  /** The rank-pick aggregate: the value at 1-based rank `at` (a SQL
-    * expression over `n`) in the ordering that produced `rank`. */
-  def pick(rank: Column, at: String, v: String): Column =
-    max(when(rank === expr(at), col(v)))
 
   /** percentile_disc target: smallest value with cume_dist ≥ p, as an
     * integer rank expression — ceil(p·n) = (num·n + den − 1) DIV den. */

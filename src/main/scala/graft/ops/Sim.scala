@@ -206,6 +206,48 @@ object Sim {
        |)""".stripMargin
   }
 
+  /** Shared scoring scaffold for the exact-overlap near-dup queries
+    * (q42 Jaccard, q109 containment): one persisted shingle scan feeds
+    * both the MinHash-band candidate generator and the per-doc hash-set
+    * table; each LSH candidate pair gets its exact intersection size
+    * via an in-memory array intersection. Returns
+    * (d1, d2, c, na, nb) — intersection size and both set sizes — for
+    * the caller's score formula. The persist is the materialized
+    * intermediate a 100 TB pipeline would write (side-effect-free
+    * construction; CacheManager dedupes by canonicalized plan).
+    */
+  private def candidateOverlap(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val shRaw = shingleRows(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = minhashCandidates(minhashSignatures(shRaw))
+    val hsets = shRaw.select(col("doc_id"), h60(col("s")).as("h"))
+      .groupBy("doc_id").agg(collect_set("h").as("hs"))
+    cand
+      .join(hsets.select(col("doc_id").as("d1"), col("hs").as("h1")), Seq("d1"))
+      .join(hsets.select(col("doc_id").as("d2"), col("hs").as("h2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("h1"), col("h2"))).as("c"),
+        size(col("h1")).as("na"), size(col("h2")).as("nb"))
+  }
+
+  /** Oracle twin of [[candidateOverlap]]: CTEs `sh → …pairs → cand →
+    * hsets → scored(d1, d2, c, na, nb)`. */
+  private val oCandidateOverlapCtes: String =
+    s"""sh AS ($oShingleRows),
+       |$oMinhashPairCtes,
+       |hsets AS (
+       |  SELECT doc_id, list(DISTINCT ${oH60("s")}) AS hs FROM sh GROUP BY doc_id
+       |),
+       |scored AS (
+       |  SELECT d1, d2,
+       |         len(list_intersect(a.hs, b.hs)) AS c,
+       |         len(a.hs) AS na, len(b.hs) AS nb
+       |  FROM cand
+       |  JOIN hsets a ON a.doc_id = d1
+       |  JOIN hsets b ON b.doc_id = d2
+       |)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // --- q40: MinHash + LSH near-dup pairs. One md5 per shingle, K=12
     // universal-hash permutations min-aggregated per doc (no explode),
@@ -307,39 +349,15 @@ object Sim {
     // any scale.
     Q(
       "q42_ngram_jaccard",
-      s"""WITH sh AS ($oShingleRows),
-         |$oMinhashPairCtes,
-         |hsets AS (
-         |  SELECT doc_id, list(DISTINCT ${oH60("s")}) AS hs FROM sh GROUP BY doc_id
-         |),
-         |scored AS (
-         |  SELECT d1, d2,
-         |         len(list_intersect(a.hs, b.hs)) AS c,
-         |         len(a.hs) AS na, len(b.hs) AS nb
-         |  FROM cand
-         |  JOIN hsets a ON a.doc_id = d1
-         |  JOIN hsets b ON b.doc_id = d2
-         |)
+      s"""WITH $oCandidateOverlapCtes
          |SELECT d1, d2, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
          |FROM scored
          |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.6
          |ORDER BY d1, d2""".stripMargin
     ) { (s, d) =>
-      // one shingle scan feeds both the signature table and the
-      // hash-set table; lazy persist = the materialized intermediate a
-      // 100 TB pipeline would write (side-effect-free construction,
-      // CacheManager dedupes by canonicalized plan)
-      val shRaw = shingleRows(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = minhashCandidates(minhashSignatures(shRaw))
-      val hsets = shRaw.select(col("doc_id"), h60(col("s")).as("h"))
-        .groupBy("doc_id").agg(collect_set("h").as("hs"))
-      cand
-        .join(hsets.select(col("doc_id").as("d1"), col("hs").as("h1")), Seq("d1"))
-        .join(hsets.select(col("doc_id").as("d2"), col("hs").as("h2")), Seq("d2"))
-        .withColumn("c", size(array_intersect(col("h1"), col("h2"))))
+      candidateOverlap(s, d)
         .withColumn("jaccard",
-          col("c").cast("double") / (size(col("h1")) + size(col("h2")) - col("c")))
+          col("c").cast("double") / (col("na") + col("nb") - col("c")))
         .filter(col("jaccard") >= 0.6)
         .select("d1", "d2", "jaccard")
         .orderBy("d1", "d2")
@@ -356,19 +374,7 @@ object Sim {
     // the smaller doc, i.e. the side a keep-one policy would drop.
     Q(
       "q109_containment",
-      s"""WITH sh AS ($oShingleRows),
-         |$oMinhashPairCtes,
-         |hsets AS (
-         |  SELECT doc_id, list(DISTINCT ${oH60("s")}) AS hs FROM sh GROUP BY doc_id
-         |),
-         |scored AS (
-         |  SELECT d1, d2,
-         |         len(list_intersect(a.hs, b.hs)) AS c,
-         |         len(a.hs) AS na, len(b.hs) AS nb
-         |  FROM cand
-         |  JOIN hsets a ON a.doc_id = d1
-         |  JOIN hsets b ON b.doc_id = d2
-         |)
+      s"""WITH $oCandidateOverlapCtes
          |SELECT d1, d2,
          |  CAST(c AS DOUBLE) / LEAST(na, nb) AS containment,
          |  CASE WHEN na <= nb THEN d1 ELSE d2 END AS contained
@@ -376,17 +382,7 @@ object Sim {
          |WHERE CAST(c AS DOUBLE) / LEAST(na, nb) >= 0.8
          |ORDER BY d1, d2""".stripMargin
     ) { (s, d) =>
-      val shRaw = shingleRows(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = minhashCandidates(minhashSignatures(shRaw))
-      val hsets = shRaw.select(col("doc_id"), h60(col("s")).as("h"))
-        .groupBy("doc_id").agg(collect_set("h").as("hs"))
-      cand
-        .join(hsets.select(col("doc_id").as("d1"), col("hs").as("h1")), Seq("d1"))
-        .join(hsets.select(col("doc_id").as("d2"), col("hs").as("h2")), Seq("d2"))
-        .withColumn("na", size(col("h1")))
-        .withColumn("nb", size(col("h2")))
-        .withColumn("c", size(array_intersect(col("h1"), col("h2"))))
+      candidateOverlap(s, d)
         .withColumn("containment",
           col("c").cast("double") / least(col("na"), col("nb")))
         .filter(col("containment") >= 0.8)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.io.{DataInputStream, DataOutputStream, EOFException, IOException}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
@@ -15,6 +15,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * dir/
   *   seg-00000000000000000001/part-00000..   one segment = one append or
   *   seg-00000000000000000001/_COMMITTED     one sink epoch; immutable
+  *   seg-00000000000000000001/_WRITER        writer stamp (ownership check)
+  *   _writer-<id>                            sink writer's base-segment claim
   *   _tmp/epoch-<e>/…                        in-flight writer output
   * ```
   *
@@ -22,33 +24,50 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * marker does; parts are moved in first, the marker is renamed in
   * last, and renames are atomic on HDFS-like filesystems — a reader
   * listing the directory can never observe a half-written segment.
-  * All I/O goes through the Hadoop FileSystem API, so the same code
-  * runs on HDFS/S3A on a cluster (a production build would ship the
-  * session's hadoopConf to executors; the framing and protocol are
-  * unchanged).
+  * Every rename's boolean result is checked: a false return (racing
+  * writer, vanished staging file) aborts the commit loudly instead of
+  * publishing an incomplete segment. All I/O goes through the Hadoop
+  * FileSystem API, so the same code runs on HDFS/S3A on a cluster (a
+  * production build would ship the session's hadoopConf to executors;
+  * the framing and protocol are unchanged).
   *
   * Record framing inside a part file: big-endian `[keyLen][keyBytes]
-  * [valueLen][valueBytes]`, keyLen = -1 for a null key.
+  * [valueLen][valueBytes]`, length = -1 for a null key or null value
+  * (the Kafka tombstone shape). EOF is clean ONLY at a record boundary;
+  * a file ending mid-record raises instead of silently truncating the
+  * scan.
   */
 object WireLog {
 
   val SegPrefix = "seg-"
   val Committed = "_COMMITTED"
+  val WriterStamp = "_WRITER"
   val TmpDir = "_tmp"
 
   def fs(dir: String): FileSystem = new Path(dir).getFileSystem(new Configuration())
 
   def segName(n: Long): String = f"$SegPrefix$n%020d"
 
-  /** Committed segment numbers + paths, ascending. */
-  def listSegments(dir: String): Seq[(Long, Path)] = {
+  private def renameOrThrow(f: FileSystem, src: Path, dst: Path): Unit =
+    if (!f.rename(src, dst))
+      throw new IOException(s"wirelog: rename $src -> $dst failed " +
+        "(destination exists or source vanished) — refusing to publish " +
+        "a possibly incomplete segment")
+
+  /** Committed segment numbers + paths with number > `floor`,
+    * ascending. Segments at or below `floor` were already observed
+    * committed (they are immutable), so re-listing skips their
+    * per-segment `_COMMITTED` existence RPC — one directory listing
+    * plus one exists() per NEW segment, not per segment ever written.
+    */
+  def listSegments(dir: String, floor: Long = Long.MinValue): Seq[(Long, Path)] = {
     val f = fs(dir)
     val base = new Path(dir)
     if (!f.exists(base)) return Seq.empty
     f.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(SegPrefix))
-      .filter(s => f.exists(new Path(s.getPath, Committed)))
       .map(s => (s.getPath.getName.stripPrefix(SegPrefix).toLong, s.getPath))
+      .filter { case (n, p) => n > floor && f.exists(new Path(p, Committed)) }
       .sortBy(_._1)
   }
 
@@ -64,49 +83,131 @@ object WireLog {
       val kb = key.getBytes("UTF-8")
       out.writeInt(kb.length); out.write(kb)
     }
-    out.writeInt(value.length); out.write(value)
+    if (value == null) out.writeInt(-1)
+    else { out.writeInt(value.length); out.write(value) }
   }
 
-  /** Iterate a part file's framed records; the iterator owns the stream
-    * and closes it at EOF (readers must drain or close explicitly). */
-  def readPart(f: FileSystem, part: Path): Iterator[(String, Array[Byte])] =
-    new Iterator[(String, Array[Byte])] {
-      private val in = new DataInputStream(f.open(part))
-      private var nextRec: (String, Array[Byte]) = fetch()
-      private def fetch(): (String, Array[Byte]) =
-        try {
-          val kl = in.readInt()
+  /** Closeable iterator over a part file's framed records. EOF is clean
+    * only BEFORE a record's first length byte; anything shorter than a
+    * whole record raises (silent truncation would break the source's
+    * byte-identical-replay contract). Callers that stop early (limit,
+    * task failure) must call `close()`. */
+  final class PartIterator(f: FileSystem, part: Path)
+    extends Iterator[(String, Array[Byte])] with AutoCloseable {
+    private val in = new DataInputStream(f.open(part))
+    private var closed = false
+    private var nextRec: (String, Array[Byte]) = fetch()
+
+    private def readLenOrEof(): Option[Int] = {
+      // first byte by itself distinguishes clean EOF from truncation
+      val b0 = in.read()
+      if (b0 < 0) None
+      else Some((b0 << 24) | (in.readUnsignedByte() << 16) |
+        (in.readUnsignedByte() << 8) | in.readUnsignedByte())
+    }
+    private def fetch(): (String, Array[Byte]) =
+      try readLenOrEof() match {
+        case None => close(); null
+        case Some(kl) =>
           val key = if (kl < 0) null else {
             val kb = new Array[Byte](kl); in.readFully(kb); new String(kb, "UTF-8")
           }
           val vl = in.readInt()
-          val vb = new Array[Byte](vl); in.readFully(vb)
+          val vb = if (vl < 0) null else {
+            val b = new Array[Byte](vl); in.readFully(b); b
+          }
           (key, vb)
-        } catch { case _: EOFException => in.close(); null }
-      override def hasNext: Boolean = nextRec != null
-      override def next(): (String, Array[Byte]) = {
-        val r = nextRec; nextRec = fetch(); r
+      } catch {
+        case _: EOFException =>
+          close()
+          throw new IOException(s"wirelog: $part ends mid-record — " +
+            "truncated or corrupt part file")
       }
+    override def hasNext: Boolean = nextRec != null
+    override def next(): (String, Array[Byte]) = {
+      val r = nextRec; nextRec = fetch(); r
     }
+    override def close(): Unit =
+      if (!closed) { closed = true; in.close() }
+  }
+
+  def readPart(f: FileSystem, part: Path): PartIterator = new PartIterator(f, part)
 
   /** Atomically publish a finished segment: move staged part files in,
-    * then rename the `_COMMITTED` marker last. No-op if the segment is
-    * already committed (idempotent replay). */
+    * write the writer stamp, then rename the `_COMMITTED` marker last.
+    *
+    * Idempotence vs ownership: if the segment is already committed AND
+    * carries OUR `stamp`, this is our own replayed epoch — clean up the
+    * staged files and return. An already-committed segment with a
+    * different (or missing) stamp belongs to someone else: throwing is
+    * the only safe move, because "clean up and return" would silently
+    * discard this epoch's rows. */
   def publishSegment(f: FileSystem, dir: String, seg: Long,
-      stagedParts: Seq[Path]): Unit = {
+      stagedParts: Seq[Path], stamp: String = ""): Unit = {
     val segPath = new Path(dir, segName(seg))
     val marker = new Path(segPath, Committed)
     if (f.exists(marker)) {
-      stagedParts.foreach(p => f.delete(p, false))
-      return
+      val existing = readSmallFile(f, new Path(segPath, WriterStamp))
+      if (stamp.nonEmpty && existing.contains(stamp)) {
+        stagedParts.foreach(p => f.delete(p, false))
+        return
+      }
+      throw new IOException(s"wirelog: ${segName(seg)} already committed by " +
+        s"${existing.getOrElse("an unknown writer")} — refusing to drop this " +
+        "epoch's data (segment numbers collide; is another writer active?)")
     }
     f.mkdirs(segPath)
     stagedParts.zipWithIndex.foreach { case (p, i) =>
-      f.rename(p, new Path(segPath, f"part-$i%05d"))
+      renameOrThrow(f, p, new Path(segPath, f"part-$i%05d"))
     }
+    if (stamp.nonEmpty) writeSmallFile(f, new Path(segPath, WriterStamp), stamp)
     val tmpMarker = new Path(segPath, s".$Committed.tmp")
     f.create(tmpMarker, true).close()
-    f.rename(tmpMarker, marker)
+    renameOrThrow(f, tmpMarker, marker)
+  }
+
+  def readSmallFile(f: FileSystem, p: Path): Option[String] =
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+          .foreach(n => out.write(buf, 0, n))
+        Some(new String(out.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+
+  private def writeSmallFile(f: FileSystem, p: Path, content: String): Unit = {
+    val o = f.create(p, true)
+    try o.write(content.getBytes("UTF-8")) finally o.close()
+  }
+
+  /** Claim (or re-read) a writer's base segment number: the first claim
+    * atomically writes max-committed-segment + 1 to `_writer-<id>`; a
+    * restart of the same writer (same id, e.g. derived from the query's
+    * checkpoint identity) reads the same base back, so epoch→segment
+    * mapping is stable across restarts and never collides with
+    * pre-existing segments. */
+  def claimWriterBase(f: FileSystem, dir: String, writerId: String): Long = {
+    val claim = new Path(dir, s"_writer-$writerId")
+    readSmallFile(f, claim) match {
+      case Some(s) => s.trim.toLong
+      case None =>
+        val base = listSegments(dir).lastOption.map(_._1).getOrElse(0L) + 1
+        f.mkdirs(new Path(dir))
+        val tmp = new Path(dir, s"$TmpDir/.writer-$writerId-${java.util.UUID.randomUUID()}")
+        writeSmallFile(f, tmp, base.toString)
+        // atomic publish; a racing claim of the SAME writer id loses the
+        // rename and re-reads the winner's base
+        if (f.rename(tmp, claim)) base
+        else {
+          f.delete(tmp, false)
+          readSmallFile(f, claim).map(_.trim.toLong).getOrElse(
+            throw new IOException(s"wirelog: writer claim $claim unreadable"))
+        }
+    }
   }
 
   /** Test/demo producer: append one segment holding `records`. */
@@ -117,7 +218,9 @@ object WireLog {
     val out = new DataOutputStream(f.create(staged, true))
     records.foreach { case (k, v) => writeRecord(out, k, v) }
     out.close()
-    publishSegment(f, dir, next, Seq(staged))
+    // stamp unique per call: append never replays, so a number collision
+    // with a racing writer must fail loudly, never match as "our replay"
+    publishSegment(f, dir, next, Seq(staged), s"append-${java.util.UUID.randomUUID()}")
     next
   }
 }

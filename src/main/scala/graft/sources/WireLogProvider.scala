@@ -39,9 +39,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Sink semantics: each task stages its rows to `_tmp/epoch-e/…` and
   * reports the staged file in its commit message; the DRIVER publishes
-  * `seg-(e+1)` only in `commit(epochId, …)`, marker last, and a replayed
-  * epoch sees the marker and cleans up instead of duplicating —
-  * two-phase commit exactly like Spark's own file sinks.
+  * segment `base + e` only in `commit(epochId, …)`, marker last, where
+  * `base` is claimed once per writer identity (checkpoint-derived, so
+  * stable across restarts) as one past the highest committed segment.
+  * A replayed epoch finds its own ownership stamp on the segment and
+  * cleans up instead of duplicating; a segment committed by anyone
+  * else fails the commit loudly instead of silently dropping the epoch
+  * — two-phase commit exactly like Spark's own file sinks.
   */
 class WireLogProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "wirelog"
@@ -53,9 +57,11 @@ class WireLogProvider extends TableProvider with DataSourceRegister {
 }
 
 object WireLogProvider {
+  // value is nullable: a null value is the Kafka tombstone shape, framed
+  // as length -1 (WireLog.writeRecord) and round-tripped as NULL
   val Schema: StructType = StructType(Seq(
     StructField("key", StringType),
-    StructField("value", BinaryType, nullable = false),
+    StructField("value", BinaryType, nullable = true),
     StructField("segment", LongType, nullable = false),
     StructField("pos", IntegerType, nullable = false)))
 
@@ -84,10 +90,20 @@ class WireLogTable(dir: String) extends Table with SupportsRead with SupportsWri
     val keyIdx = schema.fieldNames.indexOf("key")
     if (keyIdx >= 0) require(schema(keyIdx).dataType == StringType,
       s"wirelog sink `key` must be STRING, got ${schema(keyIdx).dataType}")
+    // Writer identity must be stable across RESTARTS of the same query
+    // (so a crash-replayed epoch maps to the same segment number) and
+    // distinct between different queries writing the same topic. The
+    // checkpoint location is exactly that; fall back to queryId.
+    val writerId = {
+      val ident = Option(info.options.get("checkpointLocation"))
+        .filter(_.nonEmpty).getOrElse(info.queryId())
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(ident.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    }
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite =
-          new WireLogStreamingWrite(dir, keyIdx, valIdx)
+          new WireLogStreamingWrite(dir, keyIdx, valIdx, writerId)
       }
     }
   }
@@ -114,9 +130,18 @@ case class WireLogOffset(maxSeg: Long) extends Offset {
 }
 
 class WireLogMicroBatchStream(dir: String) extends MicroBatchStream {
+  // high-water mark of segments already observed committed: committed
+  // segments are immutable, so each trigger's listing only pays the
+  // per-segment _COMMITTED existence RPC for segments ABOVE this mark —
+  // O(new segments) per trigger, not O(all segments ever written)
+  @volatile private var seenCommitted = 0L
+
   override def initialOffset(): Offset = WireLogOffset(0L)
-  override def latestOffset(): Offset =
-    WireLogOffset(WireLog.listSegments(dir).lastOption.map(_._1).getOrElse(0L))
+  override def latestOffset(): Offset = {
+    val newest = WireLog.listSegments(dir, seenCommitted).lastOption.map(_._1)
+    newest.foreach(n => seenCommitted = math.max(seenCommitted, n))
+    WireLogOffset(seenCommitted)
+  }
   override def deserializeOffset(json: String): Offset =
     WireLogOffset("""-?\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(
       throw new IllegalArgumentException(s"bad wirelog offset: $json")))
@@ -124,8 +149,8 @@ class WireLogMicroBatchStream(dir: String) extends MicroBatchStream {
     val (s, e) = (start.asInstanceOf[WireLogOffset].maxSeg,
       end.asInstanceOf[WireLogOffset].maxSeg)
     val f = WireLog.fs(dir)
-    WireLog.listSegments(dir)
-      .filter { case (seg, _) => seg > s && seg <= e }
+    WireLog.listSegments(dir, floor = s)
+      .filter { case (seg, _) => seg <= e }
       .flatMap { case (seg, p) =>
         WireLog.listParts(f, p).map(part => WirePartition(seg, part.toString))
       }.toArray
@@ -153,7 +178,9 @@ object WireReaderFactory extends PartitionReaderFactory {
         new GenericInternalRow(Array[Any](
           if (cur._1 == null) null else UTF8String.fromString(cur._1),
           cur._2, p.segment, pos))
-      override def close(): Unit = ()
+      // a scan that stops early (limit, task failure) must release the
+      // part file's stream — PartIterator.close() is idempotent
+      override def close(): Unit = it.close()
     }
   }
 }
@@ -170,10 +197,23 @@ case class WireWriterFactory(dir: String, keyIdx: Int, valIdx: Int)
     new WirePartWriter(dir, keyIdx, valIdx, partitionId, taskId, epochId)
 }
 
-class WireLogStreamingWrite(dir: String, keyIdx: Int, valIdx: Int)
+class WireLogStreamingWrite(dir: String, keyIdx: Int, valIdx: Int,
+    writerId: String)
   extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     WireWriterFactory(dir, keyIdx, valIdx)
+
+  // epoch → segment mapping: base + epochId, where base is claimed once
+  // per writer identity as max-committed-segment + 1 and persisted in
+  // the topic (`_writer-<id>`). A restart of the same query re-reads
+  // the same base, so a crash-replayed epoch republishes the SAME
+  // segment number and the ownership stamp makes it a no-op; a topic
+  // with pre-existing segments (another writer, a demo append) can
+  // never collide because base starts past them. Deriving the number
+  // from epochId alone (the previous scheme) silently DISCARDED an
+  // epoch whenever its number was already taken.
+  private lazy val base: Long =
+    WireLog.claimWriterBase(WireLog.fs(dir), dir, writerId)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = WireLog.fs(dir)
@@ -182,7 +222,9 @@ class WireLogStreamingWrite(dir: String, keyIdx: Int, valIdx: Int)
     }.sortBy(_._1).map(_._2).toSeq
     // an all-empty epoch publishes nothing — segment numbers may skip,
     // which the half-open (start, end] batch range handles naturally
-    if (staged.nonEmpty) WireLog.publishSegment(f, dir, epochId + 1, staged)
+    if (staged.nonEmpty)
+      WireLog.publishSegment(f, dir, base + epochId, staged,
+        stamp = s"$writerId:$epochId")
     f.delete(new HPath(dir, s"${WireLog.TmpDir}/epoch-$epochId"), true)
   }
 
@@ -205,7 +247,10 @@ class WirePartWriter(dir: String, keyIdx: Int, valIdx: Int,
   override def write(row: InternalRow): Unit = {
     val key = if (keyIdx < 0 || row.isNullAt(keyIdx)) null
       else row.getUTF8String(keyIdx).toString
-    WireLog.writeRecord(out, key, row.getBinary(valIdx))
+    // null value = tombstone, framed as length -1 — getBinary on a null
+    // field is undefined (empty array or NPE depending on row class)
+    val value = if (row.isNullAt(valIdx)) null else row.getBinary(valIdx)
+    WireLog.writeRecord(out, key, value)
     records += 1
   }
   override def commit(): WriterCommitMessage = {

@@ -112,10 +112,64 @@ class WireLogSpec extends SparkTestBase {
       val o = new java.io.DataOutputStream(f.create(p, true))
       WireLog.writeRecord(o, "k", Array[Byte](n.toByte)); o.close(); p
     }
-    WireLog.publishSegment(f, dir, 1L, Seq(stage(1)))
-    WireLog.publishSegment(f, dir, 1L, Seq(stage(2))) // replay: must be a no-op
+    WireLog.publishSegment(f, dir, 1L, Seq(stage(1)), stamp = "w1:0")
+    // same writer+epoch replays: must be a no-op
+    WireLog.publishSegment(f, dir, 1L, Seq(stage(2)), stamp = "w1:0")
     val vals = spark.read.format("wirelog").load(dir)
       .select("value").collect().map(_.getAs[Array[Byte]](0).toSeq)
     assert(vals.toSeq == Seq(Seq[Byte](1)), "replayed publish must not duplicate or overwrite")
+    // a DIFFERENT writer hitting the same segment number is data loss if
+    // silently absorbed — it must fail loudly instead
+    val e = intercept[java.io.IOException] {
+      WireLog.publishSegment(f, dir, 1L, Seq(stage(3)), stamp = "w2:0")
+    }
+    assert(e.getMessage.contains("already committed"))
+  }
+
+  test("sink epochs never collide with pre-existing segments") {
+    val in = tmp("collide-in"); val out = tmp("collide-out")
+    // out already holds a foreign segment (a demo append) at number 1 —
+    // the old epochId+1 scheme would have silently dropped epoch 0 here
+    WireLog.append(out, Seq(("pre", Array[Byte](9))))
+    produce(in, readings(0, 100))
+    val q = Streams.toWire(Streams.fromWire(
+        spark.readStream.format("wirelog").load(in)).filter(col("decode_ok"))
+        .select("machine_id", "sensor", "reading", "event_time"))
+      .writeStream.format("wirelog").option("path", out)
+      .option("checkpointLocation", tmp("collide-chk"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(decodeOut(out).filter(col("decode_ok")).count() == 100,
+      "the epoch must land beside the foreign segment, not vanish into it")
+    assert(WireLog.listSegments(out).map(_._1) == Seq(1L, 2L))
+  }
+
+  test("null value round-trips as a tombstone") {
+    val dir = tmp("tomb")
+    WireLog.append(dir, Seq(("k1", null), ("k2", Array[Byte](7))))
+    val rows = spark.read.format("wirelog").load(dir)
+      .select("key", "value").collect()
+      .map(r => r.getString(0) -> Option(r.getAs[Array[Byte]](1)).map(_.toSeq)).toMap
+    assert(rows == Map("k1" -> None, "k2" -> Some(Seq[Byte](7))))
+  }
+
+  test("a part file truncated mid-record fails the scan instead of dropping rows") {
+    val dir = tmp("trunc")
+    WireLog.append(dir, Seq(("k", Array.fill[Byte](100)(1))))
+    val f = WireLog.fs(dir)
+    val part = WireLog.listParts(f,
+      new org.apache.hadoop.fs.Path(dir, WireLog.segName(1))).head
+    // rewrite the part shorter than one whole record
+    val bytes = {
+      val in = f.open(part)
+      val all = new Array[Byte](60); in.readFully(all); in.close(); all
+    }
+    val o = f.create(part, true); o.write(bytes); o.close()
+    val e = intercept[Exception] {
+      spark.read.format("wirelog").load(dir).count()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(8).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(messages.contains("mid-record"), s"expected truncation error, got: $messages")
   }
 }
