@@ -210,6 +210,23 @@ object WireLog {
     }
   }
 
+  /** Kafka-style retention: delete committed segments with number ≤
+    * `through`. The caller owns the safety condition — sweep only past
+    * the minimum committed offset across every consumer group, exactly
+    * like Kafka's `log.retention` vs consumer lag. Deleting the marker
+    * FIRST makes a crashed sweep safe: a half-deleted segment without
+    * its `_COMMITTED` marker is invisible to readers, never truncated-
+    * but-listed. Returns the swept segment numbers. */
+  def retentionSweep(dir: String, through: Long): Seq[Long] = {
+    val f = fs(dir)
+    listSegments(dir).takeWhile(_._1 <= through).map { case (n, p) =>
+      if (!f.delete(new Path(p, Committed), false))
+        throw new IOException(s"wirelog: could not retract ${segName(n)}'s commit marker")
+      f.delete(p, true)
+      n
+    }
+  }
+
   /** Test/demo producer: append one segment holding `records`. */
   def append(dir: String, records: Seq[(String, Array[Byte])]): Long = {
     val f = fs(dir)

@@ -144,6 +144,31 @@ class WireLogSpec extends SparkTestBase {
     assert(WireLog.listSegments(out).map(_._1) == Seq(1L, 2L))
   }
 
+  test("retention sweep deletes old segments; consumer groups are independent") {
+    val in = tmp("retain")
+    produce(in, readings(0, 10))    // seg 1
+    produce(in, readings(10, 30))   // seg 2
+    produce(in, readings(30, 60))   // seg 3
+
+    def consume(chk: String, out: String): Long = {
+      val q = spark.readStream.format("wirelog").load(in)
+        .writeStream.format("wirelog").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.format("wirelog").load(out).count()
+    }
+    // group A consumes everything
+    assert(consume(tmp("retain-chkA"), tmp("retain-outA")) == 60)
+    // retention keeps only segment 3 (caller has established every
+    // group's committed offset is >= 2)
+    assert(WireLog.retentionSweep(in, through = 2L) == Seq(1L, 2L))
+    assert(WireLog.listSegments(in).map(_._1) == Seq(3L))
+    // a NEW group starts at the earliest RETAINED segment — Kafka's
+    // auto.offset.reset=earliest after retention
+    assert(consume(tmp("retain-chkB"), tmp("retain-outB")) == 30)
+  }
+
   test("null value round-trips as a tombstone") {
     val dir = tmp("tomb")
     WireLog.append(dir, Seq(("k1", null), ("k2", Array[Byte](7))))
