@@ -36,6 +36,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * (the Kafka tombstone shape). EOF is clean ONLY at a record boundary;
   * a file ending mid-record raises instead of silently truncating the
   * scan.
+  *
+  * Known limitation (zombie writer, same class Kafka fences with
+  * producer epochs): one live writer per topic. A long-dead writer
+  * resurrected with its old base claim would publish low segment
+  * numbers that consumers with advanced offsets never revisit; a
+  * CONCURRENT second writer fails loudly at the first number collision
+  * rather than corrupting, which is the property the tests pin.
   */
 object WireLog {
 
@@ -156,6 +163,11 @@ object WireLog {
         s"${existing.getOrElse("an unknown writer")} — refusing to drop this " +
         "epoch's data (segment numbers collide; is another writer active?)")
     }
+    // an existing dir WITHOUT a marker is a crashed earlier attempt at
+    // this same publish — invisible to readers and holding stale part
+    // names that would make the renames below fail on every retry.
+    // Clear it so a replayed epoch is self-healing.
+    if (f.exists(segPath)) f.delete(segPath, true)
     f.mkdirs(segPath)
     stagedParts.zipWithIndex.foreach { case (p, i) =>
       renameOrThrow(f, p, new Path(segPath, f"part-$i%05d"))

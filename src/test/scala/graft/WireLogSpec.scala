@@ -126,6 +126,27 @@ class WireLogSpec extends SparkTestBase {
     assert(e.getMessage.contains("already committed"))
   }
 
+  test("a publish retry after a crash mid-move self-heals") {
+    val dir = tmp("crashmove")
+    val f = WireLog.fs(dir)
+    // simulate an attempt that died after moving a part in but BEFORE
+    // the _COMMITTED marker: dir exists, part name taken, no marker
+    val segPath = new org.apache.hadoop.fs.Path(dir, WireLog.segName(1))
+    f.mkdirs(segPath)
+    val stale = f.create(new org.apache.hadoop.fs.Path(segPath, "part-00000"), true)
+    stale.write(Array[Byte](99)); stale.close()
+    // the replayed epoch stages fresh files and must succeed, with ONLY
+    // the fresh content visible
+    val staged = new org.apache.hadoop.fs.Path(dir, s"${WireLog.TmpDir}/retry")
+    val o = new java.io.DataOutputStream(f.create(staged, true))
+    WireLog.writeRecord(o, "k", Array[Byte](1, 2)); o.close()
+    WireLog.publishSegment(f, dir, 1L, Seq(staged), stamp = "w1:0")
+    val vals = spark.read.format("wirelog").load(dir)
+      .select("value").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(vals.toSeq == Seq(Seq[Byte](1, 2)),
+      "retry must replace the crashed attempt's stale parts")
+  }
+
   test("sink epochs never collide with pre-existing segments") {
     val in = tmp("collide-in"); val out = tmp("collide-out")
     // out already holds a foreign segment (a demo append) at number 1 —
