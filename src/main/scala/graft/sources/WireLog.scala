@@ -72,11 +72,42 @@ object WireLog {
     val base = new Path(dir)
     if (!f.exists(base)) return Seq.empty
     f.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(SegPrefix))
-      .map(s => (s.getPath.getName.stripPrefix(SegPrefix).toLong, s.getPath))
+      .filter(s => s.isDirectory)
+      .flatMap { s =>
+        // strictly numeric seg-N names only: a stray `seg-backup` dir
+        // must be ignored, not crash every listing with a parse error
+        val name = s.getPath.getName
+        if (name.startsWith(SegPrefix) && name.drop(SegPrefix.length).forall(_.isDigit))
+          Some((name.stripPrefix(SegPrefix).toLong, s.getPath))
+        else None
+      }
       .filter { case (n, p) => n > floor && f.exists(new Path(p, Committed)) }
       .sortBy(_._1)
   }
+
+  /** Next unused segment number: one past the max of the committed
+    * segments AND the persisted high-water mark. The `_hwm` file is
+    * bumped BEFORE a segment becomes visible and is never touched by
+    * [[retentionSweep]], so a full sweep can never cause a NUMBER to be
+    * reused — reuse would make new data invisible to any consumer whose
+    * checkpointed offset is past it (Kafka never regresses offsets
+    * after retention for the same reason). A crash between the bump
+    * and the publish only wastes a number, which the half-open batch
+    * range tolerates. */
+  def nextSegment(dir: String): Long = {
+    val f = fs(dir)
+    val committed = listSegments(dir).lastOption.map(_._1).getOrElse(0L)
+    math.max(committed, readHwm(f, dir)) + 1
+  }
+
+  private def readHwm(f: FileSystem, dir: String): Long =
+    readSmallFile(f, new Path(dir, "_hwm")).map(_.trim.toLong).getOrElse(0L)
+
+  private def bumpHwm(f: FileSystem, dir: String, seg: Long): Unit =
+    if (seg > readHwm(f, dir)) {
+      val o = f.create(new Path(dir, "_hwm"), true)
+      try o.write(seg.toString.getBytes("UTF-8")) finally o.close()
+    }
 
   /** Part files of one committed segment, ascending by name. */
   def listParts(f: FileSystem, seg: Path): Seq[Path] =
@@ -140,42 +171,71 @@ object WireLog {
 
   def readPart(f: FileSystem, part: Path): PartIterator = new PartIterator(f, part)
 
-  /** Atomically publish a finished segment: move staged part files in,
-    * write the writer stamp, then rename the `_COMMITTED` marker last.
+  /** Atomically publish a finished segment: the parts, the writer
+    * stamp, AND the `_COMMITTED` marker are assembled in a staging dir
+    * under `_tmp`, then ONE directory rename moves the complete
+    * segment into place — a reader can never observe a partially
+    * assembled segment, and two racing publishers of the same number
+    * cannot interleave file-by-file (exactly one rename wins).
     *
     * Idempotence vs ownership: if the segment is already committed AND
     * carries OUR `stamp`, this is our own replayed epoch — clean up the
     * staged files and return. An already-committed segment with a
     * different (or missing) stamp belongs to someone else: throwing is
     * the only safe move, because "clean up and return" would silently
-    * discard this epoch's rows. */
+    * discard this epoch's rows. A destination dir WITHOUT a marker is
+    * a crashed pre-atomic-rename attempt (or pre-upgrade garbage) —
+    * invisible to readers by protocol, so it is cleared and the rename
+    * retried once.
+    *
+    * The high-water mark is bumped BEFORE the rename: a crash between
+    * the two wastes a number, never reuses one. */
   def publishSegment(f: FileSystem, dir: String, seg: Long,
       stagedParts: Seq[Path], stamp: String = ""): Unit = {
     val segPath = new Path(dir, segName(seg))
     val marker = new Path(segPath, Committed)
-    if (f.exists(marker)) {
-      val existing = readSmallFile(f, new Path(segPath, WriterStamp))
-      if (stamp.nonEmpty && existing.contains(stamp)) {
-        stagedParts.foreach(p => f.delete(p, false))
-        return
+    def committedByUs(): Boolean =
+      if (!f.exists(marker)) false
+      else {
+        val existing = readSmallFile(f, new Path(segPath, WriterStamp))
+        if (stamp.nonEmpty && existing.contains(stamp)) true
+        else throw new IOException(s"wirelog: ${segName(seg)} already committed " +
+          s"by ${existing.getOrElse("an unknown writer")} — refusing to drop " +
+          "this epoch's data (segment numbers collide; is another writer active?)")
       }
-      throw new IOException(s"wirelog: ${segName(seg)} already committed by " +
-        s"${existing.getOrElse("an unknown writer")} — refusing to drop this " +
-        "epoch's data (segment numbers collide; is another writer active?)")
-    }
-    // an existing dir WITHOUT a marker is a crashed earlier attempt at
-    // this same publish — invisible to readers and holding stale part
-    // names that would make the renames below fail on every retry.
-    // Clear it so a replayed epoch is self-healing.
+    def cleanupStaged(): Unit = stagedParts.foreach(p => f.delete(p, false))
+
+    if (committedByUs()) { cleanupStaged(); return }
+    // an existing dir WITHOUT a marker (checked just above) is a crashed
+    // pre-atomic-rename attempt or pre-upgrade garbage — invisible to
+    // readers by protocol; clear it or the rename below would nest the
+    // staging dir INSIDE it (Hadoop rename-onto-existing-dir semantics)
     if (f.exists(segPath)) f.delete(segPath, true)
-    f.mkdirs(segPath)
+    val staging = new Path(dir,
+      s"$TmpDir/seg-staging-${java.util.UUID.randomUUID()}")
+    f.mkdirs(staging)
     stagedParts.zipWithIndex.foreach { case (p, i) =>
-      renameOrThrow(f, p, new Path(segPath, f"part-$i%05d"))
+      renameOrThrow(f, p, new Path(staging, f"part-$i%05d"))
     }
-    if (stamp.nonEmpty) writeSmallFile(f, new Path(segPath, WriterStamp), stamp)
-    val tmpMarker = new Path(segPath, s".$Committed.tmp")
-    f.create(tmpMarker, true).close()
-    renameOrThrow(f, tmpMarker, marker)
+    if (stamp.nonEmpty) writeSmallFile(f, new Path(staging, WriterStamp), stamp)
+    f.create(new Path(staging, Committed), true).close()
+    bumpHwm(f, dir, seg)
+    if (!f.rename(staging, segPath)) {
+      // destination appeared since the clear: a committed winner (ours →
+      // replay no-op, someone else's → committedByUs throws loudly)
+      if (committedByUs()) { f.delete(staging, true); return }
+      f.delete(staging, true)
+      throw new IOException(s"wirelog: could not publish ${segName(seg)} — " +
+        "destination contested by another writer")
+    }
+    // postcondition: the marker must sit at the segment ROOT. If a racer
+    // re-created the destination between the clear and the rename, the
+    // staging dir nested inside it instead — never silently accept that.
+    if (!f.exists(marker)) {
+      f.delete(new Path(segPath, staging.getName), true)
+      throw new IOException(s"wirelog: publish of ${segName(seg)} raced with " +
+        "another writer and was retracted — segment numbers collide")
+    }
   }
 
   def readSmallFile(f: FileSystem, p: Path): Option[String] =
@@ -207,7 +267,7 @@ object WireLog {
     readSmallFile(f, claim) match {
       case Some(s) => s.trim.toLong
       case None =>
-        val base = listSegments(dir).lastOption.map(_._1).getOrElse(0L) + 1
+        val base = nextSegment(dir)
         f.mkdirs(new Path(dir))
         val tmp = new Path(dir, s"$TmpDir/.writer-$writerId-${java.util.UUID.randomUUID()}")
         writeSmallFile(f, tmp, base.toString)
@@ -242,7 +302,7 @@ object WireLog {
   /** Test/demo producer: append one segment holding `records`. */
   def append(dir: String, records: Seq[(String, Array[Byte])]): Long = {
     val f = fs(dir)
-    val next = listSegments(dir).lastOption.map(_._1).getOrElse(0L) + 1
+    val next = nextSegment(dir)
     val staged = new Path(dir, s"$TmpDir/append-${java.util.UUID.randomUUID()}")
     val out = new DataOutputStream(f.create(staged, true))
     records.foreach { case (k, v) => writeRecord(out, k, v) }

@@ -204,14 +204,18 @@ class WireLogStreamingWrite(dir: String, keyIdx: Int, valIdx: Int,
     WireWriterFactory(dir, keyIdx, valIdx)
 
   // epoch → segment mapping: base + epochId, where base is claimed once
-  // per writer identity as max-committed-segment + 1 and persisted in
-  // the topic (`_writer-<id>`). A restart of the same query re-reads
-  // the same base, so a crash-replayed epoch republishes the SAME
-  // segment number and the ownership stamp makes it a no-op; a topic
-  // with pre-existing segments (another writer, a demo append) can
-  // never collide because base starts past them. Deriving the number
-  // from epochId alone (the previous scheme) silently DISCARDED an
-  // epoch whenever its number was already taken.
+  // per writer identity as one past the topic's high-water mark and
+  // persisted in the topic (`_writer-<id>`). A restart of the same
+  // query re-reads the same base, so a crash-replayed epoch republishes
+  // the SAME segment number and the ownership stamp makes it a no-op; a
+  // topic with pre-existing segments (another writer, a demo append)
+  // can never collide because base starts past them. Deriving the
+  // number from epochId alone (the previous scheme) silently DISCARDED
+  // an epoch whenever its number was already taken. Upgrade boundary:
+  // a checkpoint whose last epoch committed under the OLD scheme and
+  // crashed before Spark's commit log recorded it will replay that
+  // epoch under a fresh base — duplicated once; stamp-less topics
+  // written before the scheme change should start a new topic dir.
   private lazy val base: Long =
     WireLog.claimWriterBase(WireLog.fs(dir), dir, writerId)
 

@@ -190,6 +190,25 @@ class WireLogSpec extends SparkTestBase {
     assert(consume(tmp("retain-chkB"), tmp("retain-outB")) == 30)
   }
 
+  test("segment numbers are never reused after a full retention sweep") {
+    val dir = tmp("noreuse")
+    WireLog.append(dir, Seq(("a", Array[Byte](1))))  // seg 1
+    WireLog.append(dir, Seq(("b", Array[Byte](2))))  // seg 2
+    assert(WireLog.retentionSweep(dir, through = 2L) == Seq(1L, 2L))
+    // reusing 1 would make the new data invisible to any consumer whose
+    // checkpointed offset is already past it
+    assert(WireLog.append(dir, Seq(("c", Array[Byte](3)))) == 3L)
+    assert(WireLog.listSegments(dir).map(_._1) == Seq(3L))
+  }
+
+  test("a stray non-numeric seg- directory is ignored, not fatal") {
+    val dir = tmp("stray")
+    WireLog.append(dir, Seq(("a", Array[Byte](1))))
+    WireLog.fs(dir).mkdirs(new org.apache.hadoop.fs.Path(dir, "seg-backup"))
+    assert(WireLog.listSegments(dir).map(_._1) == Seq(1L))
+    assert(spark.read.format("wirelog").load(dir).count() == 1)
+  }
+
   test("null value round-trips as a tombstone") {
     val dir = tmp("tomb")
     WireLog.append(dir, Seq(("k1", null), ("k2", Array[Byte](7))))
