@@ -76,10 +76,18 @@ class WireLogTable(dir: String) extends Table with SupportsRead with SupportsWri
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.STREAMING_WRITE).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Kafka's maxOffsetsPerTrigger analog, in this layout's offset unit:
+    // cap how many segments one micro-batch admits so a deep backlog
+    // drains in bounded batches (bounded state/memory per batch) instead
+    // of one giant catch-up batch
+    val maxSegs = Option(options.get("maxSegmentsPerTrigger")).map(_.toInt)
+    maxSegs.foreach(n => require(n > 0,
+      s"maxSegmentsPerTrigger must be positive, got $n"))
     new ScanBuilder {
-      override def build(): Scan = new WireLogScan(dir)
+      override def build(): Scan = new WireLogScan(dir, maxSegs)
     }
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val schema = info.schema()
     val valIdx = schema.fieldNames.indexOf("value")
@@ -109,11 +117,11 @@ class WireLogTable(dir: String) extends Table with SupportsRead with SupportsWri
   }
 }
 
-class WireLogScan(dir: String) extends Scan {
+class WireLogScan(dir: String, maxSegsPerTrigger: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = WireLogProvider.Schema
   override def description(): String = s"wirelog scan of $dir"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WireLogMicroBatchStream(dir)
+    new WireLogMicroBatchStream(dir, maxSegsPerTrigger)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val f = WireLog.fs(dir)
@@ -129,19 +137,59 @@ case class WireLogOffset(maxSeg: Long) extends Offset {
   override def json(): String = s"""{"maxSeg":$maxSeg}"""
 }
 
-class WireLogMicroBatchStream(dir: String) extends MicroBatchStream {
+class WireLogMicroBatchStream(dir: String, maxSegsPerTrigger: Option[Int] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
   // high-water mark of segments already observed committed: committed
   // segments are immutable, so each trigger's listing only pays the
   // per-segment _COMMITTED existence RPC for segments ABOVE this mark —
   // O(new segments) per trigger, not O(all segments ever written)
   @volatile private var seenCommitted = 0L
 
-  override def initialOffset(): Offset = WireLogOffset(0L)
-  override def latestOffset(): Offset = {
+  private def refreshSeen(): Long = {
     val newest = WireLog.listSegments(dir, seenCommitted).lastOption.map(_._1)
     newest.foreach(n => seenCommitted = math.max(seenCommitted, n))
-    WireLogOffset(seenCommitted)
+    seenCommitted
   }
+
+  override def initialOffset(): Offset = WireLogOffset(0L)
+  override def latestOffset(): Offset = WireLogOffset(refreshSeen())
+
+  // ---- SupportsAdmissionControl: maxSegmentsPerTrigger (the Kafka
+  // maxOffsetsPerTrigger analog — segments are this layout's offset
+  // unit). The engine calls latestOffset(start, limit) instead of
+  // latestOffset() when this interface is present; Trigger.AvailableNow
+  // keeps issuing capped batches until reportLatestOffset is reached.
+  // SupportsTriggerAvailableNow is implemented NATIVELY (like the Kafka
+  // source): Spark's AvailableNowDataStreamWrapper explicitly IGNORES
+  // read limits for wrapped sources (it logs "the read limit ... is
+  // ignored" and substitutes allAvailable), so a capped drain only
+  // works if the source itself pins the run's end offset and keeps
+  // honoring the limit per batch.
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(refreshSeen())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSegsPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val newest = availableNowEnd.getOrElse(refreshSeen())
+    val cap = limit match {
+      case mf: ReadMaxFiles => mf.maxFiles().toLong
+      case _ => Long.MaxValue
+    }
+    val s = start.asInstanceOf[WireLogOffset].maxSeg
+    // segment numbers may skip (wasted numbers, empty epochs): cap by
+    // COUNT of committed segments admitted, not by number arithmetic
+    val admitted = WireLog.listSegments(dir, floor = s)
+      .filter(_._1 <= newest).take(
+        if (cap > Int.MaxValue) Int.MaxValue else cap.toInt)
+    WireLogOffset(admitted.lastOption.map(_._1).getOrElse(s))
+  }
+  override def reportLatestOffset(): Offset =
+    WireLogOffset(availableNowEnd.getOrElse(seenCommitted))
   override def deserializeOffset(json: String): Offset =
     WireLogOffset("""-?\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(
       throw new IllegalArgumentException(s"bad wirelog offset: $json")))

@@ -190,6 +190,25 @@ class WireLogSpec extends SparkTestBase {
     assert(consume(tmp("retain-chkB"), tmp("retain-outB")) == 30)
   }
 
+  test("maxSegmentsPerTrigger drains a backlog in bounded batches, still exactly-once") {
+    val in = tmp("admit-in"); val out = tmp("admit-out")
+    produce(in, readings(0, 10))    // seg 1
+    produce(in, readings(10, 30))   // seg 2
+    produce(in, readings(30, 60))   // seg 3
+    val q = spark.readStream.format("wirelog")
+      .option("maxSegmentsPerTrigger", "1")
+      .load(in)
+      .writeStream.format("wirelog").option("path", out)
+      .option("checkpointLocation", tmp("admit-chk"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow must drain the capped batches and stop")
+    // one admitted input segment per epoch → one output segment each
+    assert(WireLog.listSegments(out).size == 3,
+      "a 3-segment backlog under maxSegmentsPerTrigger=1 must take 3 batches")
+    assert(spark.read.format("wirelog").load(out).count() == 60)
+  }
+
   test("segment numbers are never reused after a full retention sweep") {
     val dir = tmp("noreuse")
     WireLog.append(dir, Seq(("a", Array[Byte](1))))  // seg 1
