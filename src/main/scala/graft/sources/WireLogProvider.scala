@@ -74,8 +74,13 @@ class WireLogTable(dir: String) extends Table with SupportsRead with SupportsWri
   override def name(): String = s"wirelog:$dir"
   override def schema(): StructType = WireLogProvider.Schema
   override def capabilities(): java.util.Set[TableCapability] =
+    // ACCEPT_ANY_SCHEMA: the write schema (key?, value) is narrower than
+    // the read schema (… segment, pos are read-side metadata) — the same
+    // asymmetry the Kafka connector declares; newWriteBuilder validates
+    // the columns it actually needs, by name
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // Kafka's maxOffsetsPerTrigger analog, in this layout's offset unit:
     // cap how many segments one micro-batch admits so a deep backlog
@@ -112,9 +117,37 @@ class WireLogTable(dir: String) extends Table with SupportsRead with SupportsWri
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite =
           new WireLogStreamingWrite(dir, keyIdx, valIdx, writerId)
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          new WireLogBatchWrite(dir, keyIdx, valIdx)
       }
     }
   }
+}
+
+/** Batch append: one `df.write.format("wirelog")` job publishes ONE
+  * segment at the next unused number (hwm-aware, so it composes with
+  * retention and live streaming writers the same way `WireLog.append`
+  * does). The job-unique stamp means a re-submitted job appends a NEW
+  * segment — batch writes have no replay identity, matching a plain
+  * Kafka produce. */
+class WireLogBatchWrite(dir: String, keyIdx: Int, valIdx: Int)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  private val scope = s"batch-${UUID.randomUUID()}"
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DataWriterFactory =
+    WireBatchWriterFactory(dir, keyIdx, valIdx, scope)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = WireLog.fs(dir)
+    val staged = messages.collect {
+      case WirePartCommit(pid, path, n) if n > 0 => (pid, new HPath(path))
+    }.sortBy(_._1).map(_._2).toSeq
+    if (staged.nonEmpty)
+      WireLog.publishSegment(f, dir, WireLog.nextSegment(dir), staged,
+        stamp = scope)
+    f.delete(new HPath(dir, s"${WireLog.TmpDir}/$scope"), true)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    WireLog.fs(dir).delete(new HPath(dir, s"${WireLog.TmpDir}/$scope"), true)
 }
 
 class WireLogScan(dir: String, maxSegsPerTrigger: Option[Int] = None) extends Scan {
@@ -242,7 +275,15 @@ case class WireWriterFactory(dir: String, keyIdx: Int, valIdx: Int)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new WirePartWriter(dir, keyIdx, valIdx, partitionId, taskId, epochId)
+    new WirePartWriter(dir, keyIdx, valIdx, partitionId, taskId, s"epoch-$epochId")
+}
+
+/** Batch twin of [[WireWriterFactory]]: one `df.write` job = one
+  * segment, staged under a job-unique scope. */
+case class WireBatchWriterFactory(dir: String, keyIdx: Int, valIdx: Int,
+    scope: String) extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new WirePartWriter(dir, keyIdx, valIdx, partitionId, taskId, scope)
 }
 
 class WireLogStreamingWrite(dir: String, keyIdx: Int, valIdx: Int,
@@ -288,10 +329,10 @@ class WireLogStreamingWrite(dir: String, keyIdx: Int, valIdx: Int,
   * UUID-suffixed files; the commit coordinator admits one winner per
   * partition and only its staged file reaches `publishSegment`. */
 class WirePartWriter(dir: String, keyIdx: Int, valIdx: Int,
-    partitionId: Int, taskId: Long, epochId: Long)
+    partitionId: Int, taskId: Long, writeScope: String)
   extends DataWriter[InternalRow] {
   private val staged = new HPath(dir,
-    s"${WireLog.TmpDir}/epoch-$epochId/p$partitionId-t$taskId-${UUID.randomUUID()}")
+    s"${WireLog.TmpDir}/$writeScope/p$partitionId-t$taskId-${UUID.randomUUID()}")
   private lazy val out: DataOutputStream =
     new DataOutputStream(WireLog.fs(dir).create(staged, true))
   private var records = 0L

@@ -228,6 +228,21 @@ class WireLogSpec extends SparkTestBase {
     assert(spark.read.format("wirelog").load(dir).count() == 1)
   }
 
+  test("batch write appends one segment per job") {
+    val dir = tmp("batchwrite")
+    def w(from: Int, until: Int): Unit =
+      Streams.toWire(readings(from, until))
+        .write.format("wirelog").option("path", dir).mode("append").save()
+    w(0, 40)
+    w(40, 100)
+    assert(WireLog.listSegments(dir).map(_._1) == Seq(1L, 2L))
+    val back = decodeOut(dir).filter(col("decode_ok"))
+    assert(back.count() == 100)
+    // composes with the demo append and the hwm: next number continues
+    WireLog.append(dir, Seq(("k", Array[Byte](1))))
+    assert(WireLog.listSegments(dir).map(_._1) == Seq(1L, 2L, 3L))
+  }
+
   test("null value round-trips as a tombstone") {
     val dir = tmp("tomb")
     WireLog.append(dir, Seq(("k1", null), ("k2", Array[Byte](7))))
