@@ -53,6 +53,24 @@ class RankPickSpec extends SparkTestBase {
     assert(run(rows) == brute(rows))
   }
 
+  test("matches brute force across randomized shapes (skew, negatives, singletons, NULLs)") {
+    for (seed <- Seq(11, 23, 47, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val nGroups = 1 + rnd.nextInt(6)
+      val rows: Seq[(String, Option[Double])] = (1 to 800).flatMap { _ =>
+        // skewed group sizes: group 0 absorbs half the rows
+        val g = if (rnd.nextBoolean()) 0 else rnd.nextInt(nGroups)
+        val v = rnd.nextInt(10) match {
+          case 0 => None                                   // NULLs mixed in
+          case 1 => Some(-rnd.nextInt(5).toDouble)         // negatives + ties
+          case _ => Some((rnd.nextGaussian() * 100).floor) // ties via floor
+        }
+        Seq((s"g$g", v))
+      } ++ Seq(("singleton", Some(42.0)))                  // 1-row group
+      assert(run(rows) == brute(rows), s"mismatch at seed $seed")
+    }
+  }
+
   test("NULL values order first, matching the window formulation") {
     val rows: Seq[(String, Option[Double])] =
       Seq(("a", None), ("a", None), ("a", Some(1.0)),
