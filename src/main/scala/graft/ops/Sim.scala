@@ -231,6 +231,18 @@ object Sim {
         size(col("h1")).as("na"), size(col("h2")).as("nb"))
   }
 
+  /** MinHash near-dup clusters resolved to (doc_id, cluster_id) via the
+    * large-star/small-star CC (shared by q83 and q110). EAGER: the CC
+    * loop runs jobs at construction. */
+  private def dedupLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val pairs = minhashPairs(shingleRows(s, d)).select("d1", "d2")
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    val nodes = documents(s, d).select(col("doc_id").as("node"))
+    val (labels, _) = Cc.connectedComponents(nodes, edges)
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Oracle twin of [[candidateOverlap]]: CTEs `sh → …pairs → cand →
     * hsets → scored(d1, d2, c, na, nb)`. */
   private val oCandidateOverlapCtes: String =
@@ -635,14 +647,70 @@ object Sim {
          |GROUP BY node
          |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      val pairs = minhashPairs(shingleRows(s, d)).select("d1", "d2")
-      val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      val nodes = documents(s, d).select(col("doc_id").as("node"))
-      val (labels, _) = Cc.connectedComponents(nodes, edges)
-      labels
-        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      dedupLabels(s, d)
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    },
+
+    // --- q110: dedup survivorship — the keep-list a dedup pipeline
+    // actually materializes: every q83 cluster elects ONE survivor (the
+    // longest document; lowest doc_id on ties — the CCNet/C4 policy
+    // shape) and every other member is marked dropped. The election is
+    // a partial+final max of an ordering struct (one candidate per
+    // cluster per partition crosses the wire — the q91 max_by shape,
+    // no per-cluster sort), joined back to flag each doc. The CC labels
+    // are the same eager large-star/small-star resolution as q83; the
+    // DuckDB oracle recomputes the fixpoint as a recursive CTE and
+    // elects with a window.
+    Q(
+      "q110_dedup_survivors",
+      s"""WITH RECURSIVE sh AS ($oShingleRows),
+         |$oMinhashPairCtes,
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION ALL
+         |  SELECT d2 AS a, d1 AS b FROM pairs
+         |),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+         |),
+         |lab AS (
+         |  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+         |),
+         |tk AS (
+         |  SELECT doc_id, CAST(len(${oWords("text")}) AS BIGINT) AS toks
+         |  FROM documents
+         |),
+         |rk AS (
+         |  SELECT l.doc_id, l.cluster_id, t.toks,
+         |         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+         |                            ORDER BY t.toks DESC, l.doc_id) AS rn
+         |  FROM lab l JOIN tk t USING (doc_id)
+         |)
+         |SELECT r.doc_id, r.cluster_id, r.toks, s.doc_id AS survivor_id,
+         |       r.doc_id = s.doc_id AS keep
+         |FROM rk r JOIN rk s ON s.cluster_id = r.cluster_id AND s.rn = 1
+         |ORDER BY r.doc_id""".stripMargin
+    ) { (s, d) =>
+      val lab = dedupLabels(s, d)
+      val tk = documents(s, d)
+        .select(col("doc_id"), size(words(col("text"))).cast("long").as("toks"))
+      val member = lab.join(tk, "doc_id")
+      // survivor election: max over (toks, -doc_id) — field order makes
+      // longest-then-lowest-id win; carrying doc_id as the last struct
+      // field is safe because (toks, -doc_id) is already unique per doc
+      val surv = member
+        .groupBy("cluster_id")
+        .agg(max(struct(col("toks"), (-col("doc_id")).as("nd"),
+          col("doc_id").as("sid"))).as("m"))
+        .select(col("cluster_id"), col("m.sid").as("survivor_id"))
+      member.join(surv, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("toks"),
+          col("survivor_id"),
+          (col("doc_id") === col("survivor_id")).as("keep"))
         .orderBy("doc_id")
     },
 
