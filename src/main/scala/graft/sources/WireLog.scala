@@ -100,13 +100,38 @@ object WireLog {
     math.max(committed, readHwm(f, dir)) + 1
   }
 
-  private def readHwm(f: FileSystem, dir: String): Long =
-    readSmallFile(f, new Path(dir, "_hwm")).map(_.trim.toLong).getOrElse(0L)
+  /** The high-water mark is a DIRECTORY of empty marker files named by
+    * segment number, not a single read-check-write file: concurrent
+    * bumpers each create their own `_hwm/<n>` entry (creation is
+    * per-name — there is no shared value to interleave on) and the mark
+    * is the MAX name, so a smaller bump can never overwrite a larger
+    * one. The previous single-file scheme could regress (A reads 0, B
+    * writes 6, A writes 5), after which a full retention sweep plus
+    * nextSegment would reuse a number — the exact hazard the hwm
+    * exists to prevent. Entries below the max are pruned after each
+    * bump; the max entry itself is never deleted, so a concurrent
+    * reader always sees a value >= every completed bump. */
+  private val HwmDir = "_hwm"
+
+  private def readHwm(f: FileSystem, dir: String): Long = {
+    val d = new Path(dir, HwmDir)
+    if (!f.exists(d)) 0L
+    else f.listStatus(d).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .foldLeft(0L)((m, n) => math.max(m, n.toLong))
+  }
 
   private def bumpHwm(f: FileSystem, dir: String, seg: Long): Unit =
     if (seg > readHwm(f, dir)) {
-      val o = f.create(new Path(dir, "_hwm"), true)
-      try o.write(seg.toString.getBytes("UTF-8")) finally o.close()
+      f.create(new Path(dir, s"$HwmDir/$seg"), true).close()
+      // prune strictly-smaller entries so the dir stays O(1); racing
+      // pruners at most re-delete each other's garbage, never the max
+      f.listStatus(new Path(dir, HwmDir)).foreach { s =>
+        val n = s.getPath.getName
+        if (n.nonEmpty && n.forall(_.isDigit) && n.toLong < seg)
+          f.delete(s.getPath, false)
+      }
     }
 
   /** Part files of one committed segment, ascending by name. */
@@ -221,18 +246,41 @@ object WireLog {
     f.create(new Path(staging, Committed), true).close()
     bumpHwm(f, dir, seg)
     if (!f.rename(staging, segPath)) {
-      // destination appeared since the clear: a committed winner (ours →
-      // replay no-op, someone else's → committedByUs throws loudly)
-      if (committedByUs()) { f.delete(staging, true); return }
+      // destination appeared since the clear. Delete the staging dir
+      // FIRST so BOTH outcomes clean up — committedByUs() throws on a
+      // foreign commit, and a delete placed after it would be skipped,
+      // leaking seg-staging-<uuid> under _tmp forever (epoch cleanup
+      // only removes _tmp/epoch-<e>).
       f.delete(staging, true)
+      if (committedByUs()) return
       throw new IOException(s"wirelog: could not publish ${segName(seg)} — " +
         "destination contested by another writer")
     }
-    // postcondition: the marker must sit at the segment ROOT. If a racer
-    // re-created the destination between the clear and the rename, the
-    // staging dir nested inside it instead — never silently accept that.
-    if (!f.exists(marker)) {
-      f.delete(new Path(segPath, staging.getName), true)
+    verifyPublishOwnership(f, dir, seg, staging.getName, stamp)
+  }
+
+  /** Post-rename ownership postcondition of [[publishSegment]]: OUR
+    * staging dir must now BE the segment root. If a racer re-created
+    * the destination between the clear and the rename, Hadoop's
+    * rename-onto-existing-dir semantics NESTED the staging dir inside
+    * the winner's segment and still returned true — and the WINNER's
+    * marker would satisfy a bare existence check, so this epoch's rows
+    * would be silently dropped while reporting success. Verify
+    * ownership, not existence: no nested dir at the root, and (when
+    * stamped) the root `_WRITER` stamp is ours. On mismatch the nested
+    * garbage is deleted and the publish throws — the loser of the race
+    * is loud, never a silent drop. (Package-visible so the spec can
+    * exercise both directory states the race produces without having
+    * to interleave two writers deterministically.) */
+  private[graft] def verifyPublishOwnership(f: FileSystem, dir: String,
+      seg: Long, stagingName: String, stamp: String): Unit = {
+    val segPath = new Path(dir, segName(seg))
+    val nested = new Path(segPath, stagingName)
+    val owned = f.exists(new Path(segPath, Committed)) && !f.exists(nested) &&
+      (stamp.isEmpty ||
+        readSmallFile(f, new Path(segPath, WriterStamp)).contains(stamp))
+    if (!owned) {
+      f.delete(nested, true)
       throw new IOException(s"wirelog: publish of ${segName(seg)} raced with " +
         "another writer and was retracted — segment numbers collide")
     }
@@ -261,7 +309,18 @@ object WireLog {
     * restart of the same writer (same id, e.g. derived from the query's
     * checkpoint identity) reads the same base back, so epoch→segment
     * mapping is stable across restarts and never collides with
-    * pre-existing segments. */
+    * pre-existing segments.
+    *
+    * Multi-writer limitation (by design, like a Kafka partition having
+    * ONE leader): claims of DIFFERENT writer ids are not mutually
+    * exclusive. The claimed base is reserved in the hwm, so a second
+    * writer claiming after this claim lands starts strictly above it —
+    * but both writers' epoch sequences extend upward without bound, so
+    * two LIVE writers on one topic will eventually collide on a
+    * segment number. That collision is safe, not silent: publishSegment
+    * verifies post-rename ownership (marker + no nested staging dir +
+    * our `_WRITER` stamp), so the loser throws instead of dropping its
+    * epoch. Supported operation remains one live writer per topic. */
   def claimWriterBase(f: FileSystem, dir: String, writerId: String): Long = {
     val claim = new Path(dir, s"_writer-$writerId")
     readSmallFile(f, claim) match {
@@ -269,6 +328,10 @@ object WireLog {
       case None =>
         val base = nextSegment(dir)
         f.mkdirs(new Path(dir))
+        // reserve the base so a LATER claim by a different writer id
+        // starts above it (narrows, does not eliminate, the
+        // concurrent-writer collision window documented above)
+        bumpHwm(f, dir, base)
         val tmp = new Path(dir, s"$TmpDir/.writer-$writerId-${java.util.UUID.randomUUID()}")
         writeSmallFile(f, tmp, base.toString)
         // atomic publish; a racing claim of the SAME writer id loses the

@@ -89,8 +89,16 @@ class WireLogTable(dir: String) extends Table with SupportsRead with SupportsWri
     val maxSegs = Option(options.get("maxSegmentsPerTrigger")).map(_.toInt)
     maxSegs.foreach(n => require(n > 0,
       s"maxSegmentsPerTrigger must be positive, got $n"))
+    // …and the maxBytesPerTrigger analog: when segment SIZES skew (one
+    // fat bulk-load segment between many small epochs), a count-based
+    // cap still admits an unbounded volume in one batch — the byte cap
+    // bounds each batch by data volume instead. Both compose (composite
+    // read limit): a batch stops at whichever cap it hits first.
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+    maxBytes.foreach(n => require(n > 0,
+      s"maxBytesPerTrigger must be positive, got $n"))
     new ScanBuilder {
-      override def build(): Scan = new WireLogScan(dir, maxSegs)
+      override def build(): Scan = new WireLogScan(dir, maxSegs, maxBytes)
     }
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -150,11 +158,12 @@ class WireLogBatchWrite(dir: String, keyIdx: Int, valIdx: Int)
     WireLog.fs(dir).delete(new HPath(dir, s"${WireLog.TmpDir}/$scope"), true)
 }
 
-class WireLogScan(dir: String, maxSegsPerTrigger: Option[Int] = None) extends Scan {
+class WireLogScan(dir: String, maxSegsPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = WireLogProvider.Schema
   override def description(): String = s"wirelog scan of $dir"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WireLogMicroBatchStream(dir, maxSegsPerTrigger)
+    new WireLogMicroBatchStream(dir, maxSegsPerTrigger, maxBytesPerTrigger)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val f = WireLog.fs(dir)
@@ -170,10 +179,11 @@ case class WireLogOffset(maxSeg: Long) extends Offset {
   override def json(): String = s"""{"maxSeg":$maxSeg}"""
 }
 
-class WireLogMicroBatchStream(dir: String, maxSegsPerTrigger: Option[Int] = None)
+class WireLogMicroBatchStream(dir: String, maxSegsPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   // high-water mark of segments already observed committed: committed
   // segments are immutable, so each trigger's listing only pays the
@@ -205,21 +215,54 @@ class WireLogMicroBatchStream(dir: String, maxSegsPerTrigger: Option[Int] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(refreshSeen())
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxSegsPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxSegsPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b)).toSeq
+    limits match {
+      case Seq()    => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val newest = availableNowEnd.getOrElse(refreshSeen())
-    val cap = limit match {
-      case mf: ReadMaxFiles => mf.maxFiles().toLong
-      case _ => Long.MaxValue
+    // (segment-count cap, byte cap) — a composite limit takes the
+    // tightest of each kind, matching Spark's "admit the minimum any
+    // sub-limit allows" composite semantics
+    def caps(l: ReadLimit): (Long, Long) = l match {
+      case mf: ReadMaxFiles => (mf.maxFiles().toLong, Long.MaxValue)
+      case mb: ReadMaxBytes => (Long.MaxValue, mb.maxBytes())
+      case c: CompositeReadLimit => c.getReadLimits.map(caps)
+        .reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
+      case _ => (Long.MaxValue, Long.MaxValue)
     }
+    val (segCap, byteCap) = caps(limit)
     val s = start.asInstanceOf[WireLogOffset].maxSeg
+    val f = WireLog.fs(dir)
     // segment numbers may skip (wasted numbers, empty epochs): cap by
-    // COUNT of committed segments admitted, not by number arithmetic
-    val admitted = WireLog.listSegments(dir, floor = s)
-      .filter(_._1 <= newest).take(
-        if (cap > Int.MaxValue) Int.MaxValue else cap.toInt)
-    WireLogOffset(admitted.lastOption.map(_._1).getOrElse(s))
+    // COUNT and VOLUME of committed segments admitted, not by number
+    // arithmetic. The FIRST segment is always admitted even when it
+    // alone exceeds the byte cap — otherwise one fat segment would
+    // wedge the stream forever (same rule as Kafka admitting at least
+    // one record batch).
+    var admitted = 0L
+    var bytes = 0L
+    var last = s
+    val it = WireLog.listSegments(dir, floor = s).iterator
+      .takeWhile(_._1 <= newest)
+    var stop = false
+    while (it.hasNext && !stop) {
+      val (n, p) = it.next()
+      // skip the per-part size listing entirely when no byte cap is set
+      val sz = if (byteCap == Long.MaxValue) 0L
+        else f.listStatus(p).iterator
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .map(_.getLen).sum
+      if (admitted == 0 || (admitted < segCap && bytes + sz <= byteCap)) {
+        admitted += 1; bytes += sz; last = n
+      } else stop = true
+    }
+    WireLogOffset(last)
   }
   override def reportLatestOffset(): Offset =
     WireLogOffset(availableNowEnd.getOrElse(seenCommitted))

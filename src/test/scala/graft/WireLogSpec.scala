@@ -209,6 +209,64 @@ class WireLogSpec extends SparkTestBase {
     assert(spark.read.format("wirelog").load(out).count() == 60)
   }
 
+  test("maxBytesPerTrigger drains a fat-segment backlog bounded by volume, still exactly-once") {
+    val in = tmp("bytecap-in"); val out = tmp("bytecap-out")
+    // heterogeneous segment sizes: one fat bulk segment among small
+    // epochs — the skew a count-based cap cannot bound
+    produce(in, readings(0, 5))      // seg 1: small
+    produce(in, readings(5, 505))    // seg 2: fat (~100× seg 1)
+    produce(in, readings(505, 510))  // seg 3: small
+    produce(in, readings(510, 515))  // seg 4: small
+    val f = WireLog.fs(in)
+    val segBytes = WireLog.listSegments(in).map { case (n, p) =>
+      n -> WireLog.listParts(f, p).map(f.getFileStatus(_).getLen).sum
+    }.toMap
+    // cap: fits both small neighbours together, but never a small + the
+    // fat one — so the drain must split around the fat segment, which
+    // itself exceeds the cap and must still be admitted (alone) rather
+    // than wedge the stream
+    val cap = segBytes(1L) + segBytes(3L) + 1
+    assert(segBytes(2L) > cap, "fixture: the fat segment must exceed the cap")
+    val q = spark.readStream.format("wirelog")
+      .option("maxBytesPerTrigger", cap.toString)
+      .load(in)
+      .writeStream.format("wirelog").option("path", out)
+      .option("checkpointLocation", tmp("bytecap-chk"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow must drain the capped batches and stop")
+    // expected admission: [seg1] (fat seg2 won't fit beside it),
+    // [seg2] (admitted alone despite exceeding the cap), [seg3, seg4]
+    assert(WireLog.listSegments(out).size == 3,
+      "the backlog must drain in 3 volume-bounded batches")
+    assert(spark.read.format("wirelog").load(out).count() == 515)
+  }
+
+  test("publish ownership check retracts a rename that nested into a racing winner") {
+    val dir = tmp("nestrace")
+    val f = WireLog.fs(dir)
+    // State the silent-drop race produces: the WINNER's committed segment
+    // at the root (marker + foreign stamp), the LOSER's staging dir
+    // nested inside it by rename-onto-existing-dir semantics. A bare
+    // marker-existence check would report success here and drop the
+    // loser's epoch.
+    val segPath = new org.apache.hadoop.fs.Path(dir, WireLog.segName(1))
+    f.mkdirs(new org.apache.hadoop.fs.Path(segPath, "seg-staging-loser"))
+    val st = f.create(new org.apache.hadoop.fs.Path(segPath, WireLog.WriterStamp), true)
+    st.write("winner:0".getBytes("UTF-8")); st.close()
+    f.create(new org.apache.hadoop.fs.Path(segPath, WireLog.Committed), true).close()
+    val e = intercept[java.io.IOException] {
+      WireLog.verifyPublishOwnership(f, dir, 1L, "seg-staging-loser", "loser:0")
+    }
+    assert(e.getMessage.contains("retracted"))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(segPath, "seg-staging-loser")),
+      "the loser's nested garbage must be cleaned out of the winner's segment")
+    assert(f.exists(new org.apache.hadoop.fs.Path(segPath, WireLog.Committed)),
+      "the winner's committed segment must be untouched")
+    // and the state a clean publish produces passes the same check
+    WireLog.verifyPublishOwnership(f, dir, 1L, "seg-staging-winner", "winner:0")
+  }
+
   test("segment numbers are never reused after a full retention sweep") {
     val dir = tmp("noreuse")
     WireLog.append(dir, Seq(("a", Array[Byte](1))))  // seg 1
