@@ -17,6 +17,7 @@ object SparkEntry {
     ops.Sim.all ++
     ops.Advanced.all ++
     ops.Multimodal.all ++
+    ops.Lake.all ++
     pipeline.Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

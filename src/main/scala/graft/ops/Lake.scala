@@ -1,0 +1,98 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.model.Tables._
+import graft.functions.Det._
+import graft.sources.LogLake
+
+/** Registry queries that run THROUGH the native ACID table layer
+  * ([[graft.sources.LogLake]]): each invocation builds a fresh loglake
+  * table from the harness parquet, drives real commits (create / merge /
+  * append) against it, and reads the result back through the snapshot /
+  * time-travel API. The DuckDB oracle replays the same end state with
+  * plain SQL over the source table — so the hash gate checks the whole
+  * write→commit→read path, not just the final projection. Queries are
+  * necessarily EAGER at construction (commits are actions); Bench times
+  * the full transaction pipeline, which is the honest cost of a MERGE.
+  */
+object Lake {
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-loglake-$tag").toString + "/t"
+
+  val all: Seq[Q] = Seq(
+    // --- q111: MERGE upsert through the commit log. v1 = orders; one
+    // MERGE updates every 10th order (status → 'R', price + 5.00) and
+    // inserts a synthetic row per 100th order (negated key, status 'N');
+    // the snapshot after the merge is aggregated per status. The oracle
+    // computes the same end state declaratively. Only files containing
+    // a matched key are rewritten (file-level upsert, the Delta MERGE
+    // shape) — at 100 TB the rewrite cost is proportional to the
+    // touched-file volume, not the table.
+    Q(
+      "q111_loglake_merge",
+      s"""WITH merged AS (
+         |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+         |         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'N' AS o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+         |)
+         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total
+         |FROM merged GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q111")
+      val ord = orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      LogLake.create(s, dir, ord, statsCols = Seq("o_orderkey"))
+      val upd = ord.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(5.0d))
+      val ins = ord.filter(col("o_orderkey") % 100 === 0)
+        .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      LogLake.merge(s, dir, upd.unionByName(ins), keyCols = Seq("o_orderkey"),
+        statsCols = Seq("o_orderkey"))
+      LogLake.snapshot(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // --- q112: append + time travel. v1 = pre-1998 orders, v2 appends
+    // the rest; the query aggregates the TIME-TRAVELLED v1 snapshot per
+    // year and carries the CURRENT snapshot's row count alongside, so
+    // the oracle checks both versions through one result: the v1 read
+    // must see none of v2's files, the current read all of them.
+    Q(
+      "q112_loglake_timetravel",
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS cur_rows
+         |FROM orders
+         |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY yr
+         |ORDER BY yr""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q112")
+      val ord = orders(s, d).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      val cut = to_timestamp(lit("1998-01-01 00:00:00"))
+      LogLake.create(s, dir, ord.filter(col("o_orderdate") < cut),
+        statsCols = Seq("o_orderdate"))
+      LogLake.append(s, dir, ord.filter(col("o_orderdate") >= cut))
+      val v1 = LogLake.snapshot(s, dir, asOf = Some(1L))
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      val cur = LogLake.snapshot(s, dir)
+        .agg(count(lit(1)).as("cur_rows"))
+      v1.crossJoin(cur).orderBy("yr")
+    }
+  )
+}

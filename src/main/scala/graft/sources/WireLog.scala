@@ -299,7 +299,7 @@ object WireLog {
       } finally in.close()
     }
 
-  private def writeSmallFile(f: FileSystem, p: Path, content: String): Unit = {
+  private[sources] def writeSmallFile(f: FileSystem, p: Path, content: String): Unit = {
     val o = f.create(p, true)
     try o.write(content.getBytes("UTF-8")) finally o.close()
   }
