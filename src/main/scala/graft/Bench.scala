@@ -28,9 +28,15 @@ object Bench {
     // outlier is visible in the artifact itself. A query that fails on
     // every iteration is reported as -1 and listed in "failed" — never
     // as a fast timing.
-    val iterations = 3
-    // optional comma-separated filter for local iteration and the
-    // scaling-curve harness (tools/scaling_curve.sh)
+    // SPARK_GRAFT_BENCH_ITERS > 3 plus a single-query
+    // SPARK_GRAFT_BENCH_ONLY is the SOLO STEADY-STATE mode: one query,
+    // N interleaved passes, same noop sink — the like-for-like way to
+    // adjudicate an in-suite regression (suite numbers carry cross-query
+    // contention: JIT/GC pressure and page-cache churn from neighbours).
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // optional comma-separated filter for local iteration, solo
+    // steady-state runs, and the scaling-curve harness
+    // (tools/scaling_curve.sh)
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
