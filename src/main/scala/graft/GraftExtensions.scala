@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{AvroDecodePlc, AvroEncodePlc, Hamming64, Md560, ScaledDotProduct, ToFixed6}
+import graft.expressions.{AvroDecodePlc, AvroEncodePlc, Hamming64, ImageMetaExpr, Md560, ScaledDotProduct, ToFixed6}
 
 /** Engine extensions, injected via
   * `spark.sql.extensions=graft.GraftExtensions` (see [[Sessions]]):
@@ -54,6 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"avro_decode_plc requires exactly 1 argument (binary), got ${children.size}")
         AvroDecodePlc(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("image_meta"),
+      new ExpressionInfo(classOf[ImageMetaExpr].getName, "image_meta"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"image_meta requires exactly 1 argument (binary), got ${children.size}")
+        ImageMetaExpr(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("hamming64"),

@@ -62,10 +62,60 @@ object Multimodal {
       }
   }
 
+  // ---- synthetic container construction (q60/q61): image-typed docs
+  // get a REAL PNG/GIF/JPEG container header — correct magic numbers,
+  // chunk/descriptor/segment layout, hash-derived dimensions in the
+  // right byte order — prepended to the payload, and the engine then
+  // parses the dimensions BACK natively with the codegen `image_meta`
+  // expression. The oracle mirrors the dimension ARITHMETIC (it derives
+  // the same numbers the header carries), so the hash gate proves the
+  // construct→parse round-trip is lossless; parsing of real-world
+  // fixture bytes (incl. JPEG APP0/DQT marker walks) is pinned in
+  // MultimodalSpec.
+
+  private def imageMetaCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.ImageMetaExpr(org.apache.spark.sql.GraftBridge.expression(c)))
+
+  private def be32u(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+  private def be16u(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 4, "0"))
+  private def le16u(c: org.apache.spark.sql.Column) = {
+    val h4 = lpad(hex(c), 4, "0")
+    unhex(concat(substring(h4, 3, 2), substring(h4, 1, 2)))
+  }
+
+  /** media() + `fp` (payload fingerprint) + `packed` (container bytes:
+    * header for image rows, bare payload otherwise). Formats cycle
+    * png/gif/jpeg over the image docs (doc_id % 9 ∈ {0, 3, 6}). */
+  private def withContainers(df: DataFrame): DataFrame = {
+    val wA = lit(160) + h60(concat(lit("w:"), col("fp"))) % 1760
+    val hA = lit(90) + h60(concat(lit("h:"), col("fp"))) % 990
+    val header =
+      // PNG: signature + IHDR length/type + BE32 dims + depth/color/crc filler
+      when(col("doc_id") % 9 === 0,
+        concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
+          be32u(wA), be32u(hA), unhex(lit("0806000000"))))
+      // GIF89a: version + LE16 logical-screen dims + flags filler
+      .when(col("doc_id") % 9 === 3,
+        concat(lit("GIF89a").cast("binary"), le16u(wA), le16u(hA), unhex(lit("00"))))
+      // JPEG: SOI + SOF0 (len 17, precision 8, BE16 height THEN width,
+      // 3 component specs)
+      .otherwise(
+        concat(unhex(lit("FFD8FFC0001108")), be16u(hA), be16u(wA),
+          unhex(lit("03011100021101031101"))))
+    df.withColumn("fp", md5(col("content")))
+      .withColumn("packed",
+        when(col("media_type") === "image", concat(header, col("content")))
+          .otherwise(col("content")))
+  }
+
   val all: Seq[Q] = Seq(
     // --- q60: metadata extraction over binary media columns — byte
-    // length, content fingerprint, and hash-derived (deterministic fake)
-    // image dimensions / media duration.
+    // length, content fingerprint, and image format/dimensions parsed
+    // NATIVELY from the container header bytes by the codegen
+    // `image_meta` expression (audio/video duration stays hash-derived:
+    // their containers carry duration in codec-specific tables the
+    // stub doesn't build).
     Q(
       "q60_multimodal_meta",
       """WITH m AS (
@@ -77,10 +127,15 @@ object Multimodal {
         |)
         |SELECT doc_id, media_type, byte_len, fp,
         |  CASE WHEN media_type = 'image'
-        |       THEN 160 + (CAST('0x' || substr(md5(concat('w:', fp)), 1, 15) AS BIGINT) % 1760)
+        |       THEN CASE WHEN doc_id % 9 = 0 THEN 'png'
+        |                 WHEN doc_id % 9 = 3 THEN 'gif'
+        |                 ELSE 'jpeg' END
+        |       END AS format,
+        |  CASE WHEN media_type = 'image'
+        |       THEN CAST(160 + (CAST('0x' || substr(md5(concat('w:', fp)), 1, 15) AS BIGINT) % 1760) AS INTEGER)
         |       END AS width,
         |  CASE WHEN media_type = 'image'
-        |       THEN 90 + (CAST('0x' || substr(md5(concat('h:', fp)), 1, 15) AS BIGINT) % 990)
+        |       THEN CAST(90 + (CAST('0x' || substr(md5(concat('h:', fp)), 1, 15) AS BIGINT) % 990) AS INTEGER)
         |       END AS height,
         |  CASE WHEN media_type <> 'image'
         |       THEN 1000 + (CAST('0x' || substr(md5(concat('d:', fp)), 1, 15) AS BIGINT) % 600000)
@@ -88,16 +143,18 @@ object Multimodal {
         |FROM m
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      val m = media(s, d).select(
-        col("doc_id"), col("media_type"),
-        length(col("content")).as("byte_len"),
-        md5(col("content")).as("fp"))
-      m.select(
-          col("doc_id"), col("media_type"), col("byte_len"), col("fp"),
-          when(col("media_type") === "image",
-            lit(160) + h60(concat(lit("w:"), col("fp"))) % 1760).as("width"),
-          when(col("media_type") === "image",
-            lit(90) + h60(concat(lit("h:"), col("fp"))) % 990).as("height"),
+      withContainers(media(s, d))
+        .withColumn("meta",
+          // gate on the modality so an adversarial text payload that
+          // happens to start with a container signature can never
+          // surface as an "image" (mirrors the oracle's CASE exactly)
+          when(col("media_type") === "image", imageMetaCol(col("packed"))))
+        .select(
+          col("doc_id"), col("media_type"),
+          length(col("content")).as("byte_len"), col("fp"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
           when(col("media_type") =!= "image",
             lit(1000) + h60(concat(lit("d:"), col("fp"))) % 600000).as("duration_ms"))
         .orderBy("doc_id")
@@ -129,31 +186,42 @@ object Multimodal {
     // --- q61: feature aggregation per modality. The expression-side
     // fake feature mirrors the stubDecode idea (hash-derived, exact) so
     // the oracle can replay it; the mapPartitions path is unit-tested.
+    // Image rows additionally aggregate the NATIVELY PARSED container
+    // width (`image_meta` over the constructed header) — the oracle
+    // derives the same number arithmetically, so the parse is in the
+    // hash gate here too.
     Q(
       "q61_multimodal_features",
       """WITH m AS (
         |  SELECT doc_id,
         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
         |    octet_length(CAST(text AS BLOB)) AS byte_len,
-        |    (CAST('0x' || substr(md5(concat('f0:', md5(text))), 1, 15) AS BIGINT) % 1000) / 1000.0 AS f0
+        |    (CAST('0x' || substr(md5(concat('f0:', md5(text))), 1, 15) AS BIGINT) % 1000) / 1000.0 AS f0,
+        |    160 + (CAST('0x' || substr(md5(concat('w:', md5(text))), 1, 15) AS BIGINT) % 1760) AS w
         |  FROM documents
         |)
         |SELECT media_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(byte_len AS DECIMAL(38,6))) AS DOUBLE) / COUNT(byte_len) AS avg_bytes,
-        |  CAST(SUM(CAST(f0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(f0) AS avg_f0
+        |  CAST(SUM(CAST(f0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(f0) AS avg_f0,
+        |  CASE WHEN media_type = 'image'
+        |       THEN CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) / COUNT(w)
+        |       END AS avg_width
         |FROM m GROUP BY media_type
         |ORDER BY media_type""".stripMargin
     ) { (s, d) =>
-      media(s, d)
+      withContainers(media(s, d))
         .select(
           col("media_type"),
           length(col("content")).as("byte_len"),
-          (h60(concat(lit("f0:"), md5(col("content")))) % 1000 / lit(1000.0)).as("f0"))
+          (h60(concat(lit("f0:"), col("fp"))) % 1000 / lit(1000.0)).as("f0"),
+          when(col("media_type") === "image",
+            imageMetaCol(col("packed")).getField("width")).as("w"))
         .groupBy("media_type")
         .agg(
           count(lit(1)).as("cnt"),
           davg(col("byte_len")).as("avg_bytes"),
-          davg(col("f0")).as("avg_f0"))
+          davg(col("f0")).as("avg_f0"),
+          davg(col("w")).as("avg_width"))
         .orderBy("media_type")
     }
   )
