@@ -121,7 +121,7 @@ object Multimodal {
       """WITH m AS (
         |  SELECT doc_id,
         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-        |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         |    md5(text) AS fp
         |  FROM documents
         |)
@@ -195,7 +195,7 @@ object Multimodal {
       """WITH m AS (
         |  SELECT doc_id,
         |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-        |    octet_length(CAST(text AS BLOB)) AS byte_len,
+        |    octet_length(encode(text)) AS byte_len,
         |    (CAST('0x' || substr(md5(concat('f0:', md5(text))), 1, 15) AS BIGINT) % 1000) / 1000.0 AS f0,
         |    160 + (CAST('0x' || substr(md5(concat('w:', md5(text))), 1, 15) AS BIGINT) % 1760) AS w
         |  FROM documents

@@ -446,6 +446,7 @@ object Sim {
          |         ${oDdot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
          |  FROM n q, n c
          |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+         |    AND q.nrm * c.nrm <> 0
          |), ranked AS (
          |  SELECT q_id, c_id, cos,
          |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
@@ -462,6 +463,9 @@ object Sim {
       val c = n.select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
       broadcast(q).join(c, col("c_id") =!= col("q_id"))
+        // a zero-norm vector has no cosine to anything: drop the pair
+        // BEFORE the division (ANSI would raise on /0), as the oracle does
+        .filter(col("qn") * col("cn") =!= 0)
         .withColumn("cos", ddot(col("qe"), col("ce")) / (col("qn") * col("cn")))
         .select(col("q_id"), col("c_id"), col("cos"))
         .withColumn("rnk", row_number().over(w))
@@ -505,6 +509,7 @@ object Sim {
            |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
            |                            ORDER BY $cos DESC, c.vec_id) AS rnk
            |  FROM n a JOIN n c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+           |    AND a.nrm * c.nrm <> 0
            |)
            |SELECT vec_id, neighbor_id, bucket, cos
            |FROM ranked WHERE rnk = 1
@@ -520,6 +525,7 @@ object Sim {
       val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))
       a.join(c, Seq("bucket"))
         .filter(col("vec_id") =!= col("neighbor_id"))
+        .filter(col("an") * col("cn") =!= 0) // zero-norm matches nothing
         .withColumn("cos", ddot(col("ae"), col("ce")) / (col("an") * col("cn")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
@@ -545,7 +551,7 @@ object Sim {
          |         ${oDdot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) AS cos,
          |         ROW_NUMBER() OVER (PARTITION BY n.vec_id
          |           ORDER BY ${oDdot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) DESC, cent.c_id) AS rnk
-         |  FROM n, cent
+         |  FROM n, cent WHERE n.nrm * cent.cn <> 0
          |)
          |SELECT vec_id, c_id AS centroid_id, cos,
          |       CAST(COUNT(*) OVER (PARTITION BY c_id) AS BIGINT) AS cell_size
@@ -558,6 +564,7 @@ object Sim {
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
       val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
       n.crossJoin(broadcast(cent))
+        .filter(col("nrm") * col("cn") =!= 0) // zero-norm: no assignment
         .withColumn("cos", ddot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
@@ -593,14 +600,15 @@ object Sim {
            |    SELECT n.vec_id, cent.c_id,
            |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
            |             ORDER BY $cosNC DESC, cent.c_id) AS rnk
-           |    FROM n, cent)
+           |    FROM n, cent WHERE n.nrm * cent.cn <> 0)
            |  WHERE rnk = 1
            |), probecells AS (
            |  SELECT vec_id AS q_id, c_id FROM (
            |    SELECT p.vec_id, cent.c_id,
            |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
            |             ORDER BY $cosPC DESC, cent.c_id) AS rnk
-           |    FROM (SELECT * FROM n WHERE vec_id < 20) p, cent)
+           |    FROM (SELECT * FROM n WHERE vec_id < 20) p, cent
+           |    WHERE p.nrm * cent.cn <> 0)
            |  WHERE rnk <= 4
            |), scored AS (
            |  SELECT p.q_id, v.vec_id AS neighbor_id, $cosPV AS cos,
@@ -621,12 +629,16 @@ object Sim {
       val cent = n.filter(col("vec_id") % 37 === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
       val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
+      // zero-norm vectors join no cell and probe nothing (guards mirror
+      // the oracle); downstream cosines then never see a zero denominator
       val assign = n.crossJoin(broadcast(cent))
+        .filter(col("nrm") * col("cn") =!= 0)
         .withColumn("cos", ddot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
         .withColumn("rnk", row_number().over(wAssign))
         .filter(col("rnk") === 1)
         .select(col("vec_id"), col("c_id"))
       val probeCells = n.filter(col("vec_id") < 20).crossJoin(broadcast(cent))
+        .filter(col("nrm") * col("cn") =!= 0)
         .withColumn("cos", ddot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
         .withColumn("rnk", row_number().over(wAssign))
         .filter(col("rnk") <= 4)
@@ -762,6 +774,7 @@ object Sim {
            |)
            |SELECT a.vec_id AS v1, c.vec_id AS v2, a.bucket AS bucket, $cos AS cos
            |FROM n a JOIN n c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           |  AND a.nrm * c.nrm <> 0
            |WHERE $cos >= 0.3
            |ORDER BY v1, v2""".stripMargin
       }
@@ -775,6 +788,7 @@ object Sim {
         col("embedding").as("ce"), col("nrm").as("cn"))
       a.join(c, Seq("bucket"))
         .filter(col("v1") < col("v2"))
+        .filter(col("an") * col("cn") =!= 0) // zero-norm matches nothing
         .withColumn("cos", ddot(col("ae"), col("ce")) / (col("an") * col("cn")))
         .filter(col("cos") >= 0.3)
         .select("v1", "v2", "bucket", "cos")
@@ -877,7 +891,7 @@ object Sim {
          |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
          |             ORDER BY ${oDdot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) DESC,
          |                      cent.c_id) AS rnk
-         |    FROM n, cent
+         |    FROM n, cent WHERE n.nrm * cent.cn <> 0
          |  ) WHERE rnk = 1
          |), ex AS (
          |  SELECT c_id, ce,
@@ -898,6 +912,7 @@ object Sim {
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
       val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
       val assign = n.crossJoin(broadcast(cent))
+        .filter(col("nrm") * col("cn") =!= 0) // zero-norm: no assignment
         .withColumn("cos", ddot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
@@ -922,7 +937,7 @@ object Sim {
          |  ${oSum("nrm")} / COUNT(nrm) AS avg_norm,
          |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
          |FROM n GROUP BY label
-         |ORDER BY label""".stripMargin
+         |ORDER BY label NULLS FIRST""".stripMargin
     ) { (s, d) =>
       embeddings(s, d)
         .select(col("label"), dnorm(col("embedding")).as("nrm"))
@@ -997,17 +1012,18 @@ object Sim {
       "q103_quantize_int8",
       """WITH q AS (
         |  SELECT label,
-        |    127.0 / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+        |    127.0 / NULLIF(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE), 0)
         |      AS scale,
         |    embedding
         |  FROM embeddings
         |), e AS (
         |  SELECT label, scale,
+        |    CASE WHEN scale IS NULL THEN 0 ELSE
         |    list_sum(list_transform(embedding,
         |      x -> CAST(floor(
         |             (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * scale) / scale)
         |           * (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * scale) / scale)
-        |           * 1e12) AS BIGINT))) AS fx
+        |           * 1e12) AS BIGINT))) END AS fx
         |  FROM q
         |)
         |SELECT label,
@@ -1018,26 +1034,29 @@ object Sim {
         |  MAX(scale) AS max_scale
         |FROM e
         |GROUP BY label
-        |ORDER BY label""".stripMargin
+        |ORDER BY label NULLS FIRST""".stripMargin
     ) { (s, d) =>
       import org.apache.spark.sql.types.DecimalType
       embeddings(s, d)
         .select(col("label"),
-          (lit(127.0) / array_max(transform(col("embedding"), e => abs(e)))
-            .cast("double")).as("scale"),
+          // a zero vector has nothing to scale: scale = NULL (nullif
+          // guard mirrors the oracle; ANSI would raise on 127/0) and it
+          // reconstructs exactly, so its error contribution is 0 below
+          (lit(127.0) / nullif(array_max(transform(col("embedding"), e => abs(e)))
+            .cast("double"), lit(0.0))).as("scale"),
           col("embedding"))
         // HOF fold (CodegenFallback) is fine off the hot path; a
         // throughput-critical variant would be a doGenCode Expression
         // like ScaledDotProduct
         .select(col("label"), col("scale"),
-          aggregate(
+          when(col("scale").isNull, 0L).otherwise(aggregate(
             transform(col("embedding"),
               e => floor(((e.cast("double") -
                 round(e.cast("double") * col("scale")) / col("scale")) *
                 (e.cast("double") -
                   round(e.cast("double") * col("scale")) / col("scale")) *
                 lit(1e12))).cast("long")),
-            lit(0L), (acc, v) => acc + v).as("fx"))
+            lit(0L), (acc, v) => acc + v)).as("fx"))
         .groupBy("label")
         .agg(
           count(lit(1)).as("cnt"),

@@ -562,7 +562,7 @@ object Text {
          |       CAST(SUM(CASE WHEN bucket < permille THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens
          |FROM t
          |GROUP BY lang, source
-         |ORDER BY lang, source""".stripMargin
+         |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
     ) { (s, d) =>
       import s.implicits._
       // per-stratum rates as data, not code: a real pipeline feeds this
@@ -689,7 +689,7 @@ object Text {
         |       MIN(path) AS first_path
         |FROM p
         |GROUP BY host, ref
-        |ORDER BY host, ref""".stripMargin
+        |ORDER BY host NULLS FIRST, ref NULLS FIRST""".stripMargin
     ) { (s, d) =>
       val u = documents(s, d).select(
         col("doc_id"), col("lang"),
@@ -735,7 +735,7 @@ object Text {
          |       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
          |FROM toks t LEFT JOIN vocab v ON v.term = t.term
          |GROUP BY t.source
-         |ORDER BY t.source""".stripMargin
+         |ORDER BY t.source NULLS FIRST""".stripMargin
     ) { (s, d) =>
       val toks = documents(s, d)
         .select(col("source"), explode(words(col("text"))).as("term"))
@@ -772,7 +772,7 @@ object Text {
         |  SELECT source,
         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS toks,
-        |    CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0 THEN 2 ELSE 1 END AS w
+        |    CASE WHEN TRY_CAST(substr(source, 4) AS INTEGER) % 2 = 0 THEN 2 ELSE 1 END AS w
         |  FROM documents GROUP BY source
         |), tot AS (
         |  SELECT *,
@@ -786,7 +786,7 @@ object Text {
         |    AS sample_rate,
         |  ROUND(floor(floor(0.6 * total_toks) * w / sum_w) / toks, 12) AS epochs
         |FROM tot
-        |ORDER BY source""".stripMargin
+        |ORDER BY source NULLS FIRST""".stripMargin
     ) { (s, d) =>
       val perSrc = documents(s, d)
         .groupBy("source")
@@ -794,9 +794,11 @@ object Text {
           count(lit(1)).as("n_docs"),
           sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("toks"))
         // weight as derived config (even-numbered sources get 2×): in a
-        // real pipeline this is a broadcast config table, as in q81
+        // real pipeline this is a broadcast config table, as in q81.
+        // try_cast, not cast: a non-numeric source suffix is a weight-1
+        // stratum, never a pipeline abort (ANSI cast would raise)
         .withColumn("w",
-          when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 2)
+          when(expr("try_cast(substring(source, 4, 10) AS INT)") % 2 === 0, 2)
             .otherwise(1))
       val wAll = Window.partitionBy()
       val target = floor(floor(lit(0.6) * sum("toks").over(wAll)) * col("w") /
