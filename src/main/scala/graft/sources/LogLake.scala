@@ -68,12 +68,31 @@ object LogLake {
   val LogDir = "_loglake"
   val DataDir = "data"
 
+  /** Every N commits the committer also writes a CHECKPOINT — the fully
+    * resolved state at that version (active files + schema + the txnId
+    * map) — so log replay is O(tail since last checkpoint), not
+    * O(versions since table creation): the standard Delta/Iceberg
+    * manifest-compaction move, and the piece that keeps a 100 TB
+    * table's metadata path flat after years of commits. Checkpoints are
+    * DERIVED data: written best-effort after the commit CAS (a crash
+    * before the write just means a longer replay), byte-idempotent
+    * (same version → same content), and never required for
+    * correctness — `activeState` falls back to full replay when none
+    * exists. Manifests are never deleted (they are the time-travel
+    * record); the checkpoint only accelerates. */
+  val CheckpointInterval = 10
+
   /** Typed per-file column statistics. `tpe` ∈ long|double|decimal|
     * string|null — `null` marks an all-null file (nothing to compare). */
   final case class ColStats(tpe: String, min: String, max: String, nulls: Long)
   final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats])
   final case class Manifest(version: Long, op: String, txnId: String,
       readVersion: Long, schemaJson: String, adds: Seq[AddFile], removes: Seq[String])
+
+  /** Resolved state at `version`: active files, schema, and every
+    * txnId committed up to it (for O(tail) replay detection). */
+  final case class Checkpoint(version: Long, schemaJson: String,
+      files: Seq[AddFile], txns: Map[String, Long])
 
   private val mapper = new ObjectMapper()
 
@@ -83,40 +102,87 @@ object LogLake {
 
   // ---------------------------------------------------------------- log
 
-  /** All committed manifests, ascending by version. */
-  def history(dir: String): Seq[Manifest] = {
+  private def numbered(prefix: String, suffix: String)(name: String): Option[Long] =
+    if (name.startsWith(prefix) && name.endsWith(suffix) &&
+      name.length > prefix.length + suffix.length &&
+      name.drop(prefix.length).dropRight(suffix.length).forall(_.isDigit))
+      Some(name.drop(prefix.length).dropRight(suffix.length).toLong)
+    else None
+
+  /** (version, path) of committed manifests, ascending — names only, no
+    * parse (listing is the only O(all versions) cost on the read path). */
+  private def listManifests(dir: String): Seq[(Long, Path)] = {
     val f = fs(dir)
     val lp = logPath(dir)
     if (!f.exists(lp)) return Seq.empty
     f.listStatus(lp).toSeq
-      .filter { s =>
-        val n = s.getPath.getName
-        s.isFile && n.endsWith(".json") && n.dropRight(5).forall(_.isDigit)
-      }
-      .sortBy(_.getPath.getName)
-      .map(s => parseManifest(WireLog.readSmallFile(f, s.getPath).getOrElse(
-        throw new java.io.IOException(s"loglake: unreadable manifest ${s.getPath}"))))
+      .flatMap(s => if (s.isFile) numbered("", ".json")(s.getPath.getName)
+        .map(_ -> s.getPath) else None)
+      .sortBy(_._1)
+  }
+
+  private def listCheckpoints(dir: String): Seq[(Long, Path)] = {
+    val f = fs(dir)
+    val lp = logPath(dir)
+    if (!f.exists(lp)) return Seq.empty
+    f.listStatus(lp).toSeq
+      .flatMap(s => if (s.isFile) numbered("chk-", ".json")(s.getPath.getName)
+        .map(_ -> s.getPath) else None)
+      .sortBy(_._1)
+  }
+
+  private def readManifest(f: FileSystem, p: Path): Manifest =
+    parseManifest(WireLog.readSmallFile(f, p).getOrElse(
+      throw new java.io.IOException(s"loglake: unreadable manifest $p")))
+
+  /** All committed manifests, ascending by version (full parse — the
+    * audit/history API; the read path uses checkpoints + tails). */
+  def history(dir: String): Seq[Manifest] = {
+    val f = fs(dir)
+    listManifests(dir).map { case (_, p) => readManifest(f, p) }
   }
 
   def currentVersion(dir: String): Long =
-    history(dir).lastOption.map(_.version).getOrElse(0L)
+    listManifests(dir).lastOption.map(_._1).getOrElse(0L)
 
-  /** Active files + schema as of `asOf` (default: latest). Replays the
-    * manifest log: adds minus removes, last schema wins. */
-  def activeState(dir: String, asOf: Option[Long] = None): (Seq[AddFile], StructType) = {
-    val all = history(dir)
-    require(all.nonEmpty, s"loglake: no table at $dir")
-    val upTo = asOf.map(v => all.filter(_.version <= v)).getOrElse(all)
-    require(upTo.nonEmpty && asOf.forall(v => upTo.last.version == v),
-      s"loglake: version ${asOf.get} does not exist at $dir " +
-        s"(log spans 1..${all.last.version})")
+  /** Resolved state at `asOf` (default: latest): latest checkpoint at
+    * or below the target, plus a replay of only the manifests after
+    * it — O(tail), not O(versions). */
+  private def resolve(dir: String, asOf: Option[Long]): Checkpoint = {
+    val f = fs(dir)
+    val manifests = listManifests(dir)
+    require(manifests.nonEmpty, s"loglake: no table at $dir")
+    val last = manifests.last._1
+    val target = asOf.getOrElse(last)
+    require(manifests.exists(_._1 == target),
+      s"loglake: version $target does not exist at $dir (log spans 1..$last)")
+    val chk = listCheckpoints(dir).filter(_._1 <= target).lastOption
+      .map { case (_, p) => parseCheckpoint(WireLog.readSmallFile(f, p).getOrElse(
+        throw new java.io.IOException(s"loglake: unreadable checkpoint $p"))) }
     val active = scala.collection.mutable.LinkedHashMap[String, AddFile]()
-    upTo.foreach { m =>
-      m.removes.foreach(active.remove)
-      m.adds.foreach(a => active(a.path) = a)
+    val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var schemaJson = ""
+    chk.foreach { c =>
+      c.files.foreach(a => active(a.path) = a)
+      txns ++= c.txns
+      schemaJson = c.schemaJson
     }
-    (active.values.toSeq,
-      DataType.fromJson(upTo.last.schemaJson).asInstanceOf[StructType])
+    val floor = chk.map(_.version).getOrElse(0L)
+    manifests.filter { case (v, _) => v > floor && v <= target }
+      .foreach { case (_, p) =>
+        val m = readManifest(f, p)
+        m.removes.foreach(active.remove)
+        m.adds.foreach(a => active(a.path) = a)
+        if (m.txnId.nonEmpty) txns(m.txnId) = m.version
+        schemaJson = m.schemaJson
+      }
+    Checkpoint(target, schemaJson, active.values.toSeq, txns.toMap)
+  }
+
+  /** Active files + schema as of `asOf` (default: latest). */
+  def activeState(dir: String, asOf: Option[Long] = None): (Seq[AddFile], StructType) = {
+    val r = resolve(dir, asOf)
+    (r.files, DataType.fromJson(r.schemaJson).asInstanceOf[StructType])
   }
 
   // ---------------------------------------------------------------- read
@@ -241,6 +307,64 @@ object LogLake {
     commit(dir, "merge", txnId, readV, schema.json, adds, touched.map(_.path))
   }
 
+  /** OPTIMIZE [ZORDER BY]: rewrite the active file set as `numFiles`
+    * compacted files — clustered on the Morton (bit-interleaved) key of
+    * `zorderCols` when given, so min/max file stats prune range scans
+    * on EVERY clustered column, not just a lead sort column (the q104
+    * layout primitive, wired into the table format). Logically a no-op:
+    * the snapshot's CONTENT is unchanged (LogLakeSpec pins the
+    * fingerprint), only the file layout moves — exactly Delta's
+    * OPTIMIZE ZORDER. Each zorder column is min-max normalized to 16
+    * bits with one metadata-sized aggregate, then the rows are
+    * range-partitioned AND sorted within partitions by the interleaved
+    * key, so each output file owns a compact z-range (a small bounding
+    * box in every clustered dimension). Serializable like merge: any
+    * concurrent commit fails the rewrite loudly. */
+  def optimize(spark: SparkSession, dir: String, numFiles: Int,
+      zorderCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      txnId: String = ""): Long = {
+    replayedVersion(dir, txnId) match {
+      case Some(v) => return v
+      case None =>
+    }
+    val readV = currentVersion(dir)
+    val (files, schema) = activeState(dir, Some(readV))
+    if (files.isEmpty) return readV // nothing to compact
+    val df = spark.read.schema(schema).parquet(files.map(a => s"$dir/${a.path}"): _*)
+    val arranged = zorderCols match {
+      case Nil => df.repartition(numFiles)
+      case cols =>
+        // one tiny agg for the normalization bounds (driver gets 2×n numbers)
+        val aggCols = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+          min(col(c)).cast("double").as(s"__mn$i"),
+          max(col(c)).cast("double").as(s"__mx$i")) }
+        val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
+        def norm(c: String, i: Int): org.apache.spark.sql.Column = {
+          // all-null column → constant key contribution; NULL values
+          // cluster at the low end (both choices only affect layout)
+          val mn = Option(bounds.getAs[java.lang.Double](s"__mn$i"))
+            .map(_.doubleValue).getOrElse(0.0)
+          val mx = Option(bounds.getAs[java.lang.Double](s"__mx$i"))
+            .map(_.doubleValue).getOrElse(1.0)
+          val span = math.max(mx - mn, 1e-12)
+          least(greatest(((coalesce(col(c).cast("double"), lit(mn)) - lit(mn)) /
+            lit(span) * 65535.0).cast("long"), lit(0L)), lit(65535L))
+        }
+        val n = cols.size
+        val zkey = (0 until 16).flatMap { bit =>
+          cols.zipWithIndex.map { case (c, i) =>
+            shiftleft(shiftright(norm(c, i), bit).bitwiseAND(lit(1L)), bit * n + i)
+          }
+        }.reduce(_ + _)
+        df.withColumn("__z", zkey)
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+    }
+    val adds = writeData(spark, dir, arranged, statsCols)
+    commit(dir, "optimize", txnId, readV, schema.json, adds, files.map(_.path))
+  }
+
   /** Physically delete data files no version ≤ the current one
     * references — rewritten/overwritten file generations and crashed
     * writers' orphans. Time travel to a version whose files were
@@ -262,11 +386,33 @@ object LogLake {
       .map { s => f.delete(s.getPath, false); s"$DataDir/${s.getPath.getName}" }
   }
 
+  /** Exactly-once streaming append: each micro-batch commits as ONE
+    * loglake version whose txnId is derived from (checkpoint identity,
+    * epoch) — a crash-replayed epoch finds its txn in the log and
+    * no-ops, so the TABLE FORMAT carries the idempotence (the Delta
+    * streaming-sink contract; same writer-identity reasoning as the
+    * wirelog sink). Returns a configured DataStreamWriter — the caller
+    * picks the trigger and starts it. Empty batches commit nothing. */
+  def streamAppend(df: DataFrame, dir: String, checkpointLocation: String,
+      statsCols: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val writerId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointLocation.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+    df.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], epochId: Long) =>
+        if (!batch.isEmpty)
+          append(batch.sparkSession, dir, batch.toDF(), statsCols,
+            txnId = s"stream-$writerId:$epochId")
+        () // Unit, not Long — keeps the (Dataset, Long) => Unit overload
+      }
+  }
+
   // ------------------------------------------------------------ internals
 
   private def replayedVersion(dir: String, txnId: String): Option[Long] =
-    if (txnId.isEmpty) None
-    else history(dir).find(_.txnId == txnId).map(_.version)
+    if (txnId.isEmpty || listManifests(dir).isEmpty) None
+    else resolve(dir, None).txns.get(txnId)
 
   /** Stage `df` as parquet, move the parts to `data/` under fresh UUID
     * names (unreferenced = invisible), and collect per-file stats with
@@ -349,8 +495,10 @@ object LogLake {
           s"loglake: create raced with another writer — table now at version $cur")
       val v = cur + 1
       if (casPublish(f, dir, v,
-        renderManifest(Manifest(v, op, txnId, readVersion, schemaJson, adds, removes))))
+        renderManifest(Manifest(v, op, txnId, readVersion, schemaJson, adds, removes)))) {
+        if (v % CheckpointInterval == 0) writeCheckpoint(dir, v)
         return v
+      }
       attempts += 1
     }
     throw new java.io.IOException(
@@ -370,6 +518,21 @@ object LogLake {
     if (!f.rename(tmp, target)) { f.delete(tmp, false); return false }
     WireLog.readSmallFile(f, target).contains(content)
   }
+
+  /** Best-effort, byte-idempotent: the same version always resolves to
+    * the same content, and rename-replace of an identical file is
+    * harmless, so concurrent checkpointers cannot corrupt anything. A
+    * failure here is swallowed — the commit already succeeded and the
+    * checkpoint is purely an accelerator. */
+  private def writeCheckpoint(dir: String, v: Long): Unit =
+    try {
+      val f = fs(dir)
+      val content = renderCheckpoint(resolve(dir, Some(v)))
+      val tmp = new Path(logPath(dir), s"_tmp/c-${UUID.randomUUID()}")
+      WireLog.writeSmallFile(f, tmp, content)
+      if (!f.rename(tmp, new Path(logPath(dir), f"chk-$v%020d.json")))
+        f.delete(tmp, false)
+    } catch { case _: Exception => () }
 
   // ----------------------------------------------------------- stats enc
 
@@ -412,15 +575,10 @@ object LogLake {
 
   // ------------------------------------------------------------ json enc
 
-  private def renderManifest(m: Manifest): String = {
-    val root = mapper.createObjectNode()
-    root.put("version", m.version)
-    root.put("op", m.op)
-    root.put("txnId", m.txnId)
-    root.put("readVersion", m.readVersion)
-    root.put("schema", m.schemaJson)
-    val adds = root.putArray("adds")
-    m.adds.foreach { a =>
+  private def renderAdds(root: com.fasterxml.jackson.databind.node.ObjectNode,
+      field: String, files: Seq[AddFile]): Unit = {
+    val adds = root.putArray(field)
+    files.foreach { a =>
       val o = adds.addObject()
       o.put("path", a.path)
       o.put("rows", a.rows)
@@ -431,15 +589,12 @@ object LogLake {
         so.put("nulls", s.nulls)
       }
     }
-    val rm = root.putArray("removes")
-    m.removes.foreach(rm.add)
-    root.toString
   }
 
-  private def parseManifest(json: String): Manifest = {
-    val n = mapper.readTree(json)
+  private def parseAdds(n: com.fasterxml.jackson.databind.JsonNode,
+      field: String): Seq[AddFile] = {
     import scala.jdk.CollectionConverters._
-    val adds = n.get("adds").elements().asScala.map { a =>
+    n.get(field).elements().asScala.map { a =>
       val stats = Option(a.get("stats")).map { st =>
         st.fieldNames().asScala.map { c =>
           val so = st.get(c)
@@ -449,8 +604,47 @@ object LogLake {
       }.getOrElse(Map.empty[String, ColStats])
       AddFile(a.get("path").asText(), a.get("rows").asLong(), stats)
     }.toSeq
+  }
+
+  private def renderManifest(m: Manifest): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", m.version)
+    root.put("op", m.op)
+    root.put("txnId", m.txnId)
+    root.put("readVersion", m.readVersion)
+    root.put("schema", m.schemaJson)
+    renderAdds(root, "adds", m.adds)
+    val rm = root.putArray("removes")
+    m.removes.foreach(rm.add)
+    root.toString
+  }
+
+  private def parseManifest(json: String): Manifest = {
+    import scala.jdk.CollectionConverters._
+    val n = mapper.readTree(json)
     val removes = n.get("removes").elements().asScala.map(_.asText()).toSeq
     Manifest(n.get("version").asLong(), n.get("op").asText(), n.get("txnId").asText(),
-      n.get("readVersion").asLong(), n.get("schema").asText(), adds, removes)
+      n.get("readVersion").asLong(), n.get("schema").asText(),
+      parseAdds(n, "adds"), removes)
+  }
+
+  private def renderCheckpoint(c: Checkpoint): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", c.version)
+    root.put("schema", c.schemaJson)
+    renderAdds(root, "files", c.files)
+    val tx = root.putObject("txns")
+    c.txns.toSeq.sortBy(_._1).foreach { case (id, v) => tx.put(id, v) }
+    root.toString
+  }
+
+  private def parseCheckpoint(json: String): Checkpoint = {
+    import scala.jdk.CollectionConverters._
+    val n = mapper.readTree(json)
+    val txns = Option(n.get("txns")).map { t =>
+      t.fieldNames().asScala.map(id => id -> t.get(id).asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
+    Checkpoint(n.get("version").asLong(), n.get("schema").asText(),
+      parseAdds(n, "files"), txns)
   }
 }

@@ -205,6 +205,101 @@ class LogLakeSpec extends SparkTestBase {
     assert(LogLake.vacuum(dir, olderThanMs = 0L).nonEmpty)
   }
 
+  test("checkpoints keep replay O(tail): state, schema, and OLD txn replays resolve through them") {
+    val dir = tmp("chk")
+    LogLake.create(spark, dir, kv(1L -> "a"))
+    LogLake.append(spark, dir, kv(2L -> "b"), txnId = "early-txn") // version 2
+    for (i <- 3L to 13L) LogLake.append(spark, dir, kv(i -> s"v$i"))
+    // versions 10 is past CheckpointInterval → a checkpoint must exist
+    val f = graft.sources.WireLog.fs(dir)
+    assert(f.exists(new org.apache.hadoop.fs.Path(dir,
+      s"${LogLake.LogDir}/chk-${"%020d".format(10)}.json")),
+      "a checkpoint must be written at version 10")
+    // checkpointed resolution equals a full-history replay
+    val viaChk = LogLake.activeState(dir)._1.map(_.path).toSet
+    val full = {
+      val active = scala.collection.mutable.LinkedHashMap[String, String]()
+      LogLake.history(dir).foreach { m =>
+        m.removes.foreach(active.remove)
+        m.adds.foreach(a => active(a.path) = a.path)
+      }
+      active.keySet.toSet
+    }
+    assert(viaChk == full, "checkpointed state must equal full log replay")
+    // a txn committed BELOW the checkpoint is still recognized as a replay
+    val v = LogLake.append(spark, dir, kv(99L -> "dup"), txnId = "early-txn")
+    assert(v == 2L, "an old txn must resolve through the checkpoint's txn map")
+    assert(LogLake.currentVersion(dir) == 13L)
+    // time travel below the checkpoint still works (manifests are kept)
+    assert(sortedRows(LogLake.snapshot(spark, dir, asOf = Some(2L))) ==
+      Seq(1L -> "a", 2L -> "b"))
+  }
+
+  test("optimize zorder compacts files, keeps content identical, and improves pruning") {
+    val dir = tmp("opt")
+    import spark.implicits._
+    // two correlated-ish dims over 0..99 × 0..99, written UNCLUSTERED
+    // (hash-partitioned) so every file spans the full range of both
+    val df = spark.range(0, 10000).select(
+      (col("id") % 100).as("x"), (col("id") / 100).cast("long").as("y"),
+      concat(lit("r"), col("id")).as("v"))
+    LogLake.create(spark, dir, df.repartition(8), statsCols = Seq("x", "y"))
+    val (beforeKept, beforeTotal) = LogLake.pruneFiles(dir, "x", 10L, 19L)
+    assert(beforeTotal == 8 && beforeKept.size == 8,
+      "fixture: hash layout must be unprunable on x")
+    val fpBefore = LogLake.snapshot(spark, dir).toJSON.collect().sorted.mkString("\n").hashCode
+
+    LogLake.optimize(spark, dir, numFiles = 4, zorderCols = Seq("x", "y"),
+      statsCols = Seq("x", "y"))
+
+    val (files, _) = LogLake.activeState(dir)
+    assert(files.size == 4, s"optimize must compact to 4 files, got ${files.size}")
+    val fpAfter = LogLake.snapshot(spark, dir).toJSON.collect().sorted.mkString("\n").hashCode
+    assert(fpAfter == fpBefore, "optimize must not change the table's content")
+    val (afterKeptX, _) = LogLake.pruneFiles(dir, "x", 10L, 19L)
+    val (afterKeptY, _) = LogLake.pruneFiles(dir, "y", 10L, 19L)
+    assert(afterKeptX.size < 4 || afterKeptY.size < 4,
+      s"z-order layout must prune at least one dimension's range scan " +
+        s"(kept x=${afterKeptX.size}, y=${afterKeptY.size} of 4)")
+    // and the pruned scans stay correct
+    assert(LogLake.scanRange(spark, dir, "x", 10L, 19L).count() == 1000)
+    assert(LogLake.scanRange(spark, dir, "y", 10L, 19L).count() == 1000)
+    // replayed optimize is a no-op through txnId
+    val vOpt = LogLake.currentVersion(dir)
+    assert(LogLake.optimize(spark, dir, 4, Seq("x", "y"), Seq("x", "y"),
+      txnId = "opt-1") == vOpt + 1)
+    assert(LogLake.optimize(spark, dir, 4, Seq("x", "y"), Seq("x", "y"),
+      txnId = "opt-1") == vOpt + 1)
+  }
+
+  test("streaming append is exactly-once across restart (txn-carried idempotence)") {
+    val dir = tmp("stream")
+    val in = Files.createTempDirectory("loglake-stream-in").toString
+    val chk = Files.createTempDirectory("loglake-stream-chk").toString
+    import spark.implicits._
+    def produce(from: Long, until: Long): Unit =
+      (from until until).map(i => (i, s"m$i")).toDF("k", "v")
+        .write.mode("append").parquet(in)
+    def drain(): Unit = {
+      val src = spark.readStream.schema("k LONG, v STRING").parquet(in)
+      val q = LogLake.streamAppend(src, dir, chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    produce(0, 50)
+    drain()
+    produce(50, 80)
+    drain() // restart from checkpoint: only the new files flow
+    val versionsAfter = LogLake.currentVersion(dir)
+    drain() // nothing new: no version may appear
+    assert(LogLake.currentVersion(dir) == versionsAfter,
+      "an empty restart must not commit")
+    assert(sortedRows(LogLake.snapshot(spark, dir)) ==
+      (0L until 80L).map(i => i -> s"m$i"),
+      "exactly-once: every record once, none twice")
+  }
+
   test("manifest log survives a crashed writer's garbage in _tmp") {
     val dir = tmp("crashed")
     LogLake.create(spark, dir, kv(1L -> "a"))
