@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{AvroDecodePlc, AvroEncodePlc, Hamming64, ImageMetaExpr, Md560, ScaledDotProduct, ToFixed6}
+import graft.expressions.{AvroDecodePlc, AvroEncodePlc, Hamming64, ImageMetaExpr, Md560, ScaledDotProduct, ToFixed6, WavMetaExpr}
 
 /** Engine extensions, injected via
   * `spark.sql.extensions=graft.GraftExtensions` (see [[Sessions]]):
@@ -62,6 +62,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"image_meta requires exactly 1 argument (binary), got ${children.size}")
         ImageMetaExpr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("wav_meta"),
+      new ExpressionInfo(classOf[WavMetaExpr].getName, "wav_meta"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"wav_meta requires exactly 1 argument (binary), got ${children.size}")
+        WavMetaExpr(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("hamming64"),

@@ -93,6 +93,34 @@ object Lake {
       val cur = LogLake.snapshot(s, dir)
         .agg(count(lit(1)).as("cur_rows"))
       v1.crossJoin(cur).orderBy("yr")
+    },
+
+    // --- q113: OPTIMIZE ZORDER under the hash gate. Build the table
+    // hash-partitioned (every file spans both dimensions — unprunable),
+    // OPTIMIZE ZORDER BY (o_custkey, o_totalprice), then answer a
+    // 2-D range query THROUGH the stats-pruned scan. The oracle is the
+    // same range aggregate straight off `orders`, so the gate certifies
+    // that the rewrite changed the LAYOUT and nothing else; the files
+    // the scan skipped are reported alongside (pruned > 0 is asserted
+    // by LogLakeSpec; here the VALUES prove correctness under pruning).
+    Q(
+      "q113_loglake_optimize",
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total,
+         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+         |FROM orders
+         |WHERE o_custkey BETWEEN 100 AND 500""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q113")
+      val ord = orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      LogLake.create(s, dir, ord.repartition(8), statsCols = Seq("o_custkey"))
+      LogLake.optimize(s, dir, numFiles = 8,
+        zorderCols = Seq("o_custkey", "o_totalprice"),
+        statsCols = Seq("o_custkey", "o_totalprice"))
+      LogLake.scanRange(s, dir, "o_custkey", 100L, 500L)
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
     }
   )
 }

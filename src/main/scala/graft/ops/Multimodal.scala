@@ -77,20 +77,33 @@ object Multimodal {
     org.apache.spark.sql.GraftBridge.column(
       graft.expressions.ImageMetaExpr(org.apache.spark.sql.GraftBridge.expression(c)))
 
+  private def wavMetaCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.WavMetaExpr(org.apache.spark.sql.GraftBridge.expression(c)))
+
   private def be32u(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
   private def be16u(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 4, "0"))
   private def le16u(c: org.apache.spark.sql.Column) = {
     val h4 = lpad(hex(c), 4, "0")
     unhex(concat(substring(h4, 3, 2), substring(h4, 1, 2)))
   }
+  private def le32u(c: org.apache.spark.sql.Column) = {
+    val h8 = lpad(hex(c), 8, "0")
+    unhex(concat(substring(h8, 7, 2), substring(h8, 5, 2),
+      substring(h8, 3, 2), substring(h8, 1, 2)))
+  }
 
   /** media() + `fp` (payload fingerprint) + `packed` (container bytes:
-    * header for image rows, bare payload otherwise). Formats cycle
-    * png/gif/jpeg over the image docs (doc_id % 9 ∈ {0, 3, 6}). */
+    * real headers for image AND audio rows, bare payload for video).
+    * Image formats cycle png/gif/jpeg (doc_id % 9 ∈ {0, 3, 6}); audio
+    * rows get a well-formed RIFF/WAVE header (PCM, 16 kHz stereo 16-bit
+    * → byte rate 32 000) whose DECLARED data length encodes the
+    * hash-derived duration exactly (dur·32 bytes at 32 000 B/s). */
   private def withContainers(df: DataFrame): DataFrame = {
     val wA = lit(160) + h60(concat(lit("w:"), col("fp"))) % 1760
     val hA = lit(90) + h60(concat(lit("h:"), col("fp"))) % 990
-    val header =
+    val durA = lit(1000) + h60(concat(lit("d:"), col("fp"))) % 600000
+    val imageHeader =
       // PNG: signature + IHDR length/type + BE32 dims + depth/color/crc filler
       when(col("doc_id") % 9 === 0,
         concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
@@ -103,19 +116,29 @@ object Multimodal {
       .otherwise(
         concat(unhex(lit("FFD8FFC0001108")), be16u(hA), be16u(wA),
           unhex(lit("03011100021101031101"))))
+    // RIFF size + "WAVE" + canonical 16-byte PCM fmt chunk
+    // (tag, size 16, format 1, channels 2, rate 16000, byte rate 32000,
+    // align 4, bits 16) + "data" + declared length
+    val wavHeader = concat(
+      lit("RIFF").cast("binary"), le32u(durA * 32 + 36),
+      unhex(lit("57415645666D74201000000001000200803E0000007D00000400100064617461")),
+      le32u(durA * 32))
     df.withColumn("fp", md5(col("content")))
       .withColumn("packed",
-        when(col("media_type") === "image", concat(header, col("content")))
+        when(col("media_type") === "image", concat(imageHeader, col("content")))
+          .when(col("media_type") === "audio", concat(wavHeader, col("content")))
           .otherwise(col("content")))
   }
 
   val all: Seq[Q] = Seq(
     // --- q60: metadata extraction over binary media columns — byte
-    // length, content fingerprint, and image format/dimensions parsed
+    // length, content fingerprint, image format/dimensions parsed
     // NATIVELY from the container header bytes by the codegen
-    // `image_meta` expression (audio/video duration stays hash-derived:
-    // their containers carry duration in codec-specific tables the
-    // stub doesn't build).
+    // `image_meta` expression, and audio duration parsed NATIVELY from
+    // the RIFF/WAVE header by `wav_meta` (declared data length ÷ byte
+    // rate — a real chunk walk, not fixed offsets). Only video duration
+    // stays hash-derived (video containers carry duration in
+    // codec-specific tables the stub doesn't build).
     Q(
       "q60_multimodal_meta",
       """WITH m AS (
@@ -155,8 +178,11 @@ object Multimodal {
           col("meta.format").as("format"),
           col("meta.width").as("width"),
           col("meta.height").as("height"),
-          when(col("media_type") =!= "image",
-            lit(1000) + h60(concat(lit("d:"), col("fp"))) % 600000).as("duration_ms"))
+          when(col("media_type") === "audio",
+            wavMetaCol(col("packed")).getField("duration_ms"))
+            .when(col("media_type") === "video",
+              lit(1000) + h60(concat(lit("d:"), col("fp"))) % 600000)
+            .as("duration_ms"))
         .orderBy("doc_id")
     },
 

@@ -43,6 +43,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(meta(null).isEmpty)
   }
 
+  private def wavMeta(b: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    Option(graft.expressions.WavMeta.parse(b)).map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+
+  test("wav_meta parses a canonical RIFF/WAVE header") {
+    // PCM stereo 16 kHz 16-bit (byte rate 32000), data length 64000 → 2000 ms
+    val wav = "RIFF".getBytes("US-ASCII") ++ hx("24FA0000") ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ hx("10000000 0100 0200 803E0000 007D0000 0400 1000") ++
+      "data".getBytes("US-ASCII") ++ hx("00FA0000")
+    assert(wavMeta(wav) == Some((16000, 32000, 64000L, 2000L)))
+  }
+
+  test("wav_meta walks interleaved chunks (LIST before fmt, odd-size padding)") {
+    val wav = "RIFF".getBytes("US-ASCII") ++ hx("40000000") ++
+      "WAVE".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ hx("05000000 4141414141 00") ++ // odd size + pad
+      "fmt ".getBytes("US-ASCII") ++ hx("10000000 0100 0100 80BB0000 00EE0200 0200 1000") ++
+      "data".getBytes("US-ASCII") ++ hx("00D00700")
+    // mono 48 kHz 16-bit: byte rate 0x2EE00 = 192000; data 0x7D000 = 512000 → 2666 ms
+    assert(wavMeta(wav) == Some((48000, 192000, 512000L, 2666L)))
+  }
+
+  test("wav_meta yields NULL for truncated, alien, or zero-rate buffers") {
+    assert(wavMeta("RIFFxxxxWAVEfmt ".getBytes("US-ASCII")).isEmpty) // truncated
+    assert(wavMeta("not audio at all, just some text padding!!".getBytes("US-ASCII")).isEmpty)
+    val zeroRate = "RIFF".getBytes("US-ASCII") ++ hx("24000000") ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ hx("10000000 0100 0200 803E0000 00000000 0400 1000") ++
+      "data".getBytes("US-ASCII") ++ hx("00FA0000")
+    assert(wavMeta(zeroRate).isEmpty, "a zero byte rate must not divide")
+    assert(wavMeta(null).isEmpty)
+  }
+
   test("image_meta runs as a codegen SQL function over a DataFrame") {
     import spark.implicits._
     val png = hx("89504E470D0A1A0A 0000000D 49484452 00000780 00000438 08 06 000000")
