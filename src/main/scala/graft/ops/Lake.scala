@@ -121,6 +121,46 @@ object Lake {
       LogLake.scanRange(s, dir, "o_custkey", 100L, 500L)
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"),
           countDistinct(col("o_custkey")).as("n_cust"))
+    },
+
+    // --- q114: change-data-feed READ over the commit log — the CDC
+    // consumption side (q91 is the compaction side). Same MERGE as
+    // q111; the feed between v1 and v2 must surface exactly the old row
+    // of every update as a delete, the new row as an insert, and each
+    // inserted row once — the rows the merge merely COPIED while
+    // rewriting their files must cancel out of the diff entirely. The
+    // oracle enumerates the expected change set declaratively.
+    Q(
+      "q114_loglake_changes",
+      s"""WITH ch AS (
+         |  SELECT 'insert' AS change_type, 'R' AS o_orderstatus,
+         |         o_totalprice + 5.0 AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT 'insert', 'N', o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+         |  UNION ALL
+         |  SELECT 'delete', o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 0
+         |)
+         |SELECT change_type, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total
+         |FROM ch GROUP BY change_type, o_orderstatus
+         |ORDER BY change_type, o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q114")
+      val ord = orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      LogLake.create(s, dir, ord, statsCols = Seq("o_orderkey"))
+      val upd = ord.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(5.0d))
+      val ins = ord.filter(col("o_orderkey") % 100 === 0)
+        .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      LogLake.merge(s, dir, upd.unionByName(ins), keyCols = Seq("o_orderkey"))
+      LogLake.changeFeed(s, dir, 1L, 2L)
+        .groupBy(col("_change_type").as("change_type"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("change_type", "o_orderstatus")
     }
   )
 }

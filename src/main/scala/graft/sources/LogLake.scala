@@ -219,6 +219,44 @@ object LogLake {
     (kept, files.size)
   }
 
+  /** Row-level change feed for versions in `(fromV, toV]` — the CDC
+    * READ side (q91 is the compaction side): for each commit, inserts
+    * are the rows of its ADDED files minus the rows of its REMOVED
+    * files as an exact multiset (`exceptAll`), deletes the reverse. A
+    * merge rewrites whole files, but the rows it merely copied appear
+    * in both sets and cancel — only genuine row changes survive, and
+    * only the files that CHANGED at each commit are ever read
+    * (unchanged files never enter the plan). An update surfaces as
+    * delete(old row) + insert(new row), the classic CDF encoding.
+    * Reads of already-vacuumed generations fail loudly, like Delta's
+    * change feed beyond its retention. Output: table columns +
+    * `_change_type` ('insert' | 'delete') + `_commit_version`. */
+  def changeFeed(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"loglake: changeFeed range $fromV..$toV is inverted")
+    val f = fs(dir)
+    val (_, schema) = activeState(dir, Some(toV))
+    def readFiles(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      else spark.read.schema(schema).parquet(paths.map(p => s"$dir/$p"): _*)
+    val steps = listManifests(dir)
+      .filter { case (v, _) => v > fromV && v <= toV }
+      .map { case (v, p) =>
+        val m = readManifest(f, p)
+        val added = readFiles(m.adds.map(_.path))
+        val removed = readFiles(m.removes)
+        added.exceptAll(removed).withColumn("_change_type", lit("insert"))
+          .unionByName(removed.exceptAll(added)
+            .withColumn("_change_type", lit("delete")))
+          .withColumn("_commit_version", lit(v))
+      }
+    steps.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(schema.fields :+
+          StructField("_change_type", StringType, nullable = false) :+
+          StructField("_commit_version", LongType, nullable = false))))
+  }
+
   /** Range scan with file skipping: reads only the files whose stats
     * intersect [lo, hi], then applies the exact predicate — identical
     * results to filtering the full snapshot, fewer files opened. */
@@ -249,6 +287,36 @@ object LogLake {
       statsCols: Seq[String] = Nil, txnId: String = ""): Long =
     write(spark, dir, df, "overwrite", statsCols, txnId)
 
+  /** Schema contract per op: `create` sets it, `overwrite` may replace
+    * it, `append`/`streamAppend` must either match it exactly or EVOLVE
+    * it additively — new columns are allowed only when nullable (old
+    * files read them as NULL, the standard mergeSchema semantics);
+    * dropping, retyping, or renaming a column is rejected loudly. An
+    * unvalidated append would silently rewrite the table's schema in
+    * the manifest and corrupt reads of every older file. */
+  private def evolvedSchema(table: StructType, incoming: StructType,
+      dir: String): String = {
+    val tByName = table.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      tByName.get(f.name).foreach { t =>
+        require(t.dataType == f.dataType,
+          s"loglake: append cannot retype column ${f.name} from " +
+            s"${t.dataType.simpleString} to ${f.dataType.simpleString} at $dir")
+      }
+    }
+    val inNames = incoming.fieldNames.toSet
+    val missing = table.fieldNames.filterNot(inNames.contains)
+    require(missing.isEmpty,
+      s"loglake: append is missing table columns ${missing.mkString(", ")} " +
+        s"at $dir (drop/rename is not an append)")
+    val added = incoming.fields.filterNot(f => tByName.contains(f.name))
+    added.foreach(f => require(f.nullable,
+      s"loglake: new column ${f.name} must be nullable — old files have " +
+        s"no values for it"))
+    if (added.isEmpty) table.json
+    else StructType(table.fields ++ added).json
+  }
+
   private def write(spark: SparkSession, dir: String, df: DataFrame, op: String,
       statsCols: Seq[String], txnId: String): Long = {
     replayedVersion(dir, txnId) match {
@@ -258,10 +326,14 @@ object LogLake {
     val readV = currentVersion(dir)
     if (op == "create") require(readV == 0L,
       s"loglake: cannot create — table already exists at $dir (version $readV)")
+    val schemaJson =
+      if (op == "append" && readV > 0L)
+        evolvedSchema(activeState(dir, Some(readV))._2, df.schema, dir)
+      else df.schema.json
     val removes =
       if (op == "overwrite") activeState(dir, Some(readV))._1.map(_.path) else Nil
     val adds = writeData(spark, dir, df, statsCols)
-    commit(dir, op, txnId, readV, df.schema.json, adds, removes)
+    commit(dir, op, txnId, readV, schemaJson, adds, removes)
   }
 
   /** MERGE upsert (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT

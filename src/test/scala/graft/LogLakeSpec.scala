@@ -300,6 +300,55 @@ class LogLakeSpec extends SparkTestBase {
       "exactly-once: every record once, none twice")
   }
 
+  test("append validates the schema: exact match or additive nullable evolution only") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmp("evolve")
+    LogLake.create(spark, dir, kv(1L -> "a"))
+    // additive nullable column evolves the schema; old files read it as NULL
+    val evolved = spark.createDataFrame(
+      java.util.List.of(Row(2L, "b", java.lang.Long.valueOf(7L))),
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType),
+        StructField("extra", LongType, nullable = true))))
+    LogLake.append(spark, dir, evolved)
+    val got = LogLake.snapshot(spark, dir)
+      .select("k", "v", "extra").as[(Long, String, Option[Long])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", None), (2L, "b", Some(7L))),
+      "old files must read the evolved column as NULL")
+    // a retyped column is rejected loudly (silent acceptance would
+    // corrupt reads of every older file)
+    val retyped = spark.createDataFrame(
+      java.util.List.of(Row(3L, 9)),
+      StructType(Seq(StructField("k", LongType), StructField("v", IntegerType))))
+    val e1 = intercept[IllegalArgumentException] { LogLake.append(spark, dir, retyped) }
+    assert(e1.getMessage.contains("retype"))
+    // dropping a column is not an append
+    val dropped = spark.createDataFrame(
+      java.util.List.of(Row(java.lang.Long.valueOf(3L))),
+      StructType(Seq(StructField("k", LongType))))
+    val e2 = intercept[IllegalArgumentException] { LogLake.append(spark, dir, dropped) }
+    assert(e2.getMessage.contains("missing table columns"))
+  }
+
+  test("changeFeed surfaces exactly the changed rows; copied rows cancel") {
+    val dir = tmp("cdf")
+    LogLake.create(spark, dir,
+      kv(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d").repartitionByRange(2, col("k")))
+    LogLake.merge(spark, dir, kv(1L -> "A!", 9L -> "i"), keyCols = Seq("k"))
+    val ch = LogLake.changeFeed(spark, dir, 1L, 2L)
+      .select("_change_type", "k", "v", "_commit_version")
+      .as[(String, Long, String, Long)].collect().toSet
+    // the merge rewrote the file holding keys 1-2: row 2 was COPIED and
+    // must cancel; only the genuine update (delete old + insert new)
+    // and the genuine insert may surface, all stamped version 2
+    assert(ch == Set(
+      ("delete", 1L, "a", 2L),
+      ("insert", 1L, "A!", 2L),
+      ("insert", 9L, "i", 2L)))
+    // an empty range yields an empty, correctly-shaped feed
+    assert(LogLake.changeFeed(spark, dir, 2L, 2L).count() == 0)
+  }
+
   test("manifest log survives a crashed writer's garbage in _tmp") {
     val dir = tmp("crashed")
     LogLake.create(spark, dir, kv(1L -> "a"))
