@@ -161,6 +161,104 @@ object Lake {
         .groupBy(col("_change_type").as("change_type"), col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
         .orderBy("change_type", "o_orderstatus")
+    },
+
+    // --- q115: the format-registered read/write path. Orders land via
+    // `df.write.format("loglake")` range-partitioned on o_custkey with
+    // manifest stats, and the query reads back through
+    // `spark.read.format("loglake")` — the native parquet scan behind a
+    // manifest-driven FileIndex, so the filter below prunes FILES at
+    // planning time (LogLakeProviderSpec asserts the scan's numFiles)
+    // and still reaches parquet for row-group pruning. The oracle runs
+    // the same filtered aggregate straight off the source table: the
+    // hash gate certifies the write→manifest→skipping-scan loop loses
+    // and invents nothing.
+    Q(
+      "q115_loglake_provider",
+      s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_custkey BETWEEN 100 AND 500
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q115")
+      orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, col("o_custkey"))
+        .write.format("loglake").mode("errorifexists")
+        .option("statsColumns", "o_custkey").save(dir)
+      s.read.format("loglake").load(dir)
+        .filter(col("o_custkey") >= 100L && col("o_custkey") <= 500L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // --- q116: row-level DELETE then UPDATE (copy-on-write) as table
+    // transactions: delete drops one customer-slice of 'F' orders,
+    // update re-prices one slice of 'O' orders; the snapshot after both
+    // commits aggregates per status. Only files CONTAINING a matched
+    // row rewrite (LogLakeSpec asserts untouched files carry over);
+    // the oracle states the end state declaratively.
+    Q(
+      "q116_loglake_delete_update",
+      s"""WITH after_del AS (
+         |  SELECT * FROM orders
+         |  WHERE NOT (o_orderstatus = 'F' AND o_custkey % 7 = 0)
+         |), after_upd AS (
+         |  SELECT o_orderstatus,
+         |         CASE WHEN o_orderstatus = 'O' AND o_custkey % 5 = 0
+         |              THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+         |  FROM after_del
+         |)
+         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total
+         |FROM after_upd GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q116")
+      val ord = orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      LogLake.create(s, dir, ord.repartition(8), statsCols = Seq("o_custkey"))
+      LogLake.delete(s, dir,
+        col("o_orderstatus") === "F" && col("o_custkey") % 7 === 0)
+      LogLake.update(s, dir,
+        col("o_orderstatus") === "O" && col("o_custkey") % 5 === 0,
+        set = Map("o_totalprice" -> (col("o_totalprice") + lit(10.0d))))
+      LogLake.snapshot(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // --- q117: RESTORE as a new commit. v1 = full orders; v2 deletes
+    // every 3rd order; v3 restores to v1 — so the final snapshot must
+    // equal the ORIGINAL table exactly (the oracle is a plain aggregate
+    // of `orders`), while history keeps all three versions (the delete
+    // stays reachable by time travel; the restored version count rides
+    // along as proof the log grew to 3).
+    Q(
+      "q117_loglake_restore",
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total,
+         |       CAST(3 AS BIGINT) AS versions
+         |FROM orders
+         |GROUP BY yr
+         |ORDER BY yr""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q117")
+      val ord = orders(s, d).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      LogLake.create(s, dir, ord, statsCols = Seq("o_orderkey"))
+      LogLake.delete(s, dir, col("o_orderkey") % 3 === 0)
+      LogLake.restore(s, dir, toVersion = 1L)
+      LogLake.snapshot(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"),
+          lit(LogLake.currentVersion(dir)).as("versions"))
+        .orderBy("yr")
     }
   )
 }

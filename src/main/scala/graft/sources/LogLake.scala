@@ -4,7 +4,7 @@ import java.util.UUID
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -85,7 +85,14 @@ object LogLake {
   /** Typed per-file column statistics. `tpe` ∈ long|double|decimal|
     * string|null — `null` marks an all-null file (nothing to compare). */
   final case class ColStats(tpe: String, min: String, max: String, nulls: Long)
-  final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats])
+
+  /** `bytes` is recorded at write so planning never stats the
+    * filesystem per file (at 100 TB a per-file getFileStatus storm is
+    * its own bottleneck — the reason Delta/Iceberg carry size in the
+    * log). `-1` marks a pre-upgrade manifest; readers fall back to one
+    * directory listing. */
+  final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats],
+      bytes: Long = -1L)
   final case class Manifest(version: Long, op: String, txnId: String,
       readVersion: Long, schemaJson: String, adds: Seq[AddFile], removes: Seq[String])
 
@@ -144,6 +151,16 @@ object LogLake {
 
   def currentVersion(dir: String): Long =
     listManifests(dir).lastOption.map(_._1).getOrElse(0L)
+
+  /** Manifests for versions in `(fromExcl, toIncl]` — the streaming
+    * source's batch-planning read: parses only the range it needs. */
+  private[sources] def manifestRange(dir: String, fromExcl: Long,
+      toIncl: Long): Seq[Manifest] = {
+    val f = fs(dir)
+    listManifests(dir)
+      .filter { case (v, _) => v > fromExcl && v <= toIncl }
+      .map { case (_, p) => readManifest(f, p) }
+  }
 
   /** Resolved state at `asOf` (default: latest): latest checkpoint at
     * or below the target, plus a replay of only the manifests after
@@ -217,6 +234,91 @@ object LogLake {
       }
     }
     (kept, files.size)
+  }
+
+  /** File-skipping under a conjunction of Catalyst predicates — the
+    * decision [[LogLakeFileIndex.listFiles]] makes during PLANNING, so
+    * `spark.read.format("loglake").load(dir).filter(...)` skips files
+    * the way Delta's data skipping does: Spark pushes the query's data
+    * filters to the FileIndex, and only the surviving files ever enter
+    * the scan. Conservative by construction: only shapes whose bounds
+    * are provably sound prune (attr-vs-literal comparisons, IsNull /
+    * IsNotNull, And recursion, all-literal IN via its min/max); any
+    * other expression — Or, functions over the column, casts —
+    * contributes nothing and the file is kept. Strict bounds are
+    * treated as inclusive (at worst one boundary-value file survives
+    * that could have been skipped — never the reverse). */
+  private[sources] def pruneByPredicates(files: Seq[AddFile],
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[AddFile] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+
+    sealed trait C
+    final case class AtLeast(col: String, v: String) extends C  // column >= v required
+    final case class AtMost(col: String, v: String) extends C   // column <= v required
+    final case class NeedsNull(col: String) extends C
+    final case class NeedsValue(col: String) extends C
+
+    def lit(l: ce.Literal): Option[String] =
+      Option(convertToScala(l.value, l.dataType)).map(renderValue)
+
+    def constraints(e: ce.Expression): Seq[C] = e match {
+      case ce.And(l, r) => constraints(l) ++ constraints(r)
+      case ce.EqualTo(a: ce.AttributeReference, l: ce.Literal) =>
+        lit(l).toSeq.flatMap(v => Seq(AtLeast(a.name, v), AtMost(a.name, v)))
+      case ce.EqualTo(l: ce.Literal, a: ce.AttributeReference) =>
+        lit(l).toSeq.flatMap(v => Seq(AtLeast(a.name, v), AtMost(a.name, v)))
+      case ce.GreaterThan(a: ce.AttributeReference, l: ce.Literal) =>
+        lit(l).map(AtLeast(a.name, _)).toSeq
+      case ce.GreaterThanOrEqual(a: ce.AttributeReference, l: ce.Literal) =>
+        lit(l).map(AtLeast(a.name, _)).toSeq
+      case ce.LessThan(a: ce.AttributeReference, l: ce.Literal) =>
+        lit(l).map(AtMost(a.name, _)).toSeq
+      case ce.LessThanOrEqual(a: ce.AttributeReference, l: ce.Literal) =>
+        lit(l).map(AtMost(a.name, _)).toSeq
+      // literal-on-left mirrors: lit > col ⇒ col < lit, etc.
+      case ce.GreaterThan(l: ce.Literal, a: ce.AttributeReference) =>
+        lit(l).map(AtMost(a.name, _)).toSeq
+      case ce.GreaterThanOrEqual(l: ce.Literal, a: ce.AttributeReference) =>
+        lit(l).map(AtMost(a.name, _)).toSeq
+      case ce.LessThan(l: ce.Literal, a: ce.AttributeReference) =>
+        lit(l).map(AtLeast(a.name, _)).toSeq
+      case ce.LessThanOrEqual(l: ce.Literal, a: ce.AttributeReference) =>
+        lit(l).map(AtLeast(a.name, _)).toSeq
+      case ce.In(a: ce.AttributeReference, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[ce.Literal]) =>
+        val rendered = vs.flatMap(v => lit(v.asInstanceOf[ce.Literal]))
+        if (rendered.size != vs.size) Nil // a NULL element proves nothing
+        else {
+          // sound relaxation to the list's [min, max] envelope — the
+          // stats can't check membership, only range intersection
+          val tag = files.iterator.flatMap(_.stats.get(a.name))
+            .find(_.tpe != "null").map(s => ColStats(s.tpe, "", "", 0))
+          tag match {
+            case Some(t) =>
+              val lo = rendered.reduce((x, y) => if (cmp(t, x, y) <= 0) x else y)
+              val hi = rendered.reduce((x, y) => if (cmp(t, x, y) >= 0) x else y)
+              Seq(AtLeast(a.name, lo), AtMost(a.name, hi))
+            case None => Nil
+          }
+        }
+      case ce.IsNull(a: ce.AttributeReference) => Seq(NeedsNull(a.name))
+      case ce.IsNotNull(a: ce.AttributeReference) => Seq(NeedsValue(a.name))
+      case _ => Nil
+    }
+
+    val cs = filters.flatMap(constraints)
+    if (cs.isEmpty) files
+    else files.filter { a =>
+      cs.forall {
+        case AtLeast(c, v) => a.stats.get(c).forall(s =>
+          s.tpe != "null" && cmp(s, v, s.max) <= 0)
+        case AtMost(c, v) => a.stats.get(c).forall(s =>
+          s.tpe != "null" && cmp(s, s.min, v) <= 0)
+        case NeedsNull(c) => a.stats.get(c).forall(_.nulls > 0)
+        case NeedsValue(c) => a.stats.get(c).forall(_.tpe != "null")
+      }
+    }
   }
 
   /** Row-level change feed for versions in `(fromV, toV]` — the CDC
@@ -379,6 +481,106 @@ object LogLake {
     commit(dir, "merge", txnId, readV, schema.json, adds, touched.map(_.path))
   }
 
+  /** Row-level DELETE (copy-on-write): rewrite ONLY the files that
+    * actually contain a matching row — located with one
+    * metadata-column scan (driver contact is a file-name list) — with
+    * the survivors of each; untouched files carry over. A file whose
+    * rows ALL match simply drops (remove, no rewrite). Serializable
+    * like every rewriting op. At 100 TB the cost is proportional to
+    * the matched-file volume, the Delta copy-on-write contract. */
+  def delete(spark: SparkSession, dir: String, condition: Column,
+      statsCols: Seq[String] = Nil, txnId: String = ""): Long = {
+    replayedVersion(dir, txnId) match {
+      case Some(v) => return v
+      case None =>
+    }
+    val readV = currentVersion(dir)
+    val (files, schema) = activeState(dir, Some(readV))
+    val touched = touchedFiles(spark, dir, files, schema, condition)
+    if (touched.isEmpty) return readV // nothing matches — no commit
+    val kept = spark.read.schema(schema)
+      .parquet(touched.map(a => s"$dir/${a.path}"): _*)
+      .filter(!coalesce(condition, lit(false))) // NULL-condition rows survive, as in SQL DELETE
+    val adds = writeData(spark, dir, kept, statsCols)
+    commit(dir, "delete", txnId, readV, schema.json, adds, touched.map(_.path))
+  }
+
+  /** Row-level UPDATE (copy-on-write): `set` maps existing columns to
+    * replacement expressions applied WHERE `condition` holds; rows and
+    * files the condition misses are untouched (only matching files
+    * rewrite, as in [[delete]]). */
+  def update(spark: SparkSession, dir: String, condition: Column,
+      set: Map[String, Column], statsCols: Seq[String] = Nil,
+      txnId: String = ""): Long = {
+    replayedVersion(dir, txnId) match {
+      case Some(v) => return v
+      case None =>
+    }
+    val readV = currentVersion(dir)
+    val (files, schema) = activeState(dir, Some(readV))
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"loglake: update sets unknown column $c (table has " +
+        s"${schema.fieldNames.mkString(", ")})"))
+    val touched = touchedFiles(spark, dir, files, schema, condition)
+    if (touched.isEmpty) return readV
+    val hit = coalesce(condition, lit(false))
+    val projected = schema.fieldNames.toIndexedSeq.map { c =>
+      set.get(c) match {
+        case Some(v) => when(hit, v).otherwise(col(c)).cast(
+          schema(c).dataType).as(c)
+        case None => col(c)
+      }
+    }
+    val rewritten = spark.read.schema(schema)
+      .parquet(touched.map(a => s"$dir/${a.path}"): _*)
+      .select(projected: _*)
+    val adds = writeData(spark, dir, rewritten, statsCols)
+    commit(dir, "update", txnId, readV, schema.json, adds, touched.map(_.path))
+  }
+
+  /** RESTORE the table to an earlier version as a NEW commit: files the
+    * target version had come back, files added since go — history stays
+    * intact (the restore itself is version `current+1`, time travel
+    * still reaches everything in between). Fails loudly if vacuum has
+    * already reclaimed any file the target needs, like Delta's RESTORE
+    * past the retention window. */
+  def restore(spark: SparkSession, dir: String, toVersion: Long,
+      txnId: String = ""): Long = {
+    replayedVersion(dir, txnId) match {
+      case Some(v) => return v
+      case None =>
+    }
+    val readV = currentVersion(dir)
+    if (toVersion == readV) return readV
+    val (cur, _) = activeState(dir, Some(readV))
+    val (old, oldSchema) = activeState(dir, Some(toVersion))
+    val f = fs(dir)
+    old.foreach(a => if (!f.exists(new Path(dir, a.path)))
+      throw new java.io.IOException(
+        s"loglake: cannot restore to version $toVersion — data file ${a.path} " +
+          "has been vacuumed"))
+    val curPaths = cur.map(_.path).toSet
+    val oldPaths = old.map(_.path).toSet
+    val adds = old.filterNot(a => curPaths(a.path))
+    val removes = cur.map(_.path).filterNot(oldPaths)
+    commit(dir, "restore", txnId, readV, oldSchema.json, adds, removes)
+  }
+
+  /** The files that CONTAIN at least one row matching `condition` —
+    * one scan over the snapshot's metadata column; the driver receives
+    * only file names. */
+  private def touchedFiles(spark: SparkSession, dir: String,
+      files: Seq[AddFile], schema: StructType, condition: Column): Seq[AddFile] = {
+    if (files.isEmpty) return Nil
+    val names = spark.read.schema(schema)
+      .parquet(files.map(a => s"$dir/${a.path}"): _*)
+      .filter(condition)
+      .select(col("_metadata.file_path").as("__file"))
+      .distinct().collect()
+      .map(r => new Path(r.getString(0)).getName).toSet
+    files.filter(a => names(new Path(a.path).getName))
+  }
+
   /** OPTIMIZE [ZORDER BY]: rewrite the active file set as `numFiles`
     * compacted files — clustered on the Morton (bit-interleaved) key of
     * `zorderCols` when given, so min/max file stats prune range scans
@@ -506,12 +708,13 @@ object LogLake {
         val dst = new Path(dir, s"$DataDir/${UUID.randomUUID()}.parquet")
         if (!f.rename(s.getPath, dst))
           throw new java.io.IOException(s"loglake: could not move ${s.getPath} to $dst")
-        dst
+        dst -> s.getLen
       }
     f.delete(staging, true)
     if (moved.isEmpty) return Seq.empty
 
-    val read = spark.read.schema(df.schema).parquet(moved.map(_.toString): _*)
+    val sizeOf = moved.map { case (p, len) => p.getName -> len }.toMap
+    val read = spark.read.schema(df.schema).parquet(moved.map(_._1.toString): _*)
     val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c => Seq(
       min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
@@ -519,9 +722,10 @@ object LogLake {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => new Path(r.getAs[String]("__file")).getName -> r).toMap
-    moved.map { p =>
+    moved.map { case (p, _) =>
       byFile.get(p.getName) match {
-        case None => AddFile(s"$DataDir/${p.getName}", 0L, Map.empty) // empty part
+        case None => // empty part
+          AddFile(s"$DataDir/${p.getName}", 0L, Map.empty, sizeOf(p.getName))
         case Some(r) =>
           val stats = statsCols.map { c =>
             val mn = r.getAs[Any](s"__min_$c")
@@ -533,17 +737,24 @@ object LogLake {
               ColStats(t, lo, hi, nulls)
             })
           }.toMap
-          AddFile(s"$DataDir/${p.getName}", r.getAs[Long]("__rows"), stats)
+          AddFile(s"$DataDir/${p.getName}", r.getAs[Long]("__rows"), stats,
+            sizeOf(p.getName))
       }
     }
   }
 
+  /** Ops whose commit must re-validate the version they READ from —
+    * every rewriting op: its add/remove decision is stale the moment
+    * anyone else commits. Creates/appends stay optimistic (commute). */
+  private val Serializable2PC =
+    Set("overwrite", "merge", "optimize", "delete", "update", "restore")
+
   /** Commit loop: CAS-publish the manifest at the next version.
-    * Appends/creates retry on a lost race (they commute); overwrites/
-    * merges require the table still at `readVersion` (serializable) and
-    * throw otherwise — their rewrite decision would be stale. A replay
-    * detected mid-loop deletes this attempt's staged files and returns
-    * the original commit's version. */
+    * Appends/creates retry on a lost race (they commute); rewriting ops
+    * ([[Serializable2PC]]) require the table still at `readVersion`
+    * (serializable) and throw otherwise — their rewrite decision would
+    * be stale. A replay detected mid-loop deletes this attempt's staged
+    * files and returns the original commit's version. */
   private def commit(dir: String, op: String, txnId: String, readVersion: Long,
       schemaJson: String, adds: Seq[AddFile], removes: Seq[String],
       maxAttempts: Int = 20): Long = {
@@ -558,7 +769,7 @@ object LogLake {
         case None =>
       }
       val cur = currentVersion(dir)
-      if ((op == "overwrite" || op == "merge") && cur != readVersion)
+      if (Serializable2PC(op) && cur != readVersion)
         throw new java.io.IOException(
           s"loglake: $op read version $readVersion but the table is now at " +
             s"$cur — concurrent commit, snapshot conflict (retry the whole $op)")
@@ -629,12 +840,12 @@ object LogLake {
     case other => ("string", other.toString)
   }
 
-  private def renderValue(v: Any): String = typedRender(v)._2
+  private[sources] def renderValue(v: Any): String = typedRender(v)._2
 
   /** Compare two rendered values under the stats' type tag; a caller
     * whose bound renders under a DIFFERENT tag gets 0 (overlap = keep —
     * never prune on a type confusion). */
-  private def cmp(s: ColStats, a: String, b: String): Int = s.tpe match {
+  private[sources] def cmp(s: ColStats, a: String, b: String): Int = s.tpe match {
     case "long" =>
       try java.lang.Long.compare(a.toLong, b.toLong) catch { case _: Exception => 0 }
     case "double" =>
@@ -654,6 +865,7 @@ object LogLake {
       val o = adds.addObject()
       o.put("path", a.path)
       o.put("rows", a.rows)
+      o.put("bytes", a.bytes)
       val st = o.putObject("stats")
       a.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
         val so = st.putObject(c)
@@ -674,7 +886,8 @@ object LogLake {
             so.get("max").asText(), so.get("nulls").asLong())
         }.toMap
       }.getOrElse(Map.empty[String, ColStats])
-      AddFile(a.get("path").asText(), a.get("rows").asLong(), stats)
+      AddFile(a.get("path").asText(), a.get("rows").asLong(), stats,
+        Option(a.get("bytes")).map(_.asLong()).getOrElse(-1L))
     }.toSeq
   }
 

@@ -1,0 +1,263 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, GraftBridge, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+/** Registers [[LogLake]] as a first-class Spark data source, format
+  * name `loglake` — the Delta-shaped integration, built on the same
+  * public extension points Delta uses:
+  *
+  *  - **batch read** `spark.read.format("loglake").load(dir)` (plus
+  *    `.option("versionAsOf", v)` time travel) resolves the commit log
+  *    to a [[LogLakeFileIndex]] inside a `HadoopFsRelation`, so the
+  *    NATIVE parquet path does the reading — vectorized scan,
+  *    whole-stage codegen, parquet row-group pushdown all apply — while
+  *    the FileIndex does manifest-stats file skipping during planning:
+  *    Catalyst hands the query's data filters to `listFiles`, and
+  *    pruned files never enter the scan (`FileSourceScanExec`'s
+  *    `numFiles` metric records the decision, asserted in spec).
+  *  - **batch write** `df.write.format("loglake").mode(m).save(dir)`
+  *    maps SaveMode onto the transactional ops: Append → `append`
+  *    (creating if absent), Overwrite → `overwrite`, ErrorIfExists →
+  *    `create`, Ignore → create-if-absent. `option("statsColumns",
+  *    "a,b")` selects the columns whose min/max land in the manifest.
+  *  - **streaming read** `spark.readStream.format("loglake")` treats
+  *    the commit log itself as the stream: an offset is a table
+  *    VERSION, a micro-batch is the files added by versions
+  *    `(start, end]` — append-only by contract, failing loudly on a
+  *    rewriting commit unless `ignoreChanges=true` (then the rewritten
+  *    files' rows re-emit, at-least-once — Delta's documented
+  *    semantics). `startingVersion` skips history; `optimize` commits
+  *    are invisible (layout-only, content unchanged by construction).
+  *  - **streaming write** `df.writeStream.format("loglake")` commits
+  *    each micro-batch as one table version whose txnId derives from
+  *    (checkpoint identity, batchId), so a crash-replayed epoch finds
+  *    its transaction in the log and no-ops — exactly-once carried by
+  *    the TABLE FORMAT, the Delta streaming-sink contract. Append mode
+  *    appends; Complete mode overwrites the table each epoch.
+  *
+  * Together with the `wirelog` connector this closes the reference's
+  * end-to-end shape natively: wirelog (Kafka-class log) → transforms →
+  * loglake (ACID warehouse table), exactly-once on both hops.
+  */
+class LogLakeProvider extends RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
+
+  import LogLakeProvider._
+
+  override def shortName(): String = "loglake"
+
+  // ----------------------------------------------------------- batch read
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    relation(sqlContext.sparkSession, dir(parameters),
+      parameters.get("versionAsOf").map(_.toLong))
+
+  // ---------------------------------------------------------- batch write
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val d = dir(parameters)
+    val stats = statsCols(parameters)
+    val spark = data.sparkSession
+    val exists = LogLake.currentVersion(d) > 0L
+    mode match {
+      case SaveMode.Append =>
+        if (exists) LogLake.append(spark, d, data, stats)
+        else LogLake.create(spark, d, data, stats)
+      case SaveMode.Overwrite =>
+        if (exists) LogLake.overwrite(spark, d, data, stats)
+        else LogLake.create(spark, d, data, stats)
+      case SaveMode.ErrorIfExists =>
+        LogLake.create(spark, d, data, stats) // create itself rejects an existing table
+      case SaveMode.Ignore =>
+        if (!exists) LogLake.create(spark, d, data, stats)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  // ------------------------------------------------------- streaming read
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "loglake: the stream schema comes from the table's commit log — do not set one")
+    (shortName(), LogLake.activeState(dir(parameters))._2)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new LogLakeSource(sqlContext.sparkSession, dir(parameters), parameters)
+
+  // ------------------------------------------------------ streaming write
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty, "loglake sink does not support partitionBy")
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+      s"loglake sink supports Append (append per epoch) and Complete (overwrite " +
+        s"per epoch), not $outputMode")
+    val d = dir(parameters)
+    // writer identity = the query's checkpoint (stable across restarts,
+    // distinct across queries) — the same derivation streamAppend uses
+    val writerId = java.security.MessageDigest.getInstance("MD5")
+      .digest(parameters.getOrElse("checkpointLocation", d).getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    new LogLakeSink(d, statsCols(parameters), writerId, outputMode)
+  }
+}
+
+object LogLakeProvider {
+
+  private def dir(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("loglake requires a path option"))
+
+  private def statsCols(parameters: Map[String, String]): Seq[String] =
+    parameters.get("statsColumns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** The snapshot as a relation over the native parquet read path. */
+  def relation(spark: SparkSession, dir: String,
+      asOf: Option[Long]): HadoopFsRelation = {
+    val index = new LogLakeFileIndex(spark, dir, asOf)
+    HadoopFsRelation(index, partitionSchema = new StructType(),
+      dataSchema = index.tableSchema, bucketSpec = None,
+      fileFormat = new ParquetFileFormat(), options = Map.empty)(spark)
+  }
+}
+
+/** Manifest-driven [[FileIndex]]: the file list comes from the commit
+  * log resolved ONCE at construction (snapshot isolation — concurrent
+  * commits never shift this reader), and `listFiles` applies
+  * [[LogLake.pruneByPredicates]] to the data filters Catalyst pushes
+  * down, so skipping happens at PLANNING time inside the native scan —
+  * the TahoeFileIndex design. File sizes come from the manifest, not
+  * the filesystem: planning is metadata-only, the property that keeps
+  * a 100 TB table's query latency independent of its file count's
+  * worth of storage round-trips. */
+final class LogLakeFileIndex(spark: SparkSession, dir: String,
+    asOf: Option[Long]) extends FileIndex {
+
+  private val (activeFiles, schema0) = LogLake.activeState(dir, asOf)
+
+  /** Fallback for pre-`bytes` manifests only: one directory listing. */
+  private lazy val listedSizes: Map[String, Long] = {
+    val f = WireLog.fs(dir)
+    val dd = new Path(dir, LogLake.DataDir)
+    if (!f.exists(dd)) Map.empty
+    else f.listStatus(dd).iterator.map(s => s.getPath.getName -> s.getLen).toMap
+  }
+
+  private def sizeOf(a: LogLake.AddFile): Long =
+    if (a.bytes >= 0L) a.bytes
+    else listedSizes.getOrElse(new Path(a.path).getName, 0L)
+
+  def tableSchema: StructType = schema0
+
+  /** Files the LAST planned scan admitted — the skipping decision,
+    * exposed for spec assertions alongside FileSourceScanExec's own
+    * `numFiles` metric. */
+  @volatile var lastScanFiles: Int = activeFiles.size
+
+  override def rootPaths: Seq[Path] = Seq(new Path(dir))
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = LogLake.pruneByPredicates(activeFiles, dataFilters)
+    lastScanFiles = kept.size
+    val statuses = kept.map { a =>
+      new FileStatus(sizeOf(a), false, 1, 0L, 0L, new Path(s"$dir/${a.path}"))
+    }.toArray
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
+  }
+
+  override def inputFiles: Array[String] =
+    activeFiles.map(a => s"$dir/${a.path}").toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = activeFiles.map(sizeOf).sum
+}
+
+/** V1 streaming source over the commit log: offset = version, batch =
+  * the parquet files versions `(start, end]` added. `getBatch` returns
+  * a plain parquet read of exactly those files (the FileStreamSource
+  * pattern), so replaying a checkpointed range re-reads byte-identical
+  * data — manifests are immutable once published. */
+final class LogLakeSource(spark: SparkSession, dir: String,
+    options: Map[String, String]) extends Source {
+
+  private val ignoreChanges = options.get("ignoreChanges").exists(_.toBoolean)
+  private val startV = options.get("startingVersion").map(_.toLong).getOrElse(0L)
+
+  // frozen at stream start — later schema evolution projects onto this
+  override val schema: StructType = LogLake.activeState(dir)._2
+
+  private def ver(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.toLong
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val v = LogLake.currentVersion(dir)
+    if (v > startV) Some(LongOffset(v)) else None
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(ver).getOrElse(startV)
+    val to = ver(end)
+    val paths = LogLake.manifestRange(dir, from, to).flatMap { m =>
+      if (m.op == "optimize") Nil // layout-only: same rows, new files
+      else if (m.removes.nonEmpty && !ignoreChanges)
+        throw new UnsupportedOperationException(
+          s"loglake: streaming read requires an append-only table, but version " +
+            s"${m.version} is a ${m.op} that rewrote ${m.removes.size} file(s). " +
+            "Set ignoreChanges=true to re-emit the rewritten files' rows " +
+            "(at-least-once), or start past it with startingVersion.")
+      else m.adds.filter(_.rows != 0L).map(a => s"$dir/${a.path}")
+    }
+    if (paths.isEmpty) GraftBridge.emptyStreamingFrame(spark, schema)
+    else GraftBridge.asStreamingScan(spark.read.schema(schema).parquet(paths: _*))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** V1 streaming sink: each epoch is ONE transactional commit with
+  * txnId `sink-<writerId>:<batchId>` — replayed epochs no-op inside
+  * [[LogLake]]'s commit loop, so exactly-once rides on the table
+  * format, not the execution engine. */
+final class LogLakeSink(dir: String, statsCols: Seq[String],
+    writerId: String, mode: OutputMode) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // re-root on the executed plan: the incoming frame is wired to this
+    // epoch's IncrementalExecution and must not be re-planned by the
+    // write (the foreachBatch/DeltaSink move)
+    val fresh = GraftBridge.truncateLineage(data)
+    val spark = fresh.sparkSession
+    val txn = s"sink-$writerId:$batchId"
+    val exists = LogLake.currentVersion(dir) > 0L
+    mode match {
+      case m if m == OutputMode.Complete() =>
+        if (exists) LogLake.overwrite(spark, dir, fresh, statsCols, txn)
+        else LogLake.create(spark, dir, fresh, statsCols, txn)
+      case _ =>
+        if (!exists) LogLake.create(spark, dir, fresh, statsCols, txn)
+        else if (!fresh.isEmpty) LogLake.append(spark, dir, fresh, statsCols, txn)
+    }
+  }
+
+  override def toString: String = s"LogLakeSink[$dir]"
+}

@@ -28,4 +28,27 @@ object GraftBridge {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
   }
+
+  /** Re-tag a batch relation as a streaming scan. A V1 streaming
+    * `Source.getBatch` must hand MicroBatchExecution a frame whose
+    * relation carries `isStreaming = true` (asserted since Spark 4) —
+    * this is FileStreamSource's own move when it wraps its per-batch
+    * file list in a `LogicalRelation(…, isStreaming = true)`. */
+  def asStreamingScan(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val plan = ds.queryExecution.analyzed match {
+      case lr: execution.datasources.LogicalRelation => lr.copy(isStreaming = true)
+      case other => other
+    }
+    ofRows(ds.sparkSession, plan)
+  }
+
+  /** An empty, streaming-tagged frame (a batch with no committed data
+    * still needs the streaming tag — see [[asStreamingScan]]). */
+  def emptyStreamingFrame(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema, isStreaming = true)
+  }
 }

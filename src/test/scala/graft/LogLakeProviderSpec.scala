@@ -1,0 +1,242 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.sources.{LogLake, LogLakeSink, WireLog}
+import graft.streaming.Streams
+
+/** The `loglake` format registration: batch read through the native
+  * parquet path with PLANNING-TIME file skipping (manifest stats →
+  * FileIndex), SaveMode-mapped batch writes, and the streaming
+  * source/sink pair whose offsets are table versions — including the
+  * end-to-end loglake→loglake hop with exactly-once across restarts.
+  */
+class LogLakeProviderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"loglakeprov-$name").toString + "/t"
+
+  private def kv(pairs: (Long, String)*): DataFrame =
+    pairs.toSeq.toDF("k", "v")
+
+  private def sortedRows(df: DataFrame): Seq[(Long, String)] =
+    df.select("k", "v").as[(Long, String)].collect().toSeq.sorted
+
+  test("write SaveModes map onto transactional ops; read sees the snapshot; versionAsOf time-travels") {
+    val dir = tmp("modes")
+    // ErrorIfExists → create
+    kv(1L -> "a").write.format("loglake").mode("errorifexists").save(dir)
+    assert(LogLake.currentVersion(dir) == 1L)
+    // Append → append
+    kv(2L -> "b").write.format("loglake").mode("append").save(dir)
+    assert(sortedRows(spark.read.format("loglake").load(dir)) ==
+      Seq(1L -> "a", 2L -> "b"))
+    // Overwrite → overwrite (serializable commit)
+    kv(9L -> "z").write.format("loglake").mode("overwrite").save(dir)
+    assert(sortedRows(spark.read.format("loglake").load(dir)) == Seq(9L -> "z"))
+    // Ignore on an existing table is a no-op
+    kv(7L -> "q").write.format("loglake").mode("ignore").save(dir)
+    assert(LogLake.currentVersion(dir) == 3L)
+    // ErrorIfExists on an existing table fails loudly
+    val e = intercept[Exception] {
+      kv(7L -> "q").write.format("loglake").mode("errorifexists").save(dir)
+    }
+    assert(e.getMessage.contains("already exists"))
+    // time travel through the reader option
+    assert(sortedRows(spark.read.format("loglake")
+      .option("versionAsOf", "2").load(dir)) == Seq(1L -> "a", 2L -> "b"))
+  }
+
+  test("planning-time file skipping: the scan admits only stat-surviving files, parquet pushdown intact") {
+    val dir = tmp("skip")
+    // 8 disjoint-range files: range-partitioned on k so each file owns
+    // a compact k-interval the manifest stats can separate
+    val df = spark.range(0, 8000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(8, col("k"))
+    df.write.format("loglake").mode("errorifexists")
+      .option("statsColumns", "k").save(dir)
+    assert(LogLake.activeState(dir)._1.size == 8, "fixture: 8 data files")
+
+    val read = spark.read.format("loglake").load(dir)
+      .filter(col("k") >= 2500L && col("k") < 3500L)
+    // execute THIS frame's plan so its scan metrics populate
+    assert(read.collect().length == 1000)
+    val scans = read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1)
+    val numFiles = scans.head.metrics("numFiles").value
+    assert(numFiles >= 1 && numFiles <= 3,
+      s"an interval spanning ≤2 of 8 range-partitioned files must skip " +
+        s"the rest at planning time, scanned $numFiles")
+    // the same predicate still reaches parquet for row-group pruning
+    assert(scans.head.toString.contains("PushedFilters: ["),
+      "parquet-level pushdown must survive the custom FileIndex")
+
+    // and an unfiltered read sees every file
+    val full = spark.read.format("loglake").load(dir)
+    assert(full.count() == 8000)
+  }
+
+  test("manifest bytes drive planning: no filesystem stat per file") {
+    val dir = tmp("bytes")
+    kv(1L -> "a", 2L -> "b").write.format("loglake").mode("errorifexists").save(dir)
+    val (files, _) = LogLake.activeState(dir)
+    assert(files.forall(_.bytes > 0L),
+      "writes must record data-file sizes in the manifest")
+    val f = graft.sources.WireLog.fs(dir)
+    files.foreach { a =>
+      assert(a.bytes ==
+        f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${a.path}")).getLen)
+    }
+  }
+
+  test("streaming loglake→loglake: versioned offsets, exactly-once across a second run") {
+    val in = tmp("s-in"); val out = tmp("s-out"); val chk = tmp("s-chk")
+    kv(1L -> "a", 2L -> "b").write.format("loglake").mode("append").save(in)
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("loglake").load(in)
+        .writeStream.format("loglake").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    drain()
+    assert(sortedRows(spark.read.format("loglake").load(out)) ==
+      Seq(1L -> "a", 2L -> "b"))
+    // nothing new → the re-run must not duplicate (offsets checkpointed)
+    drain()
+    assert(spark.read.format("loglake").load(out).count() == 2)
+    // two more committed versions drain incrementally
+    kv(3L -> "c").write.format("loglake").mode("append").save(in)
+    kv(4L -> "d").write.format("loglake").mode("append").save(in)
+    drain()
+    assert(sortedRows(spark.read.format("loglake").load(out)) ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+  }
+
+  test("a rewriting commit fails the stream loudly; ignoreChanges re-emits instead; optimize is invisible") {
+    val in = tmp("rw-in"); val out = tmp("rw-out"); val chk = tmp("rw-chk")
+    kv(1L -> "a", 2L -> "b").write.format("loglake").mode("append").save(in)
+
+    def drain(extra: Map[String, String] = Map.empty): Unit = {
+      val reader = extra.foldLeft(spark.readStream.format("loglake")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = reader.load(in)
+        .writeStream.format("loglake").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    assert(spark.read.format("loglake").load(out).count() == 2)
+
+    // OPTIMIZE between runs: layout-only, the stream must see nothing
+    LogLake.optimize(spark, in, numFiles = 1)
+    drain()
+    assert(spark.read.format("loglake").load(out).count() == 2)
+
+    // a MERGE rewrites files → append-only contract broken → loud stop
+    LogLake.merge(spark, in, kv(1L -> "A2"), keyCols = Seq("k"))
+    val e = intercept[StreamingQueryException] { drain() }
+    assert(e.getCause.getMessage.contains("append-only"),
+      s"got: ${e.getCause.getMessage}")
+
+    // ignoreChanges: the stream proceeds, re-emitting rewritten files
+    // (at-least-once — Delta's documented semantics for this switch)
+    drain(Map("ignoreChanges" -> "true"))
+    val rows = sortedRows(spark.read.format("loglake").load(out))
+    assert(rows.contains(1L -> "A2"), "the merged row must arrive")
+    assert(rows.size >= 3, "re-emitted rows are allowed, loss is not")
+  }
+
+  test("startingVersion skips history") {
+    val in = tmp("sv-in"); val out = tmp("sv-out")
+    kv(1L -> "a").write.format("loglake").mode("append").save(in)
+    kv(2L -> "b").write.format("loglake").mode("append").save(in)
+    val q = spark.readStream.format("loglake")
+      .option("startingVersion", "1").load(in)
+      .writeStream.format("loglake").option("path", out)
+      .option("checkpointLocation", tmp("sv-chk"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(sortedRows(spark.read.format("loglake").load(out)) == Seq(2L -> "b"))
+  }
+
+  test("the reference pipeline ends in the warehouse: wirelog → decode → loglake, exactly-once, then batch analytics") {
+    val in = tmp("e2e-in"); val lake = tmp("e2e-lake"); val chk = tmp("e2e-chk")
+
+    def readings(from: Int, until: Int): DataFrame =
+      spark.range(from, until).select(
+        concat(lit("M"), (col("id") % 3 + 1)).as("machine_id"),
+        element_at(array(lit("temperature"), lit("pressure"), lit("vibration")),
+          (col("id") % 3 + 1).cast("int")).as("sensor"),
+        (col("id") * 1.5 + 0.25).as("reading"),
+        timestamp_seconds(lit(1700000000L) + col("id")).as("event_time"))
+
+    def produce(df: DataFrame): Unit =
+      WireLog.append(in, Streams.toWire(df).collect()
+        .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq)
+
+    // Kafka-shaped log → Confluent-Avro decode → ACID warehouse table:
+    // the reference's whole architecture (producer → Kafka → consumer →
+    // Postgres), both hops exactly-once, landed as ONE streaming query
+    def run(): Unit = {
+      val q = Streams.fromWire(spark.readStream.format("wirelog").load(in))
+        .filter(col("decode_ok"))
+        .select("machine_id", "sensor", "reading", "event_time")
+        .writeStream.format("loglake")
+        .option("path", lake).option("checkpointLocation", chk)
+        .option("statsColumns", "event_time")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+
+    produce(readings(0, 500))
+    run()
+    assert(spark.read.format("loglake").load(lake).count() == 500)
+    produce(readings(500, 800))
+    run()
+    run() // idle restart: nothing new may land
+    val warehouse = spark.read.format("loglake").load(lake)
+    assert(warehouse.count() == 800, "no loss, no duplication across restarts")
+
+    // batch analytics straight off the warehouse table must agree with
+    // the ground truth computed from the pre-wire frame
+    val got = warehouse.groupBy("sensor")
+      .agg(count(lit(1)).as("n"), sum("reading").as("s"))
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    val want = readings(0, 800).groupBy("sensor")
+      .agg(count(lit(1)).as("n"), sum("reading").as("s"))
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._3 - w._3) < 1e-6) }
+  }
+
+  test("sink epoch replay is a no-op: the txn log carries exactly-once, not the engine") {
+    val dir = tmp("replay")
+    val sink = new LogLakeSink(dir, Nil, writerId = "w1", mode =
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(0L, kv(1L -> "a"))
+    val v = LogLake.currentVersion(dir)
+    // the engine re-delivers the same epoch after a crash — different
+    // bytes, same (writer, batch) identity
+    sink.addBatch(0L, kv(1L -> "a"))
+    assert(LogLake.currentVersion(dir) == v, "replayed epoch must not commit")
+    assert(sortedRows(LogLake.snapshot(spark, dir)) == Seq(1L -> "a"))
+    // the next epoch commits normally
+    sink.addBatch(1L, kv(2L -> "b"))
+    assert(sortedRows(LogLake.snapshot(spark, dir)) == Seq(1L -> "a", 2L -> "b"))
+  }
+}

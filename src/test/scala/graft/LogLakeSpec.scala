@@ -349,6 +349,76 @@ class LogLakeSpec extends SparkTestBase {
     assert(LogLake.changeFeed(spark, dir, 2L, 2L).count() == 0)
   }
 
+  test("delete is copy-on-write: only matching files rewrite, all-match files drop, no-match is a no-op") {
+    val dir = tmp("delete")
+    // three 1-row files with disjoint keys → the touch set is exact
+    LogLake.create(spark, dir, kv(1L -> "a").repartition(1))
+    LogLake.append(spark, dir, kv(2L -> "b").repartition(1))
+    LogLake.append(spark, dir, kv(3L -> "c").repartition(1))
+    val before = LogLake.activeState(dir)._1.map(_.path).toSet
+    assert(before.size == 3)
+
+    // matches ONLY file {2}: that file drops entirely (all rows match),
+    // files {1} and {3} must carry over under their ORIGINAL paths
+    assert(LogLake.delete(spark, dir, col("k") === 2L) == 4L)
+    val after = LogLake.activeState(dir)._1.map(_.path).toSet
+    assert(sortedRows(LogLake.snapshot(spark, dir)) == Seq(1L -> "a", 3L -> "c"))
+    assert(before.intersect(after).size == 2,
+      "the two untouched files must survive as the same physical files")
+
+    // no row matches → no commit at all
+    assert(LogLake.delete(spark, dir, col("k") === 99L) == 4L)
+    assert(LogLake.currentVersion(dir) == 4L)
+
+    // NULL condition rows survive, as in SQL DELETE
+    LogLake.append(spark, dir, Seq((4L, null: String)).toDF("k", "v"))
+    LogLake.delete(spark, dir, col("v") === "zzz")
+    assert(LogLake.snapshot(spark, dir).count() == 3,
+      "a NULL-valued predicate must not delete the row")
+  }
+
+  test("update rewrites matched rows in matched files only; unknown set-column fails") {
+    val dir = tmp("update")
+    LogLake.create(spark, dir, kv(1L -> "a").repartition(1))
+    LogLake.append(spark, dir, kv(2L -> "b").repartition(1))
+    val before = LogLake.activeState(dir)._1.map(_.path).toSet
+
+    LogLake.update(spark, dir, col("k") === 2L,
+      set = Map("v" -> concat(col("v"), lit("!"))))
+    assert(sortedRows(LogLake.snapshot(spark, dir)) == Seq(1L -> "a", 2L -> "b!"))
+    val after = LogLake.activeState(dir)._1.map(_.path).toSet
+    assert(before.intersect(after).size == 1,
+      "the untouched file must survive as the same physical file")
+
+    val e = intercept[IllegalArgumentException] {
+      LogLake.update(spark, dir, col("k") === 1L, set = Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("unknown column"))
+  }
+
+  test("restore rewinds content as a new commit; history stays; vacuumed target fails loudly") {
+    val dir = tmp("restore")
+    // one file so the delete provably rewrites it into a new generation
+    LogLake.create(spark, dir, kv(1L -> "a", 2L -> "b").repartition(1)) // v1: file A
+    LogLake.delete(spark, dir, col("k") === 1L)                         // v2: file B
+    assert(sortedRows(LogLake.snapshot(spark, dir)) == Seq(2L -> "b"))
+
+    assert(LogLake.restore(spark, dir, toVersion = 1L) == 3L)           // v3: back to A
+    assert(sortedRows(LogLake.snapshot(spark, dir)) == Seq(1L -> "a", 2L -> "b"))
+    // the in-between version is still reachable (history intact)
+    assert(sortedRows(LogLake.snapshot(spark, dir, asOf = Some(2L))) == Seq(2L -> "b"))
+    // restoring to the current version is a no-op
+    assert(LogLake.restore(spark, dir, toVersion = 3L) == 3L)
+
+    // vacuum reclaims v2's rewritten generation (inactive since v3);
+    // restoring INTO the reclaimed version must fail loudly
+    assert(LogLake.vacuum(dir, olderThanMs = 0L).nonEmpty)
+    val e = intercept[java.io.IOException] {
+      LogLake.restore(spark, dir, toVersion = 2L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("manifest log survives a crashed writer's garbage in _tmp") {
     val dir = tmp("crashed")
     LogLake.create(spark, dir, kv(1L -> "a"))
