@@ -20,8 +20,27 @@ import graft.sources.LogLake
   */
 object Lake {
 
-  private def freshDir(tag: String): String =
-    Files.createTempDirectory(s"graft-loglake-$tag").toString + "/t"
+  // every query-scratch table dir is tracked and removed at JVM exit —
+  // the queries hand back lazy frames over these dirs, so the earliest
+  // safe deletion point is process teardown
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    scratchDirs.forEach { d =>
+      try deleteRecursively(d) catch { case _: Exception => () }
+    }
+  }, "graft-lake-scratch-cleanup"))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  private def freshDir(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft-loglake-$tag")
+    scratchDirs.add(p.toFile)
+    p.toString + "/t"
+  }
 
   val all: Seq[Q] = Seq(
     // --- q111: MERGE upsert through the commit log. v1 = orders; one

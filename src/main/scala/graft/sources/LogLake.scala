@@ -853,7 +853,26 @@ object LogLake {
     case "decimal" =>
       try new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
       catch { case _: Exception => 0 }
-    case _ => a.compareTo(b)
+    case _ => compareUtf8(a, b)
+  }
+
+  /** Unsigned UTF-8 byte order — the collation Spark's UTF8String uses
+    * when it computes the string min/max these stats store AND when it
+    * evaluates the pushed filter's literal comparison. Java's
+    * `String.compareTo` (UTF-16 code units) disagrees with it for
+    * supplementary-plane characters vs [U+E000, U+FFFF]; pruning under
+    * the wrong collation can drop a file whose rows match. */
+  private def compareUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
   }
 
   // ------------------------------------------------------------ json enc

@@ -74,7 +74,7 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
     mode match {
       case SaveMode.Append =>
         if (exists) LogLake.append(spark, d, data, stats)
-        else LogLake.create(spark, d, data, stats)
+        else appendCreating(spark, d, data, stats)
       case SaveMode.Overwrite =>
         if (exists) LogLake.overwrite(spark, d, data, stats)
         else LogLake.create(spark, d, data, stats)
@@ -109,12 +109,16 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
       s"loglake sink supports Append (append per epoch) and Complete (overwrite " +
         s"per epoch), not $outputMode")
     val d = dir(parameters)
-    // writer identity = the query's checkpoint (stable across restarts,
-    // distinct across queries) — the same derivation streamAppend uses
-    val writerId = java.security.MessageDigest.getInstance("MD5")
-      .digest(parameters.getOrElse("checkpointLocation", d).getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
-    new LogLakeSink(d, statsCols(parameters), writerId, outputMode)
+    // Writer identity must be stable across restarts of the SAME query
+    // and distinct across DIFFERENT queries, or txnIds collide and a
+    // second query's epochs silently no-op as replays. The
+    // checkpointLocation OPTION qualifies when present, but Spark often
+    // resolves the checkpoint from conf after createSink and never
+    // injects it here — so the sink defers to the runtime query id
+    // (checkpoint-persisted, restart-stable) at addBatch time when the
+    // option is absent, the DeltaSink derivation.
+    val explicitId = parameters.get("checkpointLocation").map(md5id)
+    new LogLakeSink(d, statsCols(parameters), explicitId, outputMode)
   }
 }
 
@@ -124,9 +128,25 @@ object LogLakeProvider {
     parameters.getOrElse("path",
       throw new IllegalArgumentException("loglake requires a path option"))
 
+  private def md5id(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+
   private def statsCols(parameters: Map[String, String]): Seq[String] =
     parameters.get("statsColumns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Append-to-absent-table: try `create`, and if another writer won
+    * the create race in the window since our existence check, fall
+    * back to a plain `append` — SaveMode.Append commutes, so the loser
+    * must retry as an append, not surface the race to the caller. */
+  private[graft] def appendCreating(spark: SparkSession, d: String,
+      data: DataFrame, stats: Seq[String]): Long =
+    try LogLake.create(spark, d, data, stats)
+    catch {
+      case e: Exception if LogLake.currentVersion(d) > 0L =>
+        LogLake.append(spark, d, data, stats)
+    }
 
   /** The snapshot as a relation over the native parquet read path. */
   def relation(spark: SparkSession, dir: String,
@@ -162,7 +182,11 @@ final class LogLakeFileIndex(spark: SparkSession, dir: String,
 
   private def sizeOf(a: LogLake.AddFile): Long =
     if (a.bytes >= 0L) a.bytes
-    else listedSizes.getOrElse(new Path(a.path).getName, 0L)
+    else listedSizes.getOrElse(new Path(a.path).getName,
+      throw new java.io.IOException(
+        s"loglake: active file ${a.path} is missing from $dir — the data " +
+          "file was deleted out from under the manifest (vacuumed past " +
+          "this snapshot?)"))
 
   def tableSchema: StructType = schema0
 
@@ -199,7 +223,10 @@ final class LogLakeSource(spark: SparkSession, dir: String,
     options: Map[String, String]) extends Source {
 
   private val ignoreChanges = options.get("ignoreChanges").exists(_.toBoolean)
-  private val startV = options.get("startingVersion").map(_.toLong).getOrElse(0L)
+  // `startingVersion` is INCLUSIVE, as in Delta: the stream's first
+  // batch begins AT that version. Internally the floor is exclusive
+  // (offsets name the last consumed version), hence the -1.
+  private val startV = options.get("startingVersion").map(_.toLong - 1L).getOrElse(0L)
 
   // frozen at stream start — later schema evolution projects onto this
   override val schema: StructType = LogLake.activeState(dir)._2
@@ -237,9 +264,21 @@ final class LogLakeSource(spark: SparkSession, dir: String,
 /** V1 streaming sink: each epoch is ONE transactional commit with
   * txnId `sink-<writerId>:<batchId>` — replayed epochs no-op inside
   * [[LogLake]]'s commit loop, so exactly-once rides on the table
-  * format, not the execution engine. */
+  * format, not the execution engine. `explicitId` is the
+  * checkpointLocation-derived identity when that option was passed;
+  * otherwise identity comes from the streaming query id Spark pins on
+  * the micro-batch thread (stable across restarts — it lives in the
+  * checkpoint's metadata file — and unique per query). */
 final class LogLakeSink(dir: String, statsCols: Seq[String],
-    writerId: String, mode: OutputMode) extends Sink {
+    explicitId: Option[String], mode: OutputMode) extends Sink {
+
+  private def writerId(spark: SparkSession): String =
+    explicitId.orElse {
+      Option(spark.sparkContext.getLocalProperty(
+        org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+    }.getOrElse(throw new IllegalStateException(
+      "loglake sink: no stable writer identity — pass " +
+        "option(\"checkpointLocation\", ...) on the writer"))
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // re-root on the executed plan: the incoming frame is wired to this
@@ -247,7 +286,7 @@ final class LogLakeSink(dir: String, statsCols: Seq[String],
     // write (the foreachBatch/DeltaSink move)
     val fresh = GraftBridge.truncateLineage(data)
     val spark = fresh.sparkSession
-    val txn = s"sink-$writerId:$batchId"
+    val txn = s"sink-${writerId(spark)}:$batchId"
     val exists = LogLake.currentVersion(dir) > 0L
     mode match {
       case m if m == OutputMode.Complete() =>

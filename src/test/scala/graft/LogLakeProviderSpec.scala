@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
@@ -164,8 +166,9 @@ class LogLakeProviderSpec extends SparkTestBase {
     val in = tmp("sv-in"); val out = tmp("sv-out")
     kv(1L -> "a").write.format("loglake").mode("append").save(in)
     kv(2L -> "b").write.format("loglake").mode("append").save(in)
+    // inclusive, as in Delta: start AT version 2 → v1's rows skipped
     val q = spark.readStream.format("loglake")
-      .option("startingVersion", "1").load(in)
+      .option("startingVersion", "2").load(in)
       .writeStream.format("loglake").option("path", out)
       .option("checkpointLocation", tmp("sv-chk"))
       .trigger(Trigger.AvailableNow()).start()
@@ -226,7 +229,7 @@ class LogLakeProviderSpec extends SparkTestBase {
 
   test("sink epoch replay is a no-op: the txn log carries exactly-once, not the engine") {
     val dir = tmp("replay")
-    val sink = new LogLakeSink(dir, Nil, writerId = "w1", mode =
+    val sink = new LogLakeSink(dir, Nil, explicitId = Some("w1"), mode =
       org.apache.spark.sql.streaming.OutputMode.Append())
     sink.addBatch(0L, kv(1L -> "a"))
     val v = LogLake.currentVersion(dir)
@@ -238,5 +241,85 @@ class LogLakeProviderSpec extends SparkTestBase {
     // the next epoch commits normally
     sink.addBatch(1L, kv(2L -> "b"))
     assert(sortedRows(LogLake.snapshot(spark, dir)) == Seq(1L -> "a", 2L -> "b"))
+  }
+
+  test("two conf-checkpointed streaming queries on one table keep distinct writer identities") {
+    // Regression: when checkpointLocation is resolved from conf (so it
+    // never reaches createSink's options), both sinks used to fall back
+    // to MD5(table path) — the second query's epochs then carried the
+    // first's txnIds and silently no-opped as replays.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val out = tmp("wid-out")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", tmp("wid-ck"))
+    try {
+      val s1 = MemoryStream[(Long, String)]
+      val s2 = MemoryStream[(Long, String)]
+      def start(s: MemoryStream[(Long, String)]) =
+        s.toDF().toDF("k", "v").writeStream.format("loglake")
+          .option("path", out).start() // NO checkpointLocation option
+      val q1 = start(s1); val q2 = start(s2)
+      try {
+        s1.addData(1L -> "a"); q1.processAllAvailable()
+        s2.addData(2L -> "b"); q2.processAllAvailable()
+        s1.addData(3L -> "c"); q1.processAllAvailable()
+        s2.addData(4L -> "d"); q2.processAllAvailable()
+        assert(sortedRows(spark.read.format("loglake").load(out)) ==
+          Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
+          "every epoch of BOTH queries must land — shared writer ids " +
+            "silently drop the second query's batches")
+      } finally { q1.stop(); q2.stop() }
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
+
+  test("string stats pruning compares in UTF-8 byte order, not UTF-16 code units") {
+    // Regression: '😀' (U+1F600) sorts ABOVE '\uE000' in UTF-8 bytes —
+    // the order Spark used to compute the stored min/max and to
+    // evaluate the filter — but BELOW it in UTF-16 code units (its
+    // lead surrogate is 0xD83D). A code-unit compare pruned the file
+    // that held the matching row.
+    val dir = tmp("utf8")
+    kv(1L -> "a").write.format("loglake").mode("append")
+      .option("statsColumns", "v").save(dir)
+    kv(2L -> "😀").write.format("loglake").mode("append")
+      .option("statsColumns", "v").save(dir)
+    assert(LogLake.activeState(dir)._1.size == 2, "fixture: 2 data files")
+    val read = spark.read.format("loglake").load(dir)
+      .filter(col("v") >= "\uE000")
+    assert(sortedRows(read) == Seq(2L -> "😀"),
+      "the supplementary-plane row matches the predicate and its file " +
+        "must survive pruning")
+  }
+
+  test("Append on a table that appeared after the existence check retries as append") {
+    val dir = tmp("race")
+    kv(1L -> "a").write.format("loglake").mode("append").save(dir)
+    // simulate the loser of a create race: the table exists, create
+    // throws, and the fallback must land the rows as an append
+    graft.sources.LogLakeProvider.appendCreating(spark, dir, kv(2L -> "b"), Nil)
+    assert(sortedRows(spark.read.format("loglake").load(dir)) ==
+      Seq(1L -> "a", 2L -> "b"))
+  }
+
+  test("a missing legacy data file fails loudly at planning, not silently as zero rows") {
+    val dir = tmp("legacy")
+    kv(1L -> "a", 2L -> "b").write.format("loglake").mode("append").save(dir)
+    // age the manifest to the pre-`bytes` format, then delete the file:
+    // the size fallback must throw, not contribute a 0-length split
+    val logDir = java.nio.file.Paths.get(dir, LogLake.LogDir)
+    val manifest = java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).toSeq.head
+    val aged = new String(java.nio.file.Files.readAllBytes(manifest), "UTF-8")
+      .replaceAll(",\"bytes\":-?\\d+", "")
+    java.nio.file.Files.write(manifest, aged.getBytes("UTF-8"))
+    // drop the LocalFileSystem checksum sidecar the raw rewrite broke
+    java.nio.file.Files.deleteIfExists(
+      manifest.resolveSibling("." + manifest.getFileName.toString + ".crc"))
+    val dataDir = java.nio.file.Paths.get(dir, LogLake.DataDir)
+    java.nio.file.Files.list(dataDir).iterator().asScala.foreach(java.nio.file.Files.delete)
+    val e = intercept[java.io.IOException] {
+      spark.read.format("loglake").load(dir).count()
+    }
+    assert(e.getMessage.contains("missing"), s"got: ${e.getMessage}")
   }
 }
