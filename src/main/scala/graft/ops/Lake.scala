@@ -278,6 +278,59 @@ object Lake {
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"),
           lit(LogLake.currentVersion(dir)).as("versions"))
         .orderBy("yr")
+    },
+
+    // --- q118: the loglake STREAMING SOURCE end-to-end. The source
+    // table accumulates two appends plus a row-level UPDATE (a
+    // rewriting commit — the from-version-1 replay would refuse it), so
+    // the stream takes `initialSnapshot` — first batch = current state,
+    // then per-commit tail — paced one commit per micro-batch by
+    // `maxVersionsPerTrigger`. Drain 1 lands the snapshot in a second
+    // loglake table through the native exactly-once sink; a late append
+    // then arrives via drain 2 on the SAME checkpoint (incremental, no
+    // re-delivery). The oracle recomputes the end state declaratively:
+    // rows whose key was present at update time (key % 3 ≠ 2) and
+    // divisible by 10 carry the updated status. At 100 TB this is the
+    // warehouse-to-downstream CDC tail: per-trigger work is bounded by
+    // admitted commit volume, never by table size.
+    Q(
+      "q118_loglake_stream",
+      s"""WITH end_state AS (
+         |  SELECT CASE WHEN o_orderkey % 10 = 0 AND o_orderkey % 3 <> 2
+         |              THEN 'S' ELSE o_orderstatus END AS o_orderstatus,
+         |         o_totalprice
+         |  FROM orders
+         |)
+         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total
+         |FROM end_state GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val src = freshDir("q118-src"); val dst = freshDir("q118-dst")
+      val chk = freshDir("q118-chk")
+      val ord = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, src, ord.filter(col("o_orderkey") % 3 === 0),
+        statsCols = Seq("o_orderkey"))
+      LogLake.append(s, src, ord.filter(col("o_orderkey") % 3 === 1))
+      LogLake.update(s, src, col("o_orderkey") % 10 === 0,
+        Map("o_orderstatus" -> lit("S")))
+      def drain(): Unit = {
+        val q = s.readStream.format("loglake")
+          .option("initialSnapshot", "true")
+          .option("maxVersionsPerTrigger", "1").load(src)
+          .writeStream.format("loglake").option("path", dst)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+      }
+      drain() // the snapshot, update applied
+      LogLake.append(s, src, ord.filter(col("o_orderkey") % 3 === 2))
+      drain() // tail increment on the same checkpoint — exactly-once
+      LogLake.snapshot(s, dst)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
     }
   )
 }

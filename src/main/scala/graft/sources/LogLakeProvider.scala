@@ -220,13 +220,35 @@ final class LogLakeFileIndex(spark: SparkSession, dir: String,
   * pattern), so replaying a checkpointed range re-reads byte-identical
   * data — manifests are immutable once published. */
 final class LogLakeSource(spark: SparkSession, dir: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles, Offset => ConnOffset}
 
   private val ignoreChanges = options.get("ignoreChanges").exists(_.toBoolean)
+  // Delta's initial-snapshot contract: the first batch is the CURRENT
+  // table state (whatever history produced it — merges and all), and
+  // only commits AFTER that pin stream incrementally. Without it the
+  // stream replays the commit log from version 1, which demands an
+  // append-only history.
+  private val initialSnapshot = options.get("initialSnapshot").exists(_.toBoolean)
+  require(!(initialSnapshot && options.contains("startingVersion")),
+    "loglake: initialSnapshot and startingVersion are mutually exclusive — " +
+      "the snapshot IS the starting point")
   // `startingVersion` is INCLUSIVE, as in Delta: the stream's first
   // batch begins AT that version. Internally the floor is exclusive
   // (offsets name the last consumed version), hence the -1.
   private val startV = options.get("startingVersion").map(_.toLong - 1L).getOrElse(0L)
+  private val maxVersions = options.get("maxVersionsPerTrigger").map(_.toLong)
+  private val maxBytes = options.get("maxBytesPerTrigger").map(_.toLong)
+  maxVersions.foreach(n => require(n >= 1L, s"maxVersionsPerTrigger must be >= 1, got $n"))
+  maxBytes.foreach(n => require(n >= 1L, s"maxBytesPerTrigger must be >= 1, got $n"))
+
+  // the snapshot pin: the version the first batch will deliver when
+  // initialSnapshot is on (getBatch re-reads the snapshot AS OF the
+  // checkpointed end version on restart, so this pin only seeds the
+  // first offer and never leaks newer rows into a replay)
+  private val snapV: Long = if (initialSnapshot) LogLake.currentVersion(dir) else 0L
 
   // frozen at stream start — later schema evolution projects onto this
   override val schema: StructType = LogLake.activeState(dir)._2
@@ -238,21 +260,96 @@ final class LogLakeSource(spark: SparkSession, dir: String,
 
   override def getOffset: Option[V1Offset] = {
     val v = LogLake.currentVersion(dir)
-    if (v > startV) Some(LongOffset(v)) else None
+    if (initialSnapshot && v >= snapV) Some(LongOffset(math.max(v, snapV)))
+    else if (v > startV) Some(LongOffset(v)) else None
   }
 
+  // ---- SupportsAdmissionControl: maxVersionsPerTrigger caps how many
+  // COMMITS a micro-batch admits, maxBytesPerTrigger how much add-file
+  // volume (manifest-declared — no filesystem stats); the engine calls
+  // latestOffset(start, limit) instead of getOffset when this interface
+  // is present, the DeltaSource arrangement. The initial snapshot is
+  // one indivisible batch regardless of caps (its rows share a single
+  // consistent version — splitting it would expose a torn table).
+  // Trigger.AvailableNow pins the run's end here and keeps issuing
+  // capped batches until it is reached, because Spark's generic
+  // wrapper would substitute allAvailable and break the caps.
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(LogLake.currentVersion(dir))
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxVersions.map(n => ReadLimit.maxFiles(n.toInt)).toSeq ++
+      maxBytes.map(b => ReadLimit.maxBytes(b)).toSeq
+    limits match {
+      case Seq()    => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
+    val cur = availableNowEnd.getOrElse(LogLake.currentVersion(dir))
+    Option(start).map(_.json.toLong) match {
+      case None if initialSnapshot =>
+        LongOffset(snapV) // the snapshot batch itself (cur >= snapV always)
+      case prev =>
+        val base = prev.getOrElse(startV)
+        if (cur <= base) LongOffset(base) // no new commits — no progress
+        else {
+          def caps(l: ReadLimit): (Long, Long) = l match {
+            case mf: ReadMaxFiles => (mf.maxFiles().toLong, Long.MaxValue)
+            case mb: ReadMaxBytes => (Long.MaxValue, mb.maxBytes())
+            case c: CompositeReadLimit => c.getReadLimits.map(caps)
+              .reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
+            case _ => (Long.MaxValue, Long.MaxValue)
+          }
+          val (vCap, byteCap) = caps(limit)
+          val hi = if (vCap == Long.MaxValue) cur else math.min(cur, base + vCap)
+          val end =
+            if (byteCap == Long.MaxValue) hi
+            else {
+              // admit whole versions until the byte cap; the first is
+              // always admitted, else one fat commit wedges the stream
+              var last = base; var acc = 0L; var open = true
+              LogLake.manifestRange(dir, base, hi).foreach { m =>
+                val sz = m.adds.iterator.map(a => math.max(a.bytes, 0L)).sum
+                if (open && (last == base || acc + sz <= byteCap)) {
+                  last = m.version; acc += sz
+                } else open = false
+              }
+              last
+            }
+          LongOffset(end)
+        }
+    }
+  }
+
+  override def reportLatestOffset(): ConnOffset =
+    LongOffset(availableNowEnd.getOrElse(
+      math.max(LogLake.currentVersion(dir), if (initialSnapshot) snapV else 0L)))
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val from = start.map(ver).getOrElse(startV)
     val to = ver(end)
-    val paths = LogLake.manifestRange(dir, from, to).flatMap { m =>
-      if (m.op == "optimize") Nil // layout-only: same rows, new files
-      else if (m.removes.nonEmpty && !ignoreChanges)
-        throw new UnsupportedOperationException(
-          s"loglake: streaming read requires an append-only table, but version " +
-            s"${m.version} is a ${m.op} that rewrote ${m.removes.size} file(s). " +
-            "Set ignoreChanges=true to re-emit the rewritten files' rows " +
-            "(at-least-once), or start past it with startingVersion.")
-      else m.adds.filter(_.rows != 0L).map(a => s"$dir/${a.path}")
+    val paths = start match {
+      case None if initialSnapshot =>
+        // first batch = the whole table AS OF the batch's end version
+        // (checkpoint-stable: a restart replays the identical snapshot)
+        LogLake.activeState(dir, Some(to))._1
+          .filter(_.rows != 0L).map(a => s"$dir/${a.path}")
+      case _ =>
+        val from = start.map(ver).getOrElse(startV)
+        LogLake.manifestRange(dir, from, to).flatMap { m =>
+          if (m.op == "optimize") Nil // layout-only: same rows, new files
+          else if (m.removes.nonEmpty && !ignoreChanges)
+            throw new UnsupportedOperationException(
+              s"loglake: streaming read requires an append-only table, but version " +
+                s"${m.version} is a ${m.op} that rewrote ${m.removes.size} file(s). " +
+                "Set ignoreChanges=true to re-emit the rewritten files' rows " +
+                "(at-least-once), start past it with startingVersion, or take " +
+                "the current state first with initialSnapshot=true.")
+          else m.adds.filter(_.rows != 0L).map(a => s"$dir/${a.path}")
+        }
     }
     if (paths.isEmpty) GraftBridge.emptyStreamingFrame(spark, schema)
     else GraftBridge.asStreamingScan(spark.read.schema(schema).parquet(paths: _*))

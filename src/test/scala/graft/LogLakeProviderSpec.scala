@@ -322,4 +322,78 @@ class LogLakeProviderSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("missing"), s"got: ${e.getMessage}")
   }
+
+  test("maxVersionsPerTrigger paces the stream one commit per batch, AvailableNow still drains fully") {
+    val in = tmp("rate-in"); val out = tmp("rate-out"); val chk = tmp("rate-chk")
+    kv(1L -> "a").write.format("loglake").mode("append").save(in)
+    kv(2L -> "b").write.format("loglake").mode("append").save(in)
+    kv(3L -> "c").write.format("loglake").mode("append").save(in)
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("loglake")
+      .option("maxVersionsPerTrigger", "1").load(in)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = b.count()
+        batchSizes.synchronized { batchSizes += n }
+        b.write.format("loglake").mode("append").save(out); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow must terminate")
+    // three pending commits × cap 1 → three one-row batches, no loss:
+    // the source pins the run's end itself (Spark's generic wrapper
+    // would have silently dropped the cap)
+    assert(batchSizes.filter(_ > 0) == Seq(1L, 1L, 1L), s"got $batchSizes")
+    assert(sortedRows(spark.read.format("loglake").load(out)) ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("maxBytesPerTrigger admits whole commits up to the declared add volume") {
+    val in = tmp("byte-in"); val chk = tmp("byte-chk")
+    kv(1L -> "a").write.format("loglake").mode("append").save(in)
+    kv(2L -> "b").write.format("loglake").mode("append").save(in)
+    kv(3L -> "c").write.format("loglake").mode("append").save(in)
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("loglake")
+      // one parquet file per commit is ~1 KB — a 1-byte cap forces the
+      // one-commit-minimum rule every batch
+      .option("maxBytesPerTrigger", "1").load(in)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = b.count(); batches.synchronized { batches += n }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(batches.filter(_ > 0) == Seq(1L, 1L, 1L),
+      s"a sub-file byte cap must still admit exactly one commit per batch, got $batches")
+  }
+
+  test("initialSnapshot streams the current state first, then tails — history may contain rewrites") {
+    val in = tmp("snap-in"); val out = tmp("snap-out"); val chk = tmp("snap-chk")
+    kv(1L -> "a", 2L -> "b").write.format("loglake").mode("append").save(in)
+    // a MERGE rewrites files: the from-version-1 replay would fail loudly
+    LogLake.merge(spark, in, kv(1L -> "A"), keyCols = Seq("k"))
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("loglake")
+        .option("initialSnapshot", "true").load(in)
+        .writeStream.format("loglake").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    assert(sortedRows(spark.read.format("loglake").load(out)) ==
+      Seq(1L -> "A", 2L -> "b"),
+      "first batch = the table's CURRENT state, merge applied")
+    // a restart with nothing new must not re-deliver the snapshot
+    drain()
+    assert(spark.read.format("loglake").load(out).count() == 2)
+    // post-snapshot appends tail incrementally
+    kv(3L -> "c").write.format("loglake").mode("append").save(in)
+    drain()
+    assert(sortedRows(spark.read.format("loglake").load(out)) ==
+      Seq(1L -> "A", 2L -> "b", 3L -> "c"))
+  }
 }
