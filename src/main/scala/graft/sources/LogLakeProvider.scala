@@ -383,15 +383,22 @@ final class LogLakeSink(dir: String, statsCols: Seq[String],
     // write (the foreachBatch/DeltaSink move)
     val fresh = GraftBridge.truncateLineage(data)
     val spark = fresh.sparkSession
+    val dbg = sys.env.contains("GRAFT_SINK_DEBUG")
+    def t[A](tag: String)(f: => A): A =
+      if (!dbg) f else {
+        val t0 = System.nanoTime(); val r = f
+        Console.err.println(f"[sink] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
     val txn = s"sink-${writerId(spark)}:$batchId"
     val exists = LogLake.currentVersion(dir) > 0L
     mode match {
       case m if m == OutputMode.Complete() =>
-        if (exists) LogLake.overwrite(spark, dir, fresh, statsCols, txn)
-        else LogLake.create(spark, dir, fresh, statsCols, txn)
+        if (exists) t("overwrite")(LogLake.overwrite(spark, dir, fresh, statsCols, txn))
+        else t("create")(LogLake.create(spark, dir, fresh, statsCols, txn))
       case _ =>
-        if (!exists) LogLake.create(spark, dir, fresh, statsCols, txn)
-        else if (!fresh.isEmpty) LogLake.append(spark, dir, fresh, statsCols, txn)
+        if (!exists) t("create")(LogLake.create(spark, dir, fresh, statsCols, txn))
+        else if (!t("isEmpty")(fresh.isEmpty))
+          t("append")(LogLake.append(spark, dir, fresh, statsCols, txn))
     }
   }
 

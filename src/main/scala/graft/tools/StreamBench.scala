@@ -69,12 +69,31 @@ object StreamBench {
           .select("machine_id", "sensor", "reading", "event_time"),
         out, s"$base/chk-cons", Trigger.AvailableNow()))
 
+    // warehouse leg (the reference's full lifecycle, both connectors
+    // native): wirelog source → decode → ACID loglake sink, each epoch
+    // one transactional commit — exactly-once carried by the table
+    // format's txn log, not the engine
+    val lake = s"$base/lake"
+    val lakeSec = drain(
+      Streams.fromWire(spark.readStream.format("wirelog").load(wire))
+        .filter(col("decode_ok"))
+        .select("machine_id", "sensor", "reading", "event_time")
+        .writeStream.format("loglake")
+        .option("path", lake)
+        .option("checkpointLocation", s"$base/chk-lake")
+        .trigger(Trigger.AvailableNow())
+        .start())
+
     val got = spark.read.parquet(out).count()
+    val lakeGot = spark.read.format("loglake").load(lake).count()
     println(s"""{"messages":$n,"produce_sec":$prodSec,"consume_sec":$consSec,""" +
+      s""""lake_sec":$lakeSec,""" +
       s""""produce_rows_per_sec":${(n / prodSec).toLong},""" +
       s""""consume_rows_per_sec":${(n / consSec).toLong},""" +
-      s""""output_rows":$got,"exactly_once":${got == n}}""")
+      s""""lake_rows_per_sec":${(n / lakeSec).toLong},""" +
+      s""""output_rows":$got,"lake_rows":$lakeGot,""" +
+      s""""exactly_once":${got == n && lakeGot == n}}""")
     spark.stop()
-    if (got != n) sys.exit(1)
+    if (got != n || lakeGot != n) sys.exit(1)
   }
 }

@@ -227,6 +227,63 @@ class LogLakeProviderSpec extends SparkTestBase {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g._3 - w._3) < 1e-6) }
   }
 
+  test("crash mid-pipeline: a paced wirelog→loglake stream stopped between epochs resumes exactly-once") {
+    val in = tmp("crash-in"); val lake = tmp("crash-lake"); val chk = tmp("crash-chk")
+
+    def readings(from: Int, until: Int): DataFrame =
+      spark.range(from, until).select(
+        concat(lit("M"), (col("id") % 3 + 1)).as("machine_id"),
+        element_at(array(lit("temperature"), lit("pressure"), lit("vibration")),
+          (col("id") % 3 + 1).cast("int")).as("sensor"),
+        (col("id") * 1.5 + 0.25).as("reading"),
+        timestamp_seconds(lit(1700000000L) + col("id")).as("event_time"))
+
+    def produce(df: DataFrame): Unit =
+      WireLog.append(in, Streams.toWire(df).collect()
+        .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq)
+
+    def pipeline(paced: Boolean) = {
+      val reader = spark.readStream.format("wirelog")
+      val r = if (paced) reader.option("maxSegmentsPerTrigger", "1") else reader
+      Streams.fromWire(r.load(in))
+        .filter(col("decode_ok"))
+        .select("machine_id", "sensor", "reading", "event_time")
+        .writeStream.format("loglake")
+        .option("path", lake).option("checkpointLocation", chk)
+    }
+
+    // three wire segments pending, paced one per epoch — then kill the
+    // query the moment the SECOND table version lands, leaving the
+    // third epoch dead in flight
+    (0 until 3).foreach(i => produce(readings(i * 100, (i + 1) * 100)))
+    val q1 = pipeline(paced = true).start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (LogLake.currentVersion(lake) < 2 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(25)
+    q1.stop()
+    assert(LogLake.currentVersion(lake) >= 2, "fixture: crash after ≥2 commits")
+    assert(spark.read.format("loglake").load(lake).count() <= 300,
+      "the stop landed mid-stream")
+
+    // more data arrives while the pipeline is down; the restart on the
+    // SAME checkpoint must replay the dead epoch and drain the rest —
+    // no loss, no duplication
+    (3 until 6).foreach(i => produce(readings(i * 100, (i + 1) * 100)))
+    val q2 = pipeline(paced = false).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+
+    val warehouse = spark.read.format("loglake").load(lake)
+    assert(warehouse.count() == 600, "end state must equal the batch truth")
+    val got = warehouse.groupBy("sensor")
+      .agg(count(lit(1)).as("n"), sum("reading").as("s"))
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    val want = readings(0, 600).groupBy("sensor")
+      .agg(count(lit(1)).as("n"), sum("reading").as("s"))
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._3 - w._3) < 1e-6) }
+  }
+
   test("sink epoch replay is a no-op: the txn log carries exactly-once, not the engine") {
     val dir = tmp("replay")
     val sink = new LogLakeSink(dir, Nil, explicitId = Some("w1"), mode =
