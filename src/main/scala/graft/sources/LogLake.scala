@@ -174,8 +174,13 @@ object LogLake {
     require(manifests.exists(_._1 == target),
       s"loglake: version $target does not exist at $dir (log spans 1..$last)")
     val chk = listCheckpoints(dir).filter(_._1 <= target).lastOption
-      .map { case (_, p) => parseCheckpoint(WireLog.readSmallFile(f, p).getOrElse(
-        throw new java.io.IOException(s"loglake: unreadable checkpoint $p"))) }
+      .map { case (_, p) =>
+        val in = f.open(p)
+        try parseCheckpointStream(in)
+        catch { case e: Exception =>
+          throw new java.io.IOException(s"loglake: unreadable checkpoint $p", e) }
+        finally in.close()
+      }
     val active = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
     var schemaJson = ""
@@ -810,9 +815,9 @@ object LogLake {
   private def writeCheckpoint(dir: String, v: Long): Unit =
     try {
       val f = fs(dir)
-      val content = renderCheckpoint(resolve(dir, Some(v)))
       val tmp = new Path(logPath(dir), s"_tmp/c-${UUID.randomUUID()}")
-      WireLog.writeSmallFile(f, tmp, content)
+      val out = f.create(tmp, true)
+      try writeCheckpointStream(out, resolve(dir, Some(v))) finally out.close()
       if (!f.rename(tmp, new Path(logPath(dir), f"chk-$v%020d.json")))
         f.delete(tmp, false)
     } catch { case _: Exception => () }
@@ -932,23 +937,110 @@ object LogLake {
       parseAdds(n, "adds"), removes)
   }
 
-  private def renderCheckpoint(c: Checkpoint): String = {
-    val root = mapper.createObjectNode()
-    root.put("version", c.version)
-    root.put("schema", c.schemaJson)
-    renderAdds(root, "files", c.files)
-    val tx = root.putObject("txns")
-    c.txns.toSeq.sortBy(_._1).foreach { case (id, v) => tx.put(id, v) }
-    root.toString
+  // ------------------------------------------- checkpoint streaming I/O
+  //
+  // A checkpoint carries EVERY active file — at 10⁶ files that is a
+  // ~200 MB document, and Jackson's tree model (readTree / ObjectNode)
+  // allocates a node per field: ~14 s to parse, comparable to render.
+  // The token-streaming parser/generator below handle the same format
+  // with no intermediate tree, which keeps the every-10th-commit
+  // checkpoint write and the once-per-read snapshot resolve bounded by
+  // raw JSON throughput (measured in tools/MetaProbe → BASELINE.md).
+  // Manifests stay on the tree model — they are per-commit-sized.
+
+  private[sources] def parseCheckpointStream(in: java.io.InputStream): Checkpoint = {
+    import com.fasterxml.jackson.core.JsonToken._
+    val p = mapper.getFactory.createParser(in)
+    var version = 0L
+    var schema = ""
+    val files = scala.collection.mutable.ArrayBuffer[AddFile]()
+    val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
+    require(p.nextToken() == START_OBJECT, "checkpoint: expected an object")
+    while (p.nextToken() != END_OBJECT) {
+      p.currentName() match {
+        case "version" => p.nextToken(); version = p.getLongValue
+        case "schema" => p.nextToken(); schema = p.getText
+        case "files" =>
+          require(p.nextToken() == START_ARRAY, "checkpoint: files must be an array")
+          while (p.nextToken() != END_ARRAY) files += parseAddStream(p)
+        case "txns" =>
+          require(p.nextToken() == START_OBJECT, "checkpoint: txns must be an object")
+          while (p.nextToken() != END_OBJECT) {
+            val id = p.currentName(); p.nextToken(); txns(id) = p.getLongValue
+          }
+        case _ => p.nextToken(); p.skipChildren()
+      }
+    }
+    p.close()
+    Checkpoint(version, schema, files.toSeq, txns.toMap)
   }
 
-  private def parseCheckpoint(json: String): Checkpoint = {
-    import scala.jdk.CollectionConverters._
-    val n = mapper.readTree(json)
-    val txns = Option(n.get("txns")).map { t =>
-      t.fieldNames().asScala.map(id => id -> t.get(id).asLong()).toMap
-    }.getOrElse(Map.empty[String, Long])
-    Checkpoint(n.get("version").asLong(), n.get("schema").asText(),
-      parseAdds(n, "files"), txns)
+  /** One add entry; the parser sits ON its START_OBJECT. */
+  private def parseAddStream(p: com.fasterxml.jackson.core.JsonParser): AddFile = {
+    import com.fasterxml.jackson.core.JsonToken._
+    var path = ""; var rows = 0L; var bytes = -1L
+    var stats = Map.empty[String, ColStats]
+    while (p.nextToken() != END_OBJECT) {
+      p.currentName() match {
+        case "path" => p.nextToken(); path = p.getText
+        case "rows" => p.nextToken(); rows = p.getLongValue
+        case "bytes" => p.nextToken(); bytes = p.getLongValue
+        case "stats" =>
+          require(p.nextToken() == START_OBJECT, "add: stats must be an object")
+          val m = Map.newBuilder[String, ColStats]
+          while (p.nextToken() != END_OBJECT) {
+            val c = p.currentName()
+            require(p.nextToken() == START_OBJECT, s"add: stats.$c must be an object")
+            var t = ""; var mn = ""; var mx = ""; var nulls = 0L
+            while (p.nextToken() != END_OBJECT) {
+              p.currentName() match {
+                case "t" => p.nextToken(); t = p.getText
+                case "min" => p.nextToken(); mn = p.getText
+                case "max" => p.nextToken(); mx = p.getText
+                case "nulls" => p.nextToken(); nulls = p.getLongValue
+                case _ => p.nextToken(); p.skipChildren()
+              }
+            }
+            m += c -> ColStats(t, mn, mx, nulls)
+          }
+          stats = m.result()
+        case _ => p.nextToken(); p.skipChildren()
+      }
+    }
+    AddFile(path, rows, stats, bytes)
+  }
+
+  /** Token-streamed checkpoint render — byte-identical layout to the
+    * tree renderer (field order pinned, stats sorted by column), so the
+    * rename-replace idempotence argument in [[writeCheckpoint]] holds. */
+  private def writeCheckpointStream(out: java.io.OutputStream, c: Checkpoint): Unit = {
+    val g = mapper.getFactory.createGenerator(out)
+    g.writeStartObject()
+    g.writeNumberField("version", c.version)
+    g.writeStringField("schema", c.schemaJson)
+    g.writeArrayFieldStart("files")
+    c.files.foreach { a =>
+      g.writeStartObject()
+      g.writeStringField("path", a.path)
+      g.writeNumberField("rows", a.rows)
+      g.writeNumberField("bytes", a.bytes)
+      g.writeObjectFieldStart("stats")
+      a.stats.toSeq.sortBy(_._1).foreach { case (col, s) =>
+        g.writeObjectFieldStart(col)
+        g.writeStringField("t", s.tpe)
+        g.writeStringField("min", s.min)
+        g.writeStringField("max", s.max)
+        g.writeNumberField("nulls", s.nulls)
+        g.writeEndObject()
+      }
+      g.writeEndObject()
+      g.writeEndObject()
+    }
+    g.writeEndArray()
+    g.writeObjectFieldStart("txns")
+    c.txns.toSeq.sortBy(_._1).foreach { case (id, v) => g.writeNumberField(id, v) }
+    g.writeEndObject()
+    g.writeEndObject()
+    g.close()
   }
 }

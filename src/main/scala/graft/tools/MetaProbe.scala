@@ -1,0 +1,94 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.Sessions
+import graft.sources.LogLake
+
+/** Driver-side metadata posture at large file counts (VERDICT r5/r6
+  * task: "loglake metadata at 10⁶ files"). Crafts a synthetic commit
+  * log — manifests and a checkpoint in the exact on-disk JSON format,
+  * no data files — then measures the driver costs every loglake read
+  * pays: log listing, snapshot resolve (checkpoint + tail vs full
+  * replay), stats pruning over every active file, and resolved-state
+  * heap. Data files are never touched (planning is metadata-only by
+  * design), so the numbers isolate the manifest path itself.
+  */
+object MetaProbe {
+
+  private val schemaJson = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType))).json
+
+  /** One add entry, ~170 rendered bytes — same fields `renderAdds`
+    * writes (path, rows, bytes, per-column stats). */
+  private def add(i: Long): String =
+    s"""{"path":"data/f-$i%016x.parquet","rows":1000,"bytes":1048576,""" +
+      s""""stats":{"k":{"t":"long","min":"${i * 1000}","max":"${i * 1000 + 999}","nulls":0}}}"""
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** `nFiles` adds spread over `nManifests` append commits, plus a
+    * checkpoint at the head (the steady-state layout: CheckpointInterval
+    * keeps the tail ≤ 10 manifests long). */
+  private def makeTable(dir: String, nFiles: Long, nManifests: Int): Unit = {
+    val log = Paths.get(dir, LogLake.LogDir)
+    Files.createDirectories(log)
+    val perManifest = nFiles / nManifests
+    var i = 0L
+    (1 to nManifests).foreach { v =>
+      val adds = (0L until perManifest).map(_ => { i += 1; add(i) })
+      val json = s"""{"version":$v,"op":"${if (v == 1) "create" else "append"}","txnId":"",""" +
+        s""""readVersion":${v - 1},"schema":"${esc(schemaJson)}",""" +
+        s""""adds":[${adds.mkString(",")}],"removes":[]}"""
+      Files.write(log.resolve(f"$v%020d.json"), json.getBytes("UTF-8"))
+    }
+    // checkpoint at the last version: all files, rendered once
+    val all = (1L to i).map(add)
+    val chk = s"""{"version":$nManifests,"schema":"${esc(schemaJson)}",""" +
+      s""""files":[${all.mkString(",")}],"txns":{}}"""
+    Files.write(log.resolve(f"chk-$nManifests%020d.json"), chk.getBytes("UTF-8"))
+  }
+
+  private def t[A](tag: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"  $tag%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+  }
+
+  private def usedMb(): Long = {
+    System.gc(); Thread.sleep(200); System.gc()
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(100000L, 1000000L)
+    val spark = Sessions.builder("local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scales.foreach { n =>
+      val dir = Files.createTempDirectory(s"metaprobe-$n").toString + "/t"
+      println(s"== $n files")
+      t("craft log (1000 manifests + chk)")(makeTable(dir, n, 1000))
+      val m0 = usedMb()
+      t("currentVersion (list only)")(LogLake.currentVersion(dir))
+      val (files, _) = t("activeState via checkpoint")(LogLake.activeState(dir))
+      println(f"  ${"active files"}%-34s ${files.size}%8d")
+      val m1 = usedMb()
+      println(f"  ${"resolved-state heap"}%-34s ${m1 - m0}%8d MB")
+      t("pruneFiles k in [0, 5e6]")(
+        println(f"  ${"  kept"}%-34s ${LogLake.pruneFiles(dir, "k", 0L, 5000000L)._1.size}%8d"))
+      t("snapshot plan (no execution)")(
+        spark.read.schema(StructType.fromDDL("k LONG, v STRING"))
+          .format("loglake").load(dir).queryExecution.executedPlan)
+      // worst case: no checkpoint → full log replay
+      Files.delete(Paths.get(dir, LogLake.LogDir).resolve(
+        f"chk-${1000}%020d.json"))
+      t("activeState full replay (no chk)")(LogLake.activeState(dir))
+      ()
+    }
+    spark.stop()
+  }
+}
