@@ -331,6 +331,41 @@ object Lake {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // --- q119: DELETE/UPDATE through DELETION VECTORS (merge-on-read).
+    // v2 masks every 7th order with a per-file position sidecar — zero
+    // data files rewritten (the spec proves that invariant); v3 updates
+    // every remaining 5th order the same way, appending only the
+    // updated rows. The snapshot read applies the vectors via an
+    // anti-join on (file, row_index). At 100 TB this is the point-
+    // delete path: write volume is the deleted POSITIONS, not the
+    // touched files — copy-on-write (q116) rewrites file-volume
+    // instead. The oracle recomputes the end state declaratively.
+    Q(
+      "q119_loglake_dv",
+      s"""WITH end_state AS (
+         |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END
+         |           AS o_orderstatus,
+         |         o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |)
+         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total
+         |FROM end_state GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q119")
+      val ord = orders(s, d).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      LogLake.create(s, dir, ord, statsCols = Seq("o_orderkey"))
+      LogLake.delete(s, dir, col("o_orderkey") % 7 === 0, mor = true)
+      LogLake.update(s, dir, col("o_orderkey") % 5 === 0,
+        Map("o_orderstatus" -> lit("U")), mor = true)
+      LogLake.snapshot(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
     }
   )
 }

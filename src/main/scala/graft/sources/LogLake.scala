@@ -67,6 +67,7 @@ object LogLake {
 
   val LogDir = "_loglake"
   val DataDir = "data"
+  val DvDir = "dv"
 
   /** Every N commits the committer also writes a CHECKPOINT — the fully
     * resolved state at that version (active files + schema + the txnId
@@ -91,8 +92,15 @@ object LogLake {
     * its own bottleneck — the reason Delta/Iceberg carry size in the
     * log). `-1` marks a pre-upgrade manifest; readers fall back to one
     * directory listing. */
+  /** `dv`/`dvRows`: a non-empty `dv` names a DELETION-VECTOR sidecar
+    * (sorted deleted row positions, delta-varint — see [[readDv]]) that
+    * masks `dvRows` of this file's `rows` at read time, the
+    * merge-on-read encoding of DELETE/UPDATE: a point delete touches a
+    * kilobyte sidecar, never the data file. Stats keep their original
+    * (pre-delete) bounds — a widened bound only ever KEEPS a file, so
+    * pruning stays sound. `rows` stays the PHYSICAL count. */
   final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats],
-      bytes: Long = -1L)
+      bytes: Long = -1L, dv: String = "", dvRows: Long = 0L)
   final case class Manifest(version: Long, op: String, txnId: String,
       readVersion: Long, schemaJson: String, adds: Seq[AddFile], removes: Seq[String])
 
@@ -214,9 +222,7 @@ object LogLake {
     * reading exactly these files however many commits land later. */
   def snapshot(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
     val (files, schema) = activeState(dir, asOf)
-    if (files.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    else spark.read.schema(schema).parquet(files.map(a => s"$dir/${a.path}"): _*)
+    readAdds(spark, dir, schema, files)
   }
 
   /** Files surviving min/max pruning for `lo <= column <= hi` (either
@@ -342,16 +348,19 @@ object LogLake {
     require(fromV <= toV, s"loglake: changeFeed range $fromV..$toV is inverted")
     val f = fs(dir)
     val (_, schema) = activeState(dir, Some(toV))
-    def readFiles(paths: Seq[String]): DataFrame =
-      if (paths.isEmpty)
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-      else spark.read.schema(schema).parquet(paths.map(p => s"$dir/$p"): _*)
     val steps = listManifests(dir)
       .filter { case (v, _) => v > fromV && v <= toV }
       .map { case (v, p) =>
         val m = readManifest(f, p)
-        val added = readFiles(m.adds.map(_.path))
-        val removed = readFiles(m.removes)
+        // the removed side re-reads each file THROUGH its pre-commit
+        // deletion vector (resolved from version v-1), so a merge-on-
+        // read DELETE surfaces exactly the newly-masked rows and an
+        // UPDATE its old images — never rows a previous DV had hidden
+        val prev: Map[String, AddFile] =
+          if (m.removes.isEmpty) Map.empty
+          else activeState(dir, Some(v - 1))._1.map(a => a.path -> a).toMap
+        val added = readAdds(spark, dir, schema, m.adds)
+        val removed = readAdds(spark, dir, schema, m.removes.flatMap(prev.get))
         added.exceptAll(removed).withColumn("_change_type", lit("insert"))
           .unionByName(removed.exceptAll(added)
             .withColumn("_change_type", lit("delete")))
@@ -371,13 +380,118 @@ object LogLake {
       asOf: Option[Long] = None): DataFrame = {
     val (kept, _) = pruneFiles(dir, column, lo, hi, asOf)
     val (_, schema) = activeState(dir, asOf)
-    val base =
-      if (kept.isEmpty) spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-      else spark.read.schema(schema).parquet(kept.map(a => s"$dir/${a.path}"): _*)
+    val base = readAdds(spark, dir, schema, kept)
     val c = col(column)
     val pred = (Option(lo).map(v => c >= lit(v)) ++ Option(hi).map(v => c <= lit(v)))
       .reduceOption(_ && _).getOrElse(lit(true))
     base.filter(pred)
+  }
+
+  // ------------------------------------------------- deletion vectors
+
+  /** Sidecar codec: "GDV1" magic, varint count, then the SORTED deleted
+    * positions delta-varint encoded — a point delete in a 10⁸-row file
+    * is a handful of bytes. Positions index the file's physical parquet
+    * row order, the value `_metadata.row_index` exposes. */
+  private def writeDv(f: FileSystem, p: Path, positions: Array[Long]): Unit = {
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(f.create(p, true)))
+    try {
+      out.writeInt(0x47445631) // "GDV1"
+      writeVarLong(out, positions.length.toLong)
+      var prev = 0L
+      positions.foreach { x => writeVarLong(out, x - prev); prev = x }
+    } finally out.close()
+  }
+
+  private[sources] def readDv(f: FileSystem, p: Path): Array[Long] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(f.open(p)))
+    try {
+      require(in.readInt() == 0x47445631, s"loglake: $p is not a deletion vector")
+      val n = readVarLong(in).toInt
+      val out = new Array[Long](n)
+      var prev = 0L; var i = 0
+      while (i < n) { prev += readVarLong(in); out(i) = prev; i += 1 }
+      out
+    } finally in.close()
+  }
+
+  private def writeVarLong(out: java.io.DataOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0L) { out.writeByte(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.writeByte(v.toInt)
+  }
+
+  private def readVarLong(in: java.io.DataInputStream): Long = {
+    var v = 0L; var shift = 0
+    var b = in.read()
+    while ((b & 0x80) != 0) { v |= (b & 0x7fL) << shift; shift += 7; b = in.read() }
+    v | ((b & 0x7fL) << shift)
+  }
+
+  private def fileName(p: String): String = new Path(p).getName
+
+  /** The LIVE rows of `adds` — the merge-on-read scan. Files without a
+    * deletion vector flow through the plain parquet path untouched;
+    * when any file carries one, each row's (file name, row_index) is
+    * anti-joined against the expanded DV positions. The DV side holds
+    * only DELETED positions (sidecar bytes pass through the driver,
+    * as in Delta's bitmap materialization) and is usually tiny, so AQE
+    * broadcasts it; the data side stays a native vectorized scan. */
+  private def readAdds(spark: SparkSession, dir: String, schema: StructType,
+      adds: Seq[AddFile]): DataFrame = {
+    if (adds.isEmpty)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    val paths = adds.map(a => s"$dir/${a.path}")
+    val dved = adds.filter(_.dv.nonEmpty)
+    if (dved.isEmpty) spark.read.schema(schema).parquet(paths: _*)
+    else {
+      val f = fs(dir)
+      import spark.implicits._
+      val dvDf = dved
+        .map(a => fileName(a.path) -> readDv(f, new Path(dir, a.dv)))
+        .toDF("__name", "__positions")
+        .select(col("__name"), explode(col("__positions")).as("__pos"))
+      spark.read.schema(schema).parquet(paths: _*)
+        .withColumn("__name",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(dvDf, Seq("__name", "__pos"), "left_anti")
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    }
+  }
+
+  /** Merge fresh deleted positions (rows of `touched` matching
+    * `condition`, one metadata-column scan — driver contact is this
+    * commit's deleted-position volume) into each file's existing DV.
+    * Returns the surviving AddFiles (new DV attached; a file whose
+    * every physical row is now dead simply drops) and the remove list. */
+  private def attachDvs(spark: SparkSession, dir: String, schema: StructType,
+      touched: Seq[AddFile], condition: Column): (Seq[AddFile], Seq[String]) = {
+    val f = fs(dir)
+    val posByName: Map[String, Array[Long]] = spark.read.schema(schema)
+      .parquet(touched.map(a => s"$dir/${a.path}"): _*)
+      .filter(condition)
+      .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("__name"),
+        col("_metadata.row_index").as("__pos"))
+      .groupBy("__name").agg(sort_array(collect_list(col("__pos"))).as("__ps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    f.mkdirs(new Path(dir, DvDir))
+    val survivors = touched.flatMap { a =>
+      val fresh = posByName.getOrElse(fileName(a.path), Array.empty[Long])
+      val old = if (a.dv.isEmpty) Array.empty[Long]
+        else readDv(f, new Path(dir, a.dv))
+      val merged = (old ++ fresh).distinct.sorted
+      if (merged.length >= a.rows) None // every physical row dead → drop
+      else {
+        val dvPath = s"$DvDir/${UUID.randomUUID()}.dv"
+        writeDv(f, new Path(dir, dvPath), merged)
+        Some(a.copy(dv = dvPath, dvRows = merged.length))
+      }
+    }
+    (survivors, touched.map(_.path))
   }
 
   // --------------------------------------------------------------- write
@@ -479,7 +593,7 @@ object LogLake {
 
     val rewritten =
       if (touched.isEmpty) src
-      else spark.read.schema(schema).parquet(touched.map(a => s"$dir/${a.path}"): _*)
+      else readAdds(spark, dir, schema, touched) // DV-masked rows stay dead
         .join(keys, keyCols, "left_anti")
         .unionByName(src)
     val adds = writeData(spark, dir, rewritten, statsCols)
@@ -494,7 +608,8 @@ object LogLake {
     * like every rewriting op. At 100 TB the cost is proportional to
     * the matched-file volume, the Delta copy-on-write contract. */
   def delete(spark: SparkSession, dir: String, condition: Column,
-      statsCols: Seq[String] = Nil, txnId: String = ""): Long = {
+      statsCols: Seq[String] = Nil, txnId: String = "",
+      mor: Boolean = false): Long = {
     replayedVersion(dir, txnId) match {
       case Some(v) => return v
       case None =>
@@ -503,8 +618,15 @@ object LogLake {
     val (files, schema) = activeState(dir, Some(readV))
     val touched = touchedFiles(spark, dir, files, schema, condition)
     if (touched.isEmpty) return readV // nothing matches — no commit
-    val kept = spark.read.schema(schema)
-      .parquet(touched.map(a => s"$dir/${a.path}"): _*)
+    if (mor) {
+      // merge-on-read: write per-file deletion-vector sidecars instead
+      // of rewriting data — a point delete in a 100 TB table touches
+      // kilobytes; OPTIMIZE later materializes and purges the DVs
+      val (adds, removes) =
+        attachDvs(spark, dir, schema, touched, coalesce(condition, lit(false)))
+      return commit(dir, "delete", txnId, readV, schema.json, adds, removes)
+    }
+    val kept = readAdds(spark, dir, schema, touched)
       .filter(!coalesce(condition, lit(false))) // NULL-condition rows survive, as in SQL DELETE
     val adds = writeData(spark, dir, kept, statsCols)
     commit(dir, "delete", txnId, readV, schema.json, adds, touched.map(_.path))
@@ -516,7 +638,7 @@ object LogLake {
     * rewrite, as in [[delete]]). */
   def update(spark: SparkSession, dir: String, condition: Column,
       set: Map[String, Column], statsCols: Seq[String] = Nil,
-      txnId: String = ""): Long = {
+      txnId: String = "", mor: Boolean = false): Long = {
     replayedVersion(dir, txnId) match {
       case Some(v) => return v
       case None =>
@@ -529,6 +651,19 @@ object LogLake {
     val touched = touchedFiles(spark, dir, files, schema, condition)
     if (touched.isEmpty) return readV
     val hit = coalesce(condition, lit(false))
+    if (mor) {
+      // merge-on-read: mask the old images with deletion vectors and
+      // append only the updated rows as new files — write volume is
+      // the MATCHED rows, not the touched files
+      val updated = readAdds(spark, dir, schema, touched).filter(hit)
+        .select(schema.fieldNames.toIndexedSeq.map { c =>
+          set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
+        }: _*)
+      val newAdds = writeData(spark, dir, updated, statsCols)
+      val (dvAdds, removes) = attachDvs(spark, dir, schema, touched, hit)
+      return commit(dir, "update", txnId, readV, schema.json,
+        dvAdds ++ newAdds, removes)
+    }
     val projected = schema.fieldNames.toIndexedSeq.map { c =>
       set.get(c) match {
         case Some(v) => when(hit, v).otherwise(col(c)).cast(
@@ -536,8 +671,7 @@ object LogLake {
         case None => col(c)
       }
     }
-    val rewritten = spark.read.schema(schema)
-      .parquet(touched.map(a => s"$dir/${a.path}"): _*)
+    val rewritten = readAdds(spark, dir, schema, touched)
       .select(projected: _*)
     val adds = writeData(spark, dir, rewritten, statsCols)
     commit(dir, "update", txnId, readV, schema.json, adds, touched.map(_.path))
@@ -560,10 +694,16 @@ object LogLake {
     val (cur, _) = activeState(dir, Some(readV))
     val (old, oldSchema) = activeState(dir, Some(toVersion))
     val f = fs(dir)
-    old.foreach(a => if (!f.exists(new Path(dir, a.path)))
-      throw new java.io.IOException(
-        s"loglake: cannot restore to version $toVersion — data file ${a.path} " +
-          "has been vacuumed"))
+    old.foreach { a =>
+      if (!f.exists(new Path(dir, a.path)))
+        throw new java.io.IOException(
+          s"loglake: cannot restore to version $toVersion — data file ${a.path} " +
+            "has been vacuumed")
+      if (a.dv.nonEmpty && !f.exists(new Path(dir, a.dv)))
+        throw new java.io.IOException(
+          s"loglake: cannot restore to version $toVersion — deletion vector " +
+            s"${a.dv} has been vacuumed")
+    }
     val curPaths = cur.map(_.path).toSet
     val oldPaths = old.map(_.path).toSet
     val adds = old.filterNot(a => curPaths(a.path))
@@ -609,7 +749,9 @@ object LogLake {
     val readV = currentVersion(dir)
     val (files, schema) = activeState(dir, Some(readV))
     if (files.isEmpty) return readV // nothing to compact
-    val df = spark.read.schema(schema).parquet(files.map(a => s"$dir/${a.path}"): _*)
+    // the rewrite reads THROUGH deletion vectors, so OPTIMIZE also
+    // materializes pending deletes and purges the DVs (Delta's PURGE)
+    val df = readAdds(spark, dir, schema, files)
     val arranged = zorderCols match {
       case Nil => df.repartition(numFiles)
       case cols =>
@@ -653,16 +795,20 @@ object LogLake {
     * files older than the horizon are eligible. Returns deleted paths. */
   def vacuum(dir: String, olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val f = fs(dir)
-    val dd = new Path(dir, DataDir)
-    if (!f.exists(dd)) return Seq.empty
-    val active: Set[String] =
-      if (history(dir).isEmpty) Set.empty
-      else activeState(dir)._1.map(a => new Path(a.path).getName).toSet
+    val state: Seq[AddFile] =
+      if (history(dir).isEmpty) Seq.empty else activeState(dir)._1
     val cutoff = System.currentTimeMillis() - olderThanMs
-    f.listStatus(dd).toSeq
-      .filter(s => s.isFile && !active(s.getPath.getName)
-        && s.getModificationTime < cutoff)
-      .map { s => f.delete(s.getPath, false); s"$DataDir/${s.getPath.getName}" }
+    def sweep(sub: String, active: Set[String]): Seq[String] = {
+      val d = new Path(dir, sub)
+      if (!f.exists(d)) return Seq.empty
+      f.listStatus(d).toSeq
+        .filter(s => s.isFile && !active(s.getPath.getName)
+          && s.getModificationTime < cutoff)
+        .map { s => f.delete(s.getPath, false); s"$sub/${s.getPath.getName}" }
+    }
+    sweep(DataDir, state.map(a => new Path(a.path).getName).toSet) ++
+      sweep(DvDir, state.filter(_.dv.nonEmpty)
+        .map(a => new Path(a.dv).getName).toSet)
   }
 
   /** Exactly-once streaming append: each micro-batch commits as ONE
@@ -890,6 +1036,7 @@ object LogLake {
       o.put("path", a.path)
       o.put("rows", a.rows)
       o.put("bytes", a.bytes)
+      if (a.dv.nonEmpty) { o.put("dv", a.dv); o.put("dvRows", a.dvRows) }
       val st = o.putObject("stats")
       a.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
         val so = st.putObject(c)
@@ -911,7 +1058,9 @@ object LogLake {
         }.toMap
       }.getOrElse(Map.empty[String, ColStats])
       AddFile(a.get("path").asText(), a.get("rows").asLong(), stats,
-        Option(a.get("bytes")).map(_.asLong()).getOrElse(-1L))
+        Option(a.get("bytes")).map(_.asLong()).getOrElse(-1L),
+        Option(a.get("dv")).map(_.asText()).getOrElse(""),
+        Option(a.get("dvRows")).map(_.asLong()).getOrElse(0L))
     }.toSeq
   }
 
@@ -979,12 +1128,15 @@ object LogLake {
   private def parseAddStream(p: com.fasterxml.jackson.core.JsonParser): AddFile = {
     import com.fasterxml.jackson.core.JsonToken._
     var path = ""; var rows = 0L; var bytes = -1L
+    var dv = ""; var dvRows = 0L
     var stats = Map.empty[String, ColStats]
     while (p.nextToken() != END_OBJECT) {
       p.currentName() match {
         case "path" => p.nextToken(); path = p.getText
         case "rows" => p.nextToken(); rows = p.getLongValue
         case "bytes" => p.nextToken(); bytes = p.getLongValue
+        case "dv" => p.nextToken(); dv = p.getText
+        case "dvRows" => p.nextToken(); dvRows = p.getLongValue
         case "stats" =>
           require(p.nextToken() == START_OBJECT, "add: stats must be an object")
           val m = Map.newBuilder[String, ColStats]
@@ -1007,7 +1159,7 @@ object LogLake {
         case _ => p.nextToken(); p.skipChildren()
       }
     }
-    AddFile(path, rows, stats, bytes)
+    AddFile(path, rows, stats, bytes, dv, dvRows)
   }
 
   /** Token-streamed checkpoint render — byte-identical layout to the
@@ -1024,6 +1176,10 @@ object LogLake {
       g.writeStringField("path", a.path)
       g.writeNumberField("rows", a.rows)
       g.writeNumberField("bytes", a.bytes)
+      if (a.dv.nonEmpty) {
+        g.writeStringField("dv", a.dv)
+        g.writeNumberField("dvRows", a.dvRows)
+      }
       g.writeObjectFieldStart("stats")
       a.stats.toSeq.sortBy(_._1).foreach { case (col, s) =>
         g.writeObjectFieldStart(col)

@@ -171,6 +171,13 @@ final class LogLakeFileIndex(spark: SparkSession, dir: String,
     asOf: Option[Long]) extends FileIndex {
 
   private val (activeFiles, schema0) = LogLake.activeState(dir, asOf)
+  // this path hands the raw files straight to the native parquet scan —
+  // it cannot mask deletion-vector rows, and silently resurrecting
+  // deleted rows is the one unacceptable outcome
+  require(activeFiles.forall(_.dv.isEmpty),
+    s"loglake: the snapshot at $dir carries deletion vectors (merge-on-read " +
+      "DELETE/UPDATE); read it with LogLake.snapshot, or run OPTIMIZE to " +
+      "materialize the deletes, before format(\"loglake\") reads")
 
   /** Fallback for pre-`bytes` manifests only: one directory listing. */
   private lazy val listedSizes: Map[String, Long] = {
@@ -335,12 +342,21 @@ final class LogLakeSource(spark: SparkSession, dir: String,
       case None if initialSnapshot =>
         // first batch = the whole table AS OF the batch's end version
         // (checkpoint-stable: a restart replays the identical snapshot)
-        LogLake.activeState(dir, Some(to))._1
-          .filter(_.rows != 0L).map(a => s"$dir/${a.path}")
+        val files = LogLake.activeState(dir, Some(to))._1
+        require(files.forall(_.dv.isEmpty),
+          s"loglake: the snapshot at $dir carries deletion vectors — run " +
+            "OPTIMIZE to materialize the deletes before streaming it")
+        files.filter(_.rows != 0L).map(a => s"$dir/${a.path}")
       case _ =>
         val from = start.map(ver).getOrElse(startV)
         LogLake.manifestRange(dir, from, to).flatMap { m =>
-          if (m.op == "optimize") Nil // layout-only: same rows, new files
+          if (m.adds.exists(_.dv.nonEmpty))
+            throw new UnsupportedOperationException(
+              s"loglake: version ${m.version} is a merge-on-read ${m.op} " +
+                "(deletion vectors) — a raw re-emit would resurrect deleted " +
+                "rows, which ignoreChanges cannot excuse. Run OPTIMIZE and " +
+                "restart past it, or take initialSnapshot=true from there.")
+          else if (m.op == "optimize") Nil // layout-only: same rows, new files
           else if (m.removes.nonEmpty && !ignoreChanges)
             throw new UnsupportedOperationException(
               s"loglake: streaming read requires an append-only table, but version " +

@@ -432,4 +432,82 @@ class LogLakeSpec extends SparkTestBase {
     assert(sortedRows(LogLake.snapshot(spark, dir)) == Seq(1L -> "a"))
     assert(LogLake.append(spark, dir, kv(2L -> "b")) == 2L)
   }
+
+  test("deletion vectors: point deletes rewrite zero data files; reads, CDC, optimize, vacuum honor them") {
+    val dir = tmp("dv")
+    val df = spark.range(0, 4000)
+      .select(col("id").as("k"), concat(lit("r"), col("id")).as("v"))
+      .repartitionByRange(4, col("k"))
+    LogLake.create(spark, dir, df, statsCols = Seq("k")) // v1: 4 range files
+    def dataFiles(): Set[String] = {
+      val f = graft.sources.WireLog.fs(dir)
+      f.listStatus(new org.apache.hadoop.fs.Path(dir, LogLake.DataDir))
+        .map(_.getPath.getName).toSet
+    }
+    val gen0 = dataFiles()
+
+    // v2, v3: two MoR point deletes — ZERO data files rewritten, the
+    // second delete merges into the first file's existing vector
+    LogLake.delete(spark, dir, col("k") === 1500L, mor = true)
+    assert(dataFiles() == gen0, "a merge-on-read delete must not touch data files")
+    LogLake.delete(spark, dir, col("k") === 1501L, mor = true)
+    assert(dataFiles() == gen0)
+    val (files3, _) = LogLake.activeState(dir)
+    assert(files3.count(_.dv.nonEmpty) == 1, "one file masked")
+    assert(files3.find(_.dv.nonEmpty).get.dvRows == 2L, "vectors merged")
+    val snap3 = LogLake.snapshot(spark, dir)
+    assert(snap3.count() == 3998L)
+    assert(snap3.filter(col("k").isin(1500L, 1501L)).count() == 0L)
+
+    // v4: MoR update writes ONLY the matched row as new data
+    LogLake.update(spark, dir, col("k") === 10L, Map("v" -> lit("X")), mor = true)
+    assert((dataFiles() -- gen0).size == 1, "one new file: the updated rows")
+    val snap4 = LogLake.snapshot(spark, dir)
+    assert(snap4.count() == 3998L)
+    assert(snap4.filter(col("k") === 10L).select("v").head().getString(0) == "X")
+
+    // time travel ignores later vectors; CDC surfaces exactly the
+    // masked/updated rows, never rows an older vector already hid
+    assert(LogLake.snapshot(spark, dir, Some(1L)).count() == 4000L)
+    val cf2 = LogLake.changeFeed(spark, dir, 1L, 2L)
+    assert(cf2.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSeq == Seq(1500L))
+    assert(cf2.filter(col("_change_type") === "insert").count() == 0L)
+    val cf4 = LogLake.changeFeed(spark, dir, 3L, 4L)
+    assert(cf4.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSeq == Seq(10L))
+    assert(cf4.filter(col("_change_type") === "insert")
+      .select("v").as[String].collect().toSeq == Seq("X"))
+
+    // v5: a delete that kills EVERY live row of a file drops the file —
+    // target the top range file via its own manifest stats (range
+    // partitioning picks its own boundaries)
+    val before5 = LogLake.activeState(dir)._1
+    val top = before5.filter(_.stats.contains("k")).maxBy(_.stats("k").min.toLong)
+    LogLake.delete(spark, dir, col("k") >= top.stats("k").min.toLong, mor = true)
+    assert(LogLake.activeState(dir)._1.size == before5.size - 1,
+      "the fully-dead file drops entirely, no sidecar")
+    val live = 3998L - top.rows
+    assert(LogLake.snapshot(spark, dir).count() == live)
+
+    // the raw-scan paths refuse while vectors are active
+    val e = intercept[Exception] {
+      spark.read.format("loglake").load(dir).count()
+    }
+    assert(e.getMessage.contains("deletion vectors"), s"got: ${e.getMessage}")
+
+    // OPTIMIZE materializes the deletes: content identical, vectors
+    // purged, the native-format read works again
+    LogLake.optimize(spark, dir, numFiles = 2)
+    assert(LogLake.activeState(dir)._1.forall(_.dv.isEmpty))
+    assert(spark.read.format("loglake").load(dir).count() == live)
+    assert(spark.read.format("loglake").load(dir)
+      .filter(col("k") === 10L).select("v").head().getString(0) == "X")
+
+    // vacuum reclaims the orphaned sidecars along with old file gens
+    val swept = LogLake.vacuum(dir, olderThanMs = -1000L)
+    assert(swept.exists(_.startsWith(s"${LogLake.DvDir}/")),
+      s"dv sidecars must be vacuumed, swept: $swept")
+    assert(LogLake.snapshot(spark, dir).count() == live, "vacuum keeps the live state")
+  }
 }
