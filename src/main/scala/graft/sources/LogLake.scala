@@ -348,19 +348,24 @@ object LogLake {
     require(fromV <= toV, s"loglake: changeFeed range $fromV..$toV is inverted")
     val f = fs(dir)
     val (_, schema) = activeState(dir, Some(toV))
-    val steps = listManifests(dir)
+    val manifests = listManifests(dir)
       .filter { case (v, _) => v > fromV && v <= toV }
-      .map { case (v, p) =>
+    // the removed side re-reads each file THROUGH its pre-commit
+    // deletion vector, so a merge-on-read DELETE surfaces exactly the
+    // newly-masked rows and an UPDATE its old images — never rows a
+    // previous DV had hidden. The pre-commit state is maintained
+    // INCREMENTALLY along the walk (one resolve at the range start,
+    // one map update per manifest) — never a per-version re-resolve.
+    val state = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    if (fromV > 0L) // fromV = 0 streams from before the first commit
+      activeState(dir, Some(fromV))._1.foreach(a => state(a.path) = a)
+    val steps = manifests.map { case (v, p) =>
         val m = readManifest(f, p)
-        // the removed side re-reads each file THROUGH its pre-commit
-        // deletion vector (resolved from version v-1), so a merge-on-
-        // read DELETE surfaces exactly the newly-masked rows and an
-        // UPDATE its old images — never rows a previous DV had hidden
-        val prev: Map[String, AddFile] =
-          if (m.removes.isEmpty) Map.empty
-          else activeState(dir, Some(v - 1))._1.map(a => a.path -> a).toMap
+        val prevEntries = m.removes.flatMap(state.get)
+        m.removes.foreach(state.remove)
+        m.adds.foreach(a => state(a.path) = a)
         val added = readAdds(spark, dir, schema, m.adds)
-        val removed = readAdds(spark, dir, schema, m.removes.flatMap(prev.get))
+        val removed = readAdds(spark, dir, schema, prevEntries)
         added.exceptAll(removed).withColumn("_change_type", lit("insert"))
           .unionByName(removed.exceptAll(added)
             .withColumn("_change_type", lit("delete")))
@@ -554,6 +559,15 @@ object LogLake {
     val removes =
       if (op == "overwrite") activeState(dir, Some(readV))._1.map(_.path) else Nil
     val adds = writeData(spark, dir, df, statsCols)
+    // an append that stages no ROWS commits nothing (zero-row parts an
+    // eager writer opened are swept) — this is what lets the streaming
+    // sink skip a pre-emptive isEmpty, which would re-execute the
+    // epoch's whole plan just to probe for a row
+    if (op == "append" && adds.forall(_.rows == 0L)) {
+      val f = fs(dir)
+      adds.foreach(a => f.delete(new Path(dir, a.path), false))
+      return readV
+    }
     commit(dir, op, txnId, readV, schemaJson, adds, removes)
   }
 

@@ -413,8 +413,10 @@ final class LogLakeSink(dir: String, statsCols: Seq[String],
         else t("create")(LogLake.create(spark, dir, fresh, statsCols, txn))
       case _ =>
         if (!exists) t("create")(LogLake.create(spark, dir, fresh, statsCols, txn))
-        else if (!t("isEmpty")(fresh.isEmpty))
-          t("append")(LogLake.append(spark, dir, fresh, statsCols, txn))
+        // an empty epoch stages zero files and append() skips the
+        // commit itself — no pre-emptive isEmpty, which would run the
+        // epoch's plan twice
+        else t("append")(LogLake.append(spark, dir, fresh, statsCols, txn))
     }
   }
 
