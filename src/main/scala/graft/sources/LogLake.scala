@@ -234,7 +234,12 @@ object LogLake {
   def pruneFiles(dir: String, column: String, lo: Any, hi: Any,
       asOf: Option[Long] = None): (Seq[AddFile], Int) = {
     val (files, _) = activeState(dir, asOf)
-    val kept = files.filter { a =>
+    (rangeKept(files, column, lo, hi), files.size)
+  }
+
+  private def rangeKept(files: Seq[AddFile], column: String,
+      lo: Any, hi: Any): Seq[AddFile] =
+    files.filter { a =>
       a.stats.get(column) match {
         case None => true
         case Some(s) if s.tpe == "null" => false
@@ -244,8 +249,6 @@ object LogLake {
           loOk && hiOk
       }
     }
-    (kept, files.size)
-  }
 
   /** File-skipping under a conjunction of Catalyst predicates — the
     * decision [[LogLakeFileIndex.listFiles]] makes during PLANNING, so
@@ -383,8 +386,10 @@ object LogLake {
     * results to filtering the full snapshot, fewer files opened. */
   def scanRange(spark: SparkSession, dir: String, column: String, lo: Any, hi: Any,
       asOf: Option[Long] = None): DataFrame = {
-    val (kept, _) = pruneFiles(dir, column, lo, hi, asOf)
-    val (_, schema) = activeState(dir, asOf)
+    // ONE snapshot resolve serves both the skipping decision and the
+    // read (a 10⁶-file resolve costs ~2 s — see tools/MetaProbe)
+    val (files, schema) = activeState(dir, asOf)
+    val kept = rangeKept(files, column, lo, hi)
     val base = readAdds(spark, dir, schema, kept)
     val c = col(column)
     val pred = (Option(lo).map(v => c >= lit(v)) ++ Option(hi).map(v => c <= lit(v)))

@@ -433,6 +433,33 @@ class LogLakeSpec extends SparkTestBase {
     assert(LogLake.append(spark, dir, kv(2L -> "b")) == 2L)
   }
 
+  test("racing merge-on-read deletes: serializable — both land in sequence or the loser fails loudly") {
+    val dir = tmp("dv-race")
+    LogLake.create(spark, dir,
+      spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("r"), col("id")).as("v")))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def deleter(key: Long) = new Thread {
+      override def run(): Unit =
+        try LogLake.delete(spark, dir, col("k") === key, mor = true)
+        catch { case t: Throwable => errs.add(t) }
+    }
+    val a = deleter(10L); val b = deleter(20L)
+    a.start(); b.start(); a.join(120000); b.join(120000)
+    val snap = LogLake.snapshot(spark, dir)
+    errs.forEach(t => assert(t.getMessage.contains("concurrent commit"),
+      s"a losing MoR delete must fail loudly as a snapshot conflict: ${t.getMessage}"))
+    if (errs.isEmpty) {
+      // both serialized: both vectors applied, nothing else lost
+      assert(snap.count() == 98L)
+      assert(snap.filter(col("k").isin(10L, 20L)).count() == 0L)
+    } else {
+      // the loser's delete is absent IN FULL — no partial vector
+      assert(snap.count() == 99L)
+      assert(snap.filter(col("k").isin(10L, 20L)).count() == 1L)
+    }
+  }
+
   test("deletion vectors: point deletes rewrite zero data files; reads, CDC, optimize, vacuum honor them") {
     val dir = tmp("dv")
     val df = spark.range(0, 4000)
