@@ -257,8 +257,21 @@ final class LogLakeSource(spark: SparkSession, dir: String,
   // first offer and never leaks newer rows into a replay)
   private val snapV: Long = if (initialSnapshot) LogLake.currentVersion(dir) else 0L
 
-  // frozen at stream start — later schema evolution projects onto this
+  // Frozen at stream start. A commit that ADDS columns beyond this
+  // stops the stream loudly (silently projecting the new column away
+  // loses data); a restart freezes the evolved schema, under which the
+  // whole history reads consistently — old files surface the added
+  // columns as NULL, the additive-evolution contract. Delta's behavior.
   override val schema: StructType = LogLake.activeState(dir)._2
+
+  private def requireNoNewColumns(incoming: StructType, v: Long): Unit = {
+    val known = schema.fieldNames.toSet
+    val extra = incoming.fieldNames.filterNot(known)
+    if (extra.nonEmpty) throw new UnsupportedOperationException(
+      s"loglake: version $v evolved the table schema (new column(s) " +
+        s"${extra.mkString(", ")}) — restart the stream to adopt it; this " +
+        "run's frozen schema would silently drop the new data")
+  }
 
   private def ver(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -342,7 +355,8 @@ final class LogLakeSource(spark: SparkSession, dir: String,
       case None if initialSnapshot =>
         // first batch = the whole table AS OF the batch's end version
         // (checkpoint-stable: a restart replays the identical snapshot)
-        val files = LogLake.activeState(dir, Some(to))._1
+        val (files, snapSchema) = LogLake.activeState(dir, Some(to))
+        requireNoNewColumns(snapSchema, to)
         require(files.forall(_.dv.isEmpty),
           s"loglake: the snapshot at $dir carries deletion vectors — run " +
             "OPTIMIZE to materialize the deletes before streaming it")
@@ -350,6 +364,8 @@ final class LogLakeSource(spark: SparkSession, dir: String,
       case _ =>
         val from = start.map(ver).getOrElse(startV)
         LogLake.manifestRange(dir, from, to).flatMap { m =>
+          requireNoNewColumns(org.apache.spark.sql.types.DataType
+            .fromJson(m.schemaJson).asInstanceOf[StructType], m.version)
           if (m.adds.exists(_.dv.nonEmpty))
             throw new UnsupportedOperationException(
               s"loglake: version ${m.version} is a merge-on-read ${m.op} " +

@@ -227,6 +227,40 @@ class LogLakeProviderSpec extends SparkTestBase {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g._3 - w._3) < 1e-6) }
   }
 
+  test("mid-stream schema evolution stops the stream loudly; a restart adopts the new schema") {
+    val in = tmp("evo-in"); val out = tmp("evo-out"); val chk = tmp("evo-chk")
+    kv(1L -> "a", 2L -> "b").write.format("loglake").mode("append").save(in)
+
+    // a LONG-RUNNING stream freezes the schema at ITS start — evolve
+    // the table out from under it and the next batch must stop loudly
+    // (a fresh run would re-freeze the evolved schema and never trip)
+    val q = spark.readStream.format("loglake").load(in)
+      .writeStream.format("loglake").option("path", out)
+      .option("checkpointLocation", chk).start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (LogLake.currentVersion(out) < 1L &&
+      System.currentTimeMillis() < deadline) Thread.sleep(25)
+    assert(spark.read.format("loglake").load(out).count() == 2)
+    LogLake.append(spark, in,
+      Seq((3L, "c", Some(7L))).toDF("k", "v", "extra")) // Option ⇒ nullable
+    val e = intercept[StreamingQueryException] { q.awaitTermination(120000) }
+    assert(e.getCause.getMessage.contains("restart the stream"),
+      s"got: ${e.getCause.getMessage}")
+
+    // the restart freezes the EVOLVED schema and reads the whole
+    // history consistently (old rows surface the new column as NULL)
+    val q2 = spark.readStream.format("loglake").load(in)
+      .writeStream.format("loglake").option("path", out)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val got = spark.read.format("loglake").load(out)
+    assert(got.columns.toSet == Set("k", "v", "extra"))
+    assert(got.count() == 3)
+    assert(got.filter(col("extra").isNotNull).select("k").as[Long]
+      .collect().toSeq == Seq(3L))
+  }
+
   test("crash mid-pipeline: a paced wirelog→loglake stream stopped between epochs resumes exactly-once") {
     val in = tmp("crash-in"); val lake = tmp("crash-lake"); val chk = tmp("crash-chk")
 
