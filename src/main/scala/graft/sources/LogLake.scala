@@ -557,13 +557,15 @@ object LogLake {
     val readV = currentVersion(dir)
     if (op == "create") require(readV == 0L,
       s"loglake: cannot create — table already exists at $dir (version $readV)")
+    val (priorFiles, priorSchema): (Seq[AddFile], StructType) =
+      if (readV > 0L) activeState(dir, Some(readV)) else (Seq.empty, null)
     val schemaJson =
-      if (op == "append" && readV > 0L)
-        evolvedSchema(activeState(dir, Some(readV))._2, df.schema, dir)
+      if (op == "append" && readV > 0L) evolvedSchema(priorSchema, df.schema, dir)
       else df.schema.json
     val removes =
-      if (op == "overwrite") activeState(dir, Some(readV))._1.map(_.path) else Nil
-    val adds = writeData(spark, dir, df, statsCols)
+      if (op == "overwrite") priorFiles.map(_.path) else Nil
+    val adds = writeData(spark, dir, df,
+      inheritedStats(priorFiles, statsCols, df.schema))
     // an append that stages no ROWS commits nothing (zero-row parts an
     // eager writer opened are swept) — this is what lets the streaming
     // sink skip a pre-emptive isEmpty, which would re-execute the
@@ -615,7 +617,8 @@ object LogLake {
       else readAdds(spark, dir, schema, touched) // DV-masked rows stay dead
         .join(keys, keyCols, "left_anti")
         .unionByName(src)
-    val adds = writeData(spark, dir, rewritten, statsCols)
+    val adds = writeData(spark, dir, rewritten,
+      inheritedStats(files, statsCols, src.schema))
     commit(dir, "merge", txnId, readV, schema.json, adds, touched.map(_.path))
   }
 
@@ -647,7 +650,7 @@ object LogLake {
     }
     val kept = readAdds(spark, dir, schema, touched)
       .filter(!coalesce(condition, lit(false))) // NULL-condition rows survive, as in SQL DELETE
-    val adds = writeData(spark, dir, kept, statsCols)
+    val adds = writeData(spark, dir, kept, inheritedStats(files, statsCols, schema))
     commit(dir, "delete", txnId, readV, schema.json, adds, touched.map(_.path))
   }
 
@@ -678,7 +681,8 @@ object LogLake {
         .select(schema.fieldNames.toIndexedSeq.map { c =>
           set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
         }: _*)
-      val newAdds = writeData(spark, dir, updated, statsCols)
+      val newAdds = writeData(spark, dir, updated,
+        inheritedStats(files, statsCols, schema))
       val (dvAdds, removes) = attachDvs(spark, dir, schema, touched, hit)
       return commit(dir, "update", txnId, readV, schema.json,
         dvAdds ++ newAdds, removes)
@@ -692,7 +696,7 @@ object LogLake {
     }
     val rewritten = readAdds(spark, dir, schema, touched)
       .select(projected: _*)
-    val adds = writeData(spark, dir, rewritten, statsCols)
+    val adds = writeData(spark, dir, rewritten, inheritedStats(files, statsCols, schema))
     commit(dir, "update", txnId, readV, schema.json, adds, touched.map(_.path))
   }
 
@@ -801,7 +805,8 @@ object LogLake {
           .sortWithinPartitions("__z")
           .drop("__z")
     }
-    val adds = writeData(spark, dir, arranged, statsCols)
+    val adds = writeData(spark, dir, arranged,
+      inheritedStats(files, statsCols, schema))
     commit(dir, "optimize", txnId, readV, schema.json, adds, files.map(_.path))
   }
 
@@ -857,6 +862,19 @@ object LogLake {
   private def replayedVersion(dir: String, txnId: String): Option[Long] =
     if (txnId.isEmpty || listManifests(dir).isEmpty) None
     else resolve(dir, None).txns.get(txnId)
+
+  /** Stats continuity: when the caller names no stats columns, inherit
+    * the set the table already tracks (union of columns with stats in
+    * the prior state, restricted to columns the write carries) — a
+    * maintenance rewrite (OPTIMIZE/MERGE/DELETE/UPDATE) or a default
+    * append must not silently turn file skipping off. */
+  private def inheritedStats(prior: Seq[AddFile], statsCols: Seq[String],
+      incoming: StructType): Seq[String] =
+    if (statsCols.nonEmpty) statsCols
+    else {
+      val cols = incoming.fieldNames.toSet
+      prior.iterator.flatMap(_.stats.keys).distinct.filter(cols).toSeq
+    }
 
   /** Stage `df` as parquet, move the parts to `data/` under fresh UUID
     * names (unreferenced = invisible), and collect per-file stats with

@@ -527,6 +527,9 @@ class LogLakeSpec extends SparkTestBase {
     // purged, the native-format read works again
     LogLake.optimize(spark, dir, numFiles = 2)
     assert(LogLake.activeState(dir)._1.forall(_.dv.isEmpty))
+    assert(LogLake.activeState(dir)._1.forall(_.stats.contains("k")),
+      "stats columns inherit through a maintenance rewrite — OPTIMIZE " +
+        "must not silently turn file skipping off")
     assert(spark.read.format("loglake").load(dir).count() == live)
     assert(spark.read.format("loglake").load(dir)
       .filter(col("k") === 10L).select("v").head().getString(0) == "X")
