@@ -24,15 +24,39 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
-    * natively; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * and this loader converts nanos → microsecond TimestampType with
-    * `div` — integral division truncating toward zero. That matches
-    * DuckDB's ns→µs parquet read on BOTH sides of the epoch: verified
-    * empirically (DuckDB 1.0, pyarrow TIMESTAMP(NANOS) fixture) that
-    * -1500 ns reads as -1 µs (truncation), not -2 µs (floor), so
-    * pre-1970 timestamps round identically in both engines.
+  /** `events.ts` has shipped as two different parquet physical types across
+    * harness revisions, so the loader probes the resolved Spark type instead
+    * of assuming one:
+    *
+    *  - TIMESTAMP(NANOS): Spark cannot read it natively; sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, the column resolves as
+    *    `LongType`, and we convert nanos → microsecond TimestampType with
+    *    `div` — integral division truncating toward zero. That matches
+    *    DuckDB's ns→µs parquet read on BOTH sides of the epoch: verified
+    *    empirically (DuckDB 1.0, pyarrow TIMESTAMP(NANOS) fixture) that
+    *    -1500 ns reads as -1 µs (truncation), not -2 µs (floor).
+    *  - TIMESTAMP(MICROS) w/o UTC adjustment: resolves as `TimestampNTZType`;
+    *    cast to session-local `TimestampType` — sessions pin UTC, so it is
+    *    the same instant DuckDB reads and rendering/hashing is unchanged.
+    *  - TIMESTAMP(MICROS) UTC-adjusted: resolves as `TimestampType`; pass
+    *    through.
+    *
+    * Anything else fails loudly (see `FixtureCanarySpec` for the standing
+    * drift guard).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts fixture drift: expected LongType (nanosAsLong), TimestampNTZType " +
+            s"or TimestampType, got $other — update graft.model.Tables.events")
+    }
+  }
 }
