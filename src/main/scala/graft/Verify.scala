@@ -14,6 +14,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Preflight: name fixture drift on line one of the log instead of
+    // letting it surface as dozens of opaque analysis failures below.
+    // Continue anyway — unaffected queries should still produce output.
+    model.FixtureCanary.drift(spark, sfDir)
+      .foreach(m => System.err.println(s"[canary] $m"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
