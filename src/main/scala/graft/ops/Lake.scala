@@ -366,6 +366,127 @@ object Lake {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // --- q120: STREAMING READ over a table with ACTIVE deletion
+    // vectors — the post-MERGE stream restart a real user hits first.
+    // The source table takes a merge-on-read DELETE (every 7th order)
+    // and a merge-on-read UPDATE (every 5th remaining → 'U') before the
+    // stream starts; the `initialSnapshot` first batch must read
+    // THROUGH the vectors (scan anti-join DV positions — no OPTIMIZE
+    // required first), then a late append arrives incrementally on the
+    // same checkpoint. Deleted rows must not resurrect in the sink
+    // table. At 100 TB the DV side is deleted-position volume (bytes),
+    // broadcast against a native vectorized scan of the snapshot.
+    Q(
+      "q120_loglake_dv_stream",
+      s"""WITH end_state AS (
+         |  SELECT CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 3 <> 2
+         |              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+         |         o_totalprice
+         |  FROM orders
+         |  WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 3 <> 2)
+         |)
+         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total
+         |FROM end_state GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val src = freshDir("q120-src"); val dst = freshDir("q120-dst")
+      val chk = freshDir("q120-chk")
+      val ord = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, src, ord.filter(col("o_orderkey") % 3 =!= 2),
+        statsCols = Seq("o_orderkey"))
+      LogLake.delete(s, src, col("o_orderkey") % 7 === 0, mor = true)
+      LogLake.update(s, src, col("o_orderkey") % 5 === 0,
+        Map("o_orderstatus" -> lit("U")), mor = true)
+      def drain(): Unit = {
+        val q = s.readStream.format("loglake")
+          .option("initialSnapshot", "true")
+          .option("maxVersionsPerTrigger", "1").load(src)
+          .writeStream.format("loglake").option("path", dst)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+      }
+      drain() // snapshot batch reads through the active DVs
+      LogLake.append(s, src, ord.filter(col("o_orderkey") % 3 === 2))
+      drain() // plain append tail on the same checkpoint
+      LogLake.snapshot(s, dst)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // --- q121: the SCHEMA-EVOLUTION READ MATRIX. v1 writes (o_orderkey,
+    // o_totalprice); v2 appends rows carrying a NEW nullable column
+    // o_note (additive evolution — the only legal append-side change).
+    // Old files have no o_note values, so every read surface must
+    // NULL-fill them under the evolved schema: `snapshot`, `scanRange`
+    // (stats skipping + exact predicate), `changeFeed` (the v2 inserts
+    // carry notes), and the STREAMING source (replays v1's pre-evolution
+    // files under the frozen evolved schema) landed through the
+    // exactly-once sink. One frame tags each leg so the oracle checks
+    // all four reads in a single hash. At 100 TB evolution is a
+    // metadata-only commit — no old file is rewritten, which is exactly
+    // why the read path must do the NULL-filling.
+    Q(
+      "q121_loglake_evolution",
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_note
+         |  FROM orders WHERE o_orderkey % 3 <> 2
+         |), evolved AS (
+         |  SELECT o_orderkey, o_totalprice,
+         |         'n' || CAST(o_orderkey % 5 AS VARCHAR) AS o_note
+         |  FROM orders WHERE o_orderkey % 3 = 2
+         |), full_t AS (
+         |  SELECT * FROM base UNION ALL SELECT * FROM evolved
+         |)
+         |SELECT 'cdc' AS path, coalesce(o_note, '-') AS o_note,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt, ${oSum("o_totalprice")} AS total
+         |FROM evolved GROUP BY 1, 2
+         |UNION ALL
+         |SELECT 'range', coalesce(o_note, '-'), CAST(COUNT(*) AS BIGINT),
+         |       ${oSum("o_totalprice")}
+         |FROM full_t WHERE o_orderkey <= 3000 GROUP BY 1, 2
+         |UNION ALL
+         |SELECT 'snapshot', coalesce(o_note, '-'), CAST(COUNT(*) AS BIGINT),
+         |       ${oSum("o_totalprice")}
+         |FROM full_t GROUP BY 1, 2
+         |UNION ALL
+         |SELECT 'stream', coalesce(o_note, '-'), CAST(COUNT(*) AS BIGINT),
+         |       ${oSum("o_totalprice")}
+         |FROM full_t GROUP BY 1, 2
+         |ORDER BY path, o_note""".stripMargin
+    ) { (s, d) =>
+      val src = freshDir("q121-src"); val dst = freshDir("q121-dst")
+      val chk = freshDir("q121-chk")
+      val ord = orders(s, d).select("o_orderkey", "o_totalprice")
+      LogLake.create(s, src, ord.filter(col("o_orderkey") % 3 =!= 2),
+        statsCols = Seq("o_orderkey"))
+      LogLake.append(s, src, ord.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("o_note",
+          concat(lit("n"), (col("o_orderkey") % 5).cast("string"))))
+      // streaming leg: replay the whole history (append-only) under the
+      // frozen post-evolution schema into a second table
+      val q = s.readStream.format("loglake").load(src)
+        .writeStream.format("loglake").option("path", dst)
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      def leg(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(coalesce(col("o_note"), lit("-")).as("o_note"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+          .select(lit(tag).as("path"), col("o_note"), col("cnt"), col("total"))
+      leg("snapshot", LogLake.snapshot(s, src))
+        .unionByName(leg("range",
+          LogLake.scanRange(s, src, "o_orderkey", null, 3000L)))
+        .unionByName(leg("cdc", LogLake.changeFeed(s, src, 1L, 2L)
+          .filter(col("_change_type") === "insert")))
+        .unionByName(leg("stream", LogLake.snapshot(s, dst)))
+        .orderBy("path", "o_note")
     }
   )
 }

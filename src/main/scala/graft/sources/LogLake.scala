@@ -449,7 +449,7 @@ object LogLake {
     * only DELETED positions (sidecar bytes pass through the driver,
     * as in Delta's bitmap materialization) and is usually tiny, so AQE
     * broadcasts it; the data side stays a native vectorized scan. */
-  private def readAdds(spark: SparkSession, dir: String, schema: StructType,
+  private[sources] def readAdds(spark: SparkSession, dir: String, schema: StructType,
       adds: Seq[AddFile]): DataFrame = {
     if (adds.isEmpty)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)

@@ -36,8 +36,12 @@ import org.apache.spark.sql.types.StructType
   *    `(start, end]` — append-only by contract, failing loudly on a
   *    rewriting commit unless `ignoreChanges=true` (then the rewritten
   *    files' rows re-emit, at-least-once — Delta's documented
-  *    semantics). `startingVersion` skips history; `optimize` commits
-  *    are invisible (layout-only, content unchanged by construction).
+  *    semantics; for a merge-on-read commit the re-emit is DV-masked,
+  *    so deleted rows never resurrect). `initialSnapshot=true` reads
+  *    the first batch THROUGH active deletion vectors — the post-MERGE
+  *    restart a real user hits first. `startingVersion` skips history;
+  *    `optimize` commits are invisible (layout-only, content unchanged
+  *    by construction).
   *  - **streaming write** `df.writeStream.format("loglake")` commits
   *    each micro-batch as one table version whose txnId derives from
   *    (checkpoint identity, batchId), so a crash-replayed epoch finds
@@ -148,14 +152,44 @@ object LogLakeProvider {
         LogLake.append(spark, d, data, stats)
     }
 
-  /** The snapshot as a relation over the native parquet read path. */
+  /** The snapshot as a relation. The common case (no active deletion
+    * vectors) rides the NATIVE parquet path — vectorized scan, codegen,
+    * planning-time file skipping via [[LogLakeFileIndex]]. A snapshot
+    * with active DVs (between a merge-on-read DELETE/UPDATE and the
+    * next OPTIMIZE) cannot: the native scan has no row-masking hook, so
+    * it falls back to the merge-on-read read (scan anti-join DV
+    * positions — [[LogLake.snapshot]]'s kernel). The fallback trades
+    * stats skipping for correctness on what is by design a TRANSIENT
+    * table state; OPTIMIZE restores the fast path. */
   def relation(spark: SparkSession, dir: String,
-      asOf: Option[Long]): HadoopFsRelation = {
-    val index = new LogLakeFileIndex(spark, dir, asOf)
-    HadoopFsRelation(index, partitionSchema = new StructType(),
-      dataSchema = index.tableSchema, bucketSpec = None,
-      fileFormat = new ParquetFileFormat(), options = Map.empty)(spark)
+      asOf: Option[Long]): BaseRelation = {
+    val (files, _) = LogLake.activeState(dir, asOf)
+    if (files.exists(_.dv.nonEmpty)) new LogLakeDvRelation(spark, dir, asOf)
+    else {
+      val index = new LogLakeFileIndex(spark, dir, asOf)
+      HadoopFsRelation(index, partitionSchema = new StructType(),
+        dataSchema = index.tableSchema, bucketSpec = None,
+        fileFormat = new ParquetFileFormat(), options = Map.empty)(spark)
+    }
   }
+}
+
+/** Fallback relation for a snapshot with ACTIVE deletion vectors: the
+  * rows come from [[LogLake.snapshot]]'s merge-on-read read (native
+  * parquet scan anti-joined against the expanded DV positions), handed
+  * over as InternalRows (`needConversion = false` — no per-row
+  * conversion). Used only between a merge-on-read DELETE/UPDATE and
+  * the next OPTIMIZE; the DV side is deleted-position volume, so at
+  * 100 TB the join broadcasts bytes against the full scan. */
+final class LogLakeDvRelation(spark: SparkSession, dir: String,
+    asOf: Option[Long]) extends BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = LogLake.activeState(dir, asOf)._2
+  override def needConversion: Boolean = false
+  override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+    GraftBridge.toInternalRdd(LogLake.snapshot(spark, dir, asOf))
+      .asInstanceOf[org.apache.spark.rdd.RDD[Row]]
 }
 
 /** Manifest-driven [[FileIndex]]: the file list comes from the commit
@@ -351,28 +385,46 @@ final class LogLakeSource(spark: SparkSession, dir: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = ver(end)
+    // Fast path: plain parquet file list (no deletion vectors in play) —
+    // stays a single native vectorized scan. DV-bearing batches fall back
+    // to the merge-on-read read (scan anti-join DV positions, the same
+    // kernel as LogLake.snapshot), streaming-tagged via asStreamingRdd.
+    var dvFrames = List.empty[DataFrame]
     val paths = start match {
       case None if initialSnapshot =>
         // first batch = the whole table AS OF the batch's end version
-        // (checkpoint-stable: a restart replays the identical snapshot)
+        // (checkpoint-stable: a restart replays the identical snapshot).
+        // Active deletion vectors are honored, not refused — the
+        // post-MERGE stream restart is the first thing a real user hits
+        // (Delta serves it the same way).
         val (files, snapSchema) = LogLake.activeState(dir, Some(to))
         requireNoNewColumns(snapSchema, to)
-        require(files.forall(_.dv.isEmpty),
-          s"loglake: the snapshot at $dir carries deletion vectors — run " +
-            "OPTIMIZE to materialize the deletes before streaming it")
-        files.filter(_.rows != 0L).map(a => s"$dir/${a.path}")
+        val live = files.filter(_.rows != 0L)
+        if (live.forall(_.dv.isEmpty)) live.map(a => s"$dir/${a.path}")
+        else { dvFrames ::= LogLake.readAdds(spark, dir, schema, live); Nil }
       case _ =>
         val from = start.map(ver).getOrElse(startV)
         LogLake.manifestRange(dir, from, to).flatMap { m =>
           requireNoNewColumns(org.apache.spark.sql.types.DataType
             .fromJson(m.schemaJson).asInstanceOf[StructType], m.version)
-          if (m.adds.exists(_.dv.nonEmpty))
-            throw new UnsupportedOperationException(
-              s"loglake: version ${m.version} is a merge-on-read ${m.op} " +
-                "(deletion vectors) — a raw re-emit would resurrect deleted " +
-                "rows, which ignoreChanges cannot excuse. Run OPTIMIZE and " +
-                "restart past it, or take initialSnapshot=true from there.")
-          else if (m.op == "optimize") Nil // layout-only: same rows, new files
+          if (m.op == "optimize") Nil // layout-only: same rows, new files
+          else if (m.adds.exists(_.dv.nonEmpty)) {
+            // merge-on-read change commit: its adds re-list surviving
+            // files with fresh DVs (plus any updated-row appends). Under
+            // ignoreChanges, re-emit those files' LIVE rows — at-least-
+            // once like the copy-on-write branch below, but deleted rows
+            // stay masked, never resurrected. Without it, stop loudly.
+            if (!ignoreChanges) throw new UnsupportedOperationException(
+              s"loglake: streaming read requires an append-only table, but " +
+                s"version ${m.version} is a merge-on-read ${m.op} (deletion " +
+                "vectors). Set ignoreChanges=true to re-emit the touched " +
+                "files' live rows (at-least-once, deletes stay masked), " +
+                "start past it with startingVersion, or take the current " +
+                "state first with initialSnapshot=true.")
+            dvFrames ::= LogLake.readAdds(spark, dir, schema,
+              m.adds.filter(_.rows != 0L))
+            Nil
+          }
           else if (m.removes.nonEmpty && !ignoreChanges)
             throw new UnsupportedOperationException(
               s"loglake: streaming read requires an append-only table, but version " +
@@ -383,8 +435,15 @@ final class LogLakeSource(spark: SparkSession, dir: String,
           else m.adds.filter(_.rows != 0L).map(a => s"$dir/${a.path}")
         }
     }
-    if (paths.isEmpty) GraftBridge.emptyStreamingFrame(spark, schema)
-    else GraftBridge.asStreamingScan(spark.read.schema(schema).parquet(paths: _*))
+    val plain =
+      if (paths.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(paths: _*))
+    (plain, dvFrames) match {
+      case (None, Nil)    => GraftBridge.emptyStreamingFrame(spark, schema)
+      case (Some(p), Nil) => GraftBridge.asStreamingScan(p)
+      case _ => GraftBridge.asStreamingRdd(
+        (plain.toList ::: dvFrames).reduce(_ unionByName _))
+    }
   }
 
   override def stop(): Unit = ()

@@ -43,6 +43,26 @@ object GraftBridge {
     ofRows(ds.sparkSession, plan)
   }
 
+  /** The frame's executed plan as an InternalRow RDD (lazy), for
+    * `needConversion = false` relations that hand rows straight back
+    * to the engine. */
+  def toInternalRdd(df: DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
+  /** Streaming-tag an ARBITRARY batch plan by re-rooting it on its
+    * executed RDD (lazy — nothing runs until the micro-batch does).
+    * [[asStreamingScan]] only re-tags a top-level `LogicalRelation`;
+    * a deletion-vector-masked loglake read is a join (parquet scan
+    * anti-join DV positions), so its analyzed root is a Project over a
+    * Join and needs the tag on a fresh leaf instead. The join still
+    * plans and executes with the session's optimizer (broadcast of the
+    * tiny DV side included) when the RDD is materialized. */
+  def asStreamingRdd(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
+
   /** An empty, streaming-tagged frame (a batch with no committed data
     * still needs the streaming tag — see [[asStreamingScan]]). */
   def emptyStreamingFrame(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame = {

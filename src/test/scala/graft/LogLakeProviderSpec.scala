@@ -162,6 +162,68 @@ class LogLakeProviderSpec extends SparkTestBase {
     assert(rows.size >= 3, "re-emitted rows are allowed, loss is not")
   }
 
+  test("initialSnapshot reads through active deletion vectors — no resurrection, no OPTIMIZE needed") {
+    val in = tmp("dv-in"); val out = tmp("dv-out"); val chk = tmp("dv-chk")
+    kv(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+      .write.format("loglake").mode("append").save(in)
+    // merge-on-read DELETE leaves a DV sidecar, zero files rewritten
+    LogLake.delete(spark, in, col("k") === 2L, mor = true)
+    // merge-on-read UPDATE masks the pre-image with a DV too
+    LogLake.update(spark, in, col("k") === 3L, Map("v" -> lit("C2")), mor = true)
+    assert(LogLake.activeState(in)._1.exists(_.dv.nonEmpty),
+      "precondition: the snapshot must carry active deletion vectors")
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("loglake")
+        .option("initialSnapshot", "true").load(in)
+        .writeStream.format("loglake").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    assert(sortedRows(spark.read.format("loglake").load(out)) ==
+      Seq(1L -> "a", 3L -> "C2", 4L -> "d"),
+      "snapshot must mask DV'd rows: k=2 deleted, k=3 shows the post-image only")
+    // the tail still works on the same checkpoint after the DV snapshot
+    kv(5L -> "e").write.format("loglake").mode("append").save(in)
+    drain()
+    assert(sortedRows(spark.read.format("loglake").load(out)) ==
+      Seq(1L -> "a", 3L -> "C2", 4L -> "d", 5L -> "e"))
+  }
+
+  test("a merge-on-read commit mid-stream: loud stop by default; ignoreChanges re-emits live rows, deletes stay masked") {
+    val in = tmp("dvt-in"); val out = tmp("dvt-out"); val chk = tmp("dvt-chk")
+    kv(1L -> "a", 2L -> "b", 3L -> "c").write.format("loglake").mode("append").save(in)
+
+    def drain(extra: Map[String, String] = Map.empty): Unit = {
+      val reader = extra.foldLeft(spark.readStream.format("loglake")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = reader.load(in)
+        .writeStream.format("loglake").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    assert(spark.read.format("loglake").load(out).count() == 3)
+
+    // a DV DELETE lands mid-stream: append-only contract broken → loud stop
+    LogLake.delete(spark, in, col("k") === 2L, mor = true)
+    val e = intercept[StreamingQueryException] { drain() }
+    assert(e.getCause.getMessage.contains("deletion"),
+      s"got: ${e.getCause.getMessage}")
+
+    // ignoreChanges: live rows of the touched files re-emit (at-least-
+    // once), but the DELETED row must never arrive a second time
+    drain(Map("ignoreChanges" -> "true"))
+    val rows = sortedRows(spark.read.format("loglake").load(out))
+    assert(rows.count(_ == (2L, "b")) == 1,
+      s"k=2 was delivered pre-delete; the DV commit must not resurrect it again: $rows")
+    assert(rows.count(_ == (1L, "a")) >= 1 && rows.count(_ == (3L, "c")) >= 1)
+  }
+
   test("startingVersion skips history") {
     val in = tmp("sv-in"); val out = tmp("sv-out")
     kv(1L -> "a").write.format("loglake").mode("append").save(in)

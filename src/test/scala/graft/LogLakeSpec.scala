@@ -517,11 +517,10 @@ class LogLakeSpec extends SparkTestBase {
     val live = 3998L - top.rows
     assert(LogLake.snapshot(spark, dir).count() == live)
 
-    // the raw-scan paths refuse while vectors are active
-    val e = intercept[Exception] {
-      spark.read.format("loglake").load(dir).count()
-    }
-    assert(e.getMessage.contains("deletion vectors"), s"got: ${e.getMessage}")
+    // the format read serves the DV-masked snapshot while vectors are
+    // active (merge-on-read fallback relation — no refusal, no
+    // resurrection; the native FileIndex path resumes after OPTIMIZE)
+    assert(spark.read.format("loglake").load(dir).count() == live)
 
     // OPTIMIZE materializes the deletes: content identical, vectors
     // purged, the native-format read works again
