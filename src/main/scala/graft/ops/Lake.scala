@@ -487,6 +487,69 @@ object Lake {
           .filter(col("_change_type") === "insert")))
         .unionByName(leg("stream", LogLake.snapshot(s, dst)))
         .orderBy("path", "o_note")
+    },
+
+    // --- q122: STREAMING CHANGE DATA FEED (`readChangeFeed=true`) —
+    // the Delta table_changes surface as a stream. The history mixes
+    // every commit class: two appends, a merge-on-read DELETE (every
+    // 7th order), a merge-on-read UPDATE (every 5th remaining → 'U').
+    // Each micro-batch (paced one commit per trigger) delivers that
+    // commit's row-level events — inserts for appended rows, delete
+    // events for DV-masked pre-images, delete+insert pairs for updates
+    // — landed exactly-once in a second table and aggregated by
+    // (version, change type, status). The oracle recomputes every
+    // commit's event set declaratively. At 100 TB per-trigger read
+    // cost is the CHANGED-file volume (pre-images resolve through the
+    // DVs), never table size — the CDC fan-out pattern.
+    Q(
+      "q122_loglake_cdf_stream",
+      s"""WITH src AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |)
+         |SELECT CAST(1 AS BIGINT) AS v, 'insert' AS ct, o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt, ${oSum("o_totalprice")} AS total
+         |FROM src WHERE o_orderkey % 3 <> 2 GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'insert', o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
+         |FROM src WHERE o_orderkey % 3 = 2 GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'delete', o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
+         |FROM src WHERE o_orderkey % 7 = 0 GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), 'delete', o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
+         |FROM src WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), 'insert', 'U',
+         |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
+         |FROM src WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+         |ORDER BY v, ct, o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val src = freshDir("q122-src"); val dst = freshDir("q122-dst")
+      val chk = freshDir("q122-chk")
+      val ord = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, src, ord.filter(col("o_orderkey") % 3 =!= 2),
+        statsCols = Seq("o_orderkey"))                                   // v1
+      LogLake.append(s, src, ord.filter(col("o_orderkey") % 3 === 2))    // v2
+      LogLake.delete(s, src, col("o_orderkey") % 7 === 0, mor = true)    // v3
+      LogLake.update(s, src, col("o_orderkey") % 5 === 0,
+        Map("o_orderstatus" -> lit("U")), mor = true)                    // v4
+      val q = s.readStream.format("loglake")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream.format("loglake").option("path", dst)
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      LogLake.snapshot(s, dst)
+        .groupBy(col("_commit_version").as("v"), col("_change_type").as("ct"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("v", "ct", "o_orderstatus")
     }
   )
 }

@@ -362,17 +362,24 @@ object LogLake {
     val state = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     if (fromV > 0L) // fromV = 0 streams from before the first commit
       activeState(dir, Some(fromV))._1.foreach(a => state(a.path) = a)
-    val steps = manifests.map { case (v, p) =>
+    val steps = manifests.flatMap { case (v, p) =>
         val m = readManifest(f, p)
         val prevEntries = m.removes.flatMap(state.get)
         m.removes.foreach(state.remove)
         m.adds.foreach(a => state(a.path) = a)
-        val added = readAdds(spark, dir, schema, m.adds)
-        val removed = readAdds(spark, dir, schema, prevEntries)
-        added.exceptAll(removed).withColumn("_change_type", lit("insert"))
-          .unionByName(removed.exceptAll(added)
-            .withColumn("_change_type", lit("delete")))
-          .withColumn("_commit_version", lit(v))
+        // OPTIMIZE is layout-only — content identical by construction
+        // (fingerprint-pinned in spec), so its diff is a guaranteed-empty
+        // result that would still READ the whole rewritten volume twice.
+        // Skip the diff, keep the state walk. Delta's CDF does the same.
+        if (m.op == "optimize") None
+        else {
+          val added = readAdds(spark, dir, schema, m.adds)
+          val removed = readAdds(spark, dir, schema, prevEntries)
+          Some(added.exceptAll(removed).withColumn("_change_type", lit("insert"))
+            .unionByName(removed.exceptAll(added)
+              .withColumn("_change_type", lit("delete")))
+            .withColumn("_commit_version", lit(v)))
+        }
       }
     steps.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(java.util.Collections.emptyList[Row](),

@@ -10,7 +10,8 @@ import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Sourc
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Registers [[LogLake]] as a first-class Spark data source, format
   * name `loglake` — the Delta-shaped integration, built on the same
@@ -64,8 +65,19 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
-    relation(sqlContext.sparkSession, dir(parameters),
-      parameters.get("versionAsOf").map(_.toLong))
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      // batch CDC read, the Delta table_changes surface: rows +
+      // _change_type + _commit_version over (startingVersion-1, ending]
+      val d = dir(parameters)
+      val from = parameters.getOrElse("startingVersion",
+        throw new IllegalArgumentException(
+          "loglake: readChangeFeed requires startingVersion")).toLong - 1L
+      val to = parameters.get("endingVersion").map(_.toLong)
+        .getOrElse(LogLake.currentVersion(d))
+      new LogLakeCdfRelation(sqlContext.sparkSession, d, from, to)
+    } else
+      relation(sqlContext.sparkSession, dir(parameters),
+        parameters.get("versionAsOf").map(_.toLong))
 
   // ---------------------------------------------------------- batch write
 
@@ -96,7 +108,11 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "loglake: the stream schema comes from the table's commit log — do not set one")
-    (shortName(), LogLake.activeState(dir(parameters))._2)
+    val table = LogLake.activeState(dir(parameters))._2
+    (shortName(),
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        LogLakeSource.withCdfColumns(table)
+      else table)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -172,6 +188,24 @@ object LogLakeProvider {
         fileFormat = new ParquetFileFormat(), options = Map.empty)(spark)
     }
   }
+}
+
+/** Batch change-data-feed relation: [[LogLake.changeFeed]] rows over a
+  * pinned version range, `table_changes`-style. Per-commit read cost is
+  * the CHANGED-file volume (pre-images resolve through deletion
+  * vectors; OPTIMIZE commits skip as layout-only), never table size. */
+final class LogLakeCdfRelation(spark: SparkSession, dir: String,
+    fromExcl: Long, to: Long) extends BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = LogLakeSource.withCdfColumns(
+    LogLake.activeState(dir, Some(to))._2)
+  override def needConversion: Boolean = false
+  override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+    GraftBridge.toInternalRdd(
+      LogLake.changeFeed(spark, dir, fromExcl, to)
+        .select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*))
+      .asInstanceOf[org.apache.spark.rdd.RDD[Row]]
 }
 
 /** Fallback relation for a snapshot with ACTIVE deletion vectors: the
@@ -267,6 +301,15 @@ final class LogLakeSource(spark: SparkSession, dir: String,
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles, Offset => ConnOffset}
 
   private val ignoreChanges = options.get("ignoreChanges").exists(_.toBoolean)
+  // Delta's streaming CDF: each micro-batch delivers the admitted
+  // commits' row-level CHANGES (_change_type insert|delete,
+  // _commit_version) instead of their raw files — merge-on-read and
+  // copy-on-write commits both stream as events, pre-images resolved
+  // through deletion vectors, no append-only requirement at all.
+  private val readChangeFeed = options.get("readChangeFeed").exists(_.toBoolean)
+  require(!(readChangeFeed && ignoreChanges),
+    "loglake: readChangeFeed delivers changes exactly — ignoreChanges " +
+      "(lossy re-emit) contradicts it; drop one")
   // Delta's initial-snapshot contract: the first batch is the CURRENT
   // table state (whatever history produced it — merges and all), and
   // only commits AFTER that pin stream incrementally. Without it the
@@ -296,10 +339,13 @@ final class LogLakeSource(spark: SparkSession, dir: String,
   // loses data); a restart freezes the evolved schema, under which the
   // whole history reads consistently — old files surface the added
   // columns as NULL, the additive-evolution contract. Delta's behavior.
-  override val schema: StructType = LogLake.activeState(dir)._2
+  private val tableSchema: StructType = LogLake.activeState(dir)._2
+  override val schema: StructType =
+    if (readChangeFeed) LogLakeSource.withCdfColumns(tableSchema)
+    else tableSchema
 
   private def requireNoNewColumns(incoming: StructType, v: Long): Unit = {
-    val known = schema.fieldNames.toSet
+    val known = tableSchema.fieldNames.toSet
     val extra = incoming.fieldNames.filterNot(known)
     if (extra.nonEmpty) throw new UnsupportedOperationException(
       s"loglake: version $v evolved the table schema (new column(s) " +
@@ -385,6 +431,7 @@ final class LogLakeSource(spark: SparkSession, dir: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = ver(end)
+    if (readChangeFeed) return getCdfBatch(start, to)
     // Fast path: plain parquet file list (no deletion vectors in play) —
     // stays a single native vectorized scan. DV-bearing batches fall back
     // to the merge-on-read read (scan anti-join DV positions, the same
@@ -446,7 +493,44 @@ final class LogLakeSource(spark: SparkSession, dir: String,
     }
   }
 
+  /** One CDF micro-batch: the changes of versions `(start, to]` — or,
+    * under `initialSnapshot`, a first batch of the whole table's rows
+    * as 'insert' at the snapshot version (Delta's startingVersion-less
+    * streaming CDF contract: begin from current state, then tail). */
+  private def getCdfBatch(start: Option[V1Offset], to: Long): DataFrame = {
+    val df = start match {
+      case None if initialSnapshot =>
+        val (files, snapSchema) = LogLake.activeState(dir, Some(to))
+        requireNoNewColumns(snapSchema, to)
+        LogLake.readAdds(spark, dir, tableSchema, files.filter(_.rows != 0L))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(to))
+      case _ =>
+        val from = start.map(ver).getOrElse(startV)
+        // same loud schema-evolution stop as the raw mode: a CDF batch
+        // under a silently-narrowed schema would drop the new column
+        LogLake.manifestRange(dir, from, to).foreach { m =>
+          requireNoNewColumns(org.apache.spark.sql.types.DataType
+            .fromJson(m.schemaJson).asInstanceOf[StructType], m.version)
+        }
+        LogLake.changeFeed(spark, dir, from, to)
+    }
+    GraftBridge.asStreamingRdd(
+      df.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
   override def stop(): Unit = ()
+}
+
+object LogLakeSource {
+  /** The CDF read schema: table columns + the two change-metadata
+    * columns, the `table_changes` shape. */
+  def withCdfColumns(table: StructType): StructType =
+    StructType(table.fields :+
+      StructField("_change_type", org.apache.spark.sql.types.StringType,
+        nullable = false) :+
+      StructField("_commit_version", org.apache.spark.sql.types.LongType,
+        nullable = false))
 }
 
 /** V1 streaming sink: each epoch is ONE transactional commit with

@@ -224,6 +224,58 @@ class LogLakeProviderSpec extends SparkTestBase {
     assert(rows.count(_ == (1L, "a")) >= 1 && rows.count(_ == (3L, "c")) >= 1)
   }
 
+  test("streaming change feed: every commit class arrives as row-level events, exactly-once across drains") {
+    val in = tmp("cdf-in"); val out = tmp("cdf-out"); val chk = tmp("cdf-chk")
+    kv(1L -> "a", 2L -> "b", 3L -> "c").write.format("loglake").mode("append").save(in) // v1
+    kv(4L -> "d").write.format("loglake").mode("append").save(in)                        // v2
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("loglake")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1").load(in)
+        .writeStream.format("loglake").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    def changes(): Seq[(Long, String, String, Long)] =
+      spark.read.format("loglake").load(out)
+        .select("k", "v", "_change_type", "_commit_version")
+        .as[(Long, String, String, Long)].collect().toSeq.sorted
+    assert(changes() == Seq((1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 1L), (4L, "d", "insert", 2L)))
+
+    // a merge-on-read DELETE streams as a delete EVENT (no refusal, no
+    // ignoreChanges) and an optimize commit emits nothing
+    LogLake.delete(spark, in, col("k") === 2L, mor = true)                 // v3
+    LogLake.optimize(spark, in, numFiles = 1)                              // v4
+    LogLake.merge(spark, in, kv(3L -> "C2"), keyCols = Seq("k"))           // v5
+    drain()
+    val tail = changes().filter(_._4 >= 3L)
+    assert(tail == Seq((2L, "b", "delete", 3L),
+      (3L, "C2", "insert", 5L), (3L, "c", "delete", 5L)),
+      s"got: $tail")
+    // re-drain with nothing new: exactly-once holds
+    drain()
+    assert(changes().size == 7)
+  }
+
+  test("batch readChangeFeed option matches LogLake.changeFeed over the same range") {
+    val in = tmp("cdfb-in")
+    kv(1L -> "a", 2L -> "b").write.format("loglake").mode("append").save(in) // v1
+    LogLake.delete(spark, in, col("k") === 1L, mor = true)                   // v2
+    val viaFormat = spark.read.format("loglake")
+      .option("readChangeFeed", "true").option("startingVersion", "2").load(in)
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSeq.sorted
+    assert(viaFormat == Seq((1L, "a", "delete", 2L)))
+    // CDF excludes ignoreChanges; missing startingVersion is loud
+    intercept[IllegalArgumentException] {
+      spark.read.format("loglake").option("readChangeFeed", "true").load(in).count()
+    }
+  }
+
   test("startingVersion skips history") {
     val in = tmp("sv-in"); val out = tmp("sv-out")
     kv(1L -> "a").write.format("loglake").mode("append").save(in)
