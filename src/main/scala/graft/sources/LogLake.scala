@@ -160,6 +160,28 @@ object LogLake {
   def currentVersion(dir: String): Long =
     listManifests(dir).lastOption.map(_._1).getOrElse(0L)
 
+  /** Timestamp-based time travel, the Delta rule: the greatest committed
+    * version whose manifest FILE's modification time is <= `tsMillis`
+    * (commit files are written once and never touched, so their mtime
+    * IS the commit time — no manifest-format change needed). One log
+    * directory listing resolves it; loud when `tsMillis` predates the
+    * first commit, naming the earliest available time. */
+  def versionAtTimestamp(dir: String, tsMillis: Long): Long = {
+    val f = fs(dir)
+    val lp = logPath(dir)
+    require(f.exists(lp), s"loglake: no table at $dir")
+    val commits = f.listStatus(lp).toSeq
+      .flatMap(s => if (s.isFile) numbered("", ".json")(s.getPath.getName)
+        .map(v => v -> s.getModificationTime) else None)
+    require(commits.nonEmpty, s"loglake: no table at $dir")
+    val eligible = commits.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"loglake: timestampAsOf $tsMillis predates the table — the first " +
+        s"commit at $dir is version ${commits.minBy(_._1)._1} " +
+        s"(${commits.minBy(_._2)._2})")
+    eligible.maxBy(_._1)._1
+  }
+
   /** Manifests for versions in `(fromExcl, toIncl]` — the streaming
     * source's batch-planning read: parses only the range it needs. */
   private[sources] def manifestRange(dir: String, fromExcl: Long,
@@ -372,6 +394,13 @@ object LogLake {
         // result that would still READ the whole rewritten volume twice.
         // Skip the diff, keep the state walk. Delta's CDF does the same.
         if (m.op == "optimize") None
+        else if (m.removes.isEmpty)
+          // pure append: the diff is provably the added rows — skip the
+          // exceptAll pair (two joins + a second read of the same files)
+          // that dominates CDC cost on append-mostly histories
+          Some(readAdds(spark, dir, schema, m.adds)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
         else {
           val added = readAdds(spark, dir, schema, m.adds)
           val removed = readAdds(spark, dir, schema, prevEntries)
@@ -769,16 +798,31 @@ object LogLake {
     * key, so each output file owns a compact z-range (a small bounding
     * box in every clustered dimension). Serializable like merge: any
     * concurrent commit fails the rewrite loudly. */
+  /** Compact (and optionally Z-order) the active set as one layout-only
+    * commit. `onlySmallerThan` > 0 switches to INCREMENTAL maintenance:
+    * only files below that manifest-declared byte size (or carrying a
+    * deletion vector, whose pending deletes get materialized for free)
+    * rewrite; already-compact files stay untouched. At 100 TB the full
+    * rewrite is a migration event — the steady-state OPTIMIZE is the
+    * incremental form, whose cost tracks small-file volume, not table
+    * size (Delta's minFileSize bin-packing rule). */
   def optimize(spark: SparkSession, dir: String, numFiles: Int,
       zorderCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
-      txnId: String = ""): Long = {
+      txnId: String = "", onlySmallerThan: Long = 0L): Long = {
     replayedVersion(dir, txnId) match {
       case Some(v) => return v
       case None =>
     }
     val readV = currentVersion(dir)
-    val (files, schema) = activeState(dir, Some(readV))
-    if (files.isEmpty) return readV // nothing to compact
+    val (active, schema) = activeState(dir, Some(readV))
+    // unknown size (pre-`bytes` manifests) counts as small — compacting
+    // a legacy file is always safe, skipping it silently is not
+    val files =
+      if (onlySmallerThan <= 0L) active
+      else active.filter(a => a.bytes < onlySmallerThan || a.dv.nonEmpty)
+    if (files.isEmpty || (onlySmallerThan > 0L && files.size < 2 &&
+        files.forall(_.dv.isEmpty)))
+      return readV // nothing worth compacting
     // the rewrite reads THROUGH deletion vectors, so OPTIMIZE also
     // materializes pending deletes and purges the DVs (Delta's PURGE)
     val df = readAdds(spark, dir, schema, files)

@@ -75,9 +75,21 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
       val to = parameters.get("endingVersion").map(_.toLong)
         .getOrElse(LogLake.currentVersion(d))
       new LogLakeCdfRelation(sqlContext.sparkSession, d, from, to)
-    } else
-      relation(sqlContext.sparkSession, dir(parameters),
-        parameters.get("versionAsOf").map(_.toLong))
+    } else {
+      val byVersion = parameters.get("versionAsOf").map(_.toLong)
+      val byTime = parameters.get("timestampAsOf").map { t =>
+        // epoch millis, or ISO-8601 instant/date-time for humans
+        val millis = t.toLongOption.getOrElse(
+          try java.time.Instant.parse(t).toEpochMilli
+          catch { case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+              .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli })
+        LogLake.versionAtTimestamp(dir(parameters), millis)
+      }
+      require(byVersion.isEmpty || byTime.isEmpty,
+        "loglake: versionAsOf and timestampAsOf are mutually exclusive")
+      relation(sqlContext.sparkSession, dir(parameters), byVersion.orElse(byTime))
+    }
 
   // ---------------------------------------------------------- batch write
 

@@ -272,6 +272,75 @@ class LogLakeSpec extends SparkTestBase {
       txnId = "opt-1") == vOpt + 1)
   }
 
+  test("incremental optimize compacts only small files; large files stay byte-identical") {
+    val dir = tmp("iopt")
+    // one big create + a drizzle of small appends — the steady-state
+    // shape of a streamed-into table
+    val big = spark.range(0, 50000).select(col("id").as("k"),
+      concat(lit("r"), col("id")).as("v"))
+    LogLake.create(spark, dir, big.coalesce(1), statsCols = Seq("k"))
+    (0 until 4).foreach { i =>
+      LogLake.append(spark, dir, spark.range(50000 + i * 10, 50010 + i * 10)
+        .select(col("id").as("k"), concat(lit("r"), col("id")).as("v")))
+    }
+    val before = LogLake.activeState(dir)._1
+    assert(before.size >= 5, s"fixture: want a big file + small drizzle, got $before")
+    val bigFile = before.maxBy(_.bytes)
+
+    // threshold above the drizzle, below the big file
+    LogLake.optimize(spark, dir, numFiles = 1,
+      statsCols = Seq("k"), onlySmallerThan = bigFile.bytes)
+    val after = LogLake.activeState(dir)._1
+    assert(after.size == 2,
+      s"${before.size - 1} small files → 1, big untouched: got ${after.size}")
+    assert(after.exists(a => a.path == bigFile.path && a.bytes == bigFile.bytes),
+      "the already-compact file must not rewrite")
+    assert(LogLake.snapshot(spark, dir).count() == 50040L)
+
+    // nothing left below the threshold → no-op, version unchanged
+    val v = LogLake.currentVersion(dir)
+    assert(LogLake.optimize(spark, dir, 1, statsCols = Seq("k"),
+      onlySmallerThan = 1024L) == v)
+
+    // a DV'd file counts as maintenance work regardless of size: its
+    // pending deletes materialize and the vector purges
+    LogLake.delete(spark, dir, col("k") === 7L, mor = true)
+    LogLake.optimize(spark, dir, numFiles = 1, statsCols = Seq("k"),
+      onlySmallerThan = 1024L)
+    val finalState = LogLake.activeState(dir)._1
+    assert(finalState.forall(_.dv.isEmpty), "incremental optimize purges DVs")
+    assert(LogLake.snapshot(spark, dir).count() == 50039L)
+  }
+
+  test("timestampAsOf resolves versions by commit-file mtime, the Delta rule") {
+    val dir = tmp("tt")
+    import spark.implicits._
+    LogLake.create(spark, dir, Seq(1L -> "a").toDF("k", "v"))              // v1
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1200)
+    LogLake.append(spark, dir, Seq(2L -> "b").toDF("k", "v"))              // v2
+    Thread.sleep(1200)
+    LogLake.append(spark, dir, Seq(3L -> "c").toDF("k", "v"))              // v3
+
+    assert(LogLake.versionAtTimestamp(dir, t1) == 1L)
+    assert(LogLake.versionAtTimestamp(dir, System.currentTimeMillis()) == 3L)
+    // provider option, millis form: state as of t1 is just v1
+    val rows = spark.read.format("loglake")
+      .option("timestampAsOf", t1.toString).load(dir)
+      .select("k").as[Long].collect().toSeq.sorted
+    assert(rows == Seq(1L))
+    // predating the table is loud
+    val e = intercept[Exception] {
+      spark.read.format("loglake").option("timestampAsOf", "100").load(dir).count()
+    }
+    assert(e.getMessage.contains("predates"), s"got: ${e.getMessage}")
+    // exclusive with versionAsOf
+    intercept[IllegalArgumentException] {
+      spark.read.format("loglake").option("timestampAsOf", t1.toString)
+        .option("versionAsOf", "1").load(dir).count()
+    }
+  }
+
   test("streaming append is exactly-once across restart (txn-carried idempotence)") {
     val dir = tmp("stream")
     val in = Files.createTempDirectory("loglake-stream-in").toString
@@ -492,6 +561,22 @@ class LogLakeSpec extends SparkTestBase {
     val snap4 = LogLake.snapshot(spark, dir)
     assert(snap4.count() == 3998L)
     assert(snap4.filter(col("k") === 10L).select("v").head().getString(0) == "X")
+
+    // the 100 TB posture of the masked read: the DV positions side
+    // BROADCASTS (it is deleted-position volume, bytes-to-kilobytes)
+    // against the NATIVE vectorized parquet scan — never a shuffle of
+    // the data side, never a non-native scan
+    locally {
+      val qe = snap4.queryExecution
+      snap4.count() // materialize so AQE settles its final plan
+      val finalPlan = qe.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin") &&
+        finalPlan.contains("LeftAnti"),
+        s"DV masking must be a broadcast anti-join, got:\n$finalPlan")
+      assert(finalPlan.contains("FileScan parquet") ||
+        finalPlan.contains("Scan parquet"),
+        "the data side must stay a native parquet scan")
+    }
 
     // time travel ignores later vectors; CDC surfaces exactly the
     // masked/updated rows, never rows an older vector already hid
