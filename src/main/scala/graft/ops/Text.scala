@@ -251,6 +251,85 @@ object Text {
         .orderBy("doc_id", "rnk")
     },
 
+    // --- q123: Okapi BM25 retrieval scoring — the classic lexical
+    // ranking a RAG/data-curation pipeline runs before (or alongside)
+    // embedding search. k1=1.2, b=0.75 folded into exact integer
+    // arithmetic: with k1=6/5, b=3/4 the saturation term
+    // tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) equals
+    // 44·tf·T / (20·T·tf + 6·T + 18·dl·N) after clearing denominators
+    // (avgdl = T/N), and the idf keeps q67's rational floor surrogate —
+    // monotone like ln((N−df+.5)/(df+.5)) but bit-identical across
+    // engines. Every double intermediate stays < 2^53 (exact), so the
+    // one IEEE division is deterministic on both engines. Scale shape:
+    // explode → (doc,term) partial+final agg; the 4-term query and the
+    // two 1-row corpus totals broadcast; per-term score joins df (vocab-
+    // sized) and dl (doc-sized) on their natural keys; global top-10 is
+    // TakeOrderedAndProject (no all-rows window).
+    Q(
+      "q123_bm25_topk",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${oWords("text")}) AS term FROM documents
+         |), toks2 AS (
+         |  SELECT doc_id, term FROM toks WHERE term <> ''
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks2 GROUP BY doc_id, term
+         |), dl AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         |  FROM toks2 GROUP BY doc_id
+         |), df AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_toks FROM toks2),
+         |q AS (SELECT * FROM (VALUES ('data'), ('join'), ('vector'), ('scan')) AS q(term)),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |         CAST(floor((n_docs - df + 1) * 1000000.0 / (df + 1)) AS BIGINT)
+         |         * CAST(floor((44.0 * tf * t_toks * 1000000.0) /
+         |             CAST(20 * t_toks * tf + 6 * t_toks + 18 * dl * n_docs AS DOUBLE)) AS BIGINT) AS s
+         |  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+         |  CROSS JOIN corpus CROSS JOIN tot
+         |), doc_scores AS (
+         |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
+         |  FROM scored GROUP BY doc_id
+         |), ranked AS (
+         |  SELECT doc_id, score, CAST(ROW_NUMBER() OVER (
+         |      ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+         |  FROM doc_scores
+         |)
+         |SELECT rnk, doc_id, score FROM ranked WHERE rnk <= 10
+         |ORDER BY rnk""".stripMargin
+    ) { (s, d) =>
+      val docs = documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tToks = toks.agg(count(lit(1)).as("t_toks"))
+      import s.implicits._
+      val q = Seq("data", "join", "vector", "scan").toDF("term")
+      val scored = tf
+        .join(broadcast(q), "term")
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(nDocs))
+        .crossJoin(broadcast(tToks))
+        .withColumn("s",
+          floor((col("n_docs") - col("df") + 1) * lit(1000000.0) / (col("df") + 1)) *
+          floor((lit(44.0) * col("tf") * col("t_toks") * lit(1000000.0)) /
+            (lit(20L) * col("t_toks") * col("tf") + lit(6L) * col("t_toks") +
+              lit(18L) * col("dl") * col("n_docs")).cast("double")))
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      scored.groupBy("doc_id").agg(sum(col("s")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+        .withColumn("rnk", row_number().over(w))
+        .select("rnk", "doc_id", "score")
+        .orderBy("rnk")
+    },
+
     // --- q68: repetition-based quality metrics (Gopher-style filters):
     // duplicate-word fraction and most-common-bigram share, with a
     // categorical verdict. The explode branch emits ONLY (doc_id,
