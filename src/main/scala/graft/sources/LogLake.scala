@@ -478,6 +478,15 @@ object LogLake {
 
   private def fileName(p: String): String = new Path(p).getName
 
+  /** An AddFile path is normally table-relative ("data/<uuid>.parquet");
+    * a SHALLOW CLONE's v1 manifest references the source's files by
+    * absolute path instead (zero bytes copied). */
+  private[sources] def isExternal(p: String): Boolean =
+    p.startsWith("/") || p.contains("://")
+
+  private[sources] def resolvedPath(dir: String, p: String): String =
+    if (isExternal(p)) p else s"$dir/$p"
+
   /** The LIVE rows of `adds` — the merge-on-read scan. Files without a
     * deletion vector flow through the plain parquet path untouched;
     * when any file carries one, each row's (file name, row_index) is
@@ -489,14 +498,14 @@ object LogLake {
       adds: Seq[AddFile]): DataFrame = {
     if (adds.isEmpty)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    val paths = adds.map(a => s"$dir/${a.path}")
+    val paths = adds.map(a => resolvedPath(dir, a.path))
     val dved = adds.filter(_.dv.nonEmpty)
     if (dved.isEmpty) spark.read.schema(schema).parquet(paths: _*)
     else {
       val f = fs(dir)
       import spark.implicits._
       val dvDf = dved
-        .map(a => fileName(a.path) -> readDv(f, new Path(dir, a.dv)))
+        .map(a => fileName(a.path) -> readDv(f, new Path(resolvedPath(dir, a.dv))))
         .toDF("__name", "__positions")
         .select(col("__name"), explode(col("__positions")).as("__pos"))
       spark.read.schema(schema).parquet(paths: _*)
@@ -517,7 +526,7 @@ object LogLake {
       touched: Seq[AddFile], condition: Column): (Seq[AddFile], Seq[String]) = {
     val f = fs(dir)
     val posByName: Map[String, Array[Long]] = spark.read.schema(schema)
-      .parquet(touched.map(a => s"$dir/${a.path}"): _*)
+      .parquet(touched.map(a => resolvedPath(dir, a.path)): _*)
       .filter(condition)
       .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("__name"),
         col("_metadata.row_index").as("__pos"))
@@ -528,7 +537,7 @@ object LogLake {
     val survivors = touched.flatMap { a =>
       val fresh = posByName.getOrElse(fileName(a.path), Array.empty[Long])
       val old = if (a.dv.isEmpty) Array.empty[Long]
-        else readDv(f, new Path(dir, a.dv))
+        else readDv(f, new Path(resolvedPath(dir, a.dv)))
       val merged = (old ++ fresh).distinct.sorted
       if (merged.length >= a.rows) None // every physical row dead → drop
       else {
@@ -608,7 +617,8 @@ object LogLake {
     // epoch's whole plan just to probe for a row
     if (op == "append" && adds.forall(_.rows == 0L)) {
       val f = fs(dir)
-      adds.foreach(a => f.delete(new Path(dir, a.path), false))
+      adds.filterNot(a => isExternal(a.path))
+            .foreach(a => f.delete(new Path(dir, a.path), false))
       return readV
     }
     commit(dir, op, txnId, readV, schemaJson, adds, removes)
@@ -640,7 +650,7 @@ object LogLake {
     val touchedNames: Set[String] =
       if (files.isEmpty) Set.empty
       else {
-        val tgt = spark.read.schema(schema).parquet(files.map(a => s"$dir/${a.path}"): _*)
+        val tgt = spark.read.schema(schema).parquet(files.map(a => resolvedPath(dir, a.path)): _*)
           .select(keyCols.map(col) :+ col("_metadata.file_path").as("__file"): _*)
         tgt.join(keys, keyCols, "leftsemi")
           .select("__file").distinct().collect()
@@ -758,7 +768,7 @@ object LogLake {
         throw new java.io.IOException(
           s"loglake: cannot restore to version $toVersion — data file ${a.path} " +
             "has been vacuumed")
-      if (a.dv.nonEmpty && !f.exists(new Path(dir, a.dv)))
+      if (a.dv.nonEmpty && !f.exists(new Path(resolvedPath(dir, a.dv))))
         throw new java.io.IOException(
           s"loglake: cannot restore to version $toVersion — deletion vector " +
             s"${a.dv} has been vacuumed")
@@ -777,7 +787,7 @@ object LogLake {
       files: Seq[AddFile], schema: StructType, condition: Column): Seq[AddFile] = {
     if (files.isEmpty) return Nil
     val names = spark.read.schema(schema)
-      .parquet(files.map(a => s"$dir/${a.path}"): _*)
+      .parquet(files.map(a => resolvedPath(dir, a.path)): _*)
       .filter(condition)
       .select(col("_metadata.file_path").as("__file"))
       .distinct().collect()
@@ -859,6 +869,29 @@ object LogLake {
     val adds = writeData(spark, dir, arranged,
       inheritedStats(files, statsCols, schema))
     commit(dir, "optimize", txnId, readV, schema.json, adds, files.map(_.path))
+  }
+
+  /** SHALLOW CLONE (Delta's): `dstDir` becomes a new table whose v1
+    * manifest references the source snapshot's data files (and DV
+    * sidecars) by ABSOLUTE path — zero data bytes copied, metadata-only
+    * cost. The clone is immediately independent: appends/deletes/
+    * OPTIMIZE/vacuum on it are local (OPTIMIZE localizes the referenced
+    * data as a side effect), and commits on the source never move the
+    * clone. The one coupling is Delta's documented caveat: VACUUM on
+    * the SOURCE can delete files the clone still references — clones
+    * are for experiments/dev-snapshots, not archival. */
+  def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String,
+      asOf: Option[Long] = None): Long = {
+    val f = fs(srcDir)
+    require(currentVersion(dstDir) == 0L,
+      s"loglake: cannot clone into $dstDir — a table already exists there")
+    val (files, schema) = activeState(srcDir, asOf)
+    val base = f.makeQualified(new Path(srcDir)).toUri.getPath
+    val adds = files.map { a =>
+      a.copy(path = s"$base/${a.path}",
+        dv = if (a.dv.isEmpty) a.dv else s"$base/${a.dv}")
+    }
+    commit(dstDir, "clone", "", 0L, schema.json, adds, Nil)
   }
 
   /** Physically delete data files no version ≤ the current one
@@ -1003,7 +1036,8 @@ object LogLake {
     while (attempts < maxAttempts) {
       replayedVersion(dir, txnId) match {
         case Some(v) =>
-          adds.foreach(a => f.delete(new Path(dir, a.path), false))
+          adds.filterNot(a => isExternal(a.path))
+            .foreach(a => f.delete(new Path(dir, a.path), false))
           return v
         case None =>
       }

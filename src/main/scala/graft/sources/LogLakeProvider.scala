@@ -202,22 +202,81 @@ object LogLakeProvider {
   }
 }
 
+/** Shared scan shape for the frame-backed relations below: column
+  * pruning and filter pushdown re-expressed onto an inner DataFrame.
+  * `PrunedFilteredScan` (not `TableScan`) because at 100 TB a relation
+  * that always materializes every column is wrong — the projection
+  * reaches the inner plan's parquet scan as `ReadSchema`, and pushed
+  * filters prune there too (Spark re-applies them above, so a filter
+  * this translation skips costs nothing in correctness). */
+private[sources] trait FrameBackedScan
+    extends org.apache.spark.sql.sources.PrunedFilteredScan {
+  self: BaseRelation =>
+  protected def spark: SparkSession
+  protected def frame(): DataFrame
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter]):
+      org.apache.spark.rdd.RDD[Row] = {
+    val base = frame()
+    val filtered = filters.foldLeft(base) { (df, f) =>
+      FrameBackedScan.translate(f).map(df.filter).getOrElse(df)
+    }
+    val projected =
+      if (requiredColumns.isEmpty)
+        // COUNT(*)-style scan: no columns needed, just row multiplicity
+        filtered.select()
+      else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
+    GraftBridge.toInternalRdd(projected)
+      .asInstanceOf[org.apache.spark.rdd.RDD[Row]]
+  }
+}
+
+private[sources] object FrameBackedScan {
+  import org.apache.spark.sql.{sources => sf}
+
+  /** Best-effort V1 Filter → Column translation; None = not translated
+    * (Spark re-evaluates every pushed filter above the scan, so an
+    * untranslated filter only costs the pruning it would have done). */
+  def translate(f: sf.Filter): Option[org.apache.spark.sql.Column] = f match {
+    case sf.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sf.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case sf.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sf.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sf.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sf.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sf.In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sf.IsNull(a)                => Some(col(a).isNull)
+    case sf.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sf.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sf.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case sf.StringContains(a, v)     => Some(col(a).contains(v))
+    case sf.And(l, r) =>
+      (translate(l), translate(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, other)       => one.orElse(other) // half is still sound
+      }
+    case sf.Or(l, r) =>
+      for { a <- translate(l); b <- translate(r) } yield a || b
+    case sf.Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+}
+
 /** Batch change-data-feed relation: [[LogLake.changeFeed]] rows over a
   * pinned version range, `table_changes`-style. Per-commit read cost is
   * the CHANGED-file volume (pre-images resolve through deletion
   * vectors; OPTIMIZE commits skip as layout-only), never table size. */
-final class LogLakeCdfRelation(spark: SparkSession, dir: String,
-    fromExcl: Long, to: Long) extends BaseRelation
-    with org.apache.spark.sql.sources.TableScan {
+final class LogLakeCdfRelation(protected val spark: SparkSession,
+    dir: String, fromExcl: Long, to: Long) extends BaseRelation
+    with FrameBackedScan {
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = LogLakeSource.withCdfColumns(
     LogLake.activeState(dir, Some(to))._2)
-  override def needConversion: Boolean = false
-  override def buildScan(): org.apache.spark.rdd.RDD[Row] =
-    GraftBridge.toInternalRdd(
-      LogLake.changeFeed(spark, dir, fromExcl, to)
-        .select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*))
-      .asInstanceOf[org.apache.spark.rdd.RDD[Row]]
+  protected def frame(): DataFrame =
+    LogLake.changeFeed(spark, dir, fromExcl, to)
 }
 
 /** Fallback relation for a snapshot with ACTIVE deletion vectors: the
@@ -227,15 +286,12 @@ final class LogLakeCdfRelation(spark: SparkSession, dir: String,
   * conversion). Used only between a merge-on-read DELETE/UPDATE and
   * the next OPTIMIZE; the DV side is deleted-position volume, so at
   * 100 TB the join broadcasts bytes against the full scan. */
-final class LogLakeDvRelation(spark: SparkSession, dir: String,
-    asOf: Option[Long]) extends BaseRelation
-    with org.apache.spark.sql.sources.TableScan {
+final class LogLakeDvRelation(protected val spark: SparkSession,
+    dir: String, asOf: Option[Long]) extends BaseRelation
+    with FrameBackedScan {
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = LogLake.activeState(dir, asOf)._2
-  override def needConversion: Boolean = false
-  override def buildScan(): org.apache.spark.rdd.RDD[Row] =
-    GraftBridge.toInternalRdd(LogLake.snapshot(spark, dir, asOf))
-      .asInstanceOf[org.apache.spark.rdd.RDD[Row]]
+  protected def frame(): DataFrame = LogLake.snapshot(spark, dir, asOf)
 }
 
 /** Manifest-driven [[FileIndex]]: the file list comes from the commit
@@ -290,13 +346,13 @@ final class LogLakeFileIndex(spark: SparkSession, dir: String,
     val kept = LogLake.pruneByPredicates(activeFiles, dataFilters)
     lastScanFiles = kept.size
     val statuses = kept.map { a =>
-      new FileStatus(sizeOf(a), false, 1, 0L, 0L, new Path(s"$dir/${a.path}"))
+      new FileStatus(sizeOf(a), false, 1, 0L, 0L, new Path(LogLake.resolvedPath(dir, a.path)))
     }.toArray
     Seq(PartitionDirectory(InternalRow.empty, statuses))
   }
 
   override def inputFiles: Array[String] =
-    activeFiles.map(a => s"$dir/${a.path}").toArray
+    activeFiles.map(a => LogLake.resolvedPath(dir, a.path)).toArray
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = activeFiles.map(sizeOf).sum
 }
@@ -459,7 +515,7 @@ final class LogLakeSource(spark: SparkSession, dir: String,
         val (files, snapSchema) = LogLake.activeState(dir, Some(to))
         requireNoNewColumns(snapSchema, to)
         val live = files.filter(_.rows != 0L)
-        if (live.forall(_.dv.isEmpty)) live.map(a => s"$dir/${a.path}")
+        if (live.forall(_.dv.isEmpty)) live.map(a => LogLake.resolvedPath(dir, a.path))
         else { dvFrames ::= LogLake.readAdds(spark, dir, schema, live); Nil }
       case _ =>
         val from = start.map(ver).getOrElse(startV)
@@ -491,7 +547,7 @@ final class LogLakeSource(spark: SparkSession, dir: String,
                 "Set ignoreChanges=true to re-emit the rewritten files' rows " +
                 "(at-least-once), start past it with startingVersion, or take " +
                 "the current state first with initialSnapshot=true.")
-          else m.adds.filter(_.rows != 0L).map(a => s"$dir/${a.path}")
+          else m.adds.filter(_.rows != 0L).map(a => LogLake.resolvedPath(dir, a.path))
         }
     }
     val plain =

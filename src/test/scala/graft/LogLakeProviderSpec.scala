@@ -192,6 +192,27 @@ class LogLakeProviderSpec extends SparkTestBase {
       Seq(1L -> "a", 3L -> "C2", 4L -> "d", 5L -> "e"))
   }
 
+  test("the DV fallback relation prunes columns and pushes filters, not TableScan-everything") {
+    val in = tmp("dvp-in")
+    spark.range(0, 1000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"), (col("id") % 7).as("w"))
+      .write.format("loglake").mode("append").save(in)
+    LogLake.delete(spark, in, col("k") === 500L, mor = true)
+
+    val q = spark.read.format("loglake").load(in)
+      .filter(col("k") >= 990L).select("v")
+    assert(q.collect().map(_.getString(0)).sorted.toSeq ==
+      (990 until 1000).map(i => s"v$i").sorted)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(k,990"),
+      s"the filter must reach the relation:\n$plan")
+    // batch CDF read prunes too
+    val cdf = spark.read.format("loglake")
+      .option("readChangeFeed", "true").option("startingVersion", "2").load(in)
+      .filter(col("_change_type") === "delete").select("k")
+    assert(cdf.as[Long].collect().toSeq == Seq(500L))
+  }
+
   test("a merge-on-read commit mid-stream: loud stop by default; ignoreChanges re-emits live rows, deletes stay masked") {
     val in = tmp("dvt-in"); val out = tmp("dvt-out"); val chk = tmp("dvt-chk")
     kv(1L -> "a", 2L -> "b", 3L -> "c").write.format("loglake").mode("append").save(in)

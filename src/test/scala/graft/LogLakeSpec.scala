@@ -341,6 +341,53 @@ class LogLakeSpec extends SparkTestBase {
     }
   }
 
+  test("shallow clone: zero-copy table, immediately independent, optimize localizes") {
+    val src = tmp("cl-src"); val dst = tmp("cl-dst")
+    import spark.implicits._
+    val df = spark.range(0, 2000).select(col("id").as("k"),
+      concat(lit("r"), col("id")).as("v"))
+    LogLake.create(spark, src, df.repartition(4), statsCols = Seq("k"))
+    // clone a DV-carrying snapshot: the sidecar reference travels too
+    LogLake.delete(spark, src, col("k") === 99L, mor = true)
+    LogLake.cloneShallow(spark, src, dst)
+
+    def names(dir: String): Set[String] = {
+      val f = graft.sources.WireLog.fs(dir)
+      val dd = new org.apache.hadoop.fs.Path(dir, LogLake.DataDir)
+      if (!f.exists(dd)) Set.empty
+      else f.listStatus(dd).map(_.getPath.getName).toSet
+    }
+    assert(names(dst).isEmpty, "shallow clone must copy zero data files")
+    assert(LogLake.snapshot(spark, dst).count() == 1999L)
+    assert(LogLake.snapshot(spark, dst).filter(col("k") === 99L).count() == 0L,
+      "the cloned snapshot reads through the source's deletion vector")
+    // the format read works on the clone too (DV fallback path)
+    assert(spark.read.format("loglake").load(dst).count() == 1999L)
+
+    // divergence: writes on the clone never touch the source, and vice versa
+    LogLake.append(spark, dst, Seq(9001L -> "x").toDF("k", "v"))
+    LogLake.append(spark, src, Seq(9002L -> "y").toDF("k", "v"))
+    assert(LogLake.snapshot(spark, dst).count() == 2000L)
+    assert(LogLake.snapshot(spark, src).count() == 2000L)
+    assert(LogLake.snapshot(spark, dst).filter(col("k") === 9002L).count() == 0L)
+    assert(LogLake.snapshot(spark, src).filter(col("k") === 9001L).count() == 0L)
+
+    // stats survived the clone: a range scan still prunes on the clone
+    val (kept, total) = LogLake.pruneFiles(dst, "k", 0L, 10L)
+    assert(kept.size < total, s"clone must keep file stats (kept ${kept.size}/$total)")
+
+    // OPTIMIZE on the clone localizes the data (and purges the DV);
+    // afterwards the clone survives a source vacuum entirely
+    LogLake.optimize(spark, dst, numFiles = 2, statsCols = Seq("k"))
+    assert(names(dst).nonEmpty, "optimize must write local files")
+    assert(LogLake.activeState(dst)._1.forall(a => !a.path.startsWith("/")),
+      "optimize must leave only table-relative paths in the clone's manifest")
+    LogLake.vacuum(src, olderThanMs = -1000) // aggressive: delete everything unreferenced
+    assert(LogLake.snapshot(spark, dst).count() == 2000L)
+    // and the clone's own vacuum never reached into the source
+    assert(LogLake.snapshot(spark, src).count() == 2000L)
+  }
+
   test("streaming append is exactly-once across restart (txn-carried idempotence)") {
     val dir = tmp("stream")
     val in = Files.createTempDirectory("loglake-stream-in").toString
