@@ -550,6 +550,59 @@ object Lake {
           col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
         .orderBy("v", "ct", "o_orderstatus")
+    },
+
+    // --- q124: SHALLOW CLONE under the gate. The clone's v1 manifest
+    // references the source snapshot by absolute path (zero data
+    // copied — the spec proves the zero-copy invariant; this query
+    // proves the SEMANTICS): after cloning, source and clone each take
+    // a different append and must diverge independently, while
+    // versionAsOf=1 on the clone still reads the exact cloned
+    // snapshot. Three tagged aggregate legs in one oracle hash. At
+    // 100 TB a clone is a metadata-only commit — the dev/experiment
+    // branch-a-table operation.
+    Q(
+      "q124_loglake_clone",
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 2 = 0
+         |), src_t AS (
+         |  SELECT o_orderstatus, o_totalprice FROM base
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 1
+         |), clone_t AS (
+         |  SELECT o_orderstatus, o_totalprice FROM base
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 4 = 1
+         |)
+         |SELECT 'clone' AS tbl, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total
+         |FROM clone_t GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'clone_v1', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+         |       ${oSum("o_totalprice")}
+         |FROM base GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'src', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+         |       ${oSum("o_totalprice")}
+         |FROM src_t GROUP BY o_orderstatus
+         |ORDER BY tbl, o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val src = freshDir("q124-src"); val dst = freshDir("q124-dst")
+      val ord = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, src, ord.filter(col("o_orderkey") % 2 === 0),
+        statsCols = Seq("o_orderkey"))
+      LogLake.cloneShallow(s, src, dst)
+      LogLake.append(s, src, ord.filter(col("o_orderkey") % 2 === 1))
+      LogLake.append(s, dst, ord.filter(col("o_orderkey") % 4 === 1))
+      def leg(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+          .select(lit(tag).as("tbl"), col("o_orderstatus"), col("cnt"), col("total"))
+      leg("clone", LogLake.snapshot(s, dst))
+        .unionByName(leg("clone_v1", LogLake.snapshot(s, dst, Some(1L))))
+        .unionByName(leg("src", LogLake.snapshot(s, src)))
+        .orderBy("tbl", "o_orderstatus")
     }
   )
 }

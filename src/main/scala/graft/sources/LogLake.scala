@@ -871,6 +871,99 @@ object LogLake {
     commit(dir, "optimize", txnId, readV, schema.json, adds, files.map(_.path))
   }
 
+  // ------------------------------------------------ CHECK constraints
+
+  /** CHECK constraints, the Delta `ALTER TABLE ADD CONSTRAINT` surface.
+    * The constraint set lives in CAS-versioned JSON files under
+    * `_loglake/constraints/` (rename-no-overwrite, same publication
+    * rule as manifests), NOT inside data manifests — so the DDL is
+    * atomic and ordered, while data commits validate the set they read
+    * at staging time. Unlike Delta we do not serialize constraint DDL
+    * against in-flight data commits; the add-time FULL-TABLE validation
+    * plus per-write staged validation covers the practical envelope,
+    * and the gap (a write racing the ADD itself) is documented here
+    * rather than papered over. SQL semantics: a row passes when the
+    * expression is TRUE or NULL (unknown), fails only on FALSE. */
+  def checkConstraints(dir: String): Map[String, String] = {
+    val f = fs(dir)
+    val cp = constraintsPath(dir)
+    if (!f.exists(cp)) return Map.empty
+    f.listStatus(cp).toSeq
+      .flatMap(s => if (s.isFile) numbered("", ".json")(s.getPath.getName)
+        .map(_ -> s.getPath) else None)
+      .sortBy(_._1).lastOption
+      .map { case (_, p) =>
+        val node = mapper.readTree(readFully(f, p))
+        val it = node.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      }.getOrElse(Map.empty)
+  }
+
+  /** Add a CHECK constraint: the CURRENT table must already satisfy it
+    * (one snapshot scan — Delta's rule), then the new set CAS-publishes.
+    * Loud on an unparseable expression or an existing violation. */
+  def addCheckConstraint(spark: SparkSession, dir: String,
+      name: String, exprSql: String): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"loglake: constraint name must be [A-Za-z0-9_]+, got '$name'")
+    val snap = snapshot(spark, dir)
+    val bad = snap.filter(s"NOT coalesce(($exprSql), true)").limit(1).collect()
+    require(bad.isEmpty,
+      s"loglake: cannot add CHECK constraint `$name` ($exprSql) — existing " +
+        s"data violates it, e.g. ${bad.headOption.getOrElse("")}")
+    publishConstraints(dir, _ + (name -> exprSql))
+  }
+
+  def dropCheckConstraint(dir: String, name: String): Unit = {
+    require(checkConstraints(dir).contains(name),
+      s"loglake: no CHECK constraint `$name` at $dir (have: " +
+        s"${checkConstraints(dir).keys.toSeq.sorted.mkString(", ")})")
+    publishConstraints(dir, _ - name)
+  }
+
+  private def constraintsPath(dir: String) = new Path(dir, s"$LogDir/constraints")
+
+  private def readFully(f: FileSystem, p: Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** CAS-publish a constraint-set transform: each attempt re-reads the
+    * CURRENT set and applies `change` to it, so a lost race never
+    * clobbers the concurrent DDL's effect. */
+  private def publishConstraints(dir: String,
+      change: Map[String, String] => Map[String, String]): Unit = {
+    val f = fs(dir)
+    val cp = constraintsPath(dir)
+    f.mkdirs(cp)
+    var attempts = 0
+    while (attempts < 20) {
+      val next = f.listStatus(cp).toSeq
+        .flatMap(s => numbered("", ".json")(s.getPath.getName)).sorted
+        .lastOption.getOrElse(0L) + 1L
+      val node = mapper.createObjectNode()
+      change(checkConstraints(dir)).toSeq.sortBy(_._1)
+        .foreach { case (k, v) => node.put(k, v) }
+      val tmp = new Path(cp, s"_tmp-${UUID.randomUUID()}.json")
+      val out = f.create(tmp, false)
+      try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+      val target = new Path(cp, f"$next%020d.json")
+      if (!f.exists(target) && f.rename(tmp, target)) return
+      f.delete(tmp, false) // lost the race — re-read and retry
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"loglake: could not publish constraints at $dir after 20 attempts")
+  }
+
   /** SHALLOW CLONE (Delta's): `dstDir` becomes a new table whose v1
     * manifest references the source snapshot's data files (and DV
     * sidecars) by ABSOLUTE path — zero data bytes copied, metadata-only
@@ -891,7 +984,12 @@ object LogLake {
       a.copy(path = s"$base/${a.path}",
         dv = if (a.dv.isEmpty) a.dv else s"$base/${a.dv}")
     }
-    commit(dstDir, "clone", "", 0L, schema.json, adds, Nil)
+    val v = commit(dstDir, "clone", "", 0L, schema.json, adds, Nil)
+    // table properties travel with the clone, as in Delta — including
+    // CHECK constraints (the clone starts valid: same data, same rules)
+    val cons = checkConstraints(srcDir)
+    if (cons.nonEmpty) publishConstraints(dstDir, _ ++ cons)
+    v
   }
 
   /** Physically delete data files no version ≤ the current one
@@ -984,6 +1082,30 @@ object LogLake {
       }
     f.delete(staging, true)
     if (moved.isEmpty) return Seq.empty
+
+    // CHECK constraints validate against the STAGED files (one re-read
+    // of just-written data — never a second execution of the input
+    // plan, which matters for streaming epochs). One pass covers every
+    // constraint; a violation unstages and throws with the names. SQL
+    // semantics: NULL passes, only FALSE violates.
+    val constraints = checkConstraints(dir)
+    if (constraints.nonEmpty) {
+      val staged = spark.read.schema(df.schema).parquet(moved.map(_._1.toString): _*)
+      val flags = constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+        when(not(coalesce(expr(s"($e)"), lit(true))), lit(n))
+      }
+      val bad = staged
+        .withColumn("__violated", array_compact(array(flags: _*)))
+        .filter(size(col("__violated")) > 0).limit(1).collect()
+      if (bad.nonEmpty) {
+        moved.foreach { case (p, _) => f.delete(p, false) }
+        val row = bad.head
+        val names = row.getAs[scala.collection.Seq[String]]("__violated")
+        throw new IllegalArgumentException(
+          s"loglake: CHECK constraint ${names.map(n => s"`$n` (${constraints(n)})")
+            .mkString(", ")} violated at $dir by row $row — nothing committed")
+      }
+    }
 
     val sizeOf = moved.map { case (p, len) => p.getName -> len }.toMap
     val read = spark.read.schema(df.schema).parquet(moved.map(_._1.toString): _*)

@@ -341,6 +341,61 @@ class LogLakeSpec extends SparkTestBase {
     }
   }
 
+  test("CHECK constraints: add validates existing data, writes enforce, NULL passes, drop lifts, clone inherits") {
+    val dir = tmp("ck")
+    import spark.implicits._
+    LogLake.create(spark, dir,
+      Seq((1L, Some(10.0)), (2L, Some(20.0))).toDF("k", "reading"))
+
+    // add-time validation: the current table must satisfy the rule
+    intercept[IllegalArgumentException] {
+      LogLake.addCheckConstraint(spark, dir, "reading_high", "reading > 15")
+    }
+    LogLake.addCheckConstraint(spark, dir, "reading_pos", "reading >= 0")
+    assert(LogLake.checkConstraints(dir) == Map("reading_pos" -> "reading >= 0"))
+
+    // a violating append fails loudly, names the constraint, commits NOTHING
+    val vBefore = LogLake.currentVersion(dir)
+    val e = intercept[IllegalArgumentException] {
+      LogLake.append(spark, dir, Seq((3L, Some(-5.0))).toDF("k", "reading"))
+    }
+    assert(e.getMessage.contains("reading_pos"), s"got: ${e.getMessage}")
+    assert(LogLake.currentVersion(dir) == vBefore, "violation must not commit")
+    assert(LogLake.snapshot(spark, dir).count() == 2L)
+
+    // NULL is SQL-unknown: it PASSES a CHECK, like every SQL engine
+    LogLake.append(spark, dir,
+      Seq((4L, None: Option[Double])).toDF("k", "reading"))
+    assert(LogLake.snapshot(spark, dir).count() == 3L)
+
+    // the streaming sink path enforces too (it rides append/writeData)
+    val in = java.nio.file.Files.createTempDirectory("ck-in").toString
+    Seq((9L, Some(-1.0))).toDF("k", "reading")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    val q = spark.readStream.schema(LogLake.activeState(dir)._2).parquet(in)
+      .writeStream.format("loglake").option("path", dir)
+      .option("checkpointLocation", tmp("ck-chk"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val se = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    assert(se.getCause.getMessage.contains("reading_pos"))
+    assert(LogLake.snapshot(spark, dir).count() == 3L)
+
+    // drop lifts the rule; a clone made while constrained inherits it
+    val cl = tmp("ck-clone")
+    LogLake.cloneShallow(spark, dir, cl)
+    assert(LogLake.checkConstraints(cl) == Map("reading_pos" -> "reading >= 0"))
+    intercept[IllegalArgumentException] {
+      LogLake.append(spark, cl, Seq((5L, Some(-1.0))).toDF("k", "reading"))
+    }
+    LogLake.dropCheckConstraint(dir, "reading_pos")
+    LogLake.append(spark, dir, Seq((5L, Some(-1.0))).toDF("k", "reading"))
+    assert(LogLake.snapshot(spark, dir).count() == 4L)
+    // the clone's rule survives the source's drop (independent tables)
+    assert(LogLake.checkConstraints(cl).nonEmpty)
+  }
+
   test("shallow clone: zero-copy table, immediately independent, optimize localizes") {
     val src = tmp("cl-src"); val dst = tmp("cl-dst")
     import spark.implicits._
