@@ -999,7 +999,8 @@ object LogLake {
     * Delta's VACUUM vs RETAIN. `olderThanMs` protects files staged by
     * an IN-FLIGHT commit (written, manifest not yet published): only
     * files older than the horizon are eligible. Returns deleted paths. */
-  def vacuum(dir: String, olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+  def vacuum(dir: String, olderThanMs: Long = 7L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
     val f = fs(dir)
     val state: Seq[AddFile] =
       if (history(dir).isEmpty) Seq.empty else activeState(dir)._1
@@ -1010,7 +1011,10 @@ object LogLake {
       f.listStatus(d).toSeq
         .filter(s => s.isFile && !active(s.getPath.getName)
           && s.getModificationTime < cutoff)
-        .map { s => f.delete(s.getPath, false); s"$sub/${s.getPath.getName}" }
+        .map { s =>
+          if (!dryRun) f.delete(s.getPath, false)
+          s"$sub/${s.getPath.getName}"
+        }
     }
     sweep(DataDir, state.map(a => new Path(a.path).getName).toSet) ++
       sweep(DvDir, state.filter(_.dv.nonEmpty)

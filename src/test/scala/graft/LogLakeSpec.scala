@@ -181,8 +181,14 @@ class LogLakeSpec extends SparkTestBase {
     // time travel still works before vacuum…
     assert(sortedRows(LogLake.snapshot(spark, dir, asOf = Some(1L))) ==
       Seq(1L -> "a", 2L -> "b"))
+    // dry run lists the reclaim set without touching a byte
+    val wouldDelete = LogLake.vacuum(dir, olderThanMs = 0L, dryRun = true)
+    assert(wouldDelete.nonEmpty)
+    assert(sortedRows(LogLake.snapshot(spark, dir, asOf = Some(1L))) ==
+      Seq(1L -> "a", 2L -> "b"), "dry run must not delete anything")
     val deleted = LogLake.vacuum(dir, olderThanMs = 0L)
-    assert(deleted.nonEmpty, "the overwritten generation must be reclaimed")
+    assert(deleted.sorted == wouldDelete.sorted,
+      "the real vacuum must reclaim exactly the dry-run list")
     assert(sortedRows(LogLake.snapshot(spark, dir)) == Seq(7L -> "x"),
       "the current snapshot must survive vacuum")
     // …and fails loudly (files gone), not silently-empty, after
