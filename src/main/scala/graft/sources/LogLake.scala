@@ -952,11 +952,16 @@ object LogLake {
       val node = mapper.createObjectNode()
       change(checkConstraints(dir)).toSeq.sortBy(_._1)
         .foreach { case (k, v) => node.put(k, v) }
+      val bytes = mapper.writeValueAsBytes(node)
       val tmp = new Path(cp, s"_tmp-${UUID.randomUUID()}.json")
       val out = f.create(tmp, false)
-      try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+      try out.write(bytes) finally out.close()
       val target = new Path(cp, f"$next%020d.json")
-      if (!f.exists(target) && f.rename(tmp, target)) return
+      // same CAS rule as manifests: exists-check + rename + read back
+      // OWN bytes — a photo-finish loser whose rename silently replaced
+      // the winner's file (POSIX semantics) detects it and retries
+      if (!f.exists(target) && f.rename(tmp, target)
+          && java.util.Arrays.equals(readFully(f, target), bytes)) return
       f.delete(tmp, false) // lost the race — re-read and retry
       attempts += 1
     }
