@@ -8,6 +8,22 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Ships a Hadoop `Configuration` into task closures (it is `Writable`
+  * but not `Serializable`); the stock Spark wrapper for this is
+  * `private[spark]`, so loglake carries its own ten-line equivalent. */
+private[sources] final class SerHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** `loglake` — a native ACID table format over parquet, closing the
   * "Parquet/Delta writes" surface (BASELINE.json approach string) the
   * way the `wirelog` connector closed the Kafka one: the protocol is
@@ -518,32 +534,60 @@ object LogLake {
   }
 
   /** Merge fresh deleted positions (rows of `touched` matching
-    * `condition`, one metadata-column scan — driver contact is this
-    * commit's deleted-position volume) into each file's existing DV.
-    * Returns the surviving AddFiles (new DV attached; a file whose
-    * every physical row is now dead simply drops) and the remove list. */
+    * `condition`, one metadata-column scan) into each file's existing
+    * DV and write every new sidecar FROM THE EXECUTORS — one task row
+    * per touched file carries that file's sorted positions (bounded by
+    * a single file's row count, the same per-file working set Delta's
+    * bitmap writer holds), writes the sidecar, and ships the driver
+    * only `(file name, sidecar path, cardinality)`. Driver heap is
+    * manifest-sized regardless of how many rows a broad MoR DELETE
+    * kills across how many files. Prior sidecars are also expanded
+    * executor-side (one task per old DV). Returns the surviving
+    * AddFiles (new DV attached; a file whose every physical row is now
+    * dead skips the write and simply drops) and the remove list. */
   private def attachDvs(spark: SparkSession, dir: String, schema: StructType,
       touched: Seq[AddFile], condition: Column): (Seq[AddFile], Seq[String]) = {
-    val f = fs(dir)
-    val posByName: Map[String, Array[Long]] = spark.read.schema(schema)
+    fs(dir).mkdirs(new Path(dir, DvDir))
+    import spark.implicits._
+    val conf = new SerHadoopConf(spark.sessionState.newHadoopConf())
+    val fresh = spark.read.schema(schema)
       .parquet(touched.map(a => resolvedPath(dir, a.path)): _*)
       .filter(condition)
       .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("__name"),
         col("_metadata.row_index").as("__pos"))
-      .groupBy("__name").agg(sort_array(collect_list(col("__pos"))).as("__ps"))
+    val priorDvs = touched.filter(_.dv.nonEmpty)
+      .map(a => (fileName(a.path), resolvedPath(dir, a.dv)))
+    val old =
+      if (priorDvs.isEmpty) fresh.limit(0)
+      else spark.createDataset(priorDvs)
+        .flatMap { case (name, dv) =>
+          val p = new Path(dv)
+          readDv(p.getFileSystem(conf.value), p).map(name -> _)
+        }.toDF("__name", "__pos")
+    // `rows` per file rides along so the full-file-dead case is decided
+    // in the task (no sidecar written for a file that simply drops).
+    val rowsByName = touched.map(a => fileName(a.path) -> a.rows).toMap
+    val written: Map[String, (String, Long)] = fresh.union(old)
+      .groupBy("__name")
+      .agg(sort_array(collect_set(col("__pos"))).as("__ps"))
+      .as[(String, Array[Long])]
+      .map { case (name, ps) =>
+        if (ps.length >= rowsByName.getOrElse(name, Long.MaxValue))
+          (name, "", ps.length.toLong) // every physical row dead → drop
+        else {
+          val dvPath = s"$DvDir/${UUID.randomUUID()}.dv"
+          val p = new Path(s"$dir/$dvPath")
+          writeDv(p.getFileSystem(conf.value), p, ps)
+          (name, dvPath, ps.length.toLong)
+        }
+      }
       .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
-    f.mkdirs(new Path(dir, DvDir))
+      .map { case (n, p, c) => n -> (p, c) }.toMap
     val survivors = touched.flatMap { a =>
-      val fresh = posByName.getOrElse(fileName(a.path), Array.empty[Long])
-      val old = if (a.dv.isEmpty) Array.empty[Long]
-        else readDv(f, new Path(resolvedPath(dir, a.dv)))
-      val merged = (old ++ fresh).distinct.sorted
-      if (merged.length >= a.rows) None // every physical row dead → drop
-      else {
-        val dvPath = s"$DvDir/${UUID.randomUUID()}.dv"
-        writeDv(f, new Path(dir, dvPath), merged)
-        Some(a.copy(dv = dvPath, dvRows = merged.length))
+      written.get(fileName(a.path)) match {
+        case None => Some(a) // touched but no dead rows — carry over as-is
+        case Some(("", _)) => None
+        case Some((dvPath, card)) => Some(a.copy(dv = dvPath, dvRows = card))
       }
     }
     (survivors, touched.map(_.path))

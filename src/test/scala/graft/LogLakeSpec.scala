@@ -732,4 +732,47 @@ class LogLakeSpec extends SparkTestBase {
       s"dv sidecars must be vacuumed, swept: $swept")
     assert(LogLake.snapshot(spark, dir).count() == live, "vacuum keeps the live state")
   }
+
+  test("broad merge-on-read delete: ~1M rows across many files, sidecars written executor-side") {
+    // The wide-delete shape that used to be the engine's one data-sized
+    // driver path: positions now flow scan task → per-file sidecar
+    // write task → driver sees only (file, sidecar, cardinality)
+    // triples, so this commit's driver contact is manifest-sized no
+    // matter how many rows die. This spec pins the semantics at a scale
+    // where the old collect() would have shipped ~4 MB of positions —
+    // structurally identical to the 100 TB case, just smaller.
+    val dir = tmp("dv-broad")
+    val n = 1000000L
+    val df = spark.range(0, n)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+      .repartitionByRange(16, col("k"))
+    LogLake.create(spark, dir, df, statsCols = Seq("k")) // 16 range files
+    def files() = LogLake.activeState(dir)._1
+
+    // ~half the rows die, spread across EVERY file
+    LogLake.delete(spark, dir, col("k") % 2 === 0L, mor = true)
+    val f1 = files()
+    assert(f1.size == 16 && f1.forall(_.dv.nonEmpty),
+      "every file masks, none rewrites")
+    assert(f1.map(_.dvRows).sum == n / 2)
+    val snap = LogLake.snapshot(spark, dir)
+    assert(snap.count() == n / 2)
+    assert(snap.filter(col("k") % 2 === 0L).count() == 0L)
+
+    // a second broad delete MERGES into every existing vector; files
+    // whose every physical row is now dead drop with no sidecar
+    LogLake.delete(spark, dir, col("k") < 500000L || col("k") % 4 === 1L,
+      mor = true)
+    val f2 = files()
+    val expectLive = spark.range(0, n)
+      .filter(col("id") % 2 =!= 0L)
+      .filter(!(col("id") < 500000L || col("id") % 4 === 1L)).count()
+    assert(f2.map(a => a.rows - a.dvRows).sum == expectLive)
+    assert(f2.size < 16, "fully-dead low-range files must drop entirely")
+    assert(LogLake.snapshot(spark, dir).count() == expectLive)
+    assert(LogLake.snapshot(spark, dir)
+      .agg(sum(col("k")).as("s")).head().getLong(0) ==
+      spark.range(500000L, n).filter(col("id") % 4 === 3L)
+        .agg(sum(col("id"))).head().getLong(0))
+  }
 }
