@@ -15,6 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: native as-of join (logical node built by
     // graft.plans.AsofJoin.asofLeft, planned to SortMergeAsofJoinExec)
     ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
+    // loglake SQL surface: lowers MERGE/DELETE/UPDATE on LogLakeCatalog
+    // tables onto the commit log, and swaps catalog reads onto the
+    // native pushdown relation (Delta's DeltaAnalysis shape)
+    ext.injectResolutionRule(session => new graft.sources.LogLakeSqlRule(session))
     ext.injectFunction((
       new FunctionIdentifier("scaled_dot"),
       new ExpressionInfo(classOf[ScaledDotProduct].getName, "scaled_dot"),

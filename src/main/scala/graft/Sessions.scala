@@ -23,6 +23,10 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       // Custom codegen expressions (scaled_dot, …) as SQL functions.
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // The loglake SQL front door: CREATE/INSERT/SELECT/MERGE INTO …
+      // against `loglake.<ns>.<table>` identifiers (DSv2 TableCatalog).
+      .config("spark.sql.catalog.loglake", "graft.sources.LogLakeCatalog")
+      .config("spark.sql.catalog.loglake.warehouse", "/tmp/graft_loglake_warehouse")
       // Managed tables (bucketed-join demos/tests) go to tmp, not cwd.
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")

@@ -599,6 +599,19 @@ object LogLake {
       statsCols: Seq[String] = Nil, txnId: String = ""): Long =
     write(spark, dir, df, "create", statsCols, txnId)
 
+  /** CREATE TABLE without data — the SQL DDL entry point
+    * ([[LogLakeCatalog]]): commits v1 carrying the schema and zero
+    * files, so the first INSERT is a plain append. */
+  def createEmpty(dir: String, schema: StructType, txnId: String = ""): Long = {
+    replayedVersion(dir, txnId) match {
+      case Some(v) => return v
+      case None =>
+    }
+    require(currentVersion(dir) == 0L,
+      s"loglake: cannot create — table already exists at $dir")
+    commit(dir, "create", txnId, 0L, schema.json, Nil, Nil)
+  }
+
   def append(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String] = Nil, txnId: String = ""): Long =
     write(spark, dir, df, "append", statsCols, txnId)

@@ -1,0 +1,251 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{GraftBridge, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The SQL front door for loglake tables — a DSv2 [[TableCatalog]], so
+  * the whole ACID surface is reachable the way a Spark user actually
+  * types it:
+  *
+  * ```sql
+  * CREATE TABLE loglake.db.t (k BIGINT, v STRING)
+  * INSERT INTO loglake.db.t SELECT ...
+  * SELECT * FROM loglake.db.t VERSION AS OF 1
+  * MERGE INTO loglake.db.t USING src ON t.k = src.k ...   -- via GraftExtensions
+  * DELETE FROM loglake.db.t WHERE ...
+  * UPDATE loglake.db.t SET ...
+  * ```
+  *
+  * Registered per session:
+  * `spark.sql.catalog.loglake=graft.sources.LogLakeCatalog` +
+  * `spark.sql.catalog.loglake.warehouse=<dir>`. Identifier
+  * `loglake.ns.t` maps to the path `<warehouse>/ns/t`, and every
+  * operation lowers onto the SAME commit-log primitives as the path
+  * API ([[LogLake]]) — SQL is a naming layer, not a second engine, so
+  * catalog metadata stays manifest-sized and nothing here touches data.
+  *
+  * Reads: the analyzer rule in [[graft.GraftExtensions]] replaces the
+  * catalog relation with the native V1 relation
+  * ([[LogLakeProvider.relation]]) — vectorized parquet scan, stats
+  * skipping, full filter/projection pushdown. The [[V1Scan]] fallback
+  * below only serves sessions without the extensions installed; it is
+  * correct but opaque to pushdown, which is fine for a fallback and
+  * wrong for the hot path.
+  *
+  * Writes: `INSERT INTO` / `INSERT OVERWRITE` / CTAS arrive through the
+  * standard DSv2 write plans and land on append/overwrite commits via
+  * [[V1Write]] — exactly-once per the commit protocol, concurrency
+  * rules identical to the path API.
+  */
+class LogLakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def fsys = WireLog.fs(warehouse)
+
+  private def nsDir(ns: Array[String]): String =
+    (warehouse +: ns.toSeq).mkString("/")
+  private def tableDir(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+  private def isTable(dir: String): Boolean =
+    fsys.exists(new Path(dir, LogLake.LogDir)) && LogLake.currentVersion(dir) > 0L
+
+  // ---------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = new Path(nsDir(namespace))
+    if (!fsys.exists(d)) throw new NoSuchNamespaceException(namespace.toSeq)
+    fsys.listStatus(d).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => isTable(nsDir(namespace) + "/" + n))
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    LogLakeV2Table(dir, None, s"$catalogName.${ident.toString}")
+  }
+
+  /** `SELECT … VERSION AS OF n` */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"loglake: VERSION AS OF takes a commit version number, got '$version'"))
+    LogLakeV2Table(dir, Some(v), s"$catalogName.${ident.toString}")
+  }
+
+  /** `SELECT … TIMESTAMP AS OF t` — `timestamp` arrives in microseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    LogLakeV2Table(dir, Some(LogLake.versionAtTimestamp(dir, timestamp / 1000L)),
+      s"$catalogName.${ident.toString}")
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "loglake: PARTITIONED BY is not supported — use OPTIMIZE ZORDER for layout")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    LogLake.createEmpty(dir, schema)
+    LogLakeV2Table(dir, None, s"$catalogName.${ident.toString}")
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "loglake: ALTER TABLE is not supported yet")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) return false
+    fsys.delete(new Path(dir), true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    require(fsys.rename(new Path(tableDir(oldIdent)), new Path(tableDir(newIdent))),
+      s"loglake: rename ${oldIdent} -> ${newIdent} failed")
+  }
+
+  // ------------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fsys.exists(root)) return Array.empty
+    fsys.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => isTable(s"$warehouse/$n"))
+      .map(Array(_))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fsys.exists(new Path(nsDir(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    Map("location" -> nsDir(namespace)).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(namespace)
+    fsys.mkdirs(new Path(nsDir(namespace)))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("loglake: ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val p = new Path(nsDir(namespace))
+    if (!cascade && fsys.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"loglake: namespace ${namespace.mkString(".")} is not empty")
+    fsys.delete(p, true)
+  }
+}
+
+/** Catalog-served loglake table: metadata (name/schema/properties) plus
+  * the DSv2 write hook. `asOf` pins a time-travelled read (VERSION AS
+  * OF / TIMESTAMP AS OF); writes against a pinned version are rejected
+  * by the commit protocol's read-version check. Schema resolution is
+  * one manifest replay, cached for the relation's lifetime — catalog
+  * calls never touch data files. */
+final case class LogLakeV2Table(dir: String, asOf: Option[Long], identName: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = identName
+
+  override lazy val schema: StructType = LogLake.activeState(dir, asOf)._2
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def properties(): util.Map[String, String] =
+    Map(TableCatalog.PROP_PROVIDER -> "loglake",
+      TableCatalog.PROP_LOCATION -> dir).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** Fallback scan for sessions WITHOUT GraftExtensions (whose analyzer
+    * rule swaps in the native pushdown relation before planning ever
+    * sees this). A correctness backstop, deliberately simple: the
+    * snapshot frame handed back as one opaque V1 TableScan. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = LogLakeV2Table.this.schema
+            override def needConversion: Boolean = false
+            override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+              GraftBridge.toInternalRdd(
+                LogLake.snapshot(context.sparkSession, dir, asOf))
+                .asInstanceOf[org.apache.spark.rdd.RDD[Row]]
+          }.asInstanceOf[T]
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                ov: Boolean): Unit = {
+              require(asOf.isEmpty,
+                s"loglake: cannot write to a time-travelled snapshot of $identName")
+              val spark = data.sparkSession
+              // normalize to the table's column order so file layout
+              // stays uniform across INSERT paths
+              val cols = LogLake.activeState(dir)._2.fieldNames
+              val aligned =
+                if (cols.sameElements(data.columns)) data
+                else data.select(cols.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
+              if (overwrite || ov) LogLake.overwrite(spark, dir, aligned)
+              else LogLake.append(spark, dir, aligned)
+            }
+          }
+      }
+    }
+}
