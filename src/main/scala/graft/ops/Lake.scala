@@ -603,6 +603,61 @@ object Lake {
         .unionByName(leg("clone_v1", LogLake.snapshot(s, dst, Some(1L))))
         .unionByName(leg("src", LogLake.snapshot(s, src)))
         .orderBy("tbl", "o_orderstatus")
+    },
+
+    // --- q125: the SQL front door, end to end. The q111 MERGE end
+    // state produced through `spark.sql` ALONE — CTAS into the
+    // `loglake` DSv2 catalog, `MERGE INTO … WHEN MATCHED UPDATE SET * /
+    // WHEN NOT MATCHED INSERT *` lowered by the analyzer rule onto the
+    // same commit-log upsert as the path API, and the final aggregate
+    // read back through the catalog identifier (which the rule swaps
+    // onto the native pushdown scan). Same oracle as q111: the gate
+    // proves SQL and path API are ONE engine, not two. At 100 TB the
+    // SQL layer adds only analyzer work — every data plan is identical
+    // to the path API's.
+    Q(
+      "q125_loglake_sql",
+      s"""WITH merged AS (
+         |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+         |         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'N' AS o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+         |)
+         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total
+         |FROM merged GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val ns = "q125_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      val wh = s.conf.get("spark.sql.catalog.loglake.warehouse")
+      scratchDirs.add(new java.io.File(s"$wh/$ns"))
+      s.sql(s"CREATE NAMESPACE loglake.$ns")
+      orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .createOrReplaceTempView("q125_orders")
+      s.sql(s"CREATE TABLE loglake.$ns.t AS SELECT * FROM q125_orders")
+      s.sql(
+        s"""MERGE INTO loglake.$ns.t AS t
+           |USING (
+           |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+           |         o_totalprice + 5.0D AS o_totalprice, o_orderdate
+           |  FROM q125_orders WHERE o_orderkey % 10 = 0
+           |  UNION ALL
+           |  SELECT -o_orderkey AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+           |         o_totalprice, o_orderdate
+           |  FROM q125_orders WHERE o_orderkey % 100 = 0
+           |) AS src
+           |ON t.o_orderkey = src.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(
+        s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+           |FROM loglake.$ns.t
+           |GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin)
     }
   )
 }
