@@ -658,6 +658,79 @@ object Lake {
            |FROM loglake.$ns.t
            |GROUP BY o_orderstatus
            |ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // --- q126: COLUMN MAPPING (rename/drop) under the hash gate, as an
+    // evolved-read matrix. History: v1 create (even orderkeys, columns
+    // o_orderkey/o_custkey/o_orderstatus/o_totalprice), v2 RENAME
+    // o_totalprice → price (metadata-only — zero bytes rewritten), v3
+    // append the odd orderkeys under the NEW name, v4 DROP o_custkey.
+    // Four read paths must agree with the oracle: the current snapshot
+    // (old files served under the renamed/dropped schema), a stats-
+    // skipped range scan ON THE RENAMED column (stats are keyed by
+    // physical name, so skipping survives the rename), the change feed
+    // across the rename boundary, and a streaming replay of the whole
+    // history under the frozen post-DDL schema, plus a time-travel leg
+    // at v1 reading the ORIGINAL schema. At 100 TB rename/drop stay
+    // manifest-sized commits; only the logical→physical projection is
+    // added to reads.
+    Q(
+      "q126_loglake_colmap",
+      s"""WITH renamed AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM orders
+         |)
+         |SELECT 'cdc' AS path, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("price")} AS total
+         |FROM renamed GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'range', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+         |       ${oSum("price")}
+         |FROM renamed WHERE price >= 50000 GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'snapshot', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+         |       ${oSum("price")}
+         |FROM renamed GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'stream', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+         |       ${oSum("price")}
+         |FROM renamed GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'v1', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+         |       ${oSum("o_totalprice")}
+         |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+         |ORDER BY path, o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val src = freshDir("q126-src"); val dst = freshDir("q126-dst")
+      val chk = freshDir("q126-chk")
+      val ord = orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, src, ord.filter(col("o_orderkey") % 2 === 0),
+        statsCols = Seq("o_orderkey", "o_totalprice"))
+      LogLake.renameColumn(s, src, "o_totalprice", "price")
+      LogLake.append(s, src, ord.filter(col("o_orderkey") % 2 === 1)
+        .withColumnRenamed("o_totalprice", "price"))
+      LogLake.dropColumn(s, src, "o_custkey")
+      // streaming leg: replay v1..v4 under the frozen post-DDL schema
+      // (pre-rename commits resolve by PHYSICAL name) into a 2nd table
+      val q = s.readStream.format("loglake").load(src)
+        .writeStream.format("loglake").option("path", dst)
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      def leg(tag: String, df: org.apache.spark.sql.DataFrame, price: String) =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), dsum(col(price)).as("total"))
+          .select(lit(tag).as("path"), col("o_orderstatus"), col("cnt"),
+            col("total"))
+      leg("snapshot", LogLake.snapshot(s, src), "price")
+        .unionByName(leg("range",
+          LogLake.scanRange(s, src, "price", 50000.0d, null), "price"))
+        .unionByName(leg("cdc", LogLake.changeFeed(s, src, 0L, 4L)
+          .filter(col("_change_type") === "insert"), "price"))
+        .unionByName(leg("stream", LogLake.snapshot(s, dst), "price"))
+        .unionByName(leg("v1", LogLake.snapshot(s, src, Some(1L)), "o_totalprice"))
+        .orderBy("path", "o_orderstatus")
     }
   )
 }

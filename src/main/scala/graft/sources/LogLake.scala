@@ -271,8 +271,8 @@ object LogLake {
     * matches NULL). */
   def pruneFiles(dir: String, column: String, lo: Any, hi: Any,
       asOf: Option[Long] = None): (Seq[AddFile], Int) = {
-    val (files, _) = activeState(dir, asOf)
-    (rangeKept(files, column, lo, hi), files.size)
+    val (files, schema) = activeState(dir, asOf)
+    (rangeKept(files, toPhys(schema, column), lo, hi), files.size)
   }
 
   private def rangeKept(files: Seq[AddFile], column: String,
@@ -410,6 +410,7 @@ object LogLake {
         // result that would still READ the whole rewritten volume twice.
         // Skip the diff, keep the state walk. Delta's CDF does the same.
         if (m.op == "optimize") None
+        else if (m.adds.isEmpty && m.removes.isEmpty) None // schema-only DDL commit
         else if (m.removes.isEmpty)
           // pure append: the diff is provably the added rows — skip the
           // exceptAll pair (two joins + a second read of the same files)
@@ -441,7 +442,7 @@ object LogLake {
     // ONE snapshot resolve serves both the skipping decision and the
     // read (a 10⁶-file resolve costs ~2 s — see tools/MetaProbe)
     val (files, schema) = activeState(dir, asOf)
-    val kept = rangeKept(files, column, lo, hi)
+    val kept = rangeKept(files, toPhys(schema, column), lo, hi)
     val base = readAdds(spark, dir, schema, kept)
     val c = col(column)
     val pred = (Option(lo).map(v => c >= lit(v)) ++ Option(hi).map(v => c <= lit(v)))
@@ -503,6 +504,72 @@ object LogLake {
   private[sources] def resolvedPath(dir: String, p: String): String =
     if (isExternal(p)) p else s"$dir/$p"
 
+  // ------------------------------------------------------ column mapping
+
+  /** Column-mapping metadata key (Delta's columnMapping design, "name"
+    * mode): a field may carry the PHYSICAL column name its values live
+    * under in data files. Absent ⇒ physical == logical. RENAME changes
+    * only the logical name (old files keep serving their bytes); DROP
+    * removes the field from the schema (the physical column in old
+    * files is simply never requested). The first rename/drop upgrades
+    * EVERY field to an explicit physical name, and from then on each
+    * NEWLY ADDED column gets a fresh `col-<uuid>` physical name — so a
+    * later column re-using a dropped column's logical name can never
+    * resurrect the dropped data. File stats are keyed by PHYSICAL name
+    * (stable across the whole history), so skipping keeps working
+    * through renames; readers translate logical → physical once per
+    * plan. */
+  private[sources] val PhysKey = "loglake.physicalName"
+
+  private[sources] def physName(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  /** The schema data files are actually written/read with: physical
+    * names, mapping metadata stripped (readers must not leak it). */
+  private[sources] def physSchema(s: StructType): StructType =
+    StructType(s.fields.map(f =>
+      StructField(physName(f), f.dataType, f.nullable)))
+
+  /** Mapping has been ACTIVATED (any field carries explicit metadata) —
+    * the signal that new columns need generated physical names. */
+  private[sources] def isMapped(s: StructType): Boolean =
+    s.fields.exists(_.metadata.contains(PhysKey))
+
+  /** Any logical name differs from its physical one — the case where
+    * reads need a rename projection and the native single-scan paths
+    * must hand off to the mapped read. */
+  private[sources] def isDivergent(s: StructType): Boolean =
+    s.fields.exists(f => physName(f) != f.name)
+
+  /** Schema with mapping (and any other field metadata) stripped — the
+    * shape exposed on public read surfaces. */
+  private[sources] def cleanSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => StructField(f.name, f.dataType, f.nullable)))
+
+  /** logical → physical for the DIVERGENT fields only (empty = identity). */
+  private def physMap(s: StructType): Map[String, String] =
+    s.fields.iterator.map(f => f.name -> physName(f))
+      .filter(p => p._1 != p._2).toMap
+
+  private def toPhys(s: StructType, logical: String): String =
+    s.fields.find(_.name.equalsIgnoreCase(logical)).map(physName)
+      .getOrElse(logical)
+
+  /** Scan of loglake data files surfaced under LOGICAL column names.
+    * `meta` columns (derived from the hidden `_metadata` struct) are
+    * selected directly on the scan relation, in the SAME projection as
+    * the logical rename — a later Project would lose access to
+    * `_metadata`. With no meta columns and no divergent mapping this
+    * returns the raw scan (zero plan change for unmapped tables). */
+  private[sources] def scanLogical(spark: SparkSession, schema: StructType,
+      paths: Seq[String], meta: Seq[(Column, String)] = Nil): DataFrame = {
+    val ps = physSchema(schema)
+    val base = spark.read.schema(ps).parquet(paths: _*)
+    if (meta.isEmpty && ps.fieldNames.sameElements(schema.fieldNames)) base
+    else base.select(meta.map { case (c, n) => c.as(n) } ++
+      schema.fields.toIndexedSeq.map(f => col(physName(f)).as(f.name)): _*)
+  }
+
   /** The LIVE rows of `adds` — the merge-on-read scan. Files without a
     * deletion vector flow through the plain parquet path untouched;
     * when any file carries one, each row's (file name, row_index) is
@@ -513,10 +580,11 @@ object LogLake {
   private[sources] def readAdds(spark: SparkSession, dir: String, schema: StructType,
       adds: Seq[AddFile]): DataFrame = {
     if (adds.isEmpty)
-      return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        cleanSchema(schema))
     val paths = adds.map(a => resolvedPath(dir, a.path))
     val dved = adds.filter(_.dv.nonEmpty)
-    if (dved.isEmpty) spark.read.schema(schema).parquet(paths: _*)
+    if (dved.isEmpty) scanLogical(spark, schema, paths)
     else {
       val f = fs(dir)
       import spark.implicits._
@@ -524,10 +592,9 @@ object LogLake {
         .map(a => fileName(a.path) -> readDv(f, new Path(resolvedPath(dir, a.dv))))
         .toDF("__name", "__positions")
         .select(col("__name"), explode(col("__positions")).as("__pos"))
-      spark.read.schema(schema).parquet(paths: _*)
-        .withColumn("__name",
-          element_at(split(col("_metadata.file_path"), "/"), -1))
-        .withColumn("__pos", col("_metadata.row_index"))
+      scanLogical(spark, schema, paths, Seq(
+        element_at(split(col("_metadata.file_path"), "/"), -1) -> "__name",
+        col("_metadata.row_index") -> "__pos"))
         .join(dvDf, Seq("__name", "__pos"), "left_anti")
         .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     }
@@ -550,11 +617,12 @@ object LogLake {
     fs(dir).mkdirs(new Path(dir, DvDir))
     import spark.implicits._
     val conf = new SerHadoopConf(spark.sessionState.newHadoopConf())
-    val fresh = spark.read.schema(schema)
-      .parquet(touched.map(a => resolvedPath(dir, a.path)): _*)
+    val fresh = scanLogical(spark, schema,
+      touched.map(a => resolvedPath(dir, a.path)), Seq(
+        element_at(split(col("_metadata.file_path"), "/"), -1) -> "__name",
+        col("_metadata.row_index") -> "__pos"))
       .filter(condition)
-      .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("__name"),
-        col("_metadata.row_index").as("__pos"))
+      .select("__name", "__pos")
     val priorDvs = touched.filter(_.dv.nonEmpty)
       .map(a => (fileName(a.path), resolvedPath(dir, a.dv)))
     val old =
@@ -642,10 +710,17 @@ object LogLake {
     require(missing.isEmpty,
       s"loglake: append is missing table columns ${missing.mkString(", ")} " +
         s"at $dir (drop/rename is not an append)")
-    val added = incoming.fields.filterNot(f => tByName.contains(f.name))
-    added.foreach(f => require(f.nullable,
+    val added0 = incoming.fields.filterNot(f => tByName.contains(f.name))
+    added0.foreach(f => require(f.nullable,
       s"loglake: new column ${f.name} must be nullable — old files have " +
         s"no values for it"))
+    // once mapping is active, every NEW column gets a generated physical
+    // name — a later column re-using a DROPPED column's logical name
+    // must never read the dropped data out of old files
+    val added =
+      if (!isMapped(table)) added0
+      else added0.map(f => StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().putString(PhysKey, s"col-${UUID.randomUUID()}").build()))
     if (added.isEmpty) table.json
     else StructType(table.fields ++ added).json
   }
@@ -664,10 +739,12 @@ object LogLake {
     val schemaJson =
       if (op == "append" && readV > 0L) evolvedSchema(priorSchema, df.schema, dir)
       else df.schema.json
+    val tableSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val removes =
       if (op == "overwrite") priorFiles.map(_.path) else Nil
     val adds = writeData(spark, dir, df,
-      inheritedStats(priorFiles, statsCols, df.schema))
+      inheritedStats(priorFiles, statsCols, df.schema, tableSchema),
+      physMap(tableSchema))
     // an append that stages no ROWS commits nothing (zero-row parts an
     // eager writer opened are swept) — this is what lets the streaming
     // sink skip a pre-emptive isEmpty, which would re-execute the
@@ -707,8 +784,10 @@ object LogLake {
     val touchedNames: Set[String] =
       if (files.isEmpty) Set.empty
       else {
-        val tgt = spark.read.schema(schema).parquet(files.map(a => resolvedPath(dir, a.path)): _*)
-          .select(keyCols.map(col) :+ col("_metadata.file_path").as("__file"): _*)
+        val tgt = scanLogical(spark, schema,
+          files.map(a => resolvedPath(dir, a.path)),
+          Seq(col("_metadata.file_path") -> "__file"))
+          .select(keyCols.map(col) :+ col("__file"): _*)
         tgt.join(keys, keyCols, "leftsemi")
           .select("__file").distinct().collect()
           .map(r => new Path(r.getString(0)).getName).toSet
@@ -721,7 +800,7 @@ object LogLake {
         .join(keys, keyCols, "left_anti")
         .unionByName(src)
     val adds = writeData(spark, dir, rewritten,
-      inheritedStats(files, statsCols, src.schema))
+      inheritedStats(files, statsCols, src.schema, schema), physMap(schema))
     commit(dir, "merge", txnId, readV, schema.json, adds, touched.map(_.path))
   }
 
@@ -753,7 +832,8 @@ object LogLake {
     }
     val kept = readAdds(spark, dir, schema, touched)
       .filter(!coalesce(condition, lit(false))) // NULL-condition rows survive, as in SQL DELETE
-    val adds = writeData(spark, dir, kept, inheritedStats(files, statsCols, schema))
+    val adds = writeData(spark, dir, kept,
+      inheritedStats(files, statsCols, schema, schema), physMap(schema))
     commit(dir, "delete", txnId, readV, schema.json, adds, touched.map(_.path))
   }
 
@@ -785,7 +865,7 @@ object LogLake {
           set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
         }: _*)
       val newAdds = writeData(spark, dir, updated,
-        inheritedStats(files, statsCols, schema))
+        inheritedStats(files, statsCols, schema, schema), physMap(schema))
       val (dvAdds, removes) = attachDvs(spark, dir, schema, touched, hit)
       return commit(dir, "update", txnId, readV, schema.json,
         dvAdds ++ newAdds, removes)
@@ -799,7 +879,8 @@ object LogLake {
     }
     val rewritten = readAdds(spark, dir, schema, touched)
       .select(projected: _*)
-    val adds = writeData(spark, dir, rewritten, inheritedStats(files, statsCols, schema))
+    val adds = writeData(spark, dir, rewritten,
+      inheritedStats(files, statsCols, schema, schema), physMap(schema))
     commit(dir, "update", txnId, readV, schema.json, adds, touched.map(_.path))
   }
 
@@ -837,16 +918,123 @@ object LogLake {
     commit(dir, "restore", txnId, readV, oldSchema.json, adds, removes)
   }
 
+  // ----------------------------------------------------------- schema DDL
+
+  /** Logical column names a CHECK constraint's expression references —
+    * the guard that keeps rename/drop from silently breaking a
+    * constraint that still validates every write. */
+  private def constraintRefs(spark: SparkSession, exprStr: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(exprStr).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+
+  private def requireNoConstraintRef(spark: SparkSession, dir: String,
+      column: String, ddl: String): Unit =
+    checkConstraints(dir).foreach { case (n, e) =>
+      require(!constraintRefs(spark, e)
+        .contains(column.toLowerCase(java.util.Locale.ROOT)),
+        s"loglake: cannot $ddl column $column — CHECK constraint `$n` ($e) " +
+          s"references it; drop the constraint first")
+    }
+
+  /** Upgrade every field to an EXPLICIT physical name (identity for
+    * fields that never had one) — mapping activation, done by the first
+    * rename/drop so later column adds get collision-proof names. */
+  private def activateMapping(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      if (f.metadata.contains(PhysKey)) f
+      else StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putString(PhysKey, f.name).build())
+    })
+
+  /** RENAME COLUMN as a metadata-only commit (Delta column mapping):
+    * the logical name changes, the PHYSICAL name is pinned to what data
+    * files already use — zero data rewritten at any table size. The
+    * commit is serializable (conflicts loudly with any concurrent
+    * commit); like constraint DDL, a write racing the rename itself is
+    * outside the serialized envelope. */
+  def renameColumn(spark: SparkSession, dir: String, oldName: String,
+      newName: String, txnId: String = ""): Long = {
+    replayedVersion(dir, txnId) match {
+      case Some(v) => return v
+      case None =>
+    }
+    val readV = currentVersion(dir)
+    val (_, schema0) = activeState(dir, Some(readV))
+    require(schema0.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+      s"loglake: cannot rename $oldName — table has " +
+        s"${schema0.fieldNames.mkString(", ")}")
+    require(!schema0.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"loglake: cannot rename $oldName to $newName — column exists")
+    requireNoConstraintRef(spark, dir, oldName, "rename")
+    val fields = activateMapping(schema0).fields.map { f =>
+      if (f.name.equalsIgnoreCase(oldName))
+        StructField(newName, f.dataType, f.nullable, f.metadata)
+      else f
+    }
+    commit(dir, "rename_column", txnId, readV, StructType(fields).json, Nil, Nil)
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the field leaves the
+    * schema; old files keep their (now never-requested) physical
+    * column. Activates mapping so a future column with the same
+    * logical name gets a fresh physical name and can never resurrect
+    * the dropped data. */
+  def dropColumn(spark: SparkSession, dir: String, name: String,
+      txnId: String = ""): Long = {
+    replayedVersion(dir, txnId) match {
+      case Some(v) => return v
+      case None =>
+    }
+    val readV = currentVersion(dir)
+    val (_, schema0) = activeState(dir, Some(readV))
+    require(schema0.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"loglake: cannot drop $name — table has " +
+        s"${schema0.fieldNames.mkString(", ")}")
+    require(schema0.fields.length > 1,
+      s"loglake: cannot drop $name — it is the table's only column")
+    requireNoConstraintRef(spark, dir, name, "drop")
+    val fields = activateMapping(schema0).fields
+      .filterNot(_.name.equalsIgnoreCase(name))
+    commit(dir, "drop_column", txnId, readV, StructType(fields).json, Nil, Nil)
+  }
+
+  /** ADD COLUMN as a metadata-only commit — the DDL twin of append-time
+    * additive evolution: nullable only (old files read it as NULL); on
+    * a mapped table the new field gets a generated physical name. */
+  def addColumn(dir: String, field: StructField, txnId: String = ""): Long = {
+    replayedVersion(dir, txnId) match {
+      case Some(v) => return v
+      case None =>
+    }
+    val readV = currentVersion(dir)
+    val (_, schema0) = activeState(dir, Some(readV))
+    require(!schema0.fieldNames.exists(_.equalsIgnoreCase(field.name)),
+      s"loglake: cannot add ${field.name} — column exists")
+    require(field.nullable,
+      s"loglake: new column ${field.name} must be nullable — old files " +
+        "have no values for it")
+    val f =
+      if (!isMapped(schema0)) StructField(field.name, field.dataType, nullable = true)
+      else StructField(field.name, field.dataType, nullable = true,
+        new MetadataBuilder().putString(PhysKey, s"col-${UUID.randomUUID()}").build())
+    commit(dir, "add_column", txnId, readV,
+      StructType(schema0.fields :+ f).json, Nil, Nil)
+  }
+
   /** The files that CONTAIN at least one row matching `condition` —
     * one scan over the snapshot's metadata column; the driver receives
     * only file names. */
   private def touchedFiles(spark: SparkSession, dir: String,
       files: Seq[AddFile], schema: StructType, condition: Column): Seq[AddFile] = {
     if (files.isEmpty) return Nil
-    val names = spark.read.schema(schema)
-      .parquet(files.map(a => resolvedPath(dir, a.path)): _*)
+    val names = scanLogical(spark, schema,
+      files.map(a => resolvedPath(dir, a.path)),
+      Seq(col("_metadata.file_path") -> "__file"))
       .filter(condition)
-      .select(col("_metadata.file_path").as("__file"))
+      .select("__file")
       .distinct().collect()
       .map(r => new Path(r.getString(0)).getName).toSet
     files.filter(a => names(new Path(a.path).getName))
@@ -924,7 +1112,7 @@ object LogLake {
           .drop("__z")
     }
     val adds = writeData(spark, dir, arranged,
-      inheritedStats(files, statsCols, schema))
+      inheritedStats(files, statsCols, schema, schema), physMap(schema))
     commit(dir, "optimize", txnId, readV, schema.json, adds, files.map(_.path))
   }
 
@@ -1115,25 +1303,43 @@ object LogLake {
     * the set the table already tracks (union of columns with stats in
     * the prior state, restricted to columns the write carries) — a
     * maintenance rewrite (OPTIMIZE/MERGE/DELETE/UPDATE) or a default
-    * append must not silently turn file skipping off. */
+    * append must not silently turn file skipping off. Prior stats keys
+    * are PHYSICAL names; the returned list is LOGICAL (what the write
+    * path and its `nameMap` speak) — a dropped column's stats simply
+    * stop being tracked. */
   private def inheritedStats(prior: Seq[AddFile], statsCols: Seq[String],
-      incoming: StructType): Seq[String] =
+      incoming: StructType, table: StructType): Seq[String] =
     if (statsCols.nonEmpty) statsCols
     else {
+      val toLogical = table.fields.iterator.map(f => physName(f) -> f.name).toMap
       val cols = incoming.fieldNames.toSet
-      prior.iterator.flatMap(_.stats.keys).distinct.filter(cols).toSeq
+      prior.iterator.flatMap(_.stats.keys).distinct
+        .flatMap(toLogical.get).filter(cols).toSeq
     }
 
-  /** Stage `df` as parquet, move the parts to `data/` under fresh UUID
-    * names (unreferenced = invisible), and collect per-file stats with
-    * ONE metadata-sized aggregate over the files just written. */
+  /** Stage `df` (LOGICAL column names) as parquet under the table's
+    * PHYSICAL column names, move the parts to `data/` under fresh UUID
+    * names (unreferenced = invisible), and run ONE metadata-sized
+    * aggregate over the files just written that collects per-file
+    * stats AND validates every CHECK constraint — the staged data is
+    * read exactly once on the happy path (constraint flags ride the
+    * stats aggregate as extra columns; only an actual violation pays a
+    * second, limit-1 read to name an offending row). Never a second
+    * execution of the input plan, which matters for streaming epochs.
+    * SQL semantics: NULL passes a constraint, only FALSE violates.
+    * Stats are keyed by PHYSICAL name — stable across renames, so file
+    * skipping keeps working through the table's whole history. */
   private def writeData(spark: SparkSession, dir: String, df: DataFrame,
-      statsCols: Seq[String]): Seq[AddFile] = {
+      statsCols: Seq[String], nameMap: Map[String, String] = Map.empty): Seq[AddFile] = {
     statsCols.foreach(c => require(df.columns.contains(c),
       s"loglake: stats column $c not in ${df.columns.mkString(",")}"))
     val f = fs(dir)
+    val pdf =
+      if (nameMap.isEmpty) df
+      else df.select(df.columns.toIndexedSeq.map(c =>
+        col(c).as(nameMap.getOrElse(c, c))): _*)
     val staging = new Path(dir, s"$LogDir/_tmp/w-${UUID.randomUUID()}")
-    df.write.parquet(staging.toString)
+    pdf.write.parquet(staging.toString)
     f.mkdirs(new Path(dir, DataDir))
     val moved = f.listStatus(staging).toSeq
       .filter { s =>
@@ -1149,51 +1355,61 @@ object LogLake {
     f.delete(staging, true)
     if (moved.isEmpty) return Seq.empty
 
-    // CHECK constraints validate against the STAGED files (one re-read
-    // of just-written data — never a second execution of the input
-    // plan, which matters for streaming epochs). One pass covers every
-    // constraint; a violation unstages and throws with the names. SQL
-    // semantics: NULL passes, only FALSE violates.
-    val constraints = checkConstraints(dir)
-    if (constraints.nonEmpty) {
-      val staged = spark.read.schema(df.schema).parquet(moved.map(_._1.toString): _*)
-      val flags = constraints.toSeq.sortBy(_._1).map { case (n, e) =>
-        when(not(coalesce(expr(s"($e)"), lit(true))), lit(n))
-      }
-      val bad = staged
-        .withColumn("__violated", array_compact(array(flags: _*)))
-        .filter(size(col("__violated")) > 0).limit(1).collect()
-      if (bad.nonEmpty) {
-        moved.foreach { case (p, _) => f.delete(p, false) }
-        val row = bad.head
-        val names = row.getAs[scala.collection.Seq[String]]("__violated")
-        throw new IllegalArgumentException(
-          s"loglake: CHECK constraint ${names.map(n => s"`$n` (${constraints(n)})")
-            .mkString(", ")} violated at $dir by row $row — nothing committed")
-      }
-    }
-
-    val sizeOf = moved.map { case (p, len) => p.getName -> len }.toMap
-    val read = spark.read.schema(df.schema).parquet(moved.map(_._1.toString): _*)
-    val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap(c => Seq(
-      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
-    val byFile = read.groupBy(col("_metadata.file_path").as("__file"))
+    val constraints = checkConstraints(dir).toSeq.sortBy(_._1)
+    // staged files carry physical names; surface the read under LOGICAL
+    // names (constraint expressions and statsCols are logical) in the
+    // same projection that captures the metadata file path
+    val read = spark.read.schema(pdf.schema)
+      .parquet(moved.map(_._1.toString): _*)
+      .select(col("_metadata.file_path").as("__file") +:
+        df.columns.toIndexedSeq.map(c => col(nameMap.getOrElse(c, c)).as(c)): _*)
+    val aggs = count(lit(1)).as("__rows") +:
+      (statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
+        min(col(c)).as(s"__min_$i"), max(col(c)).as(s"__max_$i"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i")) } ++
+       constraints.zipWithIndex.map { case ((_, e), i) =>
+         sum(when(not(coalesce(expr(s"($e)"), lit(true))), 1L).otherwise(0L))
+           .as(s"__viol_$i") })
+    val byFile = read.groupBy("__file")
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => new Path(r.getAs[String]("__file")).getName -> r).toMap
+
+    val violated = constraints.zipWithIndex
+      .filter { case (_, i) => byFile.valuesIterator.exists(_.getAs[Long](s"__viol_$i") > 0L) }
+      .map(_._1)
+    if (violated.nonEmpty) {
+      // rare path: one limit-1 re-read names an offending row
+      val flags = violated.map { case (n, e) =>
+        when(not(coalesce(expr(s"($e)"), lit(true))), lit(n)) }
+      val bad = read
+        .withColumn("__violated", array_compact(array(flags: _*)))
+        .filter(size(col("__violated")) > 0)
+        .drop("__file").limit(1).collect()
+      moved.foreach { case (p, _) => f.delete(p, false) }
+      val names = bad.headOption
+        .map(_.getAs[scala.collection.Seq[String]]("__violated"))
+        .getOrElse(violated.map(_._1))
+      val byName = violated.toMap
+      throw new IllegalArgumentException(
+        s"loglake: CHECK constraint ${names.map(n => s"`$n` (${byName(n)})")
+          .mkString(", ")} violated at $dir by row " +
+          s"${bad.headOption.getOrElse("<unavailable>")} — nothing committed")
+    }
+
+    val sizeOf = moved.map { case (p, len) => p.getName -> len }.toMap
     moved.map { case (p, _) =>
       byFile.get(p.getName) match {
         case None => // empty part
           AddFile(s"$DataDir/${p.getName}", 0L, Map.empty, sizeOf(p.getName))
         case Some(r) =>
-          val stats = statsCols.map { c =>
-            val mn = r.getAs[Any](s"__min_$c")
-            val nulls = r.getAs[Long](s"__nulls_$c")
-            c -> (if (mn == null) ColStats("null", "", "", nulls)
+          val stats = statsCols.zipWithIndex.map { case (c, i) =>
+            val mn = r.getAs[Any](s"__min_$i")
+            val nulls = r.getAs[Long](s"__nulls_$i")
+            nameMap.getOrElse(c, c) -> (if (mn == null) ColStats("null", "", "", nulls)
             else {
               val (t, lo) = typedRender(mn)
-              val (_, hi) = typedRender(r.getAs[Any](s"__max_$c"))
+              val (_, hi) = typedRender(r.getAs[Any](s"__max_$i"))
               ColStats(t, lo, hi, nulls)
             })
           }.toMap
@@ -1207,7 +1423,8 @@ object LogLake {
     * every rewriting op: its add/remove decision is stale the moment
     * anyone else commits. Creates/appends stay optimistic (commute). */
   private val Serializable2PC =
-    Set("overwrite", "merge", "optimize", "delete", "update", "restore")
+    Set("overwrite", "merge", "optimize", "delete", "update", "restore",
+      "rename_column", "drop_column", "add_column")
 
   /** Commit loop: CAS-publish the manifest at the next version.
     * Appends/creates retry on a lost race (they commute); rewriting ops

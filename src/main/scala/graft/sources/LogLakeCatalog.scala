@@ -118,9 +118,34 @@ class LogLakeCatalog extends TableCatalog with SupportsNamespaces {
     LogLakeV2Table(dir, None, s"$catalogName.${ident.toString}")
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "loglake: ALTER TABLE is not supported yet")
+  /** `ALTER TABLE … RENAME COLUMN / DROP COLUMN / ADD COLUMN` — each
+    * lowered onto the corresponding metadata-only schema commit
+    * ([[LogLake.renameColumn]] / [[LogLake.dropColumn]] /
+    * [[LogLake.addColumn]]): zero data rewritten at any table size,
+    * rename/drop carried by column mapping. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"loglake: $what supports top-level columns only, got " +
+          fieldNames.mkString("."))
+      fieldNames.head
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        LogLake.renameColumn(spark, dir,
+          topLevel(r.fieldNames, "RENAME COLUMN"), r.newName)
+      case d: TableChange.DeleteColumn =>
+        LogLake.dropColumn(spark, dir, topLevel(d.fieldNames, "DROP COLUMN"))
+      case a: TableChange.AddColumn =>
+        LogLake.addColumn(dir, org.apache.spark.sql.types.StructField(
+          topLevel(a.fieldNames, "ADD COLUMN"), a.dataType, a.isNullable))
+      case other => throw new UnsupportedOperationException(
+        s"loglake: unsupported ALTER TABLE change $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -78,12 +78,23 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
     } else {
       val byVersion = parameters.get("versionAsOf").map(_.toLong)
       val byTime = parameters.get("timestampAsOf").map { t =>
-        // epoch millis, or ISO-8601 instant/date-time for humans
+        // epoch millis, or ISO-8601 instant / date-time / plain date
+        // (midnight UTC) for humans — parse failures name the option
+        // and the accepted shapes instead of leaking a raw parse error
         val millis = t.toLongOption.getOrElse(
           try java.time.Instant.parse(t).toEpochMilli
           catch { case _: java.time.format.DateTimeParseException =>
-            java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-              .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli })
+            try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+              .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+            catch { case _: java.time.format.DateTimeParseException =>
+              try java.time.LocalDate.parse(t).atStartOfDay(
+                java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+              catch { case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"loglake: timestampAsOf '$t' is not epoch millis, an " +
+                    "ISO-8601 instant (2026-01-01T00:00:00Z), a local " +
+                    "date-time (2026-01-01 00:00:00), or a date (2026-01-01)")
+              } } })
         LogLake.versionAtTimestamp(dir(parameters), millis)
       }
       require(byVersion.isEmpty || byTime.isEmpty,
@@ -120,7 +131,7 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "loglake: the stream schema comes from the table's commit log — do not set one")
-    val table = LogLake.activeState(dir(parameters))._2
+    val table = LogLake.cleanSchema(LogLake.activeState(dir(parameters))._2)
     (shortName(),
       if (parameters.get("readChangeFeed").exists(_.toBoolean))
         LogLakeSource.withCdfColumns(table)
@@ -181,20 +192,29 @@ object LogLakeProvider {
     }
 
   /** The snapshot as a relation. The common case (no active deletion
-    * vectors) rides the NATIVE parquet path — vectorized scan, codegen,
-    * planning-time file skipping via [[LogLakeFileIndex]]. A snapshot
-    * with active DVs (between a merge-on-read DELETE/UPDATE and the
-    * next OPTIMIZE) cannot: the native scan has no row-masking hook, so
-    * it falls back to the merge-on-read read (scan anti-join DV
-    * positions — [[LogLake.snapshot]]'s kernel). The fallback trades
-    * stats skipping for correctness on what is by design a TRANSIENT
-    * table state; OPTIMIZE restores the fast path. */
+    * vectors, no divergent column mapping) rides the NATIVE parquet
+    * path — vectorized scan, codegen, planning-time file skipping via
+    * [[LogLakeFileIndex]]. A snapshot with active DVs (between a
+    * merge-on-read DELETE/UPDATE and the next OPTIMIZE) cannot: the
+    * native scan has no row-masking hook. A snapshot whose schema
+    * carries a RENAMED column cannot either: the native scan would
+    * resolve the logical name against files that store the physical
+    * one and silently return NULLs. Both fall back to the frame-backed
+    * read ([[LogLake.snapshot]]'s kernel — still a vectorized parquet
+    * scan underneath, with projection/filter pushdown through
+    * [[FrameBackedScan]], minus manifest stats skipping). The version
+    * is PINNED before the DV probe and passed through, so a
+    * merge-on-read DELETE committing mid-construction cannot slip a
+    * DV-bearing state onto the native path (snapshot isolation holds
+    * from the first metadata read). */
   def relation(spark: SparkSession, dir: String,
       asOf: Option[Long]): BaseRelation = {
-    val (files, _) = LogLake.activeState(dir, asOf)
-    if (files.exists(_.dv.nonEmpty)) new LogLakeDvRelation(spark, dir, asOf)
+    val v = asOf.getOrElse(LogLake.currentVersion(dir))
+    val (files, schema) = LogLake.activeState(dir, Some(v))
+    if (files.exists(_.dv.nonEmpty) || LogLake.isDivergent(schema))
+      new LogLakeDvRelation(spark, dir, Some(v), LogLake.cleanSchema(schema))
     else {
-      val index = new LogLakeFileIndex(spark, dir, asOf)
+      val index = new LogLakeFileIndex(spark, dir, Some(v), Some((files, schema)))
       HadoopFsRelation(index, partitionSchema = new StructType(),
         dataSchema = index.tableSchema, bucketSpec = None,
         fileFormat = new ParquetFileFormat(), options = Map.empty)(spark)
@@ -260,8 +280,20 @@ private[sources] object FrameBackedScan {
       }
     case sf.Or(l, r) =>
       for { a <- translate(l); b <- translate(r) } yield a || b
-    case sf.Not(c) => translate(c).map(!_)
+    // under NOT the partial-And relaxation inverts into unsoundness
+    // (!l drops rows satisfying NOT(l AND r) when r is untranslated),
+    // so a negated child must translate COMPLETELY or not at all
+    case sf.Not(c) => strict(c).map(!_)
     case _ => None
+  }
+
+  /** All-or-nothing variant of [[translate]]: every connective requires
+    * BOTH children (no partial-And). Leaves share the main table. */
+  private def strict(f: sf.Filter): Option[org.apache.spark.sql.Column] = f match {
+    case sf.And(l, r) => for { a <- strict(l); b <- strict(r) } yield a && b
+    case sf.Or(l, r)  => for { a <- strict(l); b <- strict(r) } yield a || b
+    case sf.Not(c)    => strict(c).map(!_)
+    case leaf         => translate(leaf)
   }
 }
 
@@ -274,7 +306,7 @@ final class LogLakeCdfRelation(protected val spark: SparkSession,
     with FrameBackedScan {
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = LogLakeSource.withCdfColumns(
-    LogLake.activeState(dir, Some(to))._2)
+    LogLake.cleanSchema(LogLake.activeState(dir, Some(to))._2))
   protected def frame(): DataFrame =
     LogLake.changeFeed(spark, dir, fromExcl, to)
 }
@@ -287,10 +319,10 @@ final class LogLakeCdfRelation(protected val spark: SparkSession,
   * the next OPTIMIZE; the DV side is deleted-position volume, so at
   * 100 TB the join broadcasts bytes against the full scan. */
 final class LogLakeDvRelation(protected val spark: SparkSession,
-    dir: String, asOf: Option[Long]) extends BaseRelation
-    with FrameBackedScan {
+    dir: String, asOf: Option[Long], schema0: StructType)
+    extends BaseRelation with FrameBackedScan {
   override def sqlContext: SQLContext = spark.sqlContext
-  override val schema: StructType = LogLake.activeState(dir, asOf)._2
+  override val schema: StructType = schema0
   protected def frame(): DataFrame = LogLake.snapshot(spark, dir, asOf)
 }
 
@@ -304,9 +336,12 @@ final class LogLakeDvRelation(protected val spark: SparkSession,
   * a 100 TB table's query latency independent of its file count's
   * worth of storage round-trips. */
 final class LogLakeFileIndex(spark: SparkSession, dir: String,
-    asOf: Option[Long]) extends FileIndex {
+    asOf: Option[Long],
+    preResolved: Option[(Seq[LogLake.AddFile], StructType)] = None)
+    extends FileIndex {
 
-  private val (activeFiles, schema0) = LogLake.activeState(dir, asOf)
+  private val (activeFiles, schema0) =
+    preResolved.getOrElse(LogLake.activeState(dir, asOf))
   // this path hands the raw files straight to the native parquet scan —
   // it cannot mask deletion-vector rows, and silently resurrecting
   // deleted rows is the one unacceptable outcome
@@ -407,14 +442,32 @@ final class LogLakeSource(spark: SparkSession, dir: String,
   // loses data); a restart freezes the evolved schema, under which the
   // whole history reads consistently — old files surface the added
   // columns as NULL, the additive-evolution contract. Delta's behavior.
-  private val tableSchema: StructType = LogLake.activeState(dir)._2
+  // `mappedSchema` keeps the column-mapping metadata for file reads;
+  // the PUBLIC schema is the cleaned logical shape. `frozenV` pins the
+  // version the freeze happened at (schema and pin resolve together —
+  // no TOCTOU between the two metadata reads).
+  private val frozenV: Long = LogLake.currentVersion(dir)
+  private val mappedSchema: StructType =
+    LogLake.activeState(dir, Some(frozenV))._2
+  private val tableSchema: StructType = LogLake.cleanSchema(mappedSchema)
   override val schema: StructType =
     if (readChangeFeed) LogLakeSource.withCdfColumns(tableSchema)
     else tableSchema
 
+  /** New-column detection compares PHYSICAL names: a RENAME keeps its
+    * physical name (no false stop — replaying pre-rename commits under
+    * the frozen post-rename schema is exactly what column mapping makes
+    * sound), while a genuinely added column always has a fresh physical
+    * name and stops the stream loudly. Commits AT OR BEFORE the freeze
+    * version are exempt entirely: the frozen schema already reconciled
+    * that history — a column present then but absent now was DROPPED,
+    * and omitting it is the schema's own decision, not silent data
+    * loss. Only post-freeze commits can smuggle new data past a frozen
+    * schema. */
   private def requireNoNewColumns(incoming: StructType, v: Long): Unit = {
-    val known = tableSchema.fieldNames.toSet
-    val extra = incoming.fieldNames.filterNot(known)
+    if (v <= frozenV) return
+    val known = mappedSchema.fields.map(LogLake.physName).toSet
+    val extra = incoming.fields.filterNot(f => known(LogLake.physName(f))).map(_.name)
     if (extra.nonEmpty) throw new UnsupportedOperationException(
       s"loglake: version $v evolved the table schema (new column(s) " +
         s"${extra.mkString(", ")}) — restart the stream to adopt it; this " +
@@ -516,7 +569,7 @@ final class LogLakeSource(spark: SparkSession, dir: String,
         requireNoNewColumns(snapSchema, to)
         val live = files.filter(_.rows != 0L)
         if (live.forall(_.dv.isEmpty)) live.map(a => LogLake.resolvedPath(dir, a.path))
-        else { dvFrames ::= LogLake.readAdds(spark, dir, schema, live); Nil }
+        else { dvFrames ::= LogLake.readAdds(spark, dir, mappedSchema, live); Nil }
       case _ =>
         val from = start.map(ver).getOrElse(startV)
         LogLake.manifestRange(dir, from, to).flatMap { m =>
@@ -536,7 +589,7 @@ final class LogLakeSource(spark: SparkSession, dir: String,
                 "files' live rows (at-least-once, deletes stay masked), " +
                 "start past it with startingVersion, or take the current " +
                 "state first with initialSnapshot=true.")
-            dvFrames ::= LogLake.readAdds(spark, dir, schema,
+            dvFrames ::= LogLake.readAdds(spark, dir, mappedSchema,
               m.adds.filter(_.rows != 0L))
             Nil
           }
@@ -550,12 +603,16 @@ final class LogLakeSource(spark: SparkSession, dir: String,
           else m.adds.filter(_.rows != 0L).map(a => LogLake.resolvedPath(dir, a.path))
         }
     }
+    // a divergent column mapping needs the rename projection, which
+    // asStreamingScan's raw-relation re-tag cannot carry — route those
+    // batches through the RDD bridge like the DV fallback
+    val divergent = LogLake.isDivergent(mappedSchema)
     val plain =
       if (paths.isEmpty) None
-      else Some(spark.read.schema(schema).parquet(paths: _*))
+      else Some(LogLake.scanLogical(spark, mappedSchema, paths))
     (plain, dvFrames) match {
       case (None, Nil)    => GraftBridge.emptyStreamingFrame(spark, schema)
-      case (Some(p), Nil) => GraftBridge.asStreamingScan(p)
+      case (Some(p), Nil) if !divergent => GraftBridge.asStreamingScan(p)
       case _ => GraftBridge.asStreamingRdd(
         (plain.toList ::: dvFrames).reduce(_ unionByName _))
     }
@@ -570,7 +627,7 @@ final class LogLakeSource(spark: SparkSession, dir: String,
       case None if initialSnapshot =>
         val (files, snapSchema) = LogLake.activeState(dir, Some(to))
         requireNoNewColumns(snapSchema, to)
-        LogLake.readAdds(spark, dir, tableSchema, files.filter(_.rows != 0L))
+        LogLake.readAdds(spark, dir, mappedSchema, files.filter(_.rows != 0L))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(to))
       case _ =>
