@@ -495,7 +495,8 @@ object Lake {
     // 7th order), a merge-on-read UPDATE (every 5th remaining → 'U').
     // Each micro-batch (paced one commit per trigger) delivers that
     // commit's row-level events — inserts for appended rows, delete
-    // events for DV-masked pre-images, delete+insert pairs for updates
+    // events for DV-masked pre-images, update_preimage/update_postimage
+    // pairs for the update commit (Delta's table_changes labels)
     // — landed exactly-once in a second table and aggregated by
     // (version, change type, status). The oracle recomputes every
     // commit's event set declaratively. At 100 TB per-trigger read
@@ -518,12 +519,12 @@ object Lake {
          |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
          |FROM src WHERE o_orderkey % 7 = 0 GROUP BY o_orderstatus
          |UNION ALL
-         |SELECT CAST(4 AS BIGINT), 'delete', o_orderstatus,
+         |SELECT CAST(4 AS BIGINT), 'update_preimage', o_orderstatus,
          |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
          |FROM src WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
          |GROUP BY o_orderstatus
          |UNION ALL
-         |SELECT CAST(4 AS BIGINT), 'insert', 'U',
+         |SELECT CAST(4 AS BIGINT), 'update_postimage', 'U',
          |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
          |FROM src WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
          |ORDER BY v, ct, o_orderstatus""".stripMargin

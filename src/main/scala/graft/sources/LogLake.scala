@@ -198,6 +198,12 @@ object LogLake {
     eligible.maxBy(_._1)._1
   }
 
+  /** Commit wall-clock of `v`: the manifest file's mtime — the same
+    * clock [[versionAtTimestamp]] resolves time travel against. */
+  def commitTimestamp(dir: String, v: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(
+      fs(dir).getFileStatus(versionFile(dir, v)).getModificationTime)
+
   /** Manifests for versions in `(fromExcl, toIncl]` — the streaming
     * source's batch-planning read: parses only the range it needs. */
   private[sources] def manifestRange(dir: String, fromExcl: Long,
@@ -380,11 +386,19 @@ object LogLake {
     * merge rewrites whole files, but the rows it merely copied appear
     * in both sets and cancel — only genuine row changes survive, and
     * only the files that CHANGED at each commit are ever read
-    * (unchanged files never enter the plan). An update surfaces as
-    * delete(old row) + insert(new row), the classic CDF encoding.
-    * Reads of already-vacuumed generations fail loudly, like Delta's
-    * change feed beyond its retention. Output: table columns +
-    * `_change_type` ('insert' | 'delete') + `_commit_version`. */
+    * (unchanged files never enter the plan). A pure UPDATE commit
+    * surfaces Delta's update_preimage/update_postimage pair — every
+    * changed row of an update commit IS an update, so the diff sides
+    * label exactly without any keying. A MERGE (which mixes updates
+    * and genuine inserts in one commit) keeps the delete+insert
+    * encoding: distinguishing its updates would need write-time row
+    * tracking the read-side diff cannot reconstruct — documented
+    * deviation. Reads of already-vacuumed generations fail loudly,
+    * like Delta's change feed beyond its retention. Output: table
+    * columns + `_change_type` ('insert' | 'delete' |
+    * 'update_preimage' | 'update_postimage') + `_commit_version` +
+    * `_commit_timestamp` (the manifest mtime — the same clock
+    * `timestampAsOf` resolves time travel against). */
   def changeFeed(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"loglake: changeFeed range $fromV..$toV is inverted")
     val f = fs(dir)
@@ -402,9 +416,16 @@ object LogLake {
       activeState(dir, Some(fromV))._1.foreach(a => state(a.path) = a)
     val steps = manifests.flatMap { case (v, p) =>
         val m = readManifest(f, p)
+        val ts = new java.sql.Timestamp(f.getFileStatus(p).getModificationTime)
         val prevEntries = m.removes.flatMap(state.get)
         m.removes.foreach(state.remove)
         m.adds.foreach(a => state(a.path) = a)
+        // a pure UPDATE commit's diff sides ARE the pre/post images —
+        // no keying needed; merge mixes inserts in and keeps the
+        // delete+insert encoding (see scaladoc)
+        val (addLbl, delLbl) =
+          if (m.op == "update") ("update_postimage", "update_preimage")
+          else ("insert", "delete")
         // OPTIMIZE is layout-only — content identical by construction
         // (fingerprint-pinned in spec), so its diff is a guaranteed-empty
         // result that would still READ the whole rewritten volume twice.
@@ -417,21 +438,24 @@ object LogLake {
           // that dominates CDC cost on append-mostly histories
           Some(readAdds(spark, dir, schema, m.adds)
             .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v)))
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp", lit(ts)))
         else {
           val added = readAdds(spark, dir, schema, m.adds)
           val removed = readAdds(spark, dir, schema, prevEntries)
-          Some(added.exceptAll(removed).withColumn("_change_type", lit("insert"))
+          Some(added.exceptAll(removed).withColumn("_change_type", lit(addLbl))
             .unionByName(removed.exceptAll(added)
-              .withColumn("_change_type", lit("delete")))
-            .withColumn("_commit_version", lit(v)))
+              .withColumn("_change_type", lit(delLbl)))
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp", lit(ts)))
         }
       }
     steps.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(java.util.Collections.emptyList[Row](),
         StructType(schema.fields :+
           StructField("_change_type", StringType, nullable = false) :+
-          StructField("_commit_version", LongType, nullable = false))))
+          StructField("_commit_version", LongType, nullable = false) :+
+          StructField("_commit_timestamp", TimestampType, nullable = false))))
   }
 
   /** Range scan with file skipping: reads only the files whose stats

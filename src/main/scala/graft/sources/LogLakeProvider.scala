@@ -405,8 +405,9 @@ final class LogLakeSource(spark: SparkSession, dir: String,
 
   private val ignoreChanges = options.get("ignoreChanges").exists(_.toBoolean)
   // Delta's streaming CDF: each micro-batch delivers the admitted
-  // commits' row-level CHANGES (_change_type insert|delete,
-  // _commit_version) instead of their raw files — merge-on-read and
+  // commits' row-level CHANGES (_change_type insert|delete|
+  // update_preimage|update_postimage, _commit_version,
+  // _commit_timestamp) instead of their raw files — merge-on-read and
   // copy-on-write commits both stream as events, pre-images resolved
   // through deletion vectors, no append-only requirement at all.
   private val readChangeFeed = options.get("readChangeFeed").exists(_.toBoolean)
@@ -630,6 +631,7 @@ final class LogLakeSource(spark: SparkSession, dir: String,
         LogLake.readAdds(spark, dir, mappedSchema, files.filter(_.rows != 0L))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(to))
+          .withColumn("_commit_timestamp", lit(LogLake.commitTimestamp(dir, to)))
       case _ =>
         val from = start.map(ver).getOrElse(startV)
         // same loud schema-evolution stop as the raw mode: a CDF batch
@@ -648,13 +650,15 @@ final class LogLakeSource(spark: SparkSession, dir: String,
 }
 
 object LogLakeSource {
-  /** The CDF read schema: table columns + the two change-metadata
+  /** The CDF read schema: table columns + the three change-metadata
     * columns, the `table_changes` shape. */
   def withCdfColumns(table: StructType): StructType =
     StructType(table.fields :+
       StructField("_change_type", org.apache.spark.sql.types.StringType,
         nullable = false) :+
       StructField("_commit_version", org.apache.spark.sql.types.LongType,
+        nullable = false) :+
+      StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType,
         nullable = false))
 }
 

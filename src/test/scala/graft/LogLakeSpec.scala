@@ -693,11 +693,15 @@ class LogLakeSpec extends SparkTestBase {
     assert(cf2.filter(col("_change_type") === "delete")
       .select("k").as[Long].collect().toSeq == Seq(1500L))
     assert(cf2.filter(col("_change_type") === "insert").count() == 0L)
+    // v4 is a pure UPDATE commit: its diff sides carry Delta's
+    // update_preimage/update_postimage labels, not delete/insert
     val cf4 = LogLake.changeFeed(spark, dir, 3L, 4L)
-    assert(cf4.filter(col("_change_type") === "delete")
+    assert(cf4.filter(col("_change_type") === "update_preimage")
       .select("k").as[Long].collect().toSeq == Seq(10L))
-    assert(cf4.filter(col("_change_type") === "insert")
+    assert(cf4.filter(col("_change_type") === "update_postimage")
       .select("v").as[String].collect().toSeq == Seq("X"))
+    assert(cf4.schema("_commit_timestamp").dataType ==
+      org.apache.spark.sql.types.TimestampType)
 
     // v5: a delete that kills EVERY live row of a file drops the file —
     // target the top range file via its own manifest stats (range
