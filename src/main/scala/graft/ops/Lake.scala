@@ -732,6 +732,54 @@ object Lake {
         .unionByName(leg("stream", LogLake.snapshot(s, dst), "price"))
         .unionByName(leg("v1", LogLake.snapshot(s, src, Some(1L)), "o_totalprice"))
         .orderBy("path", "o_orderstatus")
+    },
+
+    // --- q127: IDENTITY PARTITION COLUMNS under the gate. The table is
+    // created PARTITIONED BY o_orderstatus (half the orders), appended
+    // (the other half — appends re-cluster by the spec, no option
+    // needed), then `DELETE WHERE o_orderstatus = 'P'` drops the whole
+    // P partition METADATA-ONLY: the commit carries removes and zero
+    // adds, no data read or written at any table size — the Delta
+    // partition-DELETE contract, proven structurally in
+    // PartitionedTableSpec and semantically here. Legs: the current
+    // snapshot per status, a partition-pruned single-status scan (the
+    // identity min=max stats admit exactly that partition's files), and
+    // a time-travel read at v2 where the dropped partition still
+    // exists. At 100 TB the partition tuple lives in the manifest and
+    // the data files alike, so planning prunes partitions without a
+    // filesystem listing and reads stay one native vectorized scan.
+    Q(
+      "q127_loglake_partition",
+      s"""SELECT 'pruned' AS leg, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'snapshot', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+         |       ${oSum("o_totalprice")}
+         |FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'v2', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+         |       ${oSum("o_totalprice")}
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY leg, o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q127")
+      val ord = orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, dir, ord.filter(col("o_orderkey") % 2 === 0),
+        statsCols = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"))
+      LogLake.append(s, dir, ord.filter(col("o_orderkey") % 2 === 1))   // v2
+      LogLake.delete(s, dir, col("o_orderstatus") === "P")              // v3: metadata-only
+      def leg(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+          .select(lit(tag).as("leg"), col("o_orderstatus"), col("cnt"),
+            col("total"))
+      leg("snapshot", LogLake.snapshot(s, dir))
+        .unionByName(leg("pruned", s.read.format("loglake").load(dir)
+          .filter(col("o_orderstatus") === "F")))
+        .unionByName(leg("v2", LogLake.snapshot(s, dir, Some(2L))))
+        .orderBy("leg", "o_orderstatus")
     }
   )
 }

@@ -4,7 +4,7 @@ import java.util.UUID
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -115,8 +115,17 @@ object LogLake {
     * kilobyte sidecar, never the data file. Stats keep their original
     * (pre-delete) bounds — a widened bound only ever KEEPS a file, so
     * pruning stays sound. `rows` stays the PHYSICAL count. */
+  /** `partitionValues`: identity-partitioned tables record each file's
+    * partition tuple (PHYSICAL column name → rendered value string,
+    * nulls as [[NullPartitionValue]]) — the Delta AddFile shape. The
+    * partition columns STAY in the data file (Iceberg identity
+    * semantics), so every read path is unchanged; the map powers
+    * metadata-only partition DELETE and exact planning-time pruning
+    * (identity min=max stats are recorded alongside). Empty on
+    * unpartitioned tables. */
   final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats],
-      bytes: Long = -1L, dv: String = "", dvRows: Long = 0L)
+      bytes: Long = -1L, dv: String = "", dvRows: Long = 0L,
+      partitionValues: Map[String, String] = Map.empty)
   final case class Manifest(version: Long, op: String, txnId: String,
       readVersion: Long, schemaJson: String, adds: Seq[AddFile], removes: Seq[String])
 
@@ -685,22 +694,123 @@ object LogLake {
     (survivors, touched.map(_.path))
   }
 
+  // ------------------------------------------- identity partitioning
+
+  /** Hive's null-partition directory marker; also the stored rendering
+    * of a NULL partition value in [[AddFile.partitionValues]]. (A STRING
+    * partition value equal to this literal is indistinguishable — Hive's
+    * own ambiguity, documented rather than papered over.) */
+  val NullPartitionValue = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Partition-key types stay in the set whose Hive path rendering
+    * round-trips exactly through a string cast — the metadata DELETE
+    * path and pruning both re-derive typed values from the rendered
+    * strings. Float/double (scientific notation vs path rendering) and
+    * timestamps (zone-sensitive rendering) are excluded, as is anything
+    * nested. */
+  private def partitionableType(t: DataType): Boolean = t match {
+    case StringType | BooleanType | ByteType | ShortType |
+         IntegerType | LongType | DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  private def partitionSpecPath(dir: String) = new Path(dir, s"$LogDir/partition.json")
+
+  /** The table's identity partition columns (PHYSICAL names, rename-
+    * stable), in spec order; empty = unpartitioned. Immutable after
+    * create, like Delta's partitionColumns. */
+  def partitionColumns(dir: String): Seq[String] = {
+    val f = fs(dir)
+    val p = partitionSpecPath(dir)
+    if (!f.exists(p)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    mapper.readTree(readFully(f, p)).elements().asScala.map(_.asText()).toSeq
+  }
+
+  private def writePartitionSpec(dir: String, physCols: Seq[String]): Unit = {
+    val f = fs(dir)
+    val arr = mapper.createArrayNode()
+    physCols.foreach(arr.add)
+    val tmp = new Path(dir, s"$LogDir/_tmp/p-${UUID.randomUUID()}.json")
+    f.mkdirs(tmp.getParent)
+    val out = f.create(tmp, false)
+    try out.write(mapper.writeValueAsBytes(arr)) finally out.close()
+    // only reachable pre-create (version 0) — a stale spec from an
+    // earlier FAILED create attempt is dead metadata, safe to replace
+    f.delete(partitionSpecPath(dir), false)
+    if (!f.rename(tmp, partitionSpecPath(dir))) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"loglake: could not publish the partition spec at $dir (create race?)")
+    }
+  }
+
+  /** Unescape one Hive partition-path component (`%XX` sequences — the
+    * inverse of ExternalCatalogUtils.escapePathName). */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        b.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   // --------------------------------------------------------------- write
 
   def create(spark: SparkSession, dir: String, df: DataFrame,
-      statsCols: Seq[String] = Nil, txnId: String = ""): Long =
+      statsCols: Seq[String] = Nil, txnId: String = "",
+      partitionBy: Seq[String] = Nil): Long = {
+    if (partitionBy.nonEmpty) stagePartitionSpec(dir, df.schema, partitionBy)
     write(spark, dir, df, "create", statsCols, txnId)
+  }
+
+  /** Validate and publish a create-time partition spec. Published
+    * BEFORE the create commit: the spec file is inert until a v1
+    * manifest exists, and the create-race loser's commit fails anyway
+    * (its spec file either lost the rename or described the same
+    * create). */
+  private def stagePartitionSpec(dir: String, schema: StructType,
+      partitionBy: Seq[String]): Unit = {
+    require(currentVersion(dir) == 0L,
+      s"loglake: partitionBy is create-only — table already exists at $dir")
+    val phys = partitionBy.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"loglake: partition column $c not in ${schema.fieldNames.mkString(",")}"))
+      require(partitionableType(f.dataType),
+        s"loglake: partition column $c has type ${f.dataType.simpleString} — " +
+          "identity partition keys must be string/integral/boolean/date/decimal " +
+          "(float, double, and timestamp renderings do not round-trip the path " +
+          "encoding exactly)")
+      physName(f)
+    }
+    require(phys.distinct.size == phys.size,
+      s"loglake: duplicate partition columns in ${partitionBy.mkString(",")}")
+    writePartitionSpec(dir, phys)
+  }
 
   /** CREATE TABLE without data — the SQL DDL entry point
     * ([[LogLakeCatalog]]): commits v1 carrying the schema and zero
     * files, so the first INSERT is a plain append. */
-  def createEmpty(dir: String, schema: StructType, txnId: String = ""): Long = {
+  def createEmpty(dir: String, schema: StructType, txnId: String = "",
+      partitionBy: Seq[String] = Nil): Long = {
     replayedVersion(dir, txnId) match {
       case Some(v) => return v
       case None =>
     }
     require(currentVersion(dir) == 0L,
       s"loglake: cannot create — table already exists at $dir")
+    if (partitionBy.nonEmpty) stagePartitionSpec(dir, schema, partitionBy)
     commit(dir, "create", txnId, 0L, schema.json, Nil, Nil)
   }
 
@@ -844,6 +954,18 @@ object LogLake {
     }
     val readV = currentVersion(dir)
     val (files, schema) = activeState(dir, Some(readV))
+    // partition fast path: a predicate over partition columns only is
+    // CONSTANT within each file (identity partitioning — one tuple per
+    // file), so matching files drop whole, metadata-only: zero data
+    // read, zero data written, at any table size. The Delta
+    // partition-DELETE contract.
+    partitionOnlyMatches(spark, dir, files, schema, condition) match {
+      case Some(matched) =>
+        if (matched.isEmpty) return readV
+        return commit(dir, "delete", txnId, readV, schema.json, Nil,
+          matched.map(_.path))
+      case None =>
+    }
     val touched = touchedFiles(spark, dir, files, schema, condition)
     if (touched.isEmpty) return readV // nothing matches — no commit
     if (mor) {
@@ -1019,6 +1141,11 @@ object LogLake {
         s"${schema0.fieldNames.mkString(", ")}")
     require(schema0.fields.length > 1,
       s"loglake: cannot drop $name — it is the table's only column")
+    schema0.fields.find(_.name.equalsIgnoreCase(name)).foreach { f =>
+      require(!partitionColumns(dir).contains(physName(f)),
+        s"loglake: cannot drop $name — it is a partition column (the " +
+          "partition spec is immutable after create)")
+    }
     requireNoConstraintRef(spark, dir, name, "drop")
     val fields = activateMapping(schema0).fields
       .filterNot(_.name.equalsIgnoreCase(name))
@@ -1051,6 +1178,54 @@ object LogLake {
   /** The files that CONTAIN at least one row matching `condition` —
     * one scan over the snapshot's metadata column; the driver receives
     * only file names. */
+  /** When `condition` references ONLY partition columns and every
+    * active file carries a full partition tuple, evaluate it once per
+    * FILE over the manifest's partition values (typed back through the
+    * same string cast the path rendering round-trips): Some(files
+    * whose tuple satisfies it). None = not a pure partition predicate
+    * (or not a fully-partitioned state) — caller falls back to the
+    * scan. A NULL tuple value evaluates the predicate to NULL = no
+    * match, exactly SQL WHERE semantics. Driver cost is
+    * file-count-sized, the [[touchedFiles]] contract, but with ZERO
+    * data-file reads. */
+  private def partitionOnlyMatches(spark: SparkSession, dir: String,
+      files: Seq[AddFile], schema: StructType,
+      condition: Column): Option[Seq[AddFile]] = {
+    val partPhys = partitionColumns(dir)
+    if (partPhys.isEmpty || files.isEmpty) return None
+    val byPhys = schema.fields.map(f => physName(f) -> f).toMap
+    val partFields = partPhys.flatMap(byPhys.get)
+    if (partFields.size != partPhys.size) return None
+    val refs = GraftBridge.expression(condition).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name
+    }
+    val partNames = partFields.map(f =>
+      f.name.toLowerCase(java.util.Locale.ROOT)).toSet
+    if (refs.isEmpty ||
+      !refs.forall(r => partNames(r.toLowerCase(java.util.Locale.ROOT))))
+      return None
+    if (!files.forall(a => partPhys.forall(a.partitionValues.contains)))
+      return None
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[Row] = files.map { a =>
+      Row.fromSeq(a.path +: partPhys.map { p =>
+        val v = a.partitionValues(p)
+        if (v == NullPartitionValue) null else v
+      })
+    }.asJava
+    val strSchema = StructType(StructField("__path", StringType) +:
+      partFields.map(f => StructField(s"__s_${f.name}", StringType)))
+    val typed = spark.createDataFrame(rows, strSchema).select(
+      col("__path") +: partFields.map(f =>
+        col(s"__s_${f.name}").cast(f.dataType).as(f.name)): _*)
+    val matched = typed.filter(coalesce(condition, lit(false)))
+      .select("__path").collect().map(_.getString(0)).toSet
+    Some(files.filter(a => matched(a.path)))
+  }
+
   private def touchedFiles(spark: SparkSession, dir: String,
       files: Seq[AddFile], schema: StructType, condition: Column): Seq[AddFile] = {
     if (files.isEmpty) return Nil
@@ -1105,8 +1280,18 @@ object LogLake {
     // the rewrite reads THROUGH deletion vectors, so OPTIMIZE also
     // materializes pending deletes and purges the DVs (Delta's PURGE)
     val df = readAdds(spark, dir, schema, files)
+    // identity-partitioned tables compact PER PARTITION (numFiles is a
+    // per-table knob for the unpartitioned case; partitioned layout is
+    // one file per live partition per rewrite — Delta's bin-packing
+    // unit is the partition too). ZORDER then clusters WITHIN each
+    // partition: partition-first sort keeps the staging writer from
+    // re-sorting (its required ordering is a satisfied prefix), so
+    // every output file owns one partition tuple AND a compact z-range.
+    val partLogical = partitionColumns(dir).flatMap(p =>
+      schema.fields.find(f => physName(f) == p).map(_.name))
     val arranged = zorderCols match {
-      case Nil => df.repartition(numFiles)
+      case Nil if partLogical.isEmpty => df.repartition(numFiles)
+      case Nil => df // writeData's arrange pass re-clusters by partition
       case cols =>
         // one tiny agg for the normalization bounds (driver gets 2×n numbers)
         val aggCols = cols.zipWithIndex.flatMap { case (c, i) => Seq(
@@ -1130,13 +1315,20 @@ object LogLake {
             shiftleft(shiftright(norm(c, i), bit).bitwiseAND(lit(1L)), bit * n + i)
           }
         }.reduce(_ + _)
-        df.withColumn("__z", zkey)
-          .repartitionByRange(numFiles, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
+        if (partLogical.isEmpty)
+          df.withColumn("__z", zkey)
+            .repartitionByRange(numFiles, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        else
+          df.withColumn("__z", zkey)
+            .repartition(partLogical.map(col): _*)
+            .sortWithinPartitions((partLogical :+ "__z").map(col): _*)
+            .drop("__z")
     }
     val adds = writeData(spark, dir, arranged,
-      inheritedStats(files, statsCols, schema, schema), physMap(schema))
+      inheritedStats(files, statsCols, schema, schema), physMap(schema),
+      arrange = partLogical.isEmpty || zorderCols.isEmpty)
     commit(dir, "optimize", txnId, readV, schema.json, adds, files.map(_.path))
   }
 
@@ -1258,6 +1450,10 @@ object LogLake {
       a.copy(path = s"$base/${a.path}",
         dv = if (a.dv.isEmpty) a.dv else s"$base/${a.dv}")
     }
+    // the partition spec must exist BEFORE the clone's first commit —
+    // later writes through the clone re-cluster like the source
+    val parts = partitionColumns(srcDir)
+    if (parts.nonEmpty) writePartitionSpec(dstDir, parts)
     val v = commit(dstDir, "clone", "", 0L, schema.json, adds, Nil)
     // table properties travel with the clone, as in Delta — including
     // CHECK constraints (the clone starts valid: same data, same rules)
@@ -1354,7 +1550,19 @@ object LogLake {
     * Stats are keyed by PHYSICAL name — stable across renames, so file
     * skipping keeps working through the table's whole history. */
   private def writeData(spark: SparkSession, dir: String, df: DataFrame,
-      statsCols: Seq[String], nameMap: Map[String, String] = Map.empty): Seq[AddFile] = {
+      statsCols0: Seq[String], nameMap: Map[String, String] = Map.empty,
+      arrange: Boolean = true): Seq[AddFile] = {
+    // identity partitioning: every partition column is auto-tracked in
+    // stats (min = max = the file's single value), so ALL existing
+    // pruning machinery — manifest skipping, range scans, touched-file
+    // discovery — prunes partitions exactly with zero new code paths
+    val partPhys = partitionColumns(dir)
+    val physToLogical = nameMap.map(_.swap)
+    val partLogical = partPhys.map(p => physToLogical.getOrElse(p, p))
+    partLogical.foreach(c => require(df.columns.contains(c),
+      s"loglake: partitioned write is missing partition column $c " +
+        s"(have ${df.columns.mkString(",")})"))
+    val statsCols = (statsCols0 ++ partLogical).distinct
     statsCols.foreach(c => require(df.columns.contains(c),
       s"loglake: stats column $c not in ${df.columns.mkString(",")}"))
     val f = fs(dir)
@@ -1363,18 +1571,70 @@ object LogLake {
       else df.select(df.columns.toIndexedSeq.map(c =>
         col(c).as(nameMap.getOrElse(c, c))): _*)
     val staging = new Path(dir, s"$LogDir/_tmp/w-${UUID.randomUUID()}")
-    pdf.write.parquet(staging.toString)
     f.mkdirs(new Path(dir, DataDir))
-    val moved = f.listStatus(staging).toSeq
-      .filter { s =>
-        val n = s.getPath.getName
-        s.isFile && n.startsWith("part-") && n.endsWith(".parquet")
-      }
-      .map { s =>
-        val dst = new Path(dir, s"$DataDir/${UUID.randomUUID()}.parquet")
-        if (!f.rename(s.getPath, dst))
-          throw new java.io.IOException(s"loglake: could not move ${s.getPath} to $dst")
-        dst -> s.getLen
+    val moved: Seq[(Path, Long, Map[String, String])] =
+      if (partPhys.isEmpty) {
+        pdf.write.parquet(staging.toString)
+        f.listStatus(staging).toSeq
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isFile && n.startsWith("part-") && n.endsWith(".parquet")
+          }
+          .map { s =>
+            val dst = new Path(dir, s"$DataDir/${UUID.randomUUID()}.parquet")
+            if (!f.rename(s.getPath, dst))
+              throw new java.io.IOException(
+                s"loglake: could not move ${s.getPath} to $dst")
+            (dst, s.getLen, Map.empty[String, String])
+          }
+      } else {
+        // Hive-layout staging on DUPLICATED `__llp_i` columns: the
+        // writer splits one file per partition tuple and consumes the
+        // duplicates into directory names, while the REAL columns stay
+        // in the data files (Iceberg identity semantics — no read-path
+        // reconstitution). Files then move to the flat data dir; the
+        // tuple parsed from each staging path lands in the manifest.
+        // One hash shuffle on the partition keys first (unless the
+        // caller pre-arranged, e.g. OPTIMIZE ZORDER's in-partition
+        // sort) keeps file count = live partition count per write, not
+        // tasks × partitions — the optimized-write default; skewed
+        // partitions compact later via OPTIMIZE.
+        val arranged =
+          if (arrange) pdf.repartition(partPhys.map(col): _*) else pdf
+        val staged = partPhys.zipWithIndex.foldLeft(arranged) {
+          case (d, (p, i)) => d.withColumn(s"__llp_$i", col(p))
+        }
+        staged.write
+          .partitionBy(partPhys.indices.map(i => s"__llp_$i"): _*)
+          .parquet(staging.toString)
+        def leaves(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+          f.listStatus(p).toSeq.flatMap { s =>
+            if (s.isDirectory) leaves(s.getPath)
+            else if (s.getPath.getName.startsWith("part-") &&
+              s.getPath.getName.endsWith(".parquet")) Seq(s)
+            else Nil
+          }
+        leaves(staging).map { s =>
+          // relative dirs between staging root and the file are
+          // `__llp_i=<escaped value>`, innermost last
+          val segs = Iterator.iterate(s.getPath.getParent)(_.getParent)
+            .takeWhile(_.getName != staging.getName)
+            .map(_.getName).toSeq.reverse
+          val pv = segs.map { seg =>
+            val eq = seg.indexOf('=')
+            require(eq > 0, s"loglake: unrecognized staging dir $seg")
+            val idx = seg.substring(6, eq).toInt // "__llp_<i>"
+            partPhys(idx) -> unescapePathName(seg.substring(eq + 1))
+          }.toMap
+          require(pv.size == partPhys.size,
+            s"loglake: staged file ${s.getPath} resolved partition values " +
+              s"$pv for spec ${partPhys.mkString(",")}")
+          val dst = new Path(dir, s"$DataDir/${UUID.randomUUID()}.parquet")
+          if (!f.rename(s.getPath, dst))
+            throw new java.io.IOException(
+              s"loglake: could not move ${s.getPath} to $dst")
+          (dst, s.getLen, pv)
+        }
       }
     f.delete(staging, true)
     if (moved.isEmpty) return Seq.empty
@@ -1410,7 +1670,7 @@ object LogLake {
         .withColumn("__violated", array_compact(array(flags: _*)))
         .filter(size(col("__violated")) > 0)
         .drop("__file").limit(1).collect()
-      moved.foreach { case (p, _) => f.delete(p, false) }
+      moved.foreach { case (p, _, _) => f.delete(p, false) }
       val names = bad.headOption
         .map(_.getAs[scala.collection.Seq[String]]("__violated"))
         .getOrElse(violated.map(_._1))
@@ -1421,11 +1681,11 @@ object LogLake {
           s"${bad.headOption.getOrElse("<unavailable>")} — nothing committed")
     }
 
-    val sizeOf = moved.map { case (p, len) => p.getName -> len }.toMap
-    moved.map { case (p, _) =>
+    moved.map { case (p, len, pv) =>
       byFile.get(p.getName) match {
         case None => // empty part
-          AddFile(s"$DataDir/${p.getName}", 0L, Map.empty, sizeOf(p.getName))
+          AddFile(s"$DataDir/${p.getName}", 0L, Map.empty, len,
+            partitionValues = pv)
         case Some(r) =>
           val stats = statsCols.zipWithIndex.map { case (c, i) =>
             val mn = r.getAs[Any](s"__min_$i")
@@ -1438,7 +1698,7 @@ object LogLake {
             })
           }.toMap
           AddFile(s"$DataDir/${p.getName}", r.getAs[Long]("__rows"), stats,
-            sizeOf(p.getName))
+            len, partitionValues = pv)
       }
     }
   }
@@ -1588,6 +1848,10 @@ object LogLake {
       o.put("rows", a.rows)
       o.put("bytes", a.bytes)
       if (a.dv.nonEmpty) { o.put("dv", a.dv); o.put("dvRows", a.dvRows) }
+      if (a.partitionValues.nonEmpty) {
+        val pv = o.putObject("pv")
+        a.partitionValues.toSeq.sortBy(_._1).foreach { case (k, v) => pv.put(k, v) }
+      }
       val st = o.putObject("stats")
       a.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
         val so = st.putObject(c)
@@ -1608,10 +1872,13 @@ object LogLake {
             so.get("max").asText(), so.get("nulls").asLong())
         }.toMap
       }.getOrElse(Map.empty[String, ColStats])
+      val pv = Option(a.get("pv")).map { o =>
+        o.fieldNames().asScala.map(k => k -> o.get(k).asText()).toMap
+      }.getOrElse(Map.empty[String, String])
       AddFile(a.get("path").asText(), a.get("rows").asLong(), stats,
         Option(a.get("bytes")).map(_.asLong()).getOrElse(-1L),
         Option(a.get("dv")).map(_.asText()).getOrElse(""),
-        Option(a.get("dvRows")).map(_.asLong()).getOrElse(0L))
+        Option(a.get("dvRows")).map(_.asLong()).getOrElse(0L), pv)
     }.toSeq
   }
 
@@ -1681,6 +1948,7 @@ object LogLake {
     var path = ""; var rows = 0L; var bytes = -1L
     var dv = ""; var dvRows = 0L
     var stats = Map.empty[String, ColStats]
+    var pv = Map.empty[String, String]
     while (p.nextToken() != END_OBJECT) {
       p.currentName() match {
         case "path" => p.nextToken(); path = p.getText
@@ -1688,6 +1956,13 @@ object LogLake {
         case "bytes" => p.nextToken(); bytes = p.getLongValue
         case "dv" => p.nextToken(); dv = p.getText
         case "dvRows" => p.nextToken(); dvRows = p.getLongValue
+        case "pv" =>
+          require(p.nextToken() == START_OBJECT, "add: pv must be an object")
+          val m = Map.newBuilder[String, String]
+          while (p.nextToken() != END_OBJECT) {
+            val k = p.currentName(); p.nextToken(); m += k -> p.getText
+          }
+          pv = m.result()
         case "stats" =>
           require(p.nextToken() == START_OBJECT, "add: stats must be an object")
           val m = Map.newBuilder[String, ColStats]
@@ -1710,7 +1985,7 @@ object LogLake {
         case _ => p.nextToken(); p.skipChildren()
       }
     }
-    AddFile(path, rows, stats, bytes, dv, dvRows)
+    AddFile(path, rows, stats, bytes, dv, dvRows, pv)
   }
 
   /** Token-streamed checkpoint render — byte-identical layout to the
@@ -1730,6 +2005,12 @@ object LogLake {
       if (a.dv.nonEmpty) {
         g.writeStringField("dv", a.dv)
         g.writeNumberField("dvRows", a.dvRows)
+      }
+      if (a.partitionValues.nonEmpty) {
+        g.writeObjectFieldStart("pv")
+        a.partitionValues.toSeq.sortBy(_._1)
+          .foreach { case (k, v) => g.writeStringField(k, v) }
+        g.writeEndObject()
       }
       g.writeObjectFieldStart("stats")
       a.stats.toSeq.sortBy(_._1).foreach { case (col, s) =>

@@ -108,13 +108,25 @@ class LogLakeCatalog extends TableCatalog with SupportsNamespaces {
       s"$catalogName.${ident.toString}")
   }
 
+  /** `CREATE TABLE … PARTITIONED BY (col, …)` — identity transforms
+    * only (no bucket/days/truncate): each lowers onto the table's
+    * immutable identity partition spec. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "loglake: PARTITIONED BY is not supported — use OPTIMIZE ZORDER for layout")
+    val partitionBy = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
+        val parts = t.references()(0).fieldNames()
+        require(parts.length == 1,
+          s"loglake: PARTITIONED BY supports top-level columns only, got " +
+            parts.mkString("."))
+        parts.head
+      case other => throw new UnsupportedOperationException(
+        s"loglake: PARTITIONED BY supports identity columns only, got " +
+          s"${other.describe()} — use OPTIMIZE ZORDER for derived clustering")
+    }
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
-    LogLake.createEmpty(dir, schema)
+    LogLake.createEmpty(dir, schema, partitionBy = partitionBy)
     LogLakeV2Table(dir, None, s"$catalogName.${ident.toString}")
   }
 
@@ -217,7 +229,16 @@ final case class LogLakeV2Table(dir: String, asOf: Option[Long], identName: Stri
 
   override lazy val schema: StructType = LogLake.activeState(dir, asOf)._2
 
-  override def partitioning(): Array[Transform] = Array.empty
+  /** The identity partition spec, surfaced as transforms (DESCRIBE
+    * TABLE's Partitioning section). Physical names resolve back to
+    * current logical names — a renamed partition column shows its
+    * logical name. */
+  override def partitioning(): Array[Transform] =
+    LogLake.partitionColumns(dir).map { p =>
+      val logical = schema.fields
+        .find(f => LogLake.physName(f) == p).map(_.name).getOrElse(p)
+      org.apache.spark.sql.connector.expressions.Expressions.identity(logical)
+    }.toArray
 
   override def properties(): util.Map[String, String] =
     Map(TableCatalog.PROP_PROVIDER -> "loglake",

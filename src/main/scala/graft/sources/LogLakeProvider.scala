@@ -108,19 +108,27 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val d = dir(parameters)
     val stats = statsCols(parameters)
+    // `option("partitionBy", "a,b")` — identity partition spec for the
+    // CREATE this write performs (DataFrameWriter.partitionBy does not
+    // reach V1 CreatableRelationProvider); appends to an existing
+    // partitioned table need no option, the spec is table metadata
+    val parts = parameters.get("partitionBy").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val spark = data.sparkSession
     val exists = LogLake.currentVersion(d) > 0L
+    require(parts.isEmpty || !exists,
+      s"loglake: partitionBy is create-only — table already exists at $d")
     mode match {
       case SaveMode.Append =>
         if (exists) LogLake.append(spark, d, data, stats)
-        else appendCreating(spark, d, data, stats)
+        else appendCreating(spark, d, data, stats, parts)
       case SaveMode.Overwrite =>
         if (exists) LogLake.overwrite(spark, d, data, stats)
-        else LogLake.create(spark, d, data, stats)
+        else LogLake.create(spark, d, data, stats, partitionBy = parts)
       case SaveMode.ErrorIfExists =>
-        LogLake.create(spark, d, data, stats) // create itself rejects an existing table
+        LogLake.create(spark, d, data, stats, partitionBy = parts) // create itself rejects an existing table
       case SaveMode.Ignore =>
-        if (!exists) LogLake.create(spark, d, data, stats)
+        if (!exists) LogLake.create(spark, d, data, stats, partitionBy = parts)
     }
     createRelation(sqlContext, parameters)
   }
@@ -184,8 +192,9 @@ object LogLakeProvider {
     * back to a plain `append` — SaveMode.Append commutes, so the loser
     * must retry as an append, not surface the race to the caller. */
   private[graft] def appendCreating(spark: SparkSession, d: String,
-      data: DataFrame, stats: Seq[String]): Long =
-    try LogLake.create(spark, d, data, stats)
+      data: DataFrame, stats: Seq[String],
+      partitionBy: Seq[String] = Nil): Long =
+    try LogLake.create(spark, d, data, stats, partitionBy = partitionBy)
     catch {
       case e: Exception if LogLake.currentVersion(d) > 0L =>
         LogLake.append(spark, d, data, stats)
