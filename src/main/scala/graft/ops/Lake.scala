@@ -780,6 +780,50 @@ object Lake {
           .filter(col("o_orderstatus") === "F")))
         .unionByName(leg("v2", LogLake.snapshot(s, dir, Some(2L))))
         .orderBy("leg", "o_orderstatus")
+    },
+
+    // --- q128: replaceWhere — Delta's selective OVERWRITE, the backfill
+    // primitive. v1 creates orders partitioned by status; v2 replaces
+    // the WHOLE 'O' partition with re-priced rows (×0.9) — a pure
+    // partition predicate, so the old files drop METADATA-ONLY and the
+    // commit cost is the new data's volume; v3 replaces an arbitrary
+    // keyed slice (every 10th order → +1.0) — the general path rewrites
+    // only files containing a match, keeping their survivors. The
+    // oracle derives the end state as one CASE expression (v3 wins on
+    // overlap — later commit, replaced region). At 100 TB this is how
+    // a pipeline re-runs one day/partition: cost ∝ the replaced region,
+    // never the table.
+    Q(
+      "q128_loglake_replace_where",
+      s"""WITH endstate AS (
+         |  SELECT o_orderstatus,
+         |         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1.0
+         |              WHEN o_orderstatus = 'O' THEN o_totalprice * 0.9
+         |              ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |)
+         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total
+         |FROM endstate GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q128")
+      val ord = orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, dir, ord, statsCols = Seq("o_orderkey"),
+        partitionBy = Seq("o_orderstatus"))                              // v1
+      LogLake.overwriteWhere(s, dir,
+        ord.filter(col("o_orderstatus") === "O")
+          .withColumn("o_totalprice", col("o_totalprice") * lit(0.9d)),
+        col("o_orderstatus") === "O")                                    // v2: metadata-only region
+      LogLake.overwriteWhere(s, dir,
+        ord.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0d)),
+        col("o_orderkey") % 10 === 3)                                    // v3: rewrite region
+      LogLake.snapshot(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -822,6 +822,63 @@ object LogLake {
       statsCols: Seq[String] = Nil, txnId: String = ""): Long =
     write(spark, dir, df, "overwrite", statsCols, txnId)
 
+  /** Selective OVERWRITE — Delta's `replaceWhere`: one atomic commit
+    * replaces exactly the rows matching `condition` with `df`. Rows
+    * outside the predicate are untouched; every INCOMING row must fall
+    * inside it (checked against the staged files and rejected loudly
+    * before anything commits — a row outside the region would silently
+    * widen the caller's overwrite). The replaced region resolves like
+    * DELETE: a pure partition predicate drops whole files
+    * metadata-only, anything else rewrites only the files that contain
+    * a matching row, keeping their non-matching survivors. The
+    * backfill primitive — at 100 TB, re-running one day/partition of a
+    * pipeline costs that partition's volume, never the table's. */
+  def overwriteWhere(spark: SparkSession, dir: String, df: DataFrame,
+      condition: Column, statsCols: Seq[String] = Nil,
+      txnId: String = ""): Long = {
+    replayedVersion(dir, txnId) match {
+      case Some(v) => return v
+      case None =>
+    }
+    val readV = currentVersion(dir)
+    require(readV > 0L, s"loglake: no table at $dir — replaceWhere " +
+      "overwrites an existing region; use create for a new table")
+    val (files, schema) = activeState(dir, Some(readV))
+    require(schema.fieldNames.sorted.sameElements(df.schema.fieldNames.sorted),
+      s"loglake: replaceWhere data columns ${df.columns.mkString(",")} must " +
+        s"match table columns ${schema.fieldNames.mkString(",")} (a partial " +
+        "overwrite cannot evolve the schema)")
+    val aligned = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val miss = !coalesce(condition, lit(false))
+    val newAdds = writeData(spark, dir, aligned,
+      inheritedStats(files, statsCols, aligned.schema, schema), physMap(schema))
+    val offending = readAdds(spark, dir, schema, newAdds)
+      .filter(miss).limit(1).collect()
+    if (offending.nonEmpty) {
+      val f = fs(dir)
+      newAdds.filterNot(a => isExternal(a.path))
+        .foreach(a => f.delete(new Path(dir, a.path), false))
+      throw new IllegalArgumentException(
+        s"loglake: replaceWhere data contains a row OUTSIDE the replaced " +
+          s"region, e.g. ${offending.head} — nothing committed")
+    }
+    val (survivorAdds, removes) =
+      partitionOnlyMatches(spark, dir, files, schema, condition) match {
+        case Some(matched) => (Seq.empty[AddFile], matched.map(_.path))
+        case None =>
+          val touched = touchedFiles(spark, dir, files, schema, condition)
+          if (touched.isEmpty) (Seq.empty[AddFile], Seq.empty[String])
+          else {
+            val kept = readAdds(spark, dir, schema, touched).filter(miss)
+            (writeData(spark, dir, kept,
+              inheritedStats(files, statsCols, schema, schema),
+              physMap(schema)), touched.map(_.path))
+          }
+      }
+    commit(dir, "overwrite", txnId, readV, schema.json,
+      newAdds ++ survivorAdds, removes)
+  }
+
   /** Schema contract per op: `create` sets it, `overwrite` may replace
     * it, `append`/`streamAppend` must either match it exactly or EVOLVE
     * it additively — new columns are allowed only when nullable (old

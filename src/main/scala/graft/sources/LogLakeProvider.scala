@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Sourc
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Registers [[LogLake]] as a first-class Spark data source, format
@@ -118,10 +118,18 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
     val exists = LogLake.currentVersion(d) > 0L
     require(parts.isEmpty || !exists,
       s"loglake: partitionBy is create-only — table already exists at $d")
+    // Delta's selective-overwrite option: mode=overwrite +
+    // option("replaceWhere", "<predicate>") replaces only the matching
+    // region (partition predicates resolve metadata-only)
+    val replaceWhere = parameters.get("replaceWhere").map(expr)
+    require(replaceWhere.isEmpty || mode == SaveMode.Overwrite,
+      "loglake: replaceWhere requires mode overwrite")
     mode match {
       case SaveMode.Append =>
         if (exists) LogLake.append(spark, d, data, stats)
         else appendCreating(spark, d, data, stats, parts)
+      case SaveMode.Overwrite if replaceWhere.isDefined =>
+        LogLake.overwriteWhere(spark, d, data, replaceWhere.get, stats)
       case SaveMode.Overwrite =>
         if (exists) LogLake.overwrite(spark, d, data, stats)
         else LogLake.create(spark, d, data, stats, partitionBy = parts)

@@ -150,6 +150,48 @@ class PartitionedTableSpec extends SparkTestBase {
     assert(LogLake.snapshot(spark, dir).filter(col("grade") === "B").count() == 0L)
   }
 
+  test("replaceWhere: partition region swaps metadata-only; general region rewrites survivors; outside rows rejected") {
+    val dir = tmp("rw")
+    LogLake.create(spark, dir, sample(30), partitionBy = Seq("status"))
+    val before = LogLake.activeState(dir)._1.map(_.path).toSet
+
+    // partition region: old B files DROP (no rewrite of other files)
+    val newB = sample(30).filter(col("status") === "B")
+      .withColumn("v", lit("nb"))
+    LogLake.overwriteWhere(spark, dir, newB, col("status") === "B")
+    val after = LogLake.activeState(dir)._1
+    assert(after.count(a => before(a.path)) == 2,
+      "A and C files must carry over untouched")
+    assert(rows(LogLake.snapshot(spark, dir)) ==
+      rows(sample(30).withColumn("v",
+        when(col("status") === "B", "nb").otherwise(col("v")))))
+
+    // a row OUTSIDE the region aborts before anything commits
+    val vBefore = LogLake.currentVersion(dir)
+    intercept[IllegalArgumentException] {
+      LogLake.overwriteWhere(spark, dir,
+        sample(30).filter(col("status") =!= "B"), col("status") === "B")
+    }
+    assert(LogLake.currentVersion(dir) == vBefore)
+
+    // general (non-partition) region: keyed slice replaces, others survive
+    LogLake.overwriteWhere(spark, dir,
+      sample(30).filter(col("k") <= 10).withColumn("v", lit("lo")),
+      col("k") <= 10)
+    assert(rows(LogLake.snapshot(spark, dir)) ==
+      rows(sample(30).withColumn("v",
+        when(col("k") <= 10, "lo")
+          .when(col("status") === "B", "nb").otherwise(col("v")))))
+
+    // provider surface: mode overwrite + option("replaceWhere", ...)
+    sample(30).filter(col("status") === "C").withColumn("v", lit("pc"))
+      .write.format("loglake").mode("overwrite")
+      .option("replaceWhere", "status = 'C'").save(dir)
+    assert(spark.read.format("loglake").load(dir)
+      .filter(col("v") === "pc").count() == 10L)
+    assert(spark.read.format("loglake").load(dir).count() == 30L)
+  }
+
   test("SQL: CREATE TABLE PARTITIONED BY + INSERT through the catalog; DESCRIBE shows the transform") {
     val wh = Files.createTempDirectory("llpart-sql").toString
     spark.conf.set("spark.sql.catalog.llp", "graft.sources.LogLakeCatalog")
