@@ -824,6 +824,77 @@ object Lake {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // --- q129: WRITE-TIME CDC FOR MERGE (Delta's AddCDCFile under
+    // `delta.enableChangeDataFeed`, here `loglake.enableChangeDataFeed`).
+    // A MERGE mixes updates and genuine inserts in one commit, and the
+    // read-side diff cannot tell them apart — row identity exists only
+    // at write time. With the table property set, the MERGE records its
+    // labeled change rows (update_preimage / update_postimage / insert)
+    // as change files in the commit, and `changeFeed` serves them
+    // directly: exact labels, no diff, read cost = the change volume,
+    // never the rewritten files. v1 creates orders sans the %3=2 keys;
+    // v2 merges a source that UPDATES every 5th present order (status →
+    // 'M') and INSERTS the %3=2 rows. One frame checks the labeled feed
+    // AND the post-merge snapshot in a single hash. At 100 TB the CDC
+    // write adds only the changed rows' volume to the merge — the price
+    // Delta documents for CDF — and downstream consumers never re-read
+    // the rewritten files.
+    Q(
+      "q129_loglake_merge_cdf",
+      s"""WITH src AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |), base AS (
+         |  SELECT * FROM src WHERE o_orderkey % 3 <> 2
+         |), matched AS (
+         |  SELECT * FROM base WHERE o_orderkey % 5 = 0
+         |), ins AS (
+         |  SELECT * FROM src WHERE o_orderkey % 3 = 2
+         |), snap AS (
+         |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'M' ELSE o_orderstatus END
+         |           AS o_orderstatus, o_totalprice
+         |  FROM base
+         |  UNION ALL SELECT o_orderstatus, o_totalprice FROM ins
+         |)
+         |SELECT 'cdc' AS leg, 'insert' AS ct, o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt, ${oSum("o_totalprice")} AS total
+         |FROM ins GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'cdc', 'update_preimage', o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
+         |FROM matched GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'cdc', 'update_postimage', 'M',
+         |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
+         |FROM matched
+         |UNION ALL
+         |SELECT 'snapshot', '-', o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
+         |FROM snap GROUP BY o_orderstatus
+         |ORDER BY leg, ct, o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q129")
+      val ord = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = ord.filter(col("o_orderkey") % 3 =!= 2)
+      LogLake.create(s, dir, base, statsCols = Seq("o_orderkey"))        // v1
+      LogLake.setTableProperties(dir,
+        Map("loglake.enableChangeDataFeed" -> "true"))
+      val source = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("M"))
+        .unionByName(ord.filter(col("o_orderkey") % 3 === 2))
+      LogLake.merge(s, dir, source, Seq("o_orderkey"))                   // v2
+      val cdc = LogLake.changeFeed(s, dir, 1L, 2L)
+        .groupBy(col("_change_type").as("ct"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .select(lit("cdc").as("leg"), col("ct"), col("o_orderstatus"),
+          col("cnt"), col("total"))
+      val snap = LogLake.snapshot(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .select(lit("snapshot").as("leg"), lit("-").as("ct"),
+          col("o_orderstatus"), col("cnt"), col("total"))
+      cdc.unionByName(snap).orderBy("leg", "ct", "o_orderstatus")
     }
   )
 }

@@ -84,6 +84,7 @@ object LogLake {
   val LogDir = "_loglake"
   val DataDir = "data"
   val DvDir = "dv"
+  val CdcDir = s"$LogDir/cdc"
 
   /** Every N commits the committer also writes a CHECKPOINT — the fully
     * resolved state at that version (active files + schema + the txnId
@@ -126,8 +127,15 @@ object LogLake {
   final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats],
       bytes: Long = -1L, dv: String = "", dvRows: Long = 0L,
       partitionValues: Map[String, String] = Map.empty)
+  /** `cdc`: table-relative paths of write-time CHANGE-DATA files
+    * (Delta's AddCDCFile) — labeled change rows the WRITER recorded for
+    * this commit, present only when `loglake.enableChangeDataFeed` was
+    * set at write time. Never part of table state (checkpoints and
+    * snapshots ignore them); consumed only by [[changeFeed]], which
+    * falls back to the read-side diff when absent. */
   final case class Manifest(version: Long, op: String, txnId: String,
-      readVersion: Long, schemaJson: String, adds: Seq[AddFile], removes: Seq[String])
+      readVersion: Long, schemaJson: String, adds: Seq[AddFile],
+      removes: Seq[String], cdc: Seq[String] = Nil)
 
   /** Resolved state at `version`: active files, schema, and every
     * txnId committed up to it (for O(tail) replay detection). */
@@ -398,11 +406,16 @@ object LogLake {
     * (unchanged files never enter the plan). A pure UPDATE commit
     * surfaces Delta's update_preimage/update_postimage pair — every
     * changed row of an update commit IS an update, so the diff sides
-    * label exactly without any keying. A MERGE (which mixes updates
-    * and genuine inserts in one commit) keeps the delete+insert
-    * encoding: distinguishing its updates would need write-time row
-    * tracking the read-side diff cannot reconstruct — documented
-    * deviation. Reads of already-vacuumed generations fail loudly,
+    * label exactly without any keying. A commit that recorded
+    * WRITE-TIME CDC files (MERGE under
+    * `loglake.enableChangeDataFeed=true` — Delta's AddCDCFile) serves
+    * those rows directly: exact update_pre/postimage + insert labels
+    * even for a merge, no diff, no double read. A merge WITHOUT the
+    * property keeps the delete+insert encoding: distinguishing its
+    * updates needs row identity only the writer had — Delta makes the
+    * same trade (CDF off ⇒ no change files ⇒ no merge feed at all; we
+    * degrade to the exact unlabeled diff instead).
+    * Reads of already-vacuumed generations fail loudly,
     * like Delta's change feed beyond its retention. Output: table
     * columns + `_change_type` ('insert' | 'delete' |
     * 'update_preimage' | 'update_postimage') + `_commit_version` +
@@ -439,7 +452,18 @@ object LogLake {
         // (fingerprint-pinned in spec), so its diff is a guaranteed-empty
         // result that would still READ the whole rewritten volume twice.
         // Skip the diff, keep the state walk. Delta's CDF does the same.
-        if (m.op == "optimize") None
+        if (m.cdc.nonEmpty)
+          // write-time CDC recorded — serve the writer's labeled rows
+          // (read cost: the change volume itself, never the rewritten
+          // files). Change files carry PHYSICAL names; scanLogical on
+          // the schema + _change_type translates and null-fills columns
+          // added after the commit, same as every evolved read.
+          Some(scanLogical(spark, StructType(schema.fields :+
+              StructField("_change_type", StringType, nullable = true)),
+              m.cdc.map(p => resolvedPath(dir, p)))
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp", lit(ts)))
+        else if (m.op == "optimize") None
         else if (m.adds.isEmpty && m.removes.isEmpty) None // schema-only DDL commit
         else if (m.removes.isEmpty)
           // pure append: the diff is provably the added rows — skip the
@@ -916,6 +940,38 @@ object LogLake {
     else StructType(table.fields ++ added).json
   }
 
+  /** Stage one commit's labeled change rows (`table columns +
+    * _change_type`) as parquet under `_loglake/cdc/` — PHYSICAL column
+    * names, so later renames/drops keep serving old change files — and
+    * return the table-relative paths for the manifest. Delta's
+    * AddCDCFile: written only when `loglake.enableChangeDataFeed` is
+    * set, read only by [[changeFeed]], never part of table state
+    * (checkpoints/snapshots ignore it, vacuum never sweeps it). */
+  private def writeCdc(spark: SparkSession, dir: String, cdcDf: DataFrame,
+      schema: StructType): Seq[String] = {
+    val f = fs(dir)
+    f.mkdirs(new Path(dir, CdcDir))
+    val nameMap = physMap(schema)
+    val pdf =
+      if (nameMap.isEmpty) cdcDf
+      else cdcDf.select(cdcDf.columns.toIndexedSeq.map(c =>
+        col(c).as(nameMap.getOrElse(c, c))): _*)
+    val staging = new Path(dir, s"$LogDir/_tmp/cdc-${UUID.randomUUID()}")
+    pdf.write.parquet(staging.toString)
+    f.listStatus(staging).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.startsWith("part-") && n.endsWith(".parquet")
+      }
+      .map { s =>
+        val dst = new Path(dir, s"$CdcDir/${UUID.randomUUID()}.parquet")
+        if (!f.rename(s.getPath, dst))
+          throw new java.io.IOException(
+            s"loglake: could not move ${s.getPath} to $dst")
+        s"$CdcDir/${dst.getName}"
+      }
+  }
+
   private def write(spark: SparkSession, dir: String, df: DataFrame, op: String,
       statsCols: Seq[String], txnId: String): Long = {
     replayedVersion(dir, txnId) match {
@@ -985,6 +1041,46 @@ object LogLake {
       }
     val touched = files.filter(a => touchedNames(new Path(a.path).getName))
 
+    // write-time CDC (Delta's _change_data design): a MERGE is the one
+    // commit whose changes the read-side diff cannot label exactly —
+    // it mixes updates and genuine inserts, and telling them apart
+    // needs row identity only the WRITER has. With the table property
+    // set, one full-outer join on the keys computes the rewrite AND
+    // the exactly-labeled change rows in a single pass over the
+    // touched files (persisted so the two writes don't re-scan);
+    // changeFeed then serves the recorded rows with no diff at all.
+    // An insert-only merge (no touched files) skips the CDC file: its
+    // commit has no removes, so the feed's pure-append fast path
+    // already labels it exactly.
+    if (cdfEnabled(dir) && touched.nonEmpty) {
+      val all = schema.fieldNames.toIndexedSeq
+      val tgt = readAdds(spark, dir, schema, touched) // DV-masked rows stay dead
+        .select(struct(all.map(col): _*).as("__t") +: keyCols.map(col): _*)
+      val srcK = src
+        .select(struct(all.map(col): _*).as("__s") +: keyCols.map(col): _*)
+      val j = tgt.join(srcK, keyCols, "full_outer")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // s side wins where present: matched targets replaced, new keys
+        // inserted, unmatched targets carried — the same multiset the
+        // anti-join+union path below produces
+        val rewritten = j
+          .select(when(col("__s").isNotNull, col("__s")).otherwise(col("__t")).as("__r"))
+          .select(all.map(c => col(s"__r.$c").as(c)): _*)
+        val adds = writeData(spark, dir, rewritten,
+          inheritedStats(files, statsCols, src.schema, schema), physMap(schema))
+        val both = j.filter(col("__t").isNotNull && col("__s").isNotNull)
+        def side(s: String, label: String, from: DataFrame) =
+          from.select(all.map(c => col(s"$s.$c").as(c)): _*)
+            .withColumn("_change_type", lit(label))
+        val cdcDf = side("__t", "update_preimage", both)
+          .unionByName(side("__s", "update_postimage", both))
+          .unionByName(side("__s", "insert", j.filter(col("__t").isNull)))
+        val cdc = writeCdc(spark, dir, cdcDf, schema)
+        return commit(dir, "merge", txnId, readV, schema.json, adds,
+          touched.map(_.path), cdc)
+      } finally j.unpersist()
+    }
     val rewritten =
       if (touched.isEmpty) src
       else readAdds(spark, dir, schema, touched) // DV-masked rows stay dead
@@ -1402,22 +1498,8 @@ object LogLake {
     * and the gap (a write racing the ADD itself) is documented here
     * rather than papered over. SQL semantics: a row passes when the
     * expression is TRUE or NULL (unknown), fails only on FALSE. */
-  def checkConstraints(dir: String): Map[String, String] = {
-    val f = fs(dir)
-    val cp = constraintsPath(dir)
-    if (!f.exists(cp)) return Map.empty
-    f.listStatus(cp).toSeq
-      .flatMap(s => if (s.isFile) numbered("", ".json")(s.getPath.getName)
-        .map(_ -> s.getPath) else None)
-      .sortBy(_._1).lastOption
-      .map { case (_, p) =>
-        val node = mapper.readTree(readFully(f, p))
-        val it = node.fields()
-        val b = Map.newBuilder[String, String]
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
-        b.result()
-      }.getOrElse(Map.empty)
-  }
+  def checkConstraints(dir: String): Map[String, String] =
+    readKv(dir, "constraints")
 
   /** Add a CHECK constraint: the CURRENT table must already satisfy it
     * (one snapshot scan — Delta's rule), then the new set CAS-publishes.
@@ -1441,7 +1523,50 @@ object LogLake {
     publishConstraints(dir, _ - name)
   }
 
-  private def constraintsPath(dir: String) = new Path(dir, s"$LogDir/constraints")
+  private def kvDirPath(dir: String, sub: String) = new Path(dir, s"$LogDir/$sub")
+
+  /** Latest published generation of a CAS-versioned KV set under
+    * `_loglake/<sub>/` — the shared store behind CHECK constraints and
+    * table properties. */
+  private def readKv(dir: String, sub: String): Map[String, String] = {
+    val f = fs(dir)
+    val cp = kvDirPath(dir, sub)
+    if (!f.exists(cp)) return Map.empty
+    f.listStatus(cp).toSeq
+      .flatMap(s => if (s.isFile) numbered("", ".json")(s.getPath.getName)
+        .map(_ -> s.getPath) else None)
+      .sortBy(_._1).lastOption
+      .map { case (_, p) =>
+        val node = mapper.readTree(readFully(f, p))
+        val it = node.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      }.getOrElse(Map.empty)
+  }
+
+  // ------------------------------------------------ table properties
+
+  /** Table properties (Delta's TBLPROPERTIES): a CAS-versioned KV set
+    * under `_loglake/properties/`, published exactly like the CHECK
+    * constraint set. Properties gate optional table behavior — today
+    * `loglake.enableChangeDataFeed=true` turns on write-time CDC files
+    * for MERGE (see [[merge]] / [[changeFeed]]). Travels with SHALLOW
+    * CLONE, surfaces through the SQL catalog's `properties()` and
+    * `ALTER TABLE SET/UNSET TBLPROPERTIES`. */
+  def tableProperties(dir: String): Map[String, String] =
+    readKv(dir, "properties")
+
+  def setTableProperties(dir: String, props: Map[String, String]): Unit = {
+    require(props.keys.forall(_.nonEmpty), "loglake: empty property key")
+    publishKv(dir, "properties", _ ++ props)
+  }
+
+  def unsetTableProperties(dir: String, keys: Seq[String]): Unit =
+    publishKv(dir, "properties", _ -- keys)
+
+  private[sources] def cdfEnabled(dir: String): Boolean =
+    tableProperties(dir).get("loglake.enableChangeDataFeed").exists(_.toBoolean)
 
   private def readFully(f: FileSystem, p: Path): Array[Byte] = {
     val in = f.open(p)
@@ -1454,13 +1579,17 @@ object LogLake {
     } finally in.close()
   }
 
-  /** CAS-publish a constraint-set transform: each attempt re-reads the
-    * CURRENT set and applies `change` to it, so a lost race never
-    * clobbers the concurrent DDL's effect. */
   private def publishConstraints(dir: String,
+      change: Map[String, String] => Map[String, String]): Unit =
+    publishKv(dir, "constraints", change)
+
+  /** CAS-publish a KV-set transform: each attempt re-reads the CURRENT
+    * set and applies `change` to it, so a lost race never clobbers the
+    * concurrent writer's effect. */
+  private def publishKv(dir: String, sub: String,
       change: Map[String, String] => Map[String, String]): Unit = {
     val f = fs(dir)
-    val cp = constraintsPath(dir)
+    val cp = kvDirPath(dir, sub)
     f.mkdirs(cp)
     var attempts = 0
     while (attempts < 20) {
@@ -1468,7 +1597,7 @@ object LogLake {
         .flatMap(s => numbered("", ".json")(s.getPath.getName)).sorted
         .lastOption.getOrElse(0L) + 1L
       val node = mapper.createObjectNode()
-      change(checkConstraints(dir)).toSeq.sortBy(_._1)
+      change(readKv(dir, sub)).toSeq.sortBy(_._1)
         .foreach { case (k, v) => node.put(k, v) }
       val bytes = mapper.writeValueAsBytes(node)
       val tmp = new Path(cp, s"_tmp-${UUID.randomUUID()}.json")
@@ -1484,7 +1613,7 @@ object LogLake {
       attempts += 1
     }
     throw new java.io.IOException(
-      s"loglake: could not publish constraints at $dir after 20 attempts")
+      s"loglake: could not publish $sub at $dir after 20 attempts")
   }
 
   /** SHALLOW CLONE (Delta's): `dstDir` becomes a new table whose v1
@@ -1516,6 +1645,8 @@ object LogLake {
     // CHECK constraints (the clone starts valid: same data, same rules)
     val cons = checkConstraints(srcDir)
     if (cons.nonEmpty) publishConstraints(dstDir, _ ++ cons)
+    val props = tableProperties(srcDir)
+    if (props.nonEmpty) setTableProperties(dstDir, props)
     v
   }
 
@@ -1775,7 +1906,7 @@ object LogLake {
     * files and returns the original commit's version. */
   private def commit(dir: String, op: String, txnId: String, readVersion: Long,
       schemaJson: String, adds: Seq[AddFile], removes: Seq[String],
-      maxAttempts: Int = 20): Long = {
+      cdc: Seq[String] = Nil, maxAttempts: Int = 20): Long = {
     val f = fs(dir)
     f.mkdirs(new Path(logPath(dir), "_tmp"))
     var attempts = 0
@@ -1784,6 +1915,7 @@ object LogLake {
         case Some(v) =>
           adds.filterNot(a => isExternal(a.path))
             .foreach(a => f.delete(new Path(dir, a.path), false))
+          cdc.foreach(p => f.delete(new Path(dir, p), false))
           return v
         case None =>
       }
@@ -1797,7 +1929,8 @@ object LogLake {
           s"loglake: create raced with another writer — table now at version $cur")
       val v = cur + 1
       if (casPublish(f, dir, v,
-        renderManifest(Manifest(v, op, txnId, readVersion, schemaJson, adds, removes)))) {
+        renderManifest(Manifest(v, op, txnId, readVersion, schemaJson, adds,
+          removes, cdc)))) {
         if (v % CheckpointInterval == 0) writeCheckpoint(dir, v)
         return v
       }
@@ -1949,6 +2082,10 @@ object LogLake {
     renderAdds(root, "adds", m.adds)
     val rm = root.putArray("removes")
     m.removes.foreach(rm.add)
+    if (m.cdc.nonEmpty) {
+      val c = root.putArray("cdc")
+      m.cdc.foreach(c.add)
+    }
     root.toString
   }
 
@@ -1956,9 +2093,11 @@ object LogLake {
     import scala.jdk.CollectionConverters._
     val n = mapper.readTree(json)
     val removes = n.get("removes").elements().asScala.map(_.asText()).toSeq
+    val cdc = Option(n.get("cdc"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     Manifest(n.get("version").asLong(), n.get("op").asText(), n.get("txnId").asText(),
       n.get("readVersion").asLong(), n.get("schema").asText(),
-      parseAdds(n, "adds"), removes)
+      parseAdds(n, "adds"), removes, cdc)
   }
 
   // ------------------------------------------- checkpoint streaming I/O

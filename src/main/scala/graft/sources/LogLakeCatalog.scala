@@ -127,6 +127,15 @@ class LogLakeCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     LogLake.createEmpty(dir, schema, partitionBy = partitionBy)
+    // user TBLPROPERTIES persist in the table's property store; the
+    // engine-injected provider/location/owner keys are catalog
+    // metadata, not table state
+    val user = properties.asScala.filterNot { case (k, _) =>
+      k == TableCatalog.PROP_PROVIDER || k == TableCatalog.PROP_LOCATION ||
+        k == TableCatalog.PROP_OWNER || k == TableCatalog.PROP_EXTERNAL ||
+        k.startsWith("option.")
+    }.toMap
+    if (user.nonEmpty) LogLake.setTableProperties(dir, user)
     LogLakeV2Table(dir, None, s"$catalogName.${ident.toString}")
   }
 
@@ -153,6 +162,10 @@ class LogLakeCatalog extends TableCatalog with SupportsNamespaces {
       case a: TableChange.AddColumn =>
         LogLake.addColumn(dir, org.apache.spark.sql.types.StructField(
           topLevel(a.fieldNames, "ADD COLUMN"), a.dataType, a.isNullable))
+      case p: TableChange.SetProperty =>
+        LogLake.setTableProperties(dir, Map(p.property -> p.value))
+      case p: TableChange.RemoveProperty =>
+        LogLake.unsetTableProperties(dir, Seq(p.property))
       case other => throw new UnsupportedOperationException(
         s"loglake: unsupported ALTER TABLE change $other")
     }
@@ -241,8 +254,9 @@ final case class LogLakeV2Table(dir: String, asOf: Option[Long], identName: Stri
     }.toArray
 
   override def properties(): util.Map[String, String] =
-    Map(TableCatalog.PROP_PROVIDER -> "loglake",
-      TableCatalog.PROP_LOCATION -> dir).asJava
+    (LogLake.tableProperties(dir) ++
+      Map(TableCatalog.PROP_PROVIDER -> "loglake",
+        TableCatalog.PROP_LOCATION -> dir)).asJava
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,

@@ -103,4 +103,33 @@ class LogLakeCatalogSpec extends SparkTestBase {
     // either our guard or Spark's own time-travel-DML rejection is fine
     assert(e2 != null)
   }
+
+  test("TBLPROPERTIES persist through CREATE / ALTER SET / UNSET and gate CDF merges") {
+    val db = freshDb()
+    spark.sql(s"""CREATE TABLE loglake.$db.t (k BIGINT, v STRING)
+                 | TBLPROPERTIES ('loglake.enableChangeDataFeed' = 'true')""".stripMargin)
+    val dir = spark.sql(s"DESCRIBE TABLE EXTENDED loglake.$db.t")
+      .filter(col("col_name") === "Location")
+      .select("data_type").as[String].head()
+      .stripPrefix("file:")
+    assert(LogLake.tableProperties(dir)
+      .get("loglake.enableChangeDataFeed").contains("true"))
+    // SHOW TBLPROPERTIES reads the store back through the catalog
+    val shown = spark.sql(s"SHOW TBLPROPERTIES loglake.$db.t")
+      .as[(String, String)].collect().toMap
+    assert(shown.get("loglake.enableChangeDataFeed").contains("true"))
+    // the property actually gates the write path: a SQL MERGE records CDC
+    spark.sql(s"INSERT INTO loglake.$db.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(
+      s"""MERGE INTO loglake.$db.t AS t
+         |USING (SELECT 2L AS k, 'B' AS v) AS s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(LogLake.history(dir).last.cdc.nonEmpty)
+    spark.sql(s"ALTER TABLE loglake.$db.t SET TBLPROPERTIES ('x' = '1')")
+    assert(LogLake.tableProperties(dir).get("x").contains("1"))
+    spark.sql(s"ALTER TABLE loglake.$db.t UNSET TBLPROPERTIES ('x')")
+    assert(!LogLake.tableProperties(dir).contains("x"))
+  }
 }
