@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tables onto the commit log, and swaps catalog reads onto the
     // native pushdown relation (Delta's DeltaAnalysis shape)
     ext.injectResolutionRule(session => new graft.sources.LogLakeSqlRule(session))
+    // audit DDL the stock grammar lacks: DESCRIBE HISTORY / DETAIL
+    // (delegating parser — claims only its statements)
+    ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
     ext.injectFunction((
       new FunctionIdentifier("scaled_dot"),
       new ExpressionInfo(classOf[ScaledDotProduct].getName, "scaled_dot"),

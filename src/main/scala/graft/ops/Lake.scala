@@ -895,6 +895,108 @@ object Lake {
         .select(lit("snapshot").as("leg"), lit("-").as("ct"),
           col("o_orderstatus"), col("cnt"), col("total"))
       cdc.unionByName(snap).orderBy("leg", "ct", "o_orderstatus")
+    },
+
+    // --- q130: DESCRIBE HISTORY under the gate — the audit trail as
+    // data. The history is built to make every metric DECLARATIVELY
+    // derivable: partitioned writes re-cluster one file per live
+    // partition (so num_added_files = distinct statuses in the write),
+    // and the v3 partition DELETE drops whole files metadata-only (so
+    // num_removed_rows = the partition's row count, num_added_files =
+    // 0 — the proof the delete moved no data). Metrics come from one
+    // manifest walk with an incrementally-maintained state (removed
+    // paths resolve to their pre-commit row counts) — manifest-sized
+    // at any table scale, the same reason Delta's DESCRIBE HISTORY is
+    // instant on 100 TB tables. Timestamps/txnIds are real but
+    // nondeterministic, so the oracle pins the deterministic columns.
+    Q(
+      "q130_loglake_history",
+      s"""WITH src AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |), base AS (
+         |  SELECT * FROM src WHERE o_orderkey % 3 <> 2
+         |), slice AS (
+         |  SELECT * FROM src WHERE o_orderkey % 3 = 2
+         |)
+         |SELECT CAST(1 AS BIGINT) AS version, 'create' AS operation,
+         |       CAST(0 AS BIGINT) AS read_version,
+         |       (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM base)
+         |         AS num_added_files,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS num_added_rows,
+         |       CAST(0 AS BIGINT) AS num_removed_files,
+         |       CAST(0 AS BIGINT) AS num_removed_rows,
+         |       CAST(0 AS BIGINT) AS num_change_files
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'append', CAST(1 AS BIGINT),
+         |       (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM slice),
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM slice),
+         |       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'delete', CAST(2 AS BIGINT),
+         |       CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |       (SELECT CAST(
+         |          CASE WHEN EXISTS(SELECT 1 FROM base WHERE o_orderstatus = 'O')
+         |               THEN 1 ELSE 0 END +
+         |          CASE WHEN EXISTS(SELECT 1 FROM slice WHERE o_orderstatus = 'O')
+         |               THEN 1 ELSE 0 END AS BIGINT)),
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM src
+         |        WHERE o_orderstatus = 'O'),
+         |       CAST(0 AS BIGINT)
+         |ORDER BY version""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q130")
+      val ord = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, dir, ord.filter(col("o_orderkey") % 3 =!= 2),
+        statsCols = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"))  // v1
+      LogLake.append(s, dir, ord.filter(col("o_orderkey") % 3 === 2))      // v2
+      LogLake.delete(s, dir, col("o_orderstatus") === "O")                 // v3: metadata-only
+      LogLake.historyDf(s, dir).select(
+        col("version"), col("operation"),
+        col("readVersion").as("read_version"),
+        col("numAddedFiles").as("num_added_files"),
+        col("numAddedRows").as("num_added_rows"),
+        col("numRemovedFiles").as("num_removed_files"),
+        col("numRemovedRows").as("num_removed_rows"),
+        col("numChangeFiles").as("num_change_files"))
+        .orderBy("version")
+    },
+
+    // --- q131: CONVERT TO LOGLAKE — Delta's CONVERT, the adoption
+    // path: a plain parquet directory (written by any engine) becomes
+    // a loglake table IN PLACE. Zero data bytes are rewritten at any
+    // size; one metadata-sized aggregate collects per-file row counts
+    // and o_orderkey stats so file skipping works from commit v1 — the
+    // scanRange leg proves it (skipping + exact predicate over a mix
+    // of converted originals and post-convert appends). At 100 TB this
+    // is how an existing lake migrates: a manifest write, not a
+    // rewrite.
+    Q(
+      "q131_loglake_convert",
+      s"""WITH src AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |)
+         |SELECT 'range' AS leg, o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt, ${oSum("o_totalprice")} AS total
+         |FROM src WHERE o_orderkey <= 3000 GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'snapshot', o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
+         |FROM src GROUP BY o_orderstatus
+         |ORDER BY leg, o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q131")
+      val ord = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      ord.filter(col("o_orderkey") % 3 =!= 2).write.parquet(dir) // plain parquet
+      LogLake.convert(s, dir, statsCols = Seq("o_orderkey"))     // v1: adopt in place
+      LogLake.append(s, dir, ord.filter(col("o_orderkey") % 3 === 2)) // v2
+      def leg(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+          .select(lit(tag).as("leg"), col("o_orderstatus"), col("cnt"), col("total"))
+      leg("snapshot", LogLake.snapshot(s, dir))
+        .unionByName(leg("range",
+          LogLake.scanRange(s, dir, "o_orderkey", null, 3000L)))
+        .orderBy("leg", "o_orderstatus")
     }
   )
 }

@@ -491,6 +491,77 @@ object LogLake {
           StructField("_commit_timestamp", TimestampType, nullable = false))))
   }
 
+  /** Commit audit trail as a DataFrame — Delta's `DESCRIBE HISTORY`:
+    * one row per committed version, NEWEST FIRST, with per-commit
+    * operation metrics. Row metrics count LIVE rows (a merge-on-read
+    * file's deletion-vector-masked rows are dead): `numAddedRows` over
+    * the commit's adds, `numRemovedRows` over the files it removed —
+    * resolved against the incrementally-maintained pre-commit state,
+    * so a 10⁶-version history costs one manifest walk, no data read.
+    * Cost is manifest-sized at any table size (the log IS the audit
+    * record — the reason Delta keeps commits immutable). */
+  def historyDf(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(dir)
+    require(listManifests(dir).nonEmpty, s"loglake: no table at $dir")
+    val state = scala.collection.mutable.HashMap[String, AddFile]()
+    def live(a: AddFile): Long = a.rows - a.dvRows
+    val rows = listManifests(dir).map { case (v, p) =>
+      val m = readManifest(f, p)
+      val ts = new java.sql.Timestamp(f.getFileStatus(p).getModificationTime)
+      val removedEntries = m.removes.flatMap(state.get)
+      m.removes.foreach(state.remove)
+      m.adds.foreach(a => state(a.path) = a)
+      Row(v, ts, m.op, if (m.txnId.isEmpty) null else m.txnId, m.readVersion,
+        m.adds.size.toLong, m.adds.map(live).sum,
+        m.removes.size.toLong, removedEntries.map(live).sum,
+        m.cdc.size.toLong)
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("txnId", StringType, nullable = true),
+      StructField("readVersion", LongType, nullable = false),
+      StructField("numAddedFiles", LongType, nullable = false),
+      StructField("numAddedRows", LongType, nullable = false),
+      StructField("numRemovedFiles", LongType, nullable = false),
+      StructField("numRemovedRows", LongType, nullable = false),
+      StructField("numChangeFiles", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.reverse.asJava, schema)
+  }
+
+  /** One-row table summary — Delta's `DESCRIBE DETAIL`: format,
+    * location, current version, live file/row/byte counts, partition
+    * columns (logical names), and the table properties. Manifest-sized:
+    * one snapshot resolve, no data read. */
+  def detailDf(spark: SparkSession, dir: String): DataFrame = {
+    val v = currentVersion(dir)
+    require(v > 0L, s"loglake: no table at $dir")
+    val (files, schema) = activeState(dir, Some(v))
+    val physToLogical = schema.fields.iterator
+      .map(f => physName(f) -> f.name).toMap
+    val parts = partitionColumns(dir).map(p => physToLogical.getOrElse(p, p))
+    val row = Row(
+      "loglake", dir, v,
+      files.size.toLong,
+      files.map(a => a.rows - a.dvRows).sum,
+      files.map(a => math.max(a.bytes, 0L)).sum,
+      parts,
+      tableProperties(dir))
+    val s = StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("location", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("numFiles", LongType, nullable = false),
+      StructField("numRows", LongType, nullable = false),
+      StructField("sizeInBytes", LongType, nullable = false),
+      StructField("partitionColumns", ArrayType(StringType), nullable = false),
+      StructField("properties", MapType(StringType, StringType), nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(Seq(row).asJava, s)
+  }
+
   /** Range scan with file skipping: reads only the files whose stats
     * intersect [lo, hi], then applies the exact predicate — identical
     * results to filtering the full snapshot, fewer files opened. */
@@ -836,6 +907,70 @@ object LogLake {
       s"loglake: cannot create — table already exists at $dir")
     if (partitionBy.nonEmpty) stagePartitionSpec(dir, schema, partitionBy)
     commit(dir, "create", txnId, 0L, schema.json, Nil, Nil)
+  }
+
+  /** CONVERT an existing FLAT parquet directory into a loglake table
+    * IN PLACE — Delta's `CONVERT TO DELTA`: the files are adopted
+    * as-is (zero bytes rewritten at any size), their schema becomes
+    * the table schema, and ONE metadata-sized aggregate over the
+    * directory collects per-file row counts and the requested column
+    * stats so skipping works from commit v1. The files keep their
+    * root-level names in the manifest (later maintenance rewrites land
+    * in `data/` as usual; [[vacuum]] sweeps orphaned root originals
+    * once a rewrite retires them). Hive-partitioned layouts are
+    * rejected loudly: identity partitioning here keeps partition
+    * columns IN the data files, which a `k=v` directory layout by
+    * definition does not. */
+  def convert(spark: SparkSession, dir: String,
+      statsCols: Seq[String] = Nil): Long = {
+    val f = fs(dir)
+    require(!f.exists(logPath(dir)),
+      s"loglake: $dir is already a loglake table")
+    val entries = f.listStatus(new Path(dir)).toSeq
+    entries.filter(_.isDirectory).foreach { d =>
+      throw new IllegalArgumentException(
+        s"loglake: CONVERT supports a flat parquet directory — found " +
+          s"subdirectory ${d.getPath.getName} (for a Hive-partitioned " +
+          "layout, rewrite through create(..., partitionBy) instead: " +
+          "identity partition columns must live IN the data files)")
+    }
+    val files = entries.filter(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet") &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    require(files.nonEmpty, s"loglake: no parquet files to convert at $dir")
+    val schema = spark.read.parquet(files.map(_.getPath.toString): _*).schema
+    statsCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"loglake: stats column $c not in ${schema.fieldNames.mkString(",")}"))
+    val read = spark.read.schema(schema)
+      .parquet(files.map(_.getPath.toString): _*)
+      .select(col("_metadata.file_path").as("__file") +:
+        schema.fieldNames.toIndexedSeq.map(col): _*)
+    val aggs = count(lit(1)).as("__rows") +:
+      statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
+        min(col(c)).as(s"__min_$i"), max(col(c)).as(s"__max_$i"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i")) }
+    val byFile = read.groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => new Path(r.getAs[String]("__file")).getName -> r).toMap
+    val adds = files.map { s =>
+      val name = s.getPath.getName
+      byFile.get(name) match {
+        case None => AddFile(name, 0L, Map.empty, s.getLen)
+        case Some(r) =>
+          val stats = statsCols.zipWithIndex.map { case (c, i) =>
+            val mn = r.getAs[Any](s"__min_$i")
+            val nulls = r.getAs[Long](s"__nulls_$i")
+            c -> (if (mn == null) ColStats("null", "", "", nulls)
+            else {
+              val (t, lo) = typedRender(mn)
+              val (_, hi) = typedRender(r.getAs[Any](s"__max_$i"))
+              ColStats(t, lo, hi, nulls)
+            })
+          }.toMap
+          AddFile(name, r.getAs[Long]("__rows"), stats, s.getLen)
+      }
+    }
+    commit(dir, "convert", "", 0L, schema.json, adds, Nil)
   }
 
   def append(spark: SparkSession, dir: String, df: DataFrame,
@@ -1674,9 +1809,24 @@ object LogLake {
           s"$sub/${s.getPath.getName}"
         }
     }
+    // root-level *.parquet: CONVERTed originals live beside _loglake/;
+    // once a rewrite retires one from the manifest it is reclaimable
+    // like any data/ generation (skip _/.-prefixed marker files)
+    val rootActive = state.filterNot(a => a.path.contains("/"))
+      .map(_.path).toSet
+    val rootOrphans = f.listStatus(new Path(dir)).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".") && !rootActive(n) && s.getModificationTime < cutoff
+      }
+      .map { s =>
+        if (!dryRun) f.delete(s.getPath, false)
+        s.getPath.getName
+      }
     sweep(DataDir, state.map(a => new Path(a.path).getName).toSet) ++
       sweep(DvDir, state.filter(_.dv.nonEmpty)
-        .map(a => new Path(a.dv).getName).toSet)
+        .map(a => new Path(a.dv).getName).toSet) ++ rootOrphans
   }
 
   /** Exactly-once streaming append: each micro-batch commits as ONE

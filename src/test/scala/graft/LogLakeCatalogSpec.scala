@@ -132,4 +132,83 @@ class LogLakeCatalogSpec extends SparkTestBase {
     spark.sql(s"ALTER TABLE loglake.$db.t UNSET TBLPROPERTIES ('x')")
     assert(!LogLake.tableProperties(dir).contains("x"))
   }
+
+  test("DESCRIBE HISTORY / DETAIL work on catalog identifiers and quoted paths") {
+    val db = freshDb()
+    spark.sql(s"""CREATE TABLE loglake.$db.h (k BIGINT, v STRING)
+                 | PARTITIONED BY (v) TBLPROPERTIES ('who' = 'me')""".stripMargin)
+    spark.sql(s"INSERT INTO loglake.$db.h VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    spark.sql(s"DELETE FROM loglake.$db.h WHERE v = 'b'")
+
+    val hist = spark.sql(s"DESCRIBE HISTORY loglake.$db.h")
+      .select("version", "operation", "numAddedRows", "numRemovedRows")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // newest first; v1 = CREATE TABLE (0 rows), v2 = insert, v3 = delete
+    assert(hist == Seq(
+      (3L, "delete", 0L, 1L),
+      (2L, "append", 3L, 0L),
+      (1L, "create", 0L, 0L)))
+    // the partition delete moved no data: zero files added
+    assert(spark.sql(s"DESC HISTORY loglake.$db.h")
+      .filter(col("operation") === "delete")
+      .select("numAddedFiles").as[Long].head() == 0L)
+
+    val det = spark.sql(s"DESCRIBE DETAIL loglake.$db.h").collect().head
+    assert(det.getAs[String]("format") == "loglake")
+    assert(det.getAs[Long]("version") == 3L)
+    assert(det.getAs[Long]("numRows") == 2L)
+    assert(det.getSeq[String](det.fieldIndex("partitionColumns")).toSeq == Seq("v"))
+    assert(det.getAs[Map[String, String]]("properties").get("who").contains("me"))
+
+    // quoted-path form resolves the same table
+    val loc = det.getAs[String]("location")
+    assert(spark.sql(s"DESCRIBE HISTORY '$loc'").count() == 3L)
+    // the delegating parser leaves stock DESCRIBE forms untouched
+    assert(spark.sql(s"DESCRIBE TABLE loglake.$db.h").count() > 0L)
+    val e = intercept[Exception] {
+      spark.sql("DESCRIBE HISTORY not_a_catalog.tbl")
+    }
+    assert(e.getMessage.contains("loglake"))
+  }
+
+  test("OPTIMIZE / VACUUM / RESTORE run as SQL on the commit log") {
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.m (k BIGINT, v STRING)")
+    // several small commits → several small files
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO loglake.$db.m VALUES ($i, 'r$i')"))
+    val opt = spark.sql(s"OPTIMIZE loglake.$db.m ZORDER BY (k)").collect().head
+    assert(opt.getAs[Long]("numFilesAfter") < opt.getAs[Long]("numFilesBefore"))
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.m")
+      .as[Long].head() == 4L)
+
+    // RESTORE rolls back to v2 (first insert) as a NEW commit — done
+    // BEFORE vacuum, while the old generation is still materialized
+    val res = spark.sql(
+      s"RESTORE TABLE loglake.$db.m TO VERSION AS OF 2").collect().head
+    assert(res.getAs[Long]("restoredVersion") == 2L)
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.m")
+      .as[Long].head() == 1L)
+    assert(spark.sql(s"DESCRIBE HISTORY loglake.$db.m")
+      .select("operation").as[String].head() == "restore")
+
+    // the restore orphaned the optimize generation + later inserts:
+    // DRY RUN names them, real VACUUM reclaims the same set, the
+    // active snapshot is unharmed
+    val dry = spark.sql(s"VACUUM loglake.$db.m RETAIN 0.0 HOURS DRY RUN")
+      .as[String].collect()
+    assert(dry.nonEmpty)
+    val swept = spark.sql(s"VACUUM loglake.$db.m RETAIN 0.0 HOURS")
+      .as[String].collect()
+    assert(swept.sorted.sameElements(dry.sorted))
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.m")
+      .as[Long].head() == 1L)
+
+    // and restoring INTO the reclaimed generation fails loudly — the
+    // Delta VACUUM-vs-RESTORE contract
+    val e = intercept[java.io.IOException] {
+      spark.sql(s"RESTORE TABLE loglake.$db.m TO VERSION AS OF 5")
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
 }
