@@ -1851,6 +1851,51 @@ object LogLake {
       }
   }
 
+  /** Epoch commit for the DSv2 streaming writer
+    * ([[LogLakeStreamingWrite]]): adopt the executor-spooled staging
+    * files as one exactly-once append. `files` is `(spool path, row
+    * count)`; zero-row spools are swept, a replayed txnId sweeps
+    * everything and no-ops. Unpartitioned tables adopt the spools
+    * directly (rename + the shared [[finishStaged]] stats/constraint
+    * pass — no second data write); partitioned tables re-cluster the
+    * epoch through [[append]] (epoch-volume cost, the layout
+    * invariant's price). */
+  private[sources] def commitSpooled(spark: SparkSession, dir: String,
+      files: Seq[(String, Long)], txnId: String): Long = {
+    val f = fs(dir)
+    def sweep(ps: Seq[(String, Long)]): Unit =
+      ps.foreach(p => f.delete(new Path(p._1), false))
+    replayedVersion(dir, txnId) match {
+      case Some(v) => sweep(files); return v
+      case None =>
+    }
+    val readV = currentVersion(dir)
+    require(readV > 0L, s"loglake: no table at $dir")
+    val (priorFiles, schema) = activeState(dir, Some(readV))
+    val (live, empty) = files.partition(_._2 > 0L)
+    sweep(empty)
+    if (live.isEmpty) return readV
+    if (partitionColumns(dir).nonEmpty) {
+      val df = scanLogical(spark, schema, live.map(_._1))
+      val v = append(spark, dir, df, txnId = txnId)
+      sweep(live)
+      return v
+    }
+    f.mkdirs(new Path(dir, DataDir))
+    val moved = live.map { case (p, _) =>
+      val src = new Path(p)
+      val dst = new Path(dir, s"$DataDir/${UUID.randomUUID()}.parquet")
+      val len = f.getFileStatus(src).getLen
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(s"loglake: could not move $src to $dst")
+      (dst, len, Map.empty[String, String])
+    }
+    val adds = finishStaged(spark, dir, moved, physSchema(schema),
+      schema.fieldNames.toIndexedSeq, physMap(schema),
+      inheritedStats(priorFiles, Nil, schema, schema))
+    commit(dir, "append", txnId, readV, schema.json, adds, Nil)
+  }
+
   // ------------------------------------------------------------ internals
 
   private def replayedVersion(dir: String, txnId: String): Option[Long] =
@@ -1975,16 +2020,31 @@ object LogLake {
         }
       }
     f.delete(staging, true)
+    finishStaged(spark, dir, moved, pdf.schema, df.columns.toIndexedSeq,
+      nameMap, statsCols)
+  }
+
+  /** Post-staging adoption, shared by [[writeData]] and the DSv2
+    * streaming writer: ONE metadata-sized aggregate over the staged
+    * files collects per-file stats AND validates every CHECK
+    * constraint (flags ride the stats aggregate as extra columns; only
+    * an actual violation pays a second, limit-1 read to name an
+    * offending row). Returns the AddFiles for the commit. */
+  private def finishStaged(spark: SparkSession, dir: String,
+      moved: Seq[(Path, Long, Map[String, String])], stagedSchema: StructType,
+      logicalCols: Seq[String], nameMap: Map[String, String],
+      statsCols: Seq[String]): Seq[AddFile] = {
+    val f = fs(dir)
     if (moved.isEmpty) return Seq.empty
 
     val constraints = checkConstraints(dir).toSeq.sortBy(_._1)
     // staged files carry physical names; surface the read under LOGICAL
     // names (constraint expressions and statsCols are logical) in the
     // same projection that captures the metadata file path
-    val read = spark.read.schema(pdf.schema)
+    val read = spark.read.schema(stagedSchema)
       .parquet(moved.map(_._1.toString): _*)
       .select(col("_metadata.file_path").as("__file") +:
-        df.columns.toIndexedSeq.map(c => col(nameMap.getOrElse(c, c)).as(c)): _*)
+        logicalCols.map(c => col(nameMap.getOrElse(c, c)).as(c)): _*)
     val aggs = count(lit(1)).as("__rows") +:
       (statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
         min(col(c)).as(s"__min_$i"), max(col(c)).as(s"__max_$i"),

@@ -260,7 +260,7 @@ final case class LogLakeV2Table(dir: String, asOf: Option[Long], identName: Stri
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   /** Fallback scan for sessions WITHOUT GraftExtensions (whose analyzer
     * rule swaps in the native pushdown relation before planning ever
@@ -289,6 +289,16 @@ final case class LogLakeV2Table(dir: String, asOf: Option[Long], identName: Stri
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
+        /** `df.writeStream.toTable(…)` — executor-spooled exactly-once
+          * epochs; see [[LogLakeStreamingWrite]]. */
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(asOf.isEmpty,
+            s"loglake: cannot stream into a time-travelled snapshot of $identName")
+          require(!overwrite,
+            s"loglake: streaming into $identName is append-only " +
+              "(complete/truncate output modes are not supported)")
+          new LogLakeStreamingWrite(dir, info.queryId(), info.schema())
+        }
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
