@@ -1785,6 +1785,64 @@ object LogLake {
     v
   }
 
+  /** DEEP CLONE: `dstDir` becomes an independent table whose v1
+    * manifest references COPIES of the source snapshot's data files
+    * and DV sidecars — stats, partition tuples, and deletion vectors
+    * carry over verbatim, so the clone serves the identical logical
+    * state with zero recompute. The copy fan-out runs ON THE EXECUTORS
+    * (one task per file; the driver ships only the manifest-sized copy
+    * plan), so a 100 TB clone is a cluster-parallel byte copy, never a
+    * driver pipe. Unlike [[cloneShallow]], VACUUM on the source can
+    * never break a deep clone — the Delta CLONE trade: full storage
+    * cost for full independence. */
+  def cloneDeep(spark: SparkSession, srcDir: String, dstDir: String,
+      asOf: Option[Long] = None): Long = {
+    require(currentVersion(dstDir) == 0L,
+      s"loglake: cannot clone into $dstDir — a table already exists there")
+    val (files, schema) = activeState(srcDir, asOf)
+    val fDst = fs(dstDir)
+    fDst.mkdirs(new Path(dstDir, DataDir))
+    if (files.exists(_.dv.nonEmpty)) fDst.mkdirs(new Path(dstDir, DvDir))
+    val plan: Seq[(String, String)] = files.flatMap { a =>
+      val dataCopy = resolvedPath(srcDir, a.path) ->
+        s"$DataDir/${UUID.randomUUID()}.parquet"
+      val dvCopy =
+        if (a.dv.isEmpty) None
+        else Some(resolvedPath(srcDir, a.dv) ->
+          s"$DvDir/${UUID.randomUUID()}.dv")
+      dataCopy :: dvCopy.toList
+    }
+    if (plan.nonEmpty) {
+      val conf = new SerHadoopConf(spark.sessionState.newHadoopConf())
+      val dst = dstDir
+      spark.sparkContext
+        .parallelize(plan, math.min(plan.size,
+          spark.sparkContext.defaultParallelism * 2).max(1))
+        .foreach { case (from, relTo) =>
+          val c = conf.value
+          val src = new Path(from)
+          val to = new Path(s"$dst/$relTo")
+          org.apache.hadoop.fs.FileUtil.copy(
+            src.getFileSystem(c), src, to.getFileSystem(c), to,
+            false, false, c)
+          ()
+        }
+    }
+    val renamed = plan.toMap
+    val adds = files.map { a =>
+      a.copy(path = renamed(resolvedPath(srcDir, a.path)),
+        dv = if (a.dv.isEmpty) "" else renamed(resolvedPath(srcDir, a.dv)))
+    }
+    val parts = partitionColumns(srcDir)
+    if (parts.nonEmpty) writePartitionSpec(dstDir, parts)
+    val v = commit(dstDir, "clone", "", 0L, schema.json, adds, Nil)
+    val cons = checkConstraints(srcDir)
+    if (cons.nonEmpty) publishConstraints(dstDir, _ ++ cons)
+    val props = tableProperties(srcDir)
+    if (props.nonEmpty) setTableProperties(dstDir, props)
+    v
+  }
+
   /** Physically delete data files no version ≤ the current one
     * references — rewritten/overwritten file generations and crashed
     * writers' orphans. Time travel to a version whose files were
@@ -2027,9 +2085,10 @@ object LogLake {
   /** Post-staging adoption, shared by [[writeData]] and the DSv2
     * streaming writer: ONE metadata-sized aggregate over the staged
     * files collects per-file stats AND validates every CHECK
-    * constraint (flags ride the stats aggregate as extra columns; only
-    * an actual violation pays a second, limit-1 read to name an
-    * offending row). Returns the AddFiles for the commit. */
+    * constraint and NOT NULL column invariant (flags ride the stats
+    * aggregate as extra columns; only an actual violation pays a
+    * second, limit-1 read to name an offending row). Returns the
+    * AddFiles for the commit. */
   private def finishStaged(spark: SparkSession, dir: String,
       moved: Seq[(Path, Long, Map[String, String])], stagedSchema: StructType,
       logicalCols: Seq[String], nameMap: Map[String, String],
@@ -2037,7 +2096,18 @@ object LogLake {
     val f = fs(dir)
     if (moved.isEmpty) return Seq.empty
 
-    val constraints = checkConstraints(dir).toSeq.sortBy(_._1)
+    // NOT NULL column invariants (Delta's): the TABLE schema's
+    // non-nullable fields validate like implicit CHECK constraints.
+    // For the first commit the staged schema IS the table schema; for
+    // every later write the committed schema governs — an incoming
+    // frame's own (usually all-nullable) flags don't weaken the table.
+    val tableNow =
+      if (currentVersion(dir) > 0L) activeState(dir)._2 else stagedSchema
+    val logicalSet = logicalCols.toSet
+    val notNull = tableNow.fields.toSeq
+      .filterNot(_.nullable).map(_.name).filter(logicalSet)
+    val constraints = checkConstraints(dir).toSeq.sortBy(_._1) ++
+      notNull.map(c => s"__notnull_$c" -> s"`$c` IS NOT NULL")
     // staged files carry physical names; surface the read under LOGICAL
     // names (constraint expressions and statsCols are logical) in the
     // same projection that captures the metadata file path

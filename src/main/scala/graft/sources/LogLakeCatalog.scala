@@ -68,7 +68,7 @@ class LogLakeCatalog extends TableCatalog with SupportsNamespaces {
 
   private def nsDir(ns: Array[String]): String =
     (warehouse +: ns.toSeq).mkString("/")
-  private def tableDir(ident: Identifier): String =
+  private[sources] def tableDir(ident: Identifier): String =
     (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
   private def isTable(dir: String): Boolean =
     fsys.exists(new Path(dir, LogLake.LogDir)) && LogLake.currentVersion(dir) > 0L

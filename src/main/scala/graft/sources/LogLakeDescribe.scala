@@ -40,6 +40,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+([0-9]+)\s*;?\s*""".r
   private val Convert =
     """(?is)\s*CONVERT\s+TO\s+LOGLAKE\s+(.+?)\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*CREATE\s+TABLE\s+(.+?)\s+(SHALLOW|DEEP)\s+CLONE\s+(.+?)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Hist(target) => LogLakeHistoryCommand(target.trim)
@@ -50,6 +52,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         .stripSuffix("`")).filter(_.nonEmpty))
     case Vac(target, retain, dry) => LogLakeVacuumCommand(target.trim,
       Option(retain).map(_.toDouble), dry != null)
+    case Clone(tgt, mode, src) => LogLakeCloneCommand(tgt.trim, src.trim,
+      mode.equalsIgnoreCase("deep"))
     case Convert(target) => LogLakeConvertCommand(target.trim)
     case _ => delegate.parsePlan(sqlText)
   }
@@ -113,6 +117,48 @@ private[sources] object DescribeTarget {
 
   def attrs(s: StructType): Seq[Attribute] =
     s.fields.toSeq.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+
+  /** Directory for a table identifier that need not exist yet (CLONE
+    * targets) — quoted path, or a loglake-catalog identifier mapped
+    * through the catalog's warehouse layout. */
+  def newTableDir(session: SparkSession, target: String): String = {
+    val t = target.trim
+    if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
+        (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
+      return t.substring(1, t.length - 1)
+    val parts = session.sessionState.sqlParser.parseMultipartIdentifier(t)
+    parts match {
+      case cat +: rest if rest.nonEmpty =>
+        try session.sessionState.catalogManager.catalog(cat) match {
+          case c: LogLakeCatalog =>
+            return c.tableDir(Identifier.of(rest.init.toArray, rest.last))
+          case _ =>
+        } catch { case _: Exception => }
+      case _ =>
+    }
+    throw new IllegalArgumentException(
+      s"loglake: CLONE target must be a loglake catalog identifier or a " +
+        s"quoted path, got '$target'")
+  }
+}
+
+/** `CREATE TABLE t [SHALLOW|DEEP] CLONE src` — Delta's CLONE DDL:
+  * SHALLOW references the source snapshot's files (metadata-only,
+  * instant, source VACUUM can break it); DEEP copies them
+  * executor-parallel into an independent table. */
+final case class LogLakeCloneCommand(target: String, source: String,
+    deep: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DescribeTarget.attrs(StructType(Seq(
+    StructField("version", LongType, nullable = false))))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = DescribeTarget.dir(session, source)
+    val dst = DescribeTarget.newTableDir(session, target)
+    val v =
+      if (deep) LogLake.cloneDeep(session, src, dst)
+      else LogLake.cloneShallow(session, src, dst)
+    Seq(Row(v))
+  }
 }
 
 /** `DESCRIBE HISTORY` — [[LogLake.historyDf]] rows, newest first. */

@@ -211,4 +211,32 @@ class LogLakeCatalogSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("vacuumed"))
   }
+
+  test("CREATE TABLE ... SHALLOW|DEEP CLONE in SQL") {
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.src (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO loglake.$db.src VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"CREATE TABLE loglake.$db.sh SHALLOW CLONE loglake.$db.src")
+    spark.sql(s"CREATE TABLE loglake.$db.dp DEEP CLONE loglake.$db.src")
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.sh").as[Long].head() == 2L)
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.dp").as[Long].head() == 2L)
+    // clones diverge independently
+    spark.sql(s"INSERT INTO loglake.$db.dp VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.src").as[Long].head() == 2L)
+    // plain CREATE TABLE is untouched by the clone grammar
+    spark.sql(s"CREATE TABLE loglake.$db.plain (k BIGINT)")
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.plain").as[Long].head() == 0L)
+  }
+
+  test("CREATE TABLE ... NOT NULL is enforced on INSERT") {
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.n (k BIGINT NOT NULL, v STRING)")
+    spark.sql(s"INSERT INTO loglake.$db.n VALUES (1, 'a')")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO loglake.$db.n VALUES (CAST(NULL AS BIGINT), 'x')")
+    }
+    // our staged-write invariant or Spark's own output resolver — either
+    // rejection is fine, but the row must not land
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.n").as[Long].head() == 1L)
+  }
 }

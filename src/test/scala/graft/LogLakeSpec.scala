@@ -779,4 +779,62 @@ class LogLakeSpec extends SparkTestBase {
       spark.range(500000L, n).filter(col("id") % 4 === 3L)
         .agg(sum(col("id"))).head().getLong(0))
   }
+
+  test("deep clone: independent copy, DVs carried, survives source vacuum") {
+    val src = tmp("dcl-src"); val dst = tmp("dcl-dst")
+    import spark.implicits._
+    val df = spark.range(0, 2000).select(col("id").as("k"),
+      concat(lit("r"), col("id")).as("v"))
+    LogLake.create(spark, src, df.repartition(4), statsCols = Seq("k"))
+    LogLake.delete(spark, src, col("k") === 99L, mor = true)
+    LogLake.cloneDeep(spark, src, dst)
+
+    // copied, not referenced: every manifest path is clone-local
+    val adds = LogLake.history(dst).head.adds
+    assert(adds.forall(a => a.path.startsWith("data/")))
+    assert(adds.exists(_.dv.nonEmpty), "the deletion vector copied too")
+    assert(adds.forall(a => a.dv.isEmpty || a.dv.startsWith("dv/")))
+    // stats carried verbatim — skipping works without a recompute
+    assert(adds.forall(_.stats.contains("k")))
+    assert(LogLake.snapshot(spark, dst).count() == 1999L)
+    assert(LogLake.snapshot(spark, dst).filter(col("k") === 99L).count() == 0L)
+
+    // the deep clone's defining property: source vacuum can't break it
+    LogLake.optimize(spark, src, 1) // orphans the source generation
+    LogLake.vacuum(src, olderThanMs = -1000L)
+    assert(LogLake.snapshot(spark, dst).count() == 1999L)
+  }
+
+  test("NOT NULL columns reject null writes; nothing commits") {
+    val dir = tmp("notnull")
+    // k: BIGINT from a product encoder — nullable = false in the schema
+    LogLake.create(spark, dir, kv(1L -> "a"))
+    assert(!LogLake.activeState(dir)._2("k").nullable)
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null, "x"), org.apache.spark.sql.Row(7L, "y")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val e = intercept[IllegalArgumentException] {
+      LogLake.append(spark, dir, withNull)
+    }
+    assert(e.getMessage.contains("IS NOT NULL"))
+    assert(e.getMessage.contains("nothing committed"))
+    assert(LogLake.currentVersion(dir) == 1L)
+    assert(LogLake.snapshot(spark, dir).count() == 1L)
+    // an UPDATE cannot null a NOT NULL column either
+    val e2 = intercept[IllegalArgumentException] {
+      LogLake.update(spark, dir, col("k") === 1L,
+        Map("k" -> lit(null).cast("long")))
+    }
+    assert(e2.getMessage.contains("IS NOT NULL"))
+    // nullable columns still take nulls freely
+    LogLake.append(spark, dir, spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(9L, null)),
+      LogLake.activeState(dir)._2))
+    assert(LogLake.snapshot(spark, dir).filter(col("v").isNull).count() == 1L)
+  }
 }
