@@ -1256,19 +1256,35 @@ object LogLake {
     }
     val touched = touchedFiles(spark, dir, files, schema, condition)
     if (touched.isEmpty) return readV // nothing matches — no commit
+    // write-time CDC (property-gated, like merge): record the deleted
+    // rows as change files so the feed never re-reads the rewritten /
+    // DV-masked generation. Cost: one extra scan of the touched files
+    // at write time + the change volume itself — the Delta CDF trade.
+    // (The partition metadata-only path above deliberately writes NO
+    // change files — it would read the dropped volume, defeating the
+    // zero-IO delete; its feed keeps the remove-entry diff, as Delta's
+    // does.)
+    def deleteCdc(): Seq[String] =
+      if (!cdfEnabled(dir)) Nil
+      else writeCdc(spark, dir,
+        readAdds(spark, dir, schema, touched)
+          .filter(coalesce(condition, lit(false)))
+          .withColumn("_change_type", lit("delete")), schema)
     if (mor) {
       // merge-on-read: write per-file deletion-vector sidecars instead
       // of rewriting data — a point delete in a 100 TB table touches
       // kilobytes; OPTIMIZE later materializes and purges the DVs
+      val cdc = deleteCdc()
       val (adds, removes) =
         attachDvs(spark, dir, schema, touched, coalesce(condition, lit(false)))
-      return commit(dir, "delete", txnId, readV, schema.json, adds, removes)
+      return commit(dir, "delete", txnId, readV, schema.json, adds, removes, cdc)
     }
+    val cdc = deleteCdc()
     val kept = readAdds(spark, dir, schema, touched)
       .filter(!coalesce(condition, lit(false))) // NULL-condition rows survive, as in SQL DELETE
     val adds = writeData(spark, dir, kept,
       inheritedStats(files, statsCols, schema, schema), physMap(schema))
-    commit(dir, "delete", txnId, readV, schema.json, adds, touched.map(_.path))
+    commit(dir, "delete", txnId, readV, schema.json, adds, touched.map(_.path), cdc)
   }
 
   /** Row-level UPDATE (copy-on-write): `set` maps existing columns to
@@ -1290,10 +1306,27 @@ object LogLake {
     val touched = touchedFiles(spark, dir, files, schema, condition)
     if (touched.isEmpty) return readV
     val hit = coalesce(condition, lit(false))
+    // write-time CDC (property-gated): pre-images are the matched rows
+    // as stored, post-images the same rows through the SET projection —
+    // exactly what the feed's diff would derive, but recorded once at
+    // write so CDC reads never touch the rewritten files
+    def updateCdc(): Seq[String] =
+      if (!cdfEnabled(dir)) Nil
+      else {
+        val pre = readAdds(spark, dir, schema, touched).filter(hit)
+        val post = pre.select(schema.fieldNames.toIndexedSeq.map { c =>
+          set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
+        }: _*)
+        writeCdc(spark, dir,
+          pre.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(post.withColumn("_change_type", lit("update_postimage"))),
+          schema)
+      }
     if (mor) {
       // merge-on-read: mask the old images with deletion vectors and
       // append only the updated rows as new files — write volume is
       // the MATCHED rows, not the touched files
+      val cdc = updateCdc()
       val updated = readAdds(spark, dir, schema, touched).filter(hit)
         .select(schema.fieldNames.toIndexedSeq.map { c =>
           set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
@@ -1302,8 +1335,9 @@ object LogLake {
         inheritedStats(files, statsCols, schema, schema), physMap(schema))
       val (dvAdds, removes) = attachDvs(spark, dir, schema, touched, hit)
       return commit(dir, "update", txnId, readV, schema.json,
-        dvAdds ++ newAdds, removes)
+        dvAdds ++ newAdds, removes, cdc)
     }
+    val cdc = updateCdc()
     val projected = schema.fieldNames.toIndexedSeq.map { c =>
       set.get(c) match {
         case Some(v) => when(hit, v).otherwise(col(c)).cast(
@@ -1315,7 +1349,7 @@ object LogLake {
       .select(projected: _*)
     val adds = writeData(spark, dir, rewritten,
       inheritedStats(files, statsCols, schema, schema), physMap(schema))
-    commit(dir, "update", txnId, readV, schema.json, adds, touched.map(_.path))
+    commit(dir, "update", txnId, readV, schema.json, adds, touched.map(_.path), cdc)
   }
 
   /** RESTORE the table to an earlier version as a NEW commit: files the
@@ -1484,7 +1518,7 @@ object LogLake {
     val byPhys = schema.fields.map(f => physName(f) -> f).toMap
     val partFields = partPhys.flatMap(byPhys.get)
     if (partFields.size != partPhys.size) return None
-    val refs = GraftBridge.expression(condition).collect {
+    val refs = GraftBridge.catalystExpression(condition).collect {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         a.nameParts.last
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>

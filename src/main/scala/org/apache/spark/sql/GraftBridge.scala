@@ -12,6 +12,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The FULLY-CONVERTED Catalyst tree of a Column. [[expression]]
+    * hands back a lazy `ColumnNodeExpression` wrapper whose `children`
+    * are empty — fine for embedding (the analyzer unwraps it later),
+    * silently wrong for tree INSPECTION: `collect`/`transform` see a
+    * leaf and find nothing. Any code walking a Column's tree (e.g. the
+    * partition-predicate classifier) must use this instead. */
+  def catalystExpression(c: Column): Expression =
+    classic.GraftNodeConverter.toCatalyst(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
   def analyzed(df: DataFrame): LogicalPlan =

@@ -162,6 +162,34 @@ class CdfMergeSpec extends SparkTestBase {
     assert(feed(dir, 1L, 2L).nonEmpty)
   }
 
+  test("DELETE and UPDATE also record change files under the property") {
+    val dir = tmp("dml")
+    LogLake.create(spark, dir, kv(1L -> "a", 2L -> "b", 3L -> "c"))
+    enableCdf(dir)
+    LogLake.delete(spark, dir, col("k") === 2L, mor = true)          // v2
+    LogLake.update(spark, dir, col("k") === 3L,
+      Map("v" -> lit("C")))                                          // v3
+    val h = LogLake.history(dir)
+    assert(h.filter(m => m.op == "delete" || m.op == "update")
+      .forall(_.cdc.nonEmpty))
+    assert(feed(dir, 1L, 2L) == Seq(("delete", 2L, "b")))
+    assert(feed(dir, 2L, 3L) == Seq(
+      ("update_postimage", 3L, "C"),
+      ("update_preimage", 3L, "c")))
+    // a partition metadata-only delete stays change-file-free (it
+    // would read the dropped volume); its feed keeps the remove diff
+    val pdir = tmp("pdml")
+    LogLake.create(spark, pdir,
+      Seq((1L, "x"), (2L, "y")).toDF("k", "part"),
+      partitionBy = Seq("part"))
+    enableCdf(pdir)
+    LogLake.delete(spark, pdir, col("part") === "x")
+    assert(LogLake.history(pdir).last.cdc.isEmpty)
+    assert(LogLake.changeFeed(spark, pdir, 1L, 2L)
+      .select("_change_type", "k").as[(String, Long)].collect().toSeq ==
+      Seq(("delete", 1L)))
+  }
+
   test("shallow clone carries table properties") {
     val src = tmp("clone-src"); val dst = tmp("clone-dst")
     LogLake.create(spark, src, kv(1L -> "a"))

@@ -80,6 +80,32 @@ class PartitionedTableSpec extends SparkTestBase {
       rows(sample(30).filter(col("status") === "A" && col("k") > 5)))
   }
 
+  test("partition DELETE reads zero data bytes (the metadata-only PROOF)") {
+    // the file-accounting test above is satisfiable by an accidental
+    // empty-rewrite too (all touched rows match ⇒ no new files); this
+    // pins the real invariant: the fast path never opens a data file.
+    // Regression guard for the lazy-ColumnNodeExpression classifier bug
+    // (tree inspection on the unconverted wrapper saw no attributes and
+    // silently routed every Column-API partition delete to the rewrite).
+    val dir = tmp("delproof")
+    LogLake.create(spark, dir, sample(30), partitionBy = Seq("status"))
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      LogLake.delete(spark, dir, col("status") === "B")
+      Thread.sleep(2000) // listener events drain asynchronously
+      assert(bytesRead.get() == 0L,
+        s"partition delete read ${bytesRead.get()} bytes — not metadata-only")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(rows(LogLake.snapshot(spark, dir)) ==
+      rows(sample(30).filter(col("status") =!= "B")))
+  }
+
   test("null partition values round-trip and NULL never matches a delete predicate") {
     val dir = tmp("nulls")
     val df = Seq((1L, "A", "x"), (2L, null, "y"), (3L, "B", "z"), (4L, null, "w"))
