@@ -692,6 +692,190 @@ object Advanced {
           ((max("px") - min("px") + 1) * (max("sx") - min("sx") + 1))
             .cast("long").as("bbox_area"))
         .orderBy("z_bucket")
+    },
+
+    // --- q132: PAGERANK over the nation trade graph (customer nation →
+    // supplier nation across every lineitem, plus a self-loop per
+    // nation so no node dangles), 3 unrolled power iterations at
+    // damping 0.85. ALL arithmetic is EXACT-INTEGER: scores live in
+    // 10^12 fixed-point micro-units and every step is integer
+    // division/multiplication, identically parenthesized in both
+    // engines — associative, shuffle-order-proof, hash-exact with zero
+    // float tolerance. Scale shape: each iteration is one equi-join of
+    // the edge list against a V-sized rank table + a partial+final sum
+    // by dst — the textbook distributed PageRank step (edges sharded,
+    // ranks broadcast-or-shuffled by key); iterations are a fixed
+    // unrolled count, no driver-side convergence loop.
+    Q(
+      "q132_pagerank",
+      """WITH nodes AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS v FROM nation
+        |), e0 AS (
+        |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+        |                  CAST(s.s_nationkey AS BIGINT) AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |), edges AS (
+        |  SELECT src, dst FROM e0 UNION SELECT v, v FROM nodes
+        |), outdeg AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+        |), p0 AS (
+        |  SELECT v, 1000000000000 // (SELECT COUNT(*) FROM nodes) AS p
+        |  FROM nodes
+        |), i1 AS (
+        |  SELECT n.v, 3 * (1000000000000 // (SELECT COUNT(*) FROM nodes)) // 20
+        |           + (17 * COALESCE(c.sc, 0)) // 20 AS p
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS v2, CAST(SUM(pp.p // d.deg) AS BIGINT) AS sc
+        |    FROM edges e JOIN p0 pp ON e.src = pp.v JOIN outdeg d ON e.src = d.src
+        |    GROUP BY e.dst
+        |  ) c ON n.v = c.v2
+        |), i2 AS (
+        |  SELECT n.v, 3 * (1000000000000 // (SELECT COUNT(*) FROM nodes)) // 20
+        |           + (17 * COALESCE(c.sc, 0)) // 20 AS p
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS v2, CAST(SUM(pp.p // d.deg) AS BIGINT) AS sc
+        |    FROM edges e JOIN i1 pp ON e.src = pp.v JOIN outdeg d ON e.src = d.src
+        |    GROUP BY e.dst
+        |  ) c ON n.v = c.v2
+        |), i3 AS (
+        |  SELECT n.v, 3 * (1000000000000 // (SELECT COUNT(*) FROM nodes)) // 20
+        |           + (17 * COALESCE(c.sc, 0)) // 20 AS p
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS v2, CAST(SUM(pp.p // d.deg) AS BIGINT) AS sc
+        |    FROM edges e JOIN i2 pp ON e.src = pp.v JOIN outdeg d ON e.src = d.src
+        |    GROUP BY e.dst
+        |  ) c ON n.v = c.v2
+        |)
+        |SELECT v AS nation, CAST(p AS BIGINT) AS pr
+        |FROM i3 ORDER BY nation""".stripMargin
+    ) { (s, d) =>
+      val nodes = nation(s, d).select(col("n_nationkey").cast("long").as("v"))
+      val e0 = lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+      val edges = e0
+        .unionByName(nodes.select(col("v").as("src"), col("v").as("dst")))
+        .distinct()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val n = nodes.count() // 25 nations at every SF — a tiny eager count
+      val base = 3L * (1000000000000L / n) / 20L
+      var pr = nodes.select(col("v"), lit(1000000000000L / n).as("p"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr.withColumnRenamed("v", "src"), Seq("src"))
+          .join(outdeg, Seq("src"))
+          .select(col("dst"), expr("p div deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("sc"))
+        pr = nodes.join(contrib, nodes("v") === contrib("dst"), "left")
+          .select(col("v"),
+            (lit(base) + expr("(17 * coalesce(sc, 0L)) div 20")).as("p"))
+      }
+      pr.select(col("v").as("nation"), col("p").cast("long").as("pr"))
+        .orderBy("nation")
+    },
+
+    // --- q133: SINGLE-SOURCE SHORTEST PATHS over the weighted nation
+    // trade graph — min-plus relaxation (distributed Bellman-Ford),
+    // 3 unrolled rounds from source nation 0. Edge weight = the
+    // cheapest single shipment between the two nations (MIN l_quantity,
+    // an exact integer), so distances stay in exact-integer arithmetic
+    // and hash bit-identically. Each round is one edges⋈dist equi-join
+    // + a min-by-dst — the scalable SSSP step (edges sharded by src,
+    // frontier shuffled by key); unreached nodes surface as NULL, and
+    // 3 rounds bound the path length exactly like the oracle's
+    // unrolling. The trade graph is near-complete, so 3 hops already
+    // stabilizes most of the frontier — the point is the operator
+    // shape, not a convergence loop.
+    Q(
+      "q133_shortest_path",
+      """WITH e0 AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+        |         CAST(s.s_nationkey AS BIGINT) AS dst,
+        |         CAST(MIN(l.l_quantity) AS BIGINT) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2
+        |), nodes AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS v FROM nation
+        |), d0 AS (
+        |  SELECT v, CASE WHEN v = 0 THEN CAST(0 AS BIGINT) ELSE NULL END AS dist
+        |  FROM nodes
+        |), d1 AS (
+        |  SELECT n.v, LEAST(COALESCE(n.dist, 9223372036854775807),
+        |                    COALESCE(r.nd, 9223372036854775807)) AS raw
+        |  FROM d0 n LEFT JOIN (
+        |    SELECT e.dst AS v2, MIN(p.dist + e.w) AS nd
+        |    FROM e0 e JOIN d0 p ON e.src = p.v WHERE p.dist IS NOT NULL
+        |    GROUP BY e.dst
+        |  ) r ON n.v = r.v2
+        |), d1n AS (
+        |  SELECT v, CASE WHEN raw = 9223372036854775807 THEN NULL ELSE raw END AS dist FROM d1
+        |), d2 AS (
+        |  SELECT n.v, LEAST(COALESCE(n.dist, 9223372036854775807),
+        |                    COALESCE(r.nd, 9223372036854775807)) AS raw
+        |  FROM d1n n LEFT JOIN (
+        |    SELECT e.dst AS v2, MIN(p.dist + e.w) AS nd
+        |    FROM e0 e JOIN d1n p ON e.src = p.v WHERE p.dist IS NOT NULL
+        |    GROUP BY e.dst
+        |  ) r ON n.v = r.v2
+        |), d2n AS (
+        |  SELECT v, CASE WHEN raw = 9223372036854775807 THEN NULL ELSE raw END AS dist FROM d2
+        |), d3 AS (
+        |  SELECT n.v, LEAST(COALESCE(n.dist, 9223372036854775807),
+        |                    COALESCE(r.nd, 9223372036854775807)) AS raw
+        |  FROM d2n n LEFT JOIN (
+        |    SELECT e.dst AS v2, MIN(p.dist + e.w) AS nd
+        |    FROM e0 e JOIN d2n p ON e.src = p.v WHERE p.dist IS NOT NULL
+        |    GROUP BY e.dst
+        |  ) r ON n.v = r.v2
+        |)
+        |SELECT v AS nation,
+        |       CASE WHEN raw = 9223372036854775807 THEN NULL
+        |            ELSE CAST(raw AS BIGINT) END AS dist
+        |FROM d3 ORDER BY nation""".stripMargin
+    ) { (s, d) =>
+      val inf = Long.MaxValue
+      val nodes = nation(s, d).select(col("n_nationkey").cast("long").as("v"))
+      val e0 = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_quantity")
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .agg(min(col("l_quantity")).cast("long").as("w"))
+      var dist = nodes.select(col("v"),
+        when(col("v") === 0L, lit(0L)).otherwise(lit(null).cast("long")).as("dist"))
+      for (_ <- 1 to 3) {
+        val relaxed = e0.join(
+            dist.filter(col("dist").isNotNull).withColumnRenamed("v", "src"),
+            Seq("src"))
+          .groupBy(col("dst").as("v2"))
+          .agg(min(col("dist") + col("w")).as("nd"))
+        dist = dist.join(relaxed, dist("v") === relaxed("v2"), "left")
+          .select(col("v"),
+            least(coalesce(col("dist"), lit(inf)), coalesce(col("nd"), lit(inf))).as("raw"))
+          .select(col("v"),
+            when(col("raw") === inf, lit(null).cast("long"))
+              .otherwise(col("raw")).as("dist"))
+      }
+      dist.select(col("v").as("nation"), col("dist"))
+        .orderBy("nation")
     }
   )
 }
