@@ -133,9 +133,16 @@ object LogLake {
     * set at write time. Never part of table state (checkpoints and
     * snapshots ignore them); consumed only by [[changeFeed]], which
     * falls back to the read-side diff when absent. */
+  /** `ts`: IN-COMMIT TIMESTAMP (Delta's inCommitTimestamps) — the
+    * commit wall-clock recorded INSIDE the manifest at publish,
+    * clamped monotonic (≥ parent + 1 ms). Time travel and the change
+    * feed read this instead of the manifest file's mtime, so commit
+    * time survives object-store clock skew, mtime-less stores, and
+    * file copies. `0` marks a pre-ICT manifest; readers fall back to
+    * mtime. */
   final case class Manifest(version: Long, op: String, txnId: String,
       readVersion: Long, schemaJson: String, adds: Seq[AddFile],
-      removes: Seq[String], cdc: Seq[String] = Nil)
+      removes: Seq[String], cdc: Seq[String] = Nil, ts: Long = 0L)
 
   /** Resolved state at `version`: active files, schema, and every
     * txnId committed up to it (for O(tail) replay detection). */
@@ -193,33 +200,46 @@ object LogLake {
   def currentVersion(dir: String): Long =
     listManifests(dir).lastOption.map(_._1).getOrElse(0L)
 
-  /** Timestamp-based time travel, the Delta rule: the greatest committed
-    * version whose manifest FILE's modification time is <= `tsMillis`
-    * (commit files are written once and never touched, so their mtime
-    * IS the commit time — no manifest-format change needed). One log
-    * directory listing resolves it; loud when `tsMillis` predates the
-    * first commit, naming the earliest available time. */
-  def versionAtTimestamp(dir: String, tsMillis: Long): Long = {
+  /** Commit wall-clock of version `v`: the manifest's IN-COMMIT
+    * timestamp when present (every commit since the ICT upgrade),
+    * otherwise the manifest file's mtime (pre-ICT manifests — written
+    * once and never touched, so mtime is the historical commit time).
+    * Both clocks are monotonic in version: ICT by the commit clamp,
+    * mtime because commits publish sequentially. */
+  private[sources] def commitTsOf(dir: String, v: Long): Long = {
     val f = fs(dir)
-    val lp = logPath(dir)
-    require(f.exists(lp), s"loglake: no table at $dir")
-    val commits = f.listStatus(lp).toSeq
-      .flatMap(s => if (s.isFile) numbered("", ".json")(s.getPath.getName)
-        .map(v => v -> s.getModificationTime) else None)
-    require(commits.nonEmpty, s"loglake: no table at $dir")
-    val eligible = commits.filter(_._2 <= tsMillis)
-    require(eligible.nonEmpty,
-      s"loglake: timestampAsOf $tsMillis predates the table — the first " +
-        s"commit at $dir is version ${commits.minBy(_._1)._1} " +
-        s"(${commits.minBy(_._2)._2})")
-    eligible.maxBy(_._1)._1
+    val p = versionFile(dir, v)
+    val m = readManifest(f, p)
+    if (m.ts > 0L) m.ts else f.getFileStatus(p).getModificationTime
   }
 
-  /** Commit wall-clock of `v`: the manifest file's mtime — the same
-    * clock [[versionAtTimestamp]] resolves time travel against. */
+  /** Timestamp-based time travel, the Delta rule: the greatest
+    * committed version whose commit timestamp ([[commitTsOf]] — ICT,
+    * mtime fallback) is <= `tsMillis`. Commit timestamps are monotonic
+    * in version, so a BINARY SEARCH over the version list resolves it
+    * in O(log versions) manifest reads — at 10⁶ commits that is ~20
+    * small-file reads, not a million parses. Loud when `tsMillis`
+    * predates the first commit, naming the earliest available time. */
+  def versionAtTimestamp(dir: String, tsMillis: Long): Long = {
+    val versions = listManifests(dir).map(_._1)
+    require(versions.nonEmpty, s"loglake: no table at $dir")
+    require(commitTsOf(dir, versions.head) <= tsMillis,
+      s"loglake: timestampAsOf $tsMillis predates the table — the first " +
+        s"commit at $dir is version ${versions.head} " +
+        s"(${commitTsOf(dir, versions.head)})")
+    var lo = 0
+    var hi = versions.size - 1
+    while (lo < hi) { // invariant: ts(versions(lo)) <= tsMillis
+      val mid = lo + (hi - lo + 1) / 2
+      if (commitTsOf(dir, versions(mid)) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    versions(lo)
+  }
+
+  /** Commit wall-clock of `v` — the same clock [[versionAtTimestamp]]
+    * resolves time travel against. */
   def commitTimestamp(dir: String, v: Long): java.sql.Timestamp =
-    new java.sql.Timestamp(
-      fs(dir).getFileStatus(versionFile(dir, v)).getModificationTime)
+    new java.sql.Timestamp(commitTsOf(dir, v))
 
   /** Manifests for versions in `(fromExcl, toIncl]` — the streaming
     * source's batch-planning read: parses only the range it needs. */
@@ -438,7 +458,8 @@ object LogLake {
       activeState(dir, Some(fromV))._1.foreach(a => state(a.path) = a)
     val steps = manifests.flatMap { case (v, p) =>
         val m = readManifest(f, p)
-        val ts = new java.sql.Timestamp(f.getFileStatus(p).getModificationTime)
+        val ts = new java.sql.Timestamp(
+          if (m.ts > 0L) m.ts else f.getFileStatus(p).getModificationTime)
         val prevEntries = m.removes.flatMap(state.get)
         m.removes.foreach(state.remove)
         m.adds.foreach(a => state(a.path) = a)
@@ -507,7 +528,8 @@ object LogLake {
     def live(a: AddFile): Long = a.rows - a.dvRows
     val rows = listManifests(dir).map { case (v, p) =>
       val m = readManifest(f, p)
-      val ts = new java.sql.Timestamp(f.getFileStatus(p).getModificationTime)
+      val ts = new java.sql.Timestamp(
+        if (m.ts > 0L) m.ts else f.getFileStatus(p).getModificationTime)
       val removedEntries = m.removes.flatMap(state.get)
       m.removes.foreach(state.remove)
       m.adds.foreach(a => state(a.path) = a)
@@ -2242,9 +2264,14 @@ object LogLake {
         throw new java.io.IOException(
           s"loglake: create raced with another writer — table now at version $cur")
       val v = cur + 1
+      // in-commit timestamp, clamped monotonic against the parent so
+      // timestamp time travel stays well-ordered even under clock skew
+      val ts =
+        if (cur == 0L) System.currentTimeMillis()
+        else math.max(System.currentTimeMillis(), commitTsOf(dir, cur) + 1L)
       if (casPublish(f, dir, v,
         renderManifest(Manifest(v, op, txnId, readVersion, schemaJson, adds,
-          removes, cdc)))) {
+          removes, cdc, ts)))) {
         if (v % CheckpointInterval == 0) writeCheckpoint(dir, v)
         return v
       }
@@ -2400,6 +2427,7 @@ object LogLake {
       val c = root.putArray("cdc")
       m.cdc.foreach(c.add)
     }
+    if (m.ts > 0L) root.put("ts", m.ts)
     root.toString
   }
 
@@ -2411,7 +2439,8 @@ object LogLake {
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     Manifest(n.get("version").asLong(), n.get("op").asText(), n.get("txnId").asText(),
       n.get("readVersion").asLong(), n.get("schema").asText(),
-      parseAdds(n, "adds"), removes, cdc)
+      parseAdds(n, "adds"), removes, cdc,
+      Option(n.get("ts")).map(_.asLong()).getOrElse(0L))
   }
 
   // ------------------------------------------- checkpoint streaming I/O

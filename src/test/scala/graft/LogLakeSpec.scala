@@ -805,6 +805,42 @@ class LogLakeSpec extends SparkTestBase {
     assert(LogLake.snapshot(spark, dst).count() == 1999L)
   }
 
+  test("in-commit timestamps: monotonic, drive time travel, mtime fallback for old manifests") {
+    val dir = tmp("ict")
+    LogLake.create(spark, dir, kv(1L -> "a"))
+    LogLake.append(spark, dir, kv(2L -> "b"))
+    LogLake.append(spark, dir, kv(3L -> "c"))
+    val ts = (1L to 3L).map(v => LogLake.commitTimestamp(dir, v).getTime)
+    assert(ts == ts.sorted && ts.distinct == ts, s"not strictly monotonic: $ts")
+    // the manifests carry the timestamp (not mtime-derived)
+    assert(LogLake.history(dir).forall(_.ts > 0L))
+    assert(LogLake.history(dir).map(_.ts) == ts)
+    // timestampAsOf resolves by the in-commit clock (binary search)
+    assert(LogLake.versionAtTimestamp(dir, ts(1)) == 2L)
+    assert(LogLake.versionAtTimestamp(dir, ts(1) - 1L) == 1L)
+    assert(LogLake.versionAtTimestamp(dir, ts(2) + 1000L) == 3L)
+    intercept[IllegalArgumentException] {
+      LogLake.versionAtTimestamp(dir, ts(0) - 1000L)
+    }
+    // pre-ICT manifest (no ts field): readers fall back to file mtime
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sessionState.newHadoopConf())
+    val p2 = new org.apache.hadoop.fs.Path(dir, f"_loglake/${2L}%020d.json")
+    val stripped = graft.sources.WireLog.readSmallFile(f, p2).get
+      .replaceAll(""","ts":\d+""", "")
+    f.delete(p2, false)
+    val out = f.create(p2, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    assert(LogLake.history(dir)(1).ts == 0L)
+    assert(LogLake.commitTimestamp(dir, 2L).getTime ==
+      f.getFileStatus(p2).getModificationTime)
+    // change feed timestamps ride the same clock
+    val cdf = LogLake.changeFeed(spark, dir, 0L, 3L)
+      .select("_commit_version", "_commit_timestamp").distinct()
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(cdf(1L) == ts(0) && cdf(3L) == ts(2))
+  }
+
   test("NOT NULL columns reject null writes; nothing commits") {
     val dir = tmp("notnull")
     // k: BIGINT from a product encoder — nullable = false in the schema
