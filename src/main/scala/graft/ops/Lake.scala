@@ -997,6 +997,39 @@ object Lake {
         .unionByName(leg("range",
           LogLake.scanRange(s, dir, "o_orderkey", null, 3000L)))
         .orderBy("leg", "o_orderstatus")
+    },
+
+    // --- q134: GENERATED PARTITION COLUMN (Delta's GENERATED ALWAYS
+    // AS + generated-partition pattern). The table declares
+    // `o_year = year(o_orderdate)` and partitions by it; the writer
+    // supplies only the NATURAL columns — the engine derives the
+    // partition key at write, clusters one file per year, and a later
+    // partition-predicate DELETE on the derived column drops whole
+    // files metadata-only. This is the canonical warehouse layout at
+    // 100 TB (daily/yearly partition dropping with zero data IO) where
+    // the pipeline never computes its own partition key — the table
+    // contract does. The oracle derives the same end state from raw
+    // orders.
+    Q(
+      "q134_loglake_generated",
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE year(o_orderdate) <> 1995
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q134")
+      val ord = orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice")
+      val schema = ord.withColumn("o_year", year(col("o_orderdate"))).schema
+      LogLake.createEmpty(dir, schema, partitionBy = Seq("o_year"))     // v1
+      LogLake.setGeneratedColumn(s, dir, "o_year", "year(o_orderdate)")
+      LogLake.append(s, dir, ord)          // v2: o_year derived + clustered
+      LogLake.delete(s, dir, col("o_year") === 1995)  // v3: metadata-only
+      LogLake.snapshot(s, dir)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_year")
     }
   )
 }

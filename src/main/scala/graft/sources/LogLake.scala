@@ -1129,7 +1129,7 @@ object LogLake {
       }
   }
 
-  private def write(spark: SparkSession, dir: String, df: DataFrame, op: String,
+  private def write(spark: SparkSession, dir: String, df0: DataFrame, op: String,
       statsCols: Seq[String], txnId: String): Long = {
     replayedVersion(dir, txnId) match {
       case Some(v) => return v
@@ -1140,6 +1140,16 @@ object LogLake {
       s"loglake: cannot create — table already exists at $dir (version $readV)")
     val (priorFiles, priorSchema): (Seq[AddFile], StructType) =
       if (readV > 0L) activeState(dir, Some(readV)) else (Seq.empty, null)
+    // GENERATED columns absent from the incoming frame are computed
+    // here (Delta's GENERATED ALWAYS AS); frames that DO carry them
+    // are validated by the staged-file pass instead
+    val df =
+      if (readV == 0L) df0
+      else generatedColumns(dir).foldLeft(df0) { case (d, (c, e)) =>
+        if (d.columns.contains(c)) d
+        else priorSchema.fields.find(_.name == c)
+          .map(f => d.withColumn(c, expr(e).cast(f.dataType))).getOrElse(d)
+      }
     val schemaJson =
       if (op == "append" && readV > 0L) evolvedSchema(priorSchema, df.schema, dir)
       else df.schema.json
@@ -1328,6 +1338,15 @@ object LogLake {
     val touched = touchedFiles(spark, dir, files, schema, condition)
     if (touched.isEmpty) return readV
     val hit = coalesce(condition, lit(false))
+    // GENERATED columns not explicitly SET regenerate AFTER the user
+    // projection — an UPDATE that moves a dependency column keeps the
+    // derived column consistent without the caller spelling it out
+    // (Delta's UPDATE regeneration rule)
+    val regenCols = generatedColumns(dir)
+      .filter { case (c, _) => !set.contains(c) && schema.fieldNames.contains(c) }
+    def regen(d: DataFrame): DataFrame = regenCols.foldLeft(d) {
+      case (acc, (c, e)) => acc.withColumn(c, expr(e).cast(schema(c).dataType))
+    }
     // write-time CDC (property-gated): pre-images are the matched rows
     // as stored, post-images the same rows through the SET projection —
     // exactly what the feed's diff would derive, but recorded once at
@@ -1336,9 +1355,9 @@ object LogLake {
       if (!cdfEnabled(dir)) Nil
       else {
         val pre = readAdds(spark, dir, schema, touched).filter(hit)
-        val post = pre.select(schema.fieldNames.toIndexedSeq.map { c =>
+        val post = regen(pre.select(schema.fieldNames.toIndexedSeq.map { c =>
           set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
-        }: _*)
+        }: _*))
         writeCdc(spark, dir,
           pre.withColumn("_change_type", lit("update_preimage"))
             .unionByName(post.withColumn("_change_type", lit("update_postimage"))),
@@ -1349,10 +1368,10 @@ object LogLake {
       // append only the updated rows as new files — write volume is
       // the MATCHED rows, not the touched files
       val cdc = updateCdc()
-      val updated = readAdds(spark, dir, schema, touched).filter(hit)
+      val updated = regen(readAdds(spark, dir, schema, touched).filter(hit)
         .select(schema.fieldNames.toIndexedSeq.map { c =>
           set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
-        }: _*)
+        }: _*))
       val newAdds = writeData(spark, dir, updated,
         inheritedStats(files, statsCols, schema, schema), physMap(schema))
       val (dvAdds, removes) = attachDvs(spark, dir, schema, touched, hit)
@@ -1367,8 +1386,8 @@ object LogLake {
         case None => col(c)
       }
     }
-    val rewritten = readAdds(spark, dir, schema, touched)
-      .select(projected: _*)
+    val rewritten = regen(readAdds(spark, dir, schema, touched)
+      .select(projected: _*))
     val adds = writeData(spark, dir, rewritten,
       inheritedStats(files, statsCols, schema, schema), physMap(schema))
     commit(dir, "update", txnId, readV, schema.json, adds, touched.map(_.path), cdc)
@@ -1420,13 +1439,21 @@ object LogLake {
     }.toSet
 
   private def requireNoConstraintRef(spark: SparkSession, dir: String,
-      column: String, ddl: String): Unit =
+      column: String, ddl: String): Unit = {
     checkConstraints(dir).foreach { case (n, e) =>
       require(!constraintRefs(spark, e)
         .contains(column.toLowerCase(java.util.Locale.ROOT)),
         s"loglake: cannot $ddl column $column — CHECK constraint `$n` ($e) " +
           s"references it; drop the constraint first")
     }
+    generatedColumns(dir).foreach { case (c, e) =>
+      require(!c.equalsIgnoreCase(column) &&
+        !constraintRefs(spark, e)
+          .contains(column.toLowerCase(java.util.Locale.ROOT)),
+        s"loglake: cannot $ddl column $column — generated column `$c` ($e) " +
+          s"depends on it; drop the generation rule first")
+    }
+  }
 
   /** Upgrade every field to an EXPLICIT physical name (identity for
     * fields that never had one) — mapping activation, done by the first
@@ -1758,6 +1785,53 @@ object LogLake {
 
   private[sources] def cdfEnabled(dir: String): Boolean =
     tableProperties(dir).get("loglake.enableChangeDataFeed").exists(_.toBoolean)
+
+  // ------------------------------------------------ generated columns
+
+  private val GenPrefix = "loglake.generated."
+
+  /** GENERATED columns (Delta's `GENERATED ALWAYS AS`): logical column
+    * name → generation expression SQL, stored as table properties.
+    * Writes that omit the column get it COMPUTED (append/overwrite
+    * paths, incl. the DSv1 sink); UPDATE regenerates it after the SET
+    * projection; writes that carry it are VALIDATED on the fused
+    * staged-file pass (null-safe equality — the same loud-reject
+    * contract as CHECK constraints). Partitioning by a generated
+    * column gives Delta's generated-partition pattern: callers write
+    * the natural columns, the engine derives the partition key. */
+  def generatedColumns(dir: String): Map[String, String] =
+    tableProperties(dir).collect {
+      case (k, v) if k.startsWith(GenPrefix) => k.stripPrefix(GenPrefix) -> v
+    }
+
+  /** Define `column` as generated by `exprSql`. The column must exist
+    * in the schema, the expression must parse and must not reference
+    * the column itself, and the CURRENT table contents must already
+    * satisfy it (one snapshot scan — the add-time rule CHECK
+    * constraints use). */
+  def setGeneratedColumn(spark: SparkSession, dir: String,
+      column: String, exprSql: String): Unit = {
+    val schema = activeState(dir)._2
+    require(schema.fieldNames.contains(column),
+      s"loglake: cannot generate unknown column $column (table has " +
+        s"${schema.fieldNames.mkString(", ")})")
+    require(!constraintRefs(spark, exprSql).exists(_.equalsIgnoreCase(column)),
+      s"loglake: generation expression for $column references itself ($exprSql)")
+    val snap = snapshot(spark, dir)
+    val bad = snap.filter(s"NOT (`$column` <=> CAST(($exprSql) AS " +
+      s"${schema(column).dataType.sql}))").limit(1).collect()
+    require(bad.isEmpty,
+      s"loglake: cannot set generated column `$column` = ($exprSql) — " +
+        s"existing data diverges, e.g. ${bad.headOption.getOrElse("")}")
+    setTableProperties(dir, Map(GenPrefix + column -> exprSql))
+  }
+
+  def dropGeneratedColumn(dir: String, column: String): Unit = {
+    require(generatedColumns(dir).contains(column),
+      s"loglake: no generated column `$column` at $dir (have: " +
+        s"${generatedColumns(dir).keys.toSeq.sorted.mkString(", ")})")
+    unsetTableProperties(dir, Seq(GenPrefix + column))
+  }
 
   private def readFully(f: FileSystem, p: Path): Array[Byte] = {
     val in = f.open(p)
@@ -2162,8 +2236,16 @@ object LogLake {
     val logicalSet = logicalCols.toSet
     val notNull = tableNow.fields.toSeq
       .filterNot(_.nullable).map(_.name).filter(logicalSet)
+    // generated-column invariants ride the same pass: a frame that
+    // CARRIES a generated column must agree with its expression
+    // (null-safe, cast to the declared type)
+    val genCons = generatedColumns(dir).toSeq.sortBy(_._1)
+      .filter { case (c, _) =>
+        logicalSet(c) && tableNow.fieldNames.contains(c) }
+      .map { case (c, e) => s"__generated_$c" ->
+        s"`$c` <=> CAST(($e) AS ${tableNow(c).dataType.sql})" }
     val constraints = checkConstraints(dir).toSeq.sortBy(_._1) ++
-      notNull.map(c => s"__notnull_$c" -> s"`$c` IS NOT NULL")
+      notNull.map(c => s"__notnull_$c" -> s"`$c` IS NOT NULL") ++ genCons
     // staged files carry physical names; surface the read under LOGICAL
     // names (constraint expressions and statsCols are logical) in the
     // same projection that captures the metadata file path
