@@ -473,17 +473,24 @@ object LogLake {
         // (fingerprint-pinned in spec), so its diff is a guaranteed-empty
         // result that would still READ the whole rewritten volume twice.
         // Skip the diff, keep the state walk. Delta's CDF does the same.
-        if (m.cdc.nonEmpty)
+        if (m.cdc.nonEmpty) {
           // write-time CDC recorded — serve the writer's labeled rows
           // (read cost: the change volume itself, never the rewritten
           // files). Change files carry PHYSICAL names; scanLogical on
           // the schema + _change_type translates and null-fills columns
-          // added after the commit, same as every evolved read.
+          // added after the commit, same as every evolved read. A
+          // vacuumed change file fails loudly (the feed-past-retention
+          // contract), not as an opaque scan error.
+          m.cdc.find(p => !f.exists(new Path(dir, p))).foreach(p =>
+            throw new java.io.IOException(
+              s"loglake: cannot read the change feed at version $v — " +
+                s"change file $p has been vacuumed"))
           Some(scanLogical(spark, StructType(schema.fields :+
               StructField("_change_type", StringType, nullable = true)),
               m.cdc.map(p => resolvedPath(dir, p)))
             .withColumn("_commit_version", lit(v))
             .withColumn("_commit_timestamp", lit(ts)))
+        }
         else if (m.op == "optimize") None
         else if (m.adds.isEmpty && m.removes.isEmpty) None // schema-only DDL commit
         else if (m.removes.isEmpty)
@@ -1145,11 +1152,12 @@ object LogLake {
     // are validated by the staged-file pass instead
     val df =
       if (readV == 0L) df0
-      else generatedColumns(dir).foldLeft(df0) { case (d, (c, e)) =>
-        if (d.columns.contains(c)) d
-        else priorSchema.fields.find(_.name == c)
-          .map(f => d.withColumn(c, expr(e).cast(f.dataType))).getOrElse(d)
-      }
+      else assignIdentity(spark, dir,
+        generatedColumns(dir).foldLeft(df0) { case (d, (c, e)) =>
+          if (d.columns.contains(c)) d
+          else priorSchema.fields.find(_.name == c)
+            .map(f => d.withColumn(c, expr(e).cast(f.dataType))).getOrElse(d)
+        })
     val schemaJson =
       if (op == "append" && readV > 0L) evolvedSchema(priorSchema, df.schema, dir)
       else df.schema.json
@@ -1833,6 +1841,86 @@ object LogLake {
     unsetTableProperties(dir, Seq(GenPrefix + column))
   }
 
+  // ------------------------------------------------- identity columns
+
+  private val IdPrefix = "loglake.identity."
+
+  /** IDENTITY columns (Delta's `GENERATED ALWAYS AS IDENTITY`):
+    * `column` (BIGINT) is auto-assigned on append/overwrite from a
+    * CAS-advanced HIGH-WATER MARK stored in the property store — each
+    * write RESERVES its range first (read-modify-write through the
+    * same CAS publication as every property change), so concurrent
+    * appends get disjoint ranges; a write that reserves and then fails
+    * burns its range (gaps, never duplicates — the Delta contract).
+    * ALWAYS semantics: a frame that carries the column is rejected.
+    * Cost: the incoming frame is persisted and row-indexed (one extra
+    * pass over the EPOCH's volume, never the table's). */
+  def identityColumns(dir: String): Map[String, (Long, Long)] =
+    tableProperties(dir).collect {
+      case (k, v) if k.startsWith(IdPrefix) && k.endsWith(".step") =>
+        k.stripPrefix(IdPrefix).stripSuffix(".step") -> v.toLong
+    }.map { case (c, step) =>
+      c -> (tableProperties(dir).getOrElse(IdPrefix + c + ".hwm", "0").toLong, step)
+    }
+
+  def setIdentityColumn(dir: String, column: String, start: Long = 1L,
+      step: Long = 1L): Unit = {
+    val schema = activeState(dir)._2
+    require(schema.fieldNames.contains(column),
+      s"loglake: cannot make unknown column $column an identity column")
+    require(schema(column).dataType == LongType,
+      s"loglake: identity column $column must be BIGINT, is " +
+        schema(column).dataType.simpleString)
+    require(step != 0L, "loglake: identity step must be non-zero")
+    require(!generatedColumns(dir).contains(column),
+      s"loglake: $column already has a generation expression")
+    setTableProperties(dir, Map(
+      IdPrefix + column + ".step" -> step.toString,
+      IdPrefix + column + ".hwm" -> (start - step).toString))
+  }
+
+  /** CAS-reserve `n` identity values for `column`; returns the first. */
+  private def reserveIdentity(dir: String, column: String, n: Long): Long = {
+    val stepKey = IdPrefix + column + ".step"
+    val hwmKey = IdPrefix + column + ".hwm"
+    var first = 0L
+    publishKv(dir, "properties", { props =>
+      val step = props(stepKey).toLong
+      val hwm = props(hwmKey).toLong
+      first = hwm + step
+      props + (hwmKey -> (hwm + step * n).toString)
+    })
+    first
+  }
+
+  /** Assign identity values to columns the incoming frame omits; loud
+    * if the frame carries one (ALWAYS semantics). */
+  private def assignIdentity(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    val ids = identityColumns(dir)
+    if (ids.isEmpty) return df
+    ids.keys.filter(df.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"loglake: $c is GENERATED ALWAYS AS IDENTITY — writes cannot " +
+          "supply it"))
+    // one persisted row-indexing pass over the epoch; each identity
+    // column rides the same index against its own reserved range
+    val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val schema = df.schema
+      val indexed = persisted.rdd.zipWithIndex()
+      val n = persisted.count()
+      val withIdx = spark.createDataFrame(
+        indexed.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        StructType(schema.fields :+ StructField("__idx", LongType, nullable = false)))
+      ids.foldLeft(withIdx) { case (d, (c, (_, step))) =>
+        val first = reserveIdentity(dir, c, n)
+        d.withColumn(c, lit(first) + lit(step) * col("__idx"))
+      }.drop("__idx")
+        .localCheckpoint(true) // materialize before unpersisting the input
+    } finally persisted.unpersist()
+  }
+
   private def readFully(f: FileSystem, p: Path): Array[Byte] = {
     val in = f.open(p)
     try {
@@ -1997,6 +2085,22 @@ object LogLake {
           s"$sub/${s.getPath.getName}"
         }
     }
+    // change-data files age out like data generations (Delta vacuums
+    // _change_data the same way): a cdc file whose commit passed the
+    // horizon is reclaimable — the feed past retention fails loudly
+    // (changeFeed checks existence before reading). Unlike data files
+    // there is no "active" set: every cdc file belongs to exactly one
+    // historical commit, so age alone decides.
+    val cdcSwept: Seq[String] = {
+      val cd = new Path(dir, CdcDir)
+      if (!f.exists(cd)) Seq.empty
+      else f.listStatus(cd).toSeq
+        .filter(s => s.isFile && s.getModificationTime < cutoff)
+        .map { s =>
+          if (!dryRun) f.delete(s.getPath, false)
+          s"$CdcDir/${s.getPath.getName}"
+        }
+    }
     // root-level *.parquet: CONVERTed originals live beside _loglake/;
     // once a rewrite retires one from the manifest it is reclaimable
     // like any data/ generation (skip _/.-prefixed marker files)
@@ -2014,7 +2118,7 @@ object LogLake {
       }
     sweep(DataDir, state.map(a => new Path(a.path).getName).toSet) ++
       sweep(DvDir, state.filter(_.dv.nonEmpty)
-        .map(a => new Path(a.dv).getName).toSet) ++ rootOrphans
+        .map(a => new Path(a.dv).getName).toSet) ++ cdcSwept ++ rootOrphans
   }
 
   /** Exactly-once streaming append: each micro-batch commits as ONE

@@ -147,19 +147,26 @@ class CdfMergeSpec extends SparkTestBase {
     assert(got.contains(("insert", 9L, "z")))
   }
 
-  test("vacuum never sweeps change files") {
+  test("change files age out with vacuum retention; the feed past it fails loudly") {
     val dir = tmp("vacuum")
     LogLake.create(spark, dir, kv(1L -> "a", 2L -> "b"))
     enableCdf(dir)
     LogLake.merge(spark, dir, kv(2L -> "B"), Seq("k"))
     val cdc = LogLake.history(dir).last.cdc
     assert(cdc.nonEmpty)
-    LogLake.vacuum(dir, olderThanMs = -1000L) // everything is "old enough"
     val f = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI("file:///"), spark.sessionState.newHadoopConf())
-    cdc.foreach(p => assert(f.exists(new Path(dir, p)), s"vacuumed $p"))
-    // and the feed still serves
+    // inside the retention window: untouched, feed serves
+    LogLake.vacuum(dir) // default 7-day horizon
+    cdc.foreach(p => assert(f.exists(new Path(dir, p)), s"vacuumed $p early"))
     assert(feed(dir, 1L, 2L).nonEmpty)
+    // past the horizon: reclaimed (dry run names it first), feed loud
+    val dry = LogLake.vacuum(dir, olderThanMs = -1000L, dryRun = true)
+    assert(cdc.forall(dry.contains))
+    LogLake.vacuum(dir, olderThanMs = -1000L)
+    cdc.foreach(p => assert(!f.exists(new Path(dir, p))))
+    val e = intercept[java.io.IOException] { feed(dir, 1L, 2L) }
+    assert(e.getMessage.contains("vacuumed"))
   }
 
   test("DELETE and UPDATE also record change files under the property") {
