@@ -241,6 +241,26 @@ object LogLake {
   def commitTimestamp(dir: String, v: Long): java.sql.Timestamp =
     new java.sql.Timestamp(commitTsOf(dir, v))
 
+  /** Human/machine timestamp forms accepted by every time-travel
+    * surface: epoch millis, ISO-8601 instant, local date-time (space or
+    * T), or a plain date (midnight UTC). Parse failures name the
+    * accepted shapes, never leak a raw parse error. */
+  def parseTimestampMillis(t: String): Long =
+    t.toLongOption.getOrElse(
+      try java.time.Instant.parse(t).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDate.parse(t).atStartOfDay(
+            java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+          catch { case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"loglake: timestamp '$t' is not epoch millis, an " +
+                "ISO-8601 instant (2026-01-01T00:00:00Z), a local " +
+                "date-time (2026-01-01 00:00:00), or a date (2026-01-01)")
+          } } })
+
   /** Manifests for versions in `(fromExcl, toIncl]` — the streaming
     * source's batch-planning read: parses only the range it needs. */
   private[sources] def manifestRange(dir: String, fromExcl: Long,
@@ -1641,13 +1661,26 @@ object LogLake {
     * size (Delta's minFileSize bin-packing rule). */
   def optimize(spark: SparkSession, dir: String, numFiles: Int,
       zorderCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
-      txnId: String = "", onlySmallerThan: Long = 0L): Long = {
+      txnId: String = "", onlySmallerThan: Long = 0L,
+      where: Option[Column] = None): Long = {
     replayedVersion(dir, txnId) match {
       case Some(v) => return v
       case None =>
     }
     val readV = currentVersion(dir)
-    val (active, schema) = activeState(dir, Some(readV))
+    val (active0, schema) = activeState(dir, Some(readV))
+    // OPTIMIZE WHERE scopes maintenance to a partition region (Delta's
+    // rule: partition predicates only — the point is to bound the
+    // rewrite to named partitions, and only a partition predicate maps
+    // exactly onto whole files from the manifest alone)
+    val active = where match {
+      case None => active0
+      case Some(cond) =>
+        partitionOnlyMatches(spark, dir, active0, schema, cond).getOrElse(
+          throw new IllegalArgumentException(
+            "loglake: OPTIMIZE ... WHERE supports predicates over " +
+              "partition columns only"))
+    }
     // unknown size (pre-`bytes` manifests) counts as small — compacting
     // a legacy file is always safe, skipping it silently is not
     val files =

@@ -21,8 +21,10 @@ import org.apache.spark.sql.types._
   * DESCRIBE HISTORY '/path/to/t'               -- same, by table path
   * DESCRIBE DETAIL  loglake.db.t               -- one-row snapshot summary
   * OPTIMIZE loglake.db.t ZORDER BY (a, b)      -- incremental compaction
+  * OPTIMIZE loglake.db.t WHERE part = 'x'      -- partition-scoped
   * VACUUM loglake.db.t RETAIN 0.0 HOURS DRY RUN
   * RESTORE TABLE loglake.db.t TO VERSION AS OF 3
+  * RESTORE TABLE loglake.db.t TO TIMESTAMP AS OF '2026-01-01'
   * ```
   *
   * The audit statements are manifest-sized at any table scale — the
@@ -33,11 +35,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Hist = """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*""".r
   private val Detail = """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*""".r
   private val Optim =
-    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val Vac =
     """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+([0-9]+)\s*;?\s*""".r
+  private val RestoreTs =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val Convert =
     """(?is)\s*CONVERT\s+TO\s+LOGLAKE\s+(.+?)\s*;?\s*""".r
   private val Clone =
@@ -47,9 +51,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Hist(target) => LogLakeHistoryCommand(target.trim)
     case Detail(target) => LogLakeDetailCommand(target.trim)
     case Restore(target, v) => LogLakeRestoreCommand(target.trim, v.toLong)
-    case Optim(target, zorder) => LogLakeOptimizeCommand(target.trim,
+    case RestoreTs(target, t) => LogLakeRestoreTimestampCommand(target.trim, t)
+    case Optim(target, where, zorder) => LogLakeOptimizeCommand(target.trim,
       Option(zorder).toSeq.flatMap(_.split(',')).map(_.trim.stripPrefix("`")
-        .stripSuffix("`")).filter(_.nonEmpty))
+        .stripSuffix("`")).filter(_.nonEmpty), Option(where).map(_.trim))
     case Vac(target, retain, dry) => LogLakeVacuumCommand(target.trim,
       Option(retain).map(_.toDouble), dry != null)
     case Clone(tgt, mode, src) => LogLakeCloneCommand(tgt.trim, src.trim,
@@ -188,7 +193,8 @@ final case class LogLakeHistoryCommand(target: String) extends LeafRunnableComma
   * the target. Steady-state cost tracks small-file volume, never table
   * size. Returns (version, file counts before/after). */
 final case class LogLakeOptimizeCommand(target: String,
-    zorderCols: Seq[String]) extends LeafRunnableCommand {
+    zorderCols: Seq[String], where: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = DescribeTarget.attrs(StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("numFilesBefore", LongType, nullable = false),
@@ -204,7 +210,8 @@ final case class LogLakeOptimizeCommand(target: String,
     val numOut = math.max(1L,
       (before.getLong(1) + targetBytes - 1) / targetBytes).toInt
     val v = LogLake.optimize(session, dir, numOut, zorderCols,
-      onlySmallerThan = targetBytes)
+      onlySmallerThan = targetBytes,
+      where = where.map(org.apache.spark.sql.functions.expr))
     val after = LogLake.detailDf(session, dir).select("numFiles")
       .collect().head.getLong(0)
     Seq(Row(v, before.getLong(0), after))
@@ -237,6 +244,23 @@ final case class LogLakeRestoreCommand(target: String,
 
   override def run(session: SparkSession): Seq[Row] = {
     val dir = DescribeTarget.dir(session, target)
+    val v = LogLake.restore(session, dir, toVersion)
+    Seq(Row(toVersion, v))
+  }
+}
+
+/** `RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'` — resolves through
+  * the same monotonic in-commit clock as every time-travel read. */
+final case class LogLakeRestoreTimestampCommand(target: String,
+    timestamp: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DescribeTarget.attrs(StructType(Seq(
+    StructField("restoredVersion", LongType, nullable = false),
+    StructField("newVersion", LongType, nullable = false))))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = DescribeTarget.dir(session, target)
+    val toVersion = LogLake.versionAtTimestamp(dir,
+      LogLake.parseTimestampMillis(timestamp))
     val v = LogLake.restore(session, dir, toVersion)
     Seq(Row(toVersion, v))
   }

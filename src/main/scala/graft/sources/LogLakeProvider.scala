@@ -78,24 +78,8 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
     } else {
       val byVersion = parameters.get("versionAsOf").map(_.toLong)
       val byTime = parameters.get("timestampAsOf").map { t =>
-        // epoch millis, or ISO-8601 instant / date-time / plain date
-        // (midnight UTC) for humans — parse failures name the option
-        // and the accepted shapes instead of leaking a raw parse error
-        val millis = t.toLongOption.getOrElse(
-          try java.time.Instant.parse(t).toEpochMilli
-          catch { case _: java.time.format.DateTimeParseException =>
-            try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-              .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
-            catch { case _: java.time.format.DateTimeParseException =>
-              try java.time.LocalDate.parse(t).atStartOfDay(
-                java.time.ZoneOffset.UTC).toInstant.toEpochMilli
-              catch { case _: java.time.format.DateTimeParseException =>
-                throw new IllegalArgumentException(
-                  s"loglake: timestampAsOf '$t' is not epoch millis, an " +
-                    "ISO-8601 instant (2026-01-01T00:00:00Z), a local " +
-                    "date-time (2026-01-01 00:00:00), or a date (2026-01-01)")
-              } } })
-        LogLake.versionAtTimestamp(dir(parameters), millis)
+        LogLake.versionAtTimestamp(dir(parameters),
+          LogLake.parseTimestampMillis(t))
       }
       require(byVersion.isEmpty || byTime.isEmpty,
         "loglake: versionAsOf and timestampAsOf are mutually exclusive")
@@ -437,13 +421,33 @@ final class LogLakeSource(spark: SparkSession, dir: String,
   // stream replays the commit log from version 1, which demands an
   // append-only history.
   private val initialSnapshot = options.get("initialSnapshot").exists(_.toBoolean)
-  require(!(initialSnapshot && options.contains("startingVersion")),
-    "loglake: initialSnapshot and startingVersion are mutually exclusive — " +
-      "the snapshot IS the starting point")
+  require(!(initialSnapshot &&
+      (options.contains("startingVersion") || options.contains("startingTimestamp"))),
+    "loglake: initialSnapshot and startingVersion/startingTimestamp are " +
+      "mutually exclusive — the snapshot IS the starting point")
+  require(!(options.contains("startingVersion") && options.contains("startingTimestamp")),
+    "loglake: startingVersion and startingTimestamp are mutually exclusive")
   // `startingVersion` is INCLUSIVE, as in Delta: the stream's first
   // batch begins AT that version. Internally the floor is exclusive
   // (offsets name the last consumed version), hence the -1.
-  private val startV = options.get("startingVersion").map(_.toLong - 1L).getOrElse(0L)
+  // `startingTimestamp` resolves to the EARLIEST version whose commit
+  // time is >= the timestamp (Delta's rule — "changes from this moment
+  // on"), through the same monotonic in-commit clock as timestampAsOf.
+  private val startV = options.get("startingVersion").map(_.toLong - 1L)
+    .orElse(options.get("startingTimestamp").map { t =>
+      val ms = LogLake.parseTimestampMillis(t)
+      val cur = LogLake.currentVersion(dir)
+      // versionAtTimestamp gives the greatest version with ts <= ms;
+      // the stream starts at the NEXT commit unless that version's own
+      // commit time is exactly ms (then it is included)
+      val atOrBefore =
+        try LogLake.versionAtTimestamp(dir, ms)
+        catch { case _: IllegalArgumentException => 0L } // predates v1 → all
+      if (atOrBefore > 0L &&
+        LogLake.commitTimestamp(dir, atOrBefore).getTime == ms) atOrBefore - 1L
+      else atOrBefore
+    })
+    .getOrElse(0L)
   private val maxVersions = options.get("maxVersionsPerTrigger").map(_.toLong)
   private val maxBytes = options.get("maxBytesPerTrigger").map(_.toLong)
   maxVersions.foreach(n => require(n >= 1L, s"maxVersionsPerTrigger must be >= 1, got $n"))

@@ -228,6 +228,38 @@ class LogLakeCatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM loglake.$db.plain").as[Long].head() == 0L)
   }
 
+  test("OPTIMIZE WHERE scopes to a partition region; RESTORE TO TIMESTAMP resolves the commit clock") {
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.w (k BIGINT, part STRING) PARTITIONED BY (part)")
+    // two commits per partition → two files per partition
+    spark.sql(s"INSERT INTO loglake.$db.w VALUES (1, 'x'), (2, 'y')")
+    spark.sql(s"INSERT INTO loglake.$db.w VALUES (3, 'x'), (4, 'y')")
+    val dir = spark.sql(s"DESCRIBE DETAIL loglake.$db.w")
+      .select("location").as[String].head()
+    val before = LogLake.activeState(dir)._1
+    assert(before.count(_.partitionValues("part") == "x") == 2)
+    val yFiles = before.filter(_.partitionValues("part") == "y").map(_.path).toSet
+
+    spark.sql(s"OPTIMIZE loglake.$db.w WHERE part = 'x'")
+    val after = LogLake.activeState(dir)._1
+    // x compacted to one file; y untouched (same paths)
+    assert(after.count(_.partitionValues("part") == "x") == 1)
+    assert(after.filter(_.partitionValues("part") == "y").map(_.path).toSet == yFiles)
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.w").as[Long].head() == 4L)
+    // non-partition predicates are rejected loudly
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE loglake.$db.w WHERE k = 1")
+    }
+    assert(e.getMessage.contains("partition columns only"))
+
+    // RESTORE TO TIMESTAMP: v2's commit time through the in-commit clock
+    val t2 = LogLake.commitTimestamp(dir, 2L).getTime
+    val res = spark.sql(
+      s"RESTORE TABLE loglake.$db.w TO TIMESTAMP AS OF '$t2'").collect().head
+    assert(res.getAs[Long]("restoredVersion") == 2L)
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.w").as[Long].head() == 2L)
+  }
+
   test("CREATE TABLE ... NOT NULL is enforced on INSERT") {
     val db = freshDb()
     spark.sql(s"CREATE TABLE loglake.$db.n (k BIGINT NOT NULL, v STRING)")

@@ -311,6 +311,41 @@ class LogLakeProviderSpec extends SparkTestBase {
     assert(sortedRows(spark.read.format("loglake").load(out)) == Seq(2L -> "b"))
   }
 
+  test("startingTimestamp resolves the commit clock: changes from that moment on") {
+    val in = tmp("st-in"); val out = tmp("st-out")
+    kv(1L -> "a").write.format("loglake").mode("append").save(in)
+    kv(2L -> "b").write.format("loglake").mode("append").save(in)
+    kv(3L -> "c").write.format("loglake").mode("append").save(in)
+    val t2 = graft.sources.LogLake.commitTimestamp(in, 2L).getTime
+    // exactly v2's commit time → v2 included (Delta's at-or-after rule)
+    val q = spark.readStream.format("loglake")
+      .option("startingTimestamp", t2.toString).load(in)
+      .writeStream.format("loglake").option("path", out)
+      .option("checkpointLocation", tmp("st-chk"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(sortedRows(spark.read.format("loglake").load(out)) ==
+      Seq(2L -> "b", 3L -> "c"))
+    // between v2 and v3 → only v3; both options together → loud
+    val out2 = tmp("st-out2")
+    val q2 = spark.readStream.format("loglake")
+      .option("startingTimestamp", (t2 + 1L).toString).load(in)
+      .writeStream.format("loglake").option("path", out2)
+      .option("checkpointLocation", tmp("st-chk2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(sortedRows(spark.read.format("loglake").load(out2)) == Seq(3L -> "c"))
+    val e = intercept[Exception] {
+      spark.readStream.format("loglake")
+        .option("startingTimestamp", t2.toString)
+        .option("startingVersion", "2").load(in)
+        .writeStream.format("noop").option("checkpointLocation", tmp("st-chk3"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
+    }
+    assert(e.getMessage.contains("mutually exclusive") ||
+      e.getCause != null && e.getCause.getMessage.contains("mutually exclusive"))
+  }
+
   test("the reference pipeline ends in the warehouse: wirelog → decode → loglake, exactly-once, then batch analytics") {
     val in = tmp("e2e-in"); val lake = tmp("e2e-lake"); val chk = tmp("e2e-chk")
 
