@@ -611,6 +611,36 @@ object LogLake {
     spark.createDataFrame(Seq(row).asJava, s)
   }
 
+  /** Partition inventory — `SHOW PARTITIONS` as data: one row per live
+    * partition tuple with file/live-row/byte counts, straight from the
+    * manifest (metadata-only at any table size). Tuple values are
+    * typed back through the partition columns' declared types; columns
+    * surface under their current LOGICAL names. */
+  def partitionsDf(spark: SparkSession, dir: String): DataFrame = {
+    val (files, schema) = activeState(dir)
+    val partPhys = partitionColumns(dir)
+    require(partPhys.nonEmpty, s"loglake: table at $dir is not partitioned")
+    val byPhys = schema.fields.map(f => physName(f) -> f).toMap
+    val partFields = partPhys.flatMap(byPhys.get)
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[Row] = files
+      .groupBy(a => partPhys.map(a.partitionValues.getOrElse(_, NullPartitionValue)))
+      .toSeq.map { case (tuple, fs) =>
+        Row.fromSeq(tuple.map(v => if (v == NullPartitionValue) null else v) ++
+          Seq(fs.size.toLong, fs.map(a => a.rows - a.dvRows).sum,
+            fs.map(a => math.max(a.bytes, 0L)).sum))
+      }.asJava
+    val strSchema = StructType(
+      partFields.map(f => StructField(s"__s_${f.name}", StringType)) ++
+        Seq(StructField("num_files", LongType, nullable = false),
+          StructField("num_rows", LongType, nullable = false),
+          StructField("size_in_bytes", LongType, nullable = false)))
+    spark.createDataFrame(rows, strSchema).select(
+      partFields.map(f =>
+        col(s"__s_${f.name}").cast(f.dataType).as(f.name)) ++
+        Seq(col("num_files"), col("num_rows"), col("size_in_bytes")): _*)
+  }
+
   /** Range scan with file skipping: reads only the files whose stats
     * intersect [lo, hi], then applies the exact predicate — identical
     * results to filtering the full snapshot, fewer files opened. */
@@ -2632,7 +2662,7 @@ object LogLake {
     }.toSeq
   }
 
-  private def renderManifest(m: Manifest): String = {
+  private[sources] def renderManifest(m: Manifest): String = {
     val root = mapper.createObjectNode()
     root.put("version", m.version)
     root.put("op", m.op)
@@ -2650,7 +2680,7 @@ object LogLake {
     root.toString
   }
 
-  private def parseManifest(json: String): Manifest = {
+  private[sources] def parseManifest(json: String): Manifest = {
     import scala.jdk.CollectionConverters._
     val n = mapper.readTree(json)
     val removes = n.get("removes").elements().asScala.map(_.asText()).toSeq

@@ -106,6 +106,27 @@ class PartitionedTableSpec extends SparkTestBase {
       rows(sample(30).filter(col("status") =!= "B")))
   }
 
+  test("partitionsDf inventories live tuples with file/row/byte counts, metadata-only") {
+    val dir = tmp("inv")
+    LogLake.create(spark, dir, sample(30), partitionBy = Seq("status"))
+    LogLake.append(spark, dir, sample(30).filter(col("status") === "A"))
+    val inv = LogLake.partitionsDf(spark, dir)
+      .select("status", "num_files", "num_rows")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    val expected = sample(30).groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inv.map(_._1) == inv.map(_._1).distinct) // one row per tuple
+    inv.foreach { case (s, nf, nr) =>
+      val base = expected(s)
+      assert(nr == (if (s == "A") base * 2 else base))
+      assert(nf == (if (s == "A") 2L else 1L))
+    }
+    intercept[IllegalArgumentException] {
+      LogLake.partitionsDf(spark, tmp("notpart")) // unpartitioned/missing
+    }
+  }
+
   test("null partition values round-trip and NULL never matches a delete predicate") {
     val dir = tmp("nulls")
     val df = Seq((1L, "A", "x"), (2L, null, "y"), (3L, "B", "z"), (4L, null, "w"))
