@@ -1172,7 +1172,7 @@ object LogLake {
         col(c).as(nameMap.getOrElse(c, c))): _*)
     val staging = new Path(dir, s"$LogDir/_tmp/cdc-${UUID.randomUUID()}")
     pdf.write.parquet(staging.toString)
-    f.listStatus(staging).toSeq
+    val out = f.listStatus(staging).toSeq
       .filter { s =>
         val n = s.getPath.getName
         s.isFile && n.startsWith("part-") && n.endsWith(".parquet")
@@ -1184,6 +1184,8 @@ object LogLake {
             s"loglake: could not move ${s.getPath} to $dst")
         s"$CdcDir/${dst.getName}"
       }
+    f.delete(staging, true) // else one orphan _tmp dir per rewriting commit
+    out
   }
 
   private def write(spark: SparkSession, dir: String, df0: DataFrame, op: String,
@@ -1237,8 +1239,11 @@ object LogLake {
     * metadata-column semi-join, collected as a file-name list — driver
     * contact is file-count-sized); untouched files carry over. Source
     * keys must be unique (one update per key — the caller's contract,
-    * as in SQL MERGE). Serializable: conflicts with any concurrent
-    * commit. */
+    * as in SQL MERGE). DUPLICATE-key target rows all collapse into the
+    * single source row (replace-by-key semantics — identical under CDC
+    * and non-CDC paths; SQL MERGE proper would update each duplicate
+    * in place, a divergence this contract documents). Serializable:
+    * conflicts with any concurrent commit. */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       keyCols: Seq[String], statsCols: Seq[String] = Nil, txnId: String = ""): Long = {
     replayedVersion(dir, txnId) match {
@@ -1270,41 +1275,41 @@ object LogLake {
     // commit whose changes the read-side diff cannot label exactly —
     // it mixes updates and genuine inserts, and telling them apart
     // needs row identity only the WRITER has. With the table property
-    // set, one full-outer join on the keys computes the rewrite AND
-    // the exactly-labeled change rows in a single pass over the
-    // touched files (persisted so the two writes don't re-scan);
-    // changeFeed then serves the recorded rows with no diff at all.
+    // set, ONE persisted scan of the touched files feeds both the
+    // rewrite and the exactly-labeled change rows; changeFeed then
+    // serves the recorded rows with no diff at all. The rewritten
+    // multiset is IDENTICAL to the anti-join+union path below — the
+    // CDC property labels the feed, it never changes the committed
+    // snapshot. Duplicate-key target rows collapse into the single
+    // source row under either path (the documented loglake contract:
+    // "target rows whose key appears in source are replaced by the
+    // source row"); the feed then shows one update_preimage per
+    // collapsed duplicate and one update_postimage per key.
     // An insert-only merge (no touched files) skips the CDC file: its
     // commit has no removes, so the feed's pure-append fast path
     // already labels it exactly.
     if (cdfEnabled(dir) && touched.nonEmpty) {
-      val all = schema.fieldNames.toIndexedSeq
       val tgt = readAdds(spark, dir, schema, touched) // DV-masked rows stay dead
-        .select(struct(all.map(col): _*).as("__t") +: keyCols.map(col): _*)
-      val srcK = src
-        .select(struct(all.map(col): _*).as("__s") +: keyCols.map(col): _*)
-      val j = tgt.join(srcK, keyCols, "full_outer")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // s side wins where present: matched targets replaced, new keys
-        // inserted, unmatched targets carried — the same multiset the
-        // anti-join+union path below produces
-        val rewritten = j
-          .select(when(col("__s").isNotNull, col("__s")).otherwise(col("__t")).as("__r"))
-          .select(all.map(c => col(s"__r.$c").as(c)): _*)
+        val rewritten = tgt.join(keys, keyCols, "left_anti").unionByName(src)
         val adds = writeData(spark, dir, rewritten,
           inheritedStats(files, statsCols, src.schema, schema), physMap(schema))
-        val both = j.filter(col("__t").isNotNull && col("__s").isNotNull)
-        def side(s: String, label: String, from: DataFrame) =
-          from.select(all.map(c => col(s"$s.$c").as(c)): _*)
-            .withColumn("_change_type", lit(label))
-        val cdcDf = side("__t", "update_preimage", both)
-          .unionByName(side("__s", "update_postimage", both))
-          .unionByName(side("__s", "insert", j.filter(col("__t").isNull)))
+        // labels: matched target rows are pre-images (one per row, incl.
+        // duplicates), source rows whose key matched are post-images
+        // (one per key — source keys are unique by contract), unmatched
+        // source rows are inserts
+        val tgtKeys = tgt.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+        val cdcDf = tgt.join(keys, keyCols, "leftsemi")
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(src.join(tgtKeys, keyCols, "leftsemi")
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(src.join(tgtKeys, keyCols, "left_anti")
+            .withColumn("_change_type", lit("insert")))
         val cdc = writeCdc(spark, dir, cdcDf, schema)
         return commit(dir, "merge", txnId, readV, schema.json, adds,
           touched.map(_.path), cdc)
-      } finally j.unpersist()
+      } finally tgt.unpersist()
     }
     val rewritten =
       if (touched.isEmpty) src
@@ -2226,6 +2231,20 @@ object LogLake {
     }
     val readV = currentVersion(dir)
     require(readV > 0L, s"loglake: no table at $dir")
+    // identity columns need the assignIdentity pass, which the spool
+    // adoption below bypasses — without this check the unpartitioned
+    // fast path would silently accept user-supplied values for a
+    // GENERATED ALWAYS AS IDENTITY column (the partitioned path would
+    // throw later in append, inconsistently). Reject at the epoch
+    // commit; streamAppend (foreachBatch → append) assigns identities.
+    if (identityColumns(dir).nonEmpty) {
+      files.foreach(p => fs(dir).delete(new Path(p._1), false))
+      throw new IllegalArgumentException(
+        s"loglake: table at $dir has GENERATED ALWAYS AS IDENTITY " +
+          "column(s) — the DSv2 streaming writer spools rows verbatim " +
+          "and cannot assign identities; use LogLake.streamAppend " +
+          "(foreachBatch) instead")
+    }
     val (priorFiles, schema) = activeState(dir, Some(readV))
     val (live, empty) = files.partition(_._2 > 0L)
     sweep(empty)

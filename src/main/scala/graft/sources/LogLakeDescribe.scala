@@ -32,20 +32,26 @@ import org.apache.spark.sql.types._
   * [[LogLake.detailDf]]; no data file is ever opened. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  private val Hist = """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*""".r
-  private val Detail = """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*""".r
+  /** A statement TARGET: a (possibly backticked) identifier chain or a
+    * quoted path — never free text with spaces/parens, so a stock
+    * statement whose string literal or comment happens to contain
+    * "SHALLOW CLONE" (a CTAS, say) is never claimed away from the
+    * delegate parser. */
+  private val T = """(?:'[^']*'|"[^"]*"|(?:[\w.]|`[^`]*`)+)"""
+  private val Hist = s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+($T)\\s*;?\\s*""".r
+  private val Detail = s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+($T)\\s*;?\\s*""".r
   private val Optim =
-    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+($T)(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
   private val Vac =
-    """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+    s"""(?is)\\s*VACUUM\\s+($T)(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val Restore =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+([0-9]+)\s*;?\s*""".r
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?($T)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+([0-9]+)\\s*;?\\s*""".r
   private val RestoreTs =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?($T)\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
   private val Convert =
-    """(?is)\s*CONVERT\s+TO\s+LOGLAKE\s+(.+?)\s*;?\s*""".r
+    s"""(?is)\\s*CONVERT\\s+TO\\s+LOGLAKE\\s+($T)\\s*;?\\s*""".r
   private val Clone =
-    """(?is)\s*CREATE\s+TABLE\s+(.+?)\s+(SHALLOW|DEEP)\s+CLONE\s+(.+?)\s*;?\s*""".r
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+($T)\\s+(SHALLOW|DEEP)\\s+CLONE\\s+($T)\\s*;?\\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Hist(target) => LogLakeHistoryCommand(target.trim)

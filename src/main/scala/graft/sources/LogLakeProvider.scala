@@ -436,7 +436,14 @@ final class LogLakeSource(spark: SparkSession, dir: String,
   private val startV = options.get("startingVersion").map(_.toLong - 1L)
     .orElse(options.get("startingTimestamp").map { t =>
       val ms = LogLake.parseTimestampMillis(t)
-      val cur = LogLake.currentVersion(dir)
+      // a timestamp past the latest commit is almost always a typo
+      // (nothing would ever stream) — fail loudly, Delta's rule for
+      // startingTimestamp beyond the last commit
+      val last = LogLake.currentVersion(dir)
+      require(last == 0L || LogLake.commitTimestamp(dir, last).getTime >= ms,
+        s"loglake: startingTimestamp $t is after the table's last commit " +
+          s"(version $last at ${LogLake.commitTimestamp(dir, last)}) — " +
+          "nothing would ever stream; use startingVersion or drop the option")
       // versionAtTimestamp gives the greatest version with ts <= ms;
       // the stream starts at the NEXT commit unless that version's own
       // commit time is exactly ms (then it is included)

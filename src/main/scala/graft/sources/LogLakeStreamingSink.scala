@@ -41,6 +41,13 @@ final class LogLakeStreamingWrite(dir: String, queryId: String,
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
     val (_, tableSchema) = LogLake.activeState(dir)
+    // fail before any row spools: this writer adopts spool files
+    // verbatim and cannot run the identity-assignment pass — see the
+    // matching guard in LogLake.commitSpooled
+    require(LogLake.identityColumns(dir).isEmpty,
+      s"loglake: table at $dir has GENERATED ALWAYS AS IDENTITY " +
+        "column(s) — the DSv2 streaming writer cannot assign them; " +
+        "use LogLake.streamAppend (foreachBatch) instead")
     require(tableSchema.fieldNames.sameElements(writeSchema.fieldNames),
       s"loglake: streaming write columns ${writeSchema.fieldNames.mkString(",")} " +
         s"must match table columns ${tableSchema.fieldNames.mkString(",")} " +

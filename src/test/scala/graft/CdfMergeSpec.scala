@@ -63,6 +63,49 @@ class CdfMergeSpec extends SparkTestBase {
     assert(m.cdc.forall(_.startsWith("_loglake/cdc/")))
   }
 
+  test("duplicate-key target rows: CDC and non-CDC paths commit the same snapshot") {
+    // the replace-by-key contract: ALL duplicate target rows of a
+    // matched key collapse into the single source row — identical
+    // under both paths (enabling CDF must never change the snapshot);
+    // the feed shows one preimage per collapsed duplicate, one
+    // postimage per key
+    def build(withCdf: Boolean): String = {
+      val dir = tmp(s"dup-$withCdf")
+      LogLake.create(spark, dir, kv(1L -> "a", 2L -> "b1", 2L -> "b2"))
+      if (withCdf) enableCdf(dir)
+      LogLake.merge(spark, dir, kv(2L -> "B", 9L -> "z"), Seq("k"))
+      dir
+    }
+    val cdf = build(withCdf = true)
+    val plain = build(withCdf = false)
+    def snap(dir: String): Seq[(Long, String)] =
+      LogLake.snapshot(spark, dir).select("k", "v").as[(Long, String)]
+        .collect().toSeq.sorted
+    assert(snap(cdf) == Seq(1L -> "a", 2L -> "B", 9L -> "z"))
+    assert(snap(cdf) == snap(plain))
+    assert(feed(cdf, 1L, 2L) == Seq(
+      ("insert", 9L, "z"),
+      ("update_postimage", 2L, "B"),
+      ("update_preimage", 2L, "b1"),
+      ("update_preimage", 2L, "b2")))
+  }
+
+  test("writeCdc sweeps its staging directory") {
+    val dir = tmp("staging")
+    LogLake.create(spark, dir, kv(1L -> "a", 2L -> "b"))
+    enableCdf(dir)
+    LogLake.merge(spark, dir, kv(2L -> "B"), Seq("k"))
+    LogLake.update(spark, dir, col("k") === 1L, Map("v" -> lit("A")))
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sessionState.newHadoopConf())
+    val tmpDir = new Path(dir, "_loglake/_tmp")
+    val leftovers =
+      if (!f.exists(tmpDir)) Seq.empty
+      else f.listStatus(tmpDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("cdc-"))
+    assert(leftovers.isEmpty, s"orphan cdc staging dirs: $leftovers")
+  }
+
   test("merge without the property keeps the diff encoding (delete+insert)") {
     val dir = tmp("nocdf")
     LogLake.create(spark, dir, kv(1L -> "a", 2L -> "b"))

@@ -53,6 +53,16 @@ class LogLakeCatalogSpec extends SparkTestBase {
       s"filter must push to the scan, got:\n$plan")
   }
 
+  test("a string literal containing 'SHALLOW CLONE' is not claimed by the graft parser") {
+    // the delegating parser must claim only identifier-shaped targets —
+    // a stock CTAS whose literal mentions CLONE parses as plain SQL
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.lit AS " +
+      "SELECT 'a SHALLOW CLONE b' AS v, 1 AS k")
+    assert(spark.sql(s"SELECT v FROM loglake.$db.lit")
+      .as[String].head() == "a SHALLOW CLONE b")
+  }
+
   test("MERGE INTO / UPDATE / DELETE lower onto the commit log; CTAS and INSERT OVERWRITE work") {
     val db = freshDb()
     spark.sql(s"CREATE TABLE loglake.$db.t (k BIGINT, v STRING)")

@@ -344,6 +344,19 @@ class LogLakeProviderSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("mutually exclusive") ||
       e.getCause != null && e.getCause.getMessage.contains("mutually exclusive"))
+    // a timestamp past the last commit would never stream anything —
+    // loud, Delta's rule, not a silently-empty stream
+    val t3 = graft.sources.LogLake.commitTimestamp(in, 3L).getTime
+    val late = intercept[Exception] {
+      spark.readStream.format("loglake")
+        .option("startingTimestamp", (t3 + 3600 * 1000L).toString).load(in)
+        .writeStream.format("noop").option("checkpointLocation", tmp("st-chk4"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(late).exists(_.contains("after the table's last commit")),
+      s"expected the beyond-last-commit rejection, got: ${msgs(late).mkString(" | ")}")
   }
 
   test("the reference pipeline ends in the warehouse: wirelog → decode → loglake, exactly-once, then batch analytics") {

@@ -66,6 +66,28 @@ class StreamToTableSpec extends SparkTestBase {
     assert(leftovers.isEmpty, leftovers.map(_.getPath.getName).mkString(","))
   }
 
+  test("toTable into a table with an identity column fails loudly before spooling") {
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.idt (k BIGINT, v STRING)")
+    LogLake.setIdentityColumn(tableDir(db, "idt"), "k")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(1L -> "a")
+    val e = intercept[Exception] {
+      mem.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", chk())
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"loglake.$db.idt")
+        .awaitTermination(120000)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("IDENTITY")),
+      s"expected the identity rejection, got: ${msgs(e).mkString(" | ")}")
+    // nothing committed, nothing spooled
+    assert(LogLake.currentVersion(tableDir(db, "idt")) == 1L)
+  }
+
   test("toTable into a partitioned table re-clusters each epoch") {
     val db = freshDb()
     spark.sql(s"CREATE TABLE loglake.$db.p (k BIGINT, part STRING) PARTITIONED BY (part)")
