@@ -140,14 +140,37 @@ object LogLake {
     * time survives object-store clock skew, mtime-less stores, and
     * file copies. `0` marks a pre-ICT manifest; readers fall back to
     * mtime. */
+  /** `features`: the PROTOCOL GATE (Delta's reader/writer table
+    * features): the full set of format features the table state depends
+    * on as of this commit, recorded monotonically (parent's set ∪ what
+    * this commit introduces) in every commit once non-empty. A reader
+    * resolving a state whose features it does not recognize must REFUSE
+    * LOUDLY ([[resolve]] checks against [[SupportedFeatures]]) — the
+    * alternative is silent misreads: a column-mapping-ignorant reader
+    * would serve physical names as data, a DV-ignorant one would
+    * resurrect deleted rows. Absent on pre-gate manifests (decodes to
+    * empty = nothing to check — those tables used no gated feature when
+    * written, and tables upgraded since record the set at their next
+    * commit). */
   final case class Manifest(version: Long, op: String, txnId: String,
       readVersion: Long, schemaJson: String, adds: Seq[AddFile],
-      removes: Seq[String], cdc: Seq[String] = Nil, ts: Long = 0L)
+      removes: Seq[String], cdc: Seq[String] = Nil, ts: Long = 0L,
+      features: Set[String] = Set.empty)
 
-  /** Resolved state at `version`: active files, schema, and every
-    * txnId committed up to it (for O(tail) replay detection). */
+  /** Every feature THIS build understands. A future build that adds a
+    * gated capability (say row tracking) adds its tag here; an older
+    * build reading that table fails at resolve naming the missing
+    * feature instead of misreading. */
+  val SupportedFeatures: Set[String] = Set(
+    "columnMapping", "deletionVectors", "partitionColumns",
+    "generatedColumns", "identityColumns")
+
+  /** Resolved state at `version`: active files, schema, every txnId
+    * committed up to it (for O(tail) replay detection), and the
+    * feature set in force. */
   final case class Checkpoint(version: Long, schemaJson: String,
-      files: Seq[AddFile], txns: Map[String, Long])
+      files: Seq[AddFile], txns: Map[String, Long],
+      features: Set[String] = Set.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -293,10 +316,12 @@ object LogLake {
     val active = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
     var schemaJson = ""
+    var features = Set.empty[String]
     chk.foreach { c =>
       c.files.foreach(a => active(a.path) = a)
       txns ++= c.txns
       schemaJson = c.schemaJson
+      features = c.features
     }
     val floor = chk.map(_.version).getOrElse(0L)
     manifests.filter { case (v, _) => v > floor && v <= target }
@@ -306,8 +331,17 @@ object LogLake {
         m.adds.foreach(a => active(a.path) = a)
         if (m.txnId.nonEmpty) txns(m.txnId) = m.version
         schemaJson = m.schemaJson
+        features ++= m.features // monotone — a commit never downgrades
       }
-    Checkpoint(target, schemaJson, active.values.toSeq, txns.toMap)
+    // the protocol gate: refuse a state this build cannot read
+    // faithfully, never misread it (Delta's protocol-action contract)
+    val unknown = features -- SupportedFeatures
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"loglake: the table at $dir requires feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} this reader does not " +
+        s"support (supported: ${SupportedFeatures.toSeq.sorted.mkString(", ")}) " +
+        "— upgrade the library; reading anyway could silently corrupt results")
+    Checkpoint(target, schemaJson, active.values.toSeq, txns.toMap, features)
   }
 
   /** Active files + schema as of `asOf` (default: latest). */
@@ -2532,14 +2566,21 @@ object LogLake {
         throw new java.io.IOException(
           s"loglake: create raced with another writer — table now at version $cur")
       val v = cur + 1
-      // in-commit timestamp, clamped monotonic against the parent so
-      // timestamp time travel stays well-ordered even under clock skew
-      val ts =
-        if (cur == 0L) System.currentTimeMillis()
-        else math.max(System.currentTimeMillis(), commitTsOf(dir, cur) + 1L)
+      // ONE parent-manifest read serves both the in-commit-timestamp
+      // clamp (monotonic against the parent, so timestamp time travel
+      // stays well-ordered under clock skew) and protocol-feature
+      // inheritance (the gate set only ever grows)
+      val parent =
+        if (cur == 0L) None else Some(readManifest(f, versionFile(dir, cur)))
+      val parentTs = parent.map(pm => if (pm.ts > 0L) pm.ts
+        else f.getFileStatus(versionFile(dir, cur)).getModificationTime)
+      val ts = parentTs.map(pt => math.max(System.currentTimeMillis(), pt + 1L))
+        .getOrElse(System.currentTimeMillis())
+      val features = parent.map(_.features).getOrElse(Set.empty) ++
+        commitFeatures(dir, schemaJson, adds)
       if (casPublish(f, dir, v,
         renderManifest(Manifest(v, op, txnId, readVersion, schemaJson, adds,
-          removes, cdc, ts)))) {
+          removes, cdc, ts, features)))) {
         if (v % CheckpointInterval == 0) writeCheckpoint(dir, v)
         return v
       }
@@ -2547,6 +2588,27 @@ object LogLake {
     }
     throw new java.io.IOException(
       s"loglake: could not commit $op after $maxAttempts attempts (livelock?)")
+  }
+
+  /** The gated features THIS commit's state depends on — computed fresh
+    * per commit from the schema it publishes, the files it adds, and
+    * the table's partition/property metadata, then UNIONED with the
+    * parent's recorded set in [[commit]] (features are monotone: a
+    * later OPTIMIZE purging every deletion vector does not make the
+    * history DV-free). Cost: two small metadata reads, the same class
+    * every write already pays for properties/partition lookups. */
+  private def commitFeatures(dir: String, schemaJson: String,
+      adds: Seq[AddFile]): Set[String] = {
+    val b = Set.newBuilder[String]
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    if (isMapped(schema)) b += "columnMapping"
+    if (adds.exists(_.dv.nonEmpty)) b += "deletionVectors"
+    if (adds.exists(_.partitionValues.nonEmpty) || partitionColumns(dir).nonEmpty)
+      b += "partitionColumns"
+    val props = tableProperties(dir)
+    if (props.keys.exists(_.startsWith(GenPrefix))) b += "generatedColumns"
+    if (props.keys.exists(_.startsWith(IdPrefix))) b += "identityColumns"
+    b.result()
   }
 
   /** Put-if-absent of one version file. Pre-check + rename covers
@@ -2696,6 +2758,10 @@ object LogLake {
       m.cdc.foreach(c.add)
     }
     if (m.ts > 0L) root.put("ts", m.ts)
+    if (m.features.nonEmpty) {
+      val ft = root.putArray("features")
+      m.features.toSeq.sorted.foreach(ft.add)
+    }
     root.toString
   }
 
@@ -2705,10 +2771,12 @@ object LogLake {
     val removes = n.get("removes").elements().asScala.map(_.asText()).toSeq
     val cdc = Option(n.get("cdc"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    val features = Option(n.get("features"))
+      .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
     Manifest(n.get("version").asLong(), n.get("op").asText(), n.get("txnId").asText(),
       n.get("readVersion").asLong(), n.get("schema").asText(),
       parseAdds(n, "adds"), removes, cdc,
-      Option(n.get("ts")).map(_.asLong()).getOrElse(0L))
+      Option(n.get("ts")).map(_.asLong()).getOrElse(0L), features)
   }
 
   // ------------------------------------------- checkpoint streaming I/O
@@ -2729,11 +2797,17 @@ object LogLake {
     var schema = ""
     val files = scala.collection.mutable.ArrayBuffer[AddFile]()
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var features = Set.empty[String]
     require(p.nextToken() == START_OBJECT, "checkpoint: expected an object")
     while (p.nextToken() != END_OBJECT) {
       p.currentName() match {
         case "version" => p.nextToken(); version = p.getLongValue
         case "schema" => p.nextToken(); schema = p.getText
+        case "features" =>
+          require(p.nextToken() == START_ARRAY, "checkpoint: features must be an array")
+          val b = Set.newBuilder[String]
+          while (p.nextToken() != END_ARRAY) b += p.getText
+          features = b.result()
         case "files" =>
           require(p.nextToken() == START_ARRAY, "checkpoint: files must be an array")
           while (p.nextToken() != END_ARRAY) files += parseAddStream(p)
@@ -2746,7 +2820,7 @@ object LogLake {
       }
     }
     p.close()
-    Checkpoint(version, schema, files.toSeq, txns.toMap)
+    Checkpoint(version, schema, files.toSeq, txns.toMap, features)
   }
 
   /** One add entry; the parser sits ON its START_OBJECT. */
@@ -2803,6 +2877,11 @@ object LogLake {
     g.writeStartObject()
     g.writeNumberField("version", c.version)
     g.writeStringField("schema", c.schemaJson)
+    if (c.features.nonEmpty) {
+      g.writeArrayFieldStart("features")
+      c.features.toSeq.sorted.foreach(g.writeString)
+      g.writeEndArray()
+    }
     g.writeArrayFieldStart("files")
     c.files.foreach { a =>
       g.writeStartObject()

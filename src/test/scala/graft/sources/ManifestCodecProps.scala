@@ -59,7 +59,11 @@ object ManifestCodecProps extends Properties("ManifestCodec") {
     cdc <- Gen.listOf(Gen.identifier.map(s => s"_loglake/cdc/$s.parquet"))
       .map(_.toSeq)
     ts <- Gen.oneOf(Gen.const(0L), Gen.chooseNum(1L, Long.MaxValue))
-  } yield Manifest(v, op, txn, readV, schema, adds, removes, cdc, ts)
+    features <- Gen.oneOf(
+      Gen.const(Set.empty[String]),
+      Gen.someOf("columnMapping", "deletionVectors", "partitionColumns",
+        "futureFeatureX", "row-tracking/v2").map(_.toSet))
+  } yield Manifest(v, op, txn, readV, schema, adds, removes, cdc, ts, features)
 
   property("parse(render(m)) == m") = Prop.forAll(genManifest) { m =>
     LogLake.parseManifest(LogLake.renderManifest(m)) == m
@@ -72,6 +76,15 @@ object ManifestCodecProps extends Properties("ManifestCodec") {
     val json = LogLake.renderManifest(m)
     val back = LogLake.parseManifest(json)
     Prop(!json.contains("\"cdc\"") && !json.contains("\"ts\"") &&
-      back == m && back.cdc.isEmpty && back.ts == 0L)
+      !json.contains("\"features\"") &&
+      back == m && back.cdc.isEmpty && back.ts == 0L && back.features.isEmpty)
+  }
+
+  property("a NEW reader decodes a feature-bearing manifest it does not implement") = {
+    // the gate lives at resolve, not in the codec: parsing must never
+    // be the thing that breaks on an unknown feature tag
+    val m = Manifest(4L, "append", "", 3L, "{}", Nil, Nil,
+      features = Set("some-feature-from-2030"))
+    Prop(LogLake.parseManifest(LogLake.renderManifest(m)) == m)
   }
 }
