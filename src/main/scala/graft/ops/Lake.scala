@@ -1030,6 +1030,68 @@ object Lake {
         .groupBy("o_year")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_year")
+    },
+
+    // --- q135: the round-11 SQL DDL parity surface, end to end in
+    // `spark.sql` ALONE — CREATE TABLE with column-level GENERATED
+    // ALWAYS AS (expr) and GENERATED ALWAYS AS IDENTITY clauses (the
+    // Delta clauses the stock grammar lacks, grafted via the delegating
+    // parser), ALTER TABLE ADD CONSTRAINT enforcing every later write,
+    // and INSERT INTO … REPLACE WHERE backfilling one partition region
+    // (metadata-only region drop + fresh identity values for the
+    // replacement rows). The oracle replays the same end state from raw
+    // orders; the rid_rows leg proves every surviving row carries an
+    // engine-assigned identity value. At 100 TB this is the standard
+    // governed-warehouse shape: derived partition key, constraint-gated
+    // ingest, partition-scoped backfill with zero data IO outside the
+    // region.
+    Q(
+      "q135_loglake_sql_ddl",
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderdate, o_totalprice,
+         |         CAST(year(o_orderdate) AS INT) AS o_year
+         |  FROM orders
+         |), final AS (
+         |  SELECT * FROM base WHERE o_year <> 1995
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderdate, o_totalprice + 10.0, o_year
+         |  FROM base WHERE o_year = 1995
+         |)
+         |SELECT o_year, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total,
+         |       CAST(COUNT(*) AS BIGINT) AS rid_rows
+         |FROM final GROUP BY o_year ORDER BY o_year""".stripMargin
+    ) { (s, d) =>
+      val ns = "q135_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      val wh = s.conf.get("spark.sql.catalog.loglake.warehouse")
+      scratchDirs.add(new java.io.File(s"$wh/$ns"))
+      s.sql(s"CREATE NAMESPACE loglake.$ns")
+      s.sql(
+        s"""CREATE TABLE loglake.$ns.t (
+           |  o_orderkey BIGINT,
+           |  o_orderdate TIMESTAMP,
+           |  o_totalprice DOUBLE,
+           |  o_year INT GENERATED ALWAYS AS (year(o_orderdate)),
+           |  rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1)
+           |) USING loglake PARTITIONED BY (o_year)""".stripMargin)
+      s.sql(s"ALTER TABLE loglake.$ns.t ADD CONSTRAINT price_pos " +
+        "CHECK (o_totalprice > 0)")
+      orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice")
+        .createOrReplaceTempView("q135_orders")
+      s.sql(s"INSERT INTO loglake.$ns.t (o_orderkey, o_orderdate, " +
+        "o_totalprice, o_year) SELECT o_orderkey, o_orderdate, " +
+        "o_totalprice, CAST(year(o_orderdate) AS INT) FROM q135_orders")
+      s.sql(s"INSERT INTO loglake.$ns.t REPLACE WHERE o_year = 1995 " +
+        "SELECT o_orderkey, o_orderdate, o_totalprice + 10.0, " +
+        "CAST(year(o_orderdate) AS INT) FROM q135_orders " +
+        "WHERE year(o_orderdate) = 1995")
+      s.sql(
+        s"""SELECT o_year, CAST(COUNT(*) AS BIGINT) AS cnt,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           |       CAST(SUM(CASE WHEN rid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rid_rows
+           |FROM loglake.$ns.t
+           |GROUP BY o_year ORDER BY o_year""".stripMargin)
     }
   )
 }

@@ -1105,7 +1105,7 @@ object LogLake {
     * a matching row, keeping their non-matching survivors. The
     * backfill primitive — at 100 TB, re-running one day/partition of a
     * pipeline costs that partition's volume, never the table's. */
-  def overwriteWhere(spark: SparkSession, dir: String, df: DataFrame,
+  def overwriteWhere(spark: SparkSession, dir: String, df0: DataFrame,
       condition: Column, statsCols: Seq[String] = Nil,
       txnId: String = ""): Long = {
     replayedVersion(dir, txnId) match {
@@ -1116,6 +1116,16 @@ object LogLake {
     require(readV > 0L, s"loglake: no table at $dir — replaceWhere " +
       "overwrites an existing region; use create for a new table")
     val (files, schema) = activeState(dir, Some(readV))
+    // the same pre-pass as write(): GENERATED columns absent from the
+    // incoming frame are computed, identity columns assigned (carried
+    // values rejected) — a partial overwrite honors the table's column
+    // contracts exactly like an append
+    val df = assignIdentity(spark, dir,
+      generatedColumns(dir).foldLeft(df0) { case (acc, (c, e)) =>
+        if (acc.columns.contains(c)) acc
+        else schema.fields.find(_.name == c)
+          .map(f => acc.withColumn(c, expr(e).cast(f.dataType))).getOrElse(acc)
+      })
     require(schema.fieldNames.sorted.sameElements(df.schema.fieldNames.sorted),
       s"loglake: replaceWhere data columns ${df.columns.mkString(",")} must " +
         s"match table columns ${schema.fieldNames.mkString(",")} (a partial " +
@@ -1996,24 +2006,46 @@ object LogLake {
   }
 
   /** Assign identity values to columns the incoming frame omits; loud
-    * if the frame carries one (ALWAYS semantics). */
+    * if the frame carries a VALUE for one (ALWAYS semantics). A carried
+    * column that is entirely NULL is treated as absent — the shape
+    * Spark's INSERT column-list padding produces for an omitted column,
+    * and unambiguous because assigned identity values are never null
+    * (the null probe rides the same persisted pass the row indexing
+    * needs anyway). */
   private def assignIdentity(spark: SparkSession, dir: String,
-      df: DataFrame): DataFrame = {
+      df0: DataFrame): DataFrame = {
     val ids = identityColumns(dir)
-    if (ids.isEmpty) return df
-    ids.keys.filter(df.columns.contains).foreach(c =>
-      throw new IllegalArgumentException(
-        s"loglake: $c is GENERATED ALWAYS AS IDENTITY — writes cannot " +
-          "supply it"))
-    // one persisted row-indexing pass over the epoch; each identity
-    // column rides the same index against its own reserved range
-    val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (ids.isEmpty) return df0
+    val carried = ids.keys.filter(df0.columns.contains).toSeq.sorted
+    // one persisted pass over the epoch serves the carried-value probe,
+    // the row count, and the indexing read; never the table's volume
+    val persisted = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val schema = df.schema
-      val indexed = persisted.rdd.zipWithIndex()
+      if (carried.nonEmpty) {
+        val counts = persisted.select(carried.map(c =>
+          count(col(c)).as(c)): _*).head() // count(col) counts non-nulls
+        carried.zipWithIndex.foreach { case (c, i) =>
+          if (counts.getLong(i) > 0L) throw new IllegalArgumentException(
+            s"loglake: $c is GENERATED ALWAYS AS IDENTITY — writes cannot " +
+              "supply it")
+        }
+      }
+      val df = if (carried.isEmpty) persisted else persisted.drop(carried: _*)
       val n = persisted.count()
-      val withIdx = spark.createDataFrame(
-        indexed.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      // index on the INTERNAL row codec: zipWithIndex over the executed
+      // plan's UnsafeRows with one bytes-copy per row — no external-Row
+      // encode/decode round-trip on the hot path (the copy is required:
+      // the scan iterator reuses its row buffer)
+      val schema = df.schema
+      val indexed = GraftBridge.toInternalRdd(df).zipWithIndex()
+        .mapPartitions { it =>
+          it.map { case (r, i) =>
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+              r.copy(), org.apache.spark.sql.catalyst.InternalRow(i))
+              : org.apache.spark.sql.catalyst.InternalRow
+          }
+        }
+      val withIdx = GraftBridge.internalDf(spark, indexed,
         StructType(schema.fields :+ StructField("__idx", LongType, nullable = false)))
       ids.foldLeft(withIdx) { case (d, (c, (_, step))) =>
         val first = reserveIdentity(dir, c, n)

@@ -52,6 +52,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)\\s*CONVERT\\s+TO\\s+LOGLAKE\\s+($T)\\s*;?\\s*""".r
   private val Clone =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+($T)\\s+(SHALLOW|DEEP)\\s+CLONE\\s+($T)\\s*;?\\s*""".r
+  private val AddCons =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($T)\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val DropCons =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($T)\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""".r
+  /** Delta's selective-overwrite INSERT: `INSERT INTO t REPLACE WHERE
+    * <predicate> <query>` — the predicate/query split happens on the
+    * first TOP-LEVEL query keyword (a parenthesized subquery inside the
+    * predicate is not a split point). */
+  private val InsertReplace =
+    s"""(?is)\\s*INSERT\\s+INTO\\s+($T)\\s+REPLACE\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
+  /** `CREATE TABLE t (…)` with column-level GENERATED clauses — claimed
+    * only when the balanced column body actually contains GENERATED
+    * ALWAYS (the stock grammar rejects the clause); plain CREATEs stay
+    * with the delegate/catalog path. */
+  private val CreateCols =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+($T)\\s*\\((.+)""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Hist(target) => LogLakeHistoryCommand(target.trim)
@@ -66,6 +82,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Clone(tgt, mode, src) => LogLakeCloneCommand(tgt.trim, src.trim,
       mode.equalsIgnoreCase("deep"))
     case Convert(target) => LogLakeConvertCommand(target.trim)
+    case AddCons(target, name, expr) =>
+      LogLakeAddConstraintCommand(target.trim, name, expr.trim)
+    case DropCons(target, name) =>
+      LogLakeDropConstraintCommand(target.trim, name)
+    case InsertReplace(target, rest) =>
+      GraftSqlShapes.splitReplaceWhere(rest) match {
+        case Some((pred, query)) =>
+          LogLakeInsertReplaceWhereCommand(target.trim, pred, query)
+        case None => throw new IllegalArgumentException(
+          "loglake: INSERT INTO … REPLACE WHERE needs '<predicate> " +
+            s"<SELECT|VALUES|WITH|TABLE …>' after WHERE, got: $rest")
+      }
+    case CreateCols(target, rest)
+        if GraftSqlShapes.hasGeneratedClause(rest) =>
+      GraftSqlShapes.parseCreateGenerated(target.trim, rest)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -294,6 +325,246 @@ final case class LogLakeConvertCommand(target: String) extends LeafRunnableComma
     val v = LogLake.convert(session, dir)
     Seq(Row(v, LogLake.detailDf(session, dir)
       .select("numFiles").collect().head.getLong(0)))
+  }
+}
+
+/** Sessionless string surgery for the statements the delegating parser
+  * claims beyond regex reach: balanced-paren extraction for CREATE
+  * column bodies and the top-level predicate/query split of
+  * `INSERT … REPLACE WHERE`. Quote-aware (single quotes and backticks);
+  * type resolution stays deferred to execution like every command
+  * here. */
+private[sources] object GraftSqlShapes {
+
+  /** Scan `s` tracking paren depth and quote state; `f(i, depth)` is
+    * called at each unquoted char, and a `true` return stops the scan
+    * there. Returns the stop index or -1. */
+  private def scan(s: String)(f: (Int, Int) => Boolean): Int = {
+    var depth = 0; var i = 0
+    var inStr = false; var inTick = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`' => inTick = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => if (f(i, depth)) return i
+      }
+      if (!inStr && !inTick && (c == '(' || c == ')') && f(i, depth)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** `rest` begins just after a CREATE's opening paren: the balanced
+    * column body and whatever trails the matching close paren. */
+  private[sources] def balancedBody(rest: String): Option[(String, String)] = {
+    val close = scan(rest)((i, depth) => depth == -1 && rest.charAt(i) == ')')
+    if (close < 0) None
+    else Some((rest.substring(0, close), rest.substring(close + 1)))
+  }
+
+  /** Split one column body on its TOP-LEVEL commas. */
+  private[sources] def topLevelSplit(body: String): Seq[String] = {
+    val cuts = scala.collection.mutable.ArrayBuffer[Int]()
+    scan(body) { (i, depth) =>
+      if (depth == 0 && body.charAt(i) == ',') cuts += i
+      false
+    }
+    val bounds = -1 +: cuts.toSeq :+ body.length
+    bounds.sliding(2).map { case Seq(a, b) => body.substring(a + 1, b).trim }
+      .filter(_.nonEmpty).toSeq
+  }
+
+  private def topLevelIndexOf(s: String, word: String): Int = {
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val w = word.toLowerCase(java.util.Locale.ROOT)
+    scan(s) { (i, depth) =>
+      depth == 0 && lower.startsWith(w, i) &&
+        (i == 0 || !Character.isLetterOrDigit(lower.charAt(i - 1))) &&
+        (i + w.length >= s.length ||
+          !Character.isLetterOrDigit(lower.charAt(i + w.length)))
+    }
+  }
+
+  private[sources] def hasGeneratedClause(rest: String): Boolean =
+    balancedBody(rest).exists { case (body, _) =>
+      topLevelSplit(body).exists(c => topLevelIndexOf(c, "generated") >= 0)
+    }
+
+  /** `<predicate> <SELECT|VALUES|WITH|TABLE …>` → (predicate, query),
+    * splitting at the first top-level query keyword. */
+  private[sources] def splitReplaceWhere(rest: String): Option[(String, String)] = {
+    val idx = Seq("select", "values", "with", "table")
+      .map(k => topLevelIndexOf(rest, k)).filter(_ >= 0)
+    idx.minOption.filter(_ > 0).map(i =>
+      (rest.substring(0, i).trim, rest.substring(i).trim))
+  }
+
+  private val IdentityClause =
+    """(?is)\s*IDENTITY\s*(?:\(\s*START\s+WITH\s+(-?\d+)\s*(?:INCREMENT\s+BY\s+(-?\d+)\s*)?\))?\s*(.*)""".r
+
+  /** One parsed column of a GENERATED-bearing CREATE TABLE. */
+  private[sources] final case class GenColDef(name: String, typeSql: String,
+      notNull: Boolean, genExpr: Option[String],
+      identity: Option[(Long, Long)])
+
+  private def parseColDef(c: String): GenColDef = {
+    val (name, afterName) =
+      if (c.startsWith("`")) {
+        val end = c.indexOf('`', 1)
+        require(end > 0, s"loglake: unterminated backtick in column def: $c")
+        (c.substring(1, end), c.substring(end + 1))
+      } else {
+        val sp = c.indexWhere(Character.isWhitespace)
+        require(sp > 0, s"loglake: column def needs 'name TYPE …', got: $c")
+        (c.substring(0, sp), c.substring(sp))
+      }
+    val genAt = topLevelIndexOf(afterName, "generated")
+    val modifiers = if (genAt < 0) "" else afterName.substring(genAt)
+    val beforeGen = if (genAt < 0) afterName else afterName.substring(0, genAt)
+    val nnAt = topLevelIndexOf(beforeGen, "not")
+    val notNull = nnAt >= 0 &&
+      beforeGen.substring(nnAt).matches("(?is)NOT\\s+NULL\\s*")
+    val typeSql = (if (nnAt >= 0 && notNull) beforeGen.substring(0, nnAt)
+      else beforeGen).trim
+    require(typeSql.nonEmpty, s"loglake: column $name has no type in: $c")
+    if (genAt < 0) return GenColDef(name, typeSql, notNull, None, None)
+    val m = """(?is)GENERATED\s+ALWAYS\s+AS\s+(.*)""".r
+    modifiers match {
+      case m(tail0) =>
+        val tail = tail0.trim
+        if (tail.toLowerCase(java.util.Locale.ROOT).startsWith("identity")) {
+          tail match {
+            case IdentityClause(start, step, trailing) =>
+              require(trailing.trim.isEmpty,
+                s"loglake: unexpected trailing '$trailing' after IDENTITY in: $c")
+              GenColDef(name, typeSql, notNull, None, Some((
+                Option(start).map(_.toLong).getOrElse(1L),
+                Option(step).map(_.toLong).getOrElse(1L))))
+            case other => throw new IllegalArgumentException(
+              s"loglake: IDENTITY takes '(START WITH n [INCREMENT BY m])', got: $other")
+          }
+        } else {
+          require(tail.startsWith("("),
+            s"loglake: GENERATED ALWAYS AS needs a parenthesized expression, got: $tail")
+          balancedBody(tail.substring(1)) match {
+            case Some((expr, trailing)) if trailing.trim.isEmpty =>
+              GenColDef(name, typeSql, notNull, Some(expr.trim), None)
+            case Some((_, trailing)) => throw new IllegalArgumentException(
+              s"loglake: unexpected trailing '$trailing' after the generation " +
+                s"expression in: $c")
+            case None => throw new IllegalArgumentException(
+              s"loglake: unbalanced parens in generation expression: $tail")
+          }
+        }
+      case _ => throw new IllegalArgumentException(
+        s"loglake: only GENERATED ALWAYS AS (expr) / GENERATED ALWAYS AS " +
+          s"IDENTITY column clauses are supported, got: $modifiers")
+    }
+  }
+
+  private val Trailing =
+    """(?is)\s*(?:USING\s+loglake\s*)?(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?;?\s*""".r
+
+  private[sources] def parseCreateGenerated(target: String,
+      rest: String): LogicalPlan = {
+    val (body, trailing) = balancedBody(rest).getOrElse(
+      throw new IllegalArgumentException(
+        s"loglake: unbalanced column list in CREATE TABLE $target"))
+    val cols = topLevelSplit(body).map(parseColDef)
+    val parts = trailing match {
+      case Trailing(p) => Option(p).toSeq.flatMap(_.split(','))
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      case other => throw new IllegalArgumentException(
+        s"loglake: unsupported clause(s) after the column list of a " +
+          s"GENERATED CREATE TABLE: '$other' (supported: USING loglake, " +
+          "PARTITIONED BY (…))")
+    }
+    LogLakeCreateGeneratedCommand(target, cols, parts)
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — Delta's
+  * constraint DDL on [[LogLake.addCheckConstraint]]: the current table
+  * must already satisfy the expression (one snapshot scan), then every
+  * later write validates it on the staged-file stats pass. */
+final case class LogLakeAddConstraintCommand(target: String, name: String,
+    expr: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    LogLake.addCheckConstraint(session,
+      DescribeTarget.dir(session, target), name, expr)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name`. */
+final case class LogLakeDropConstraintCommand(target: String,
+    name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    LogLake.dropCheckConstraint(DescribeTarget.dir(session, target), name)
+    Nil
+  }
+}
+
+/** `INSERT INTO t REPLACE WHERE <predicate> <query>` — Delta's
+  * selective overwrite as SQL, lowered onto [[LogLake.overwriteWhere]]:
+  * one atomic commit replaces exactly the predicate's region with the
+  * query's rows (partition predicates resolve metadata-only; incoming
+  * rows outside the region are rejected loudly before anything
+  * commits). Columns align by POSITION, standard INSERT semantics. */
+final case class LogLakeInsertReplaceWhereCommand(target: String,
+    predicate: String, query: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DescribeTarget.attrs(StructType(Seq(
+    StructField("version", LongType, nullable = false))))
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = DescribeTarget.dir(session, target)
+    val df = session.sql(query)
+    // positional alignment to the table's NON-identity columns: an
+    // ALWAYS identity column can never be supplied, so the query must
+    // not produce it (the engine assigns fresh values to the region's
+    // replacement rows)
+    val ids = LogLake.identityColumns(dir).keySet
+    val cols = LogLake.cleanSchema(LogLake.activeState(dir)._2).fieldNames
+      .filterNot(ids)
+    require(df.columns.length == cols.length,
+      s"loglake: REPLACE WHERE query produces ${df.columns.length} " +
+        s"column(s), table $target takes ${cols.length} " +
+        s"(${cols.mkString(", ")} — identity columns are engine-assigned)")
+    val v = LogLake.overwriteWhere(session, dir, df.toDF(cols.toIndexedSeq: _*),
+      org.apache.spark.sql.functions.expr(predicate))
+    Seq(Row(v))
+  }
+}
+
+/** `CREATE TABLE t (… GENERATED ALWAYS AS (expr) / AS IDENTITY …)` —
+  * the Delta column clauses the stock grammar lacks, lowered onto
+  * createEmpty + setGeneratedColumn/setIdentityColumn (the path-API
+  * features, now reachable from SQL alone). Types resolve through the
+  * session parser at execution; the empty table trivially passes the
+  * generation-consistency scan, so clause order never matters. */
+private[sources] final case class LogLakeCreateGeneratedCommand(target: String,
+    cols: Seq[GraftSqlShapes.GenColDef], partitionBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DescribeTarget.attrs(StructType(Seq(
+    StructField("version", LongType, nullable = false))))
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = DescribeTarget.newTableDir(session, target)
+    val schema = StructType(cols.map(c => StructField(c.name,
+      session.sessionState.sqlParser.parseDataType(c.typeSql),
+      nullable = !c.notNull)))
+    val v = LogLake.createEmpty(dir, schema, partitionBy = partitionBy)
+    cols.foreach { c =>
+      c.genExpr.foreach(e => LogLake.setGeneratedColumn(session, dir, c.name, e))
+      c.identity.foreach { case (start, step) =>
+        LogLake.setIdentityColumn(dir, c.name, start, step) }
+    }
+    Seq(Row(v))
   }
 }
 

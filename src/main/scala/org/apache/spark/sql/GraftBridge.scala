@@ -58,6 +58,15 @@ object GraftBridge {
   def toInternalRdd(df: DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
 
+  /** A DataFrame over a raw InternalRow RDD — the write half of
+    * [[toInternalRdd]], for operators that index/transform rows on the
+    * codegen codec without a per-row external-Row round-trip (loglake's
+    * identity assignment). Rows must match `schema` physically. */
+  def internalDf(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Streaming-tag an ARBITRARY batch plan by re-rooting it on its
     * executed RDD (lazy — nothing runs until the micro-batch does).
     * [[asStreamingScan]] only re-tags a top-level `LogicalRelation`;

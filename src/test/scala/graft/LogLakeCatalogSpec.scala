@@ -53,6 +53,93 @@ class LogLakeCatalogSpec extends SparkTestBase {
       s"filter must push to the scan, got:\n$plan")
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT in pure SQL") {
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.c (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO loglake.$db.c VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"ALTER TABLE loglake.$db.c ADD CONSTRAINT k_pos CHECK (k > 0)")
+    val dir = spark.sql(s"DESCRIBE DETAIL loglake.$db.c")
+      .select("location").as[String].head()
+    assert(LogLake.checkConstraints(dir) == Map("k_pos" -> "k > 0"))
+    // enforced on later SQL inserts, nothing committed on violation
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO loglake.$db.c VALUES (-5, 'x')")
+    }
+    assert(e.getMessage.contains("k_pos"))
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.c").as[Long].head() == 2L)
+    // add-time validation scans existing data
+    val bad = intercept[Exception] {
+      spark.sql(s"ALTER TABLE loglake.$db.c ADD CONSTRAINT k_big CHECK (k > 10)")
+    }
+    assert(bad.getMessage.contains("existing data violates"))
+    // drop lifts enforcement
+    spark.sql(s"ALTER TABLE loglake.$db.c DROP CONSTRAINT k_pos")
+    spark.sql(s"INSERT INTO loglake.$db.c VALUES (-5, 'x')")
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.c").as[Long].head() == 3L)
+  }
+
+  test("CREATE TABLE with GENERATED ALWAYS AS (expr) and AS IDENTITY clauses in pure SQL") {
+    val db = freshDb()
+    spark.sql(
+      s"""CREATE TABLE loglake.$db.g (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+         |  a BIGINT NOT NULL,
+         |  b BIGINT GENERATED ALWAYS AS (a * 2 + 1),
+         |  part STRING
+         |) USING loglake PARTITIONED BY (part)""".stripMargin)
+    val dir = spark.sql(s"DESCRIBE DETAIL loglake.$db.g")
+      .select("location").as[String].head()
+    assert(LogLake.identityColumns(dir).keySet == Set("id"))
+    assert(LogLake.generatedColumns(dir) == Map("b" -> "a * 2 + 1"))
+    assert(LogLake.partitionColumns(dir) == Seq("part"))
+    // INSERT with a column list: id omitted → assigned from the declared
+    // range (Spark pads the omitted column with NULLs; all-NULL is the
+    // unambiguous omitted shape); b supplied and validated
+    spark.sql(s"INSERT INTO loglake.$db.g (a, b, part) VALUES " +
+      "(1, 3, 'x'), (2, 5, 'y'), (3, 7, 'x')")
+    val got = spark.sql(s"SELECT id, a, b, part FROM loglake.$db.g ORDER BY a")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 2L, 3L))
+    assert(got.map(_._1).toSet.subsetOf(Set(10L, 12L, 14L)), s"ids: $got")
+    assert(got.map(_._3) == Seq(3L, 5L, 7L))
+    // a supplied identity VALUE still rejects (ALWAYS semantics)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO loglake.$db.g VALUES (99, 4, 9, 'x')")
+    }
+    assert(e.getMessage.contains("IDENTITY"))
+    // a wrong generated value rejects on the staged pass
+    val g = intercept[Exception] {
+      spark.sql(s"INSERT INTO loglake.$db.g (a, b, part) VALUES (4, 1000, 'x')")
+    }
+    assert(g.getMessage.contains("__generated_b"))
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.g").as[Long].head() == 3L)
+  }
+
+  test("INSERT INTO ... REPLACE WHERE replaces exactly the predicate's region in SQL") {
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.r (k BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO loglake.$db.r VALUES (1, 'x'), (2, 'y'), (3, 'x')")
+    spark.sql(s"INSERT INTO loglake.$db.r REPLACE WHERE part = 'x' " +
+      "SELECT * FROM VALUES (10, 'x'), (11, 'x') AS t(k, part)")
+    assert(spark.sql(s"SELECT k FROM loglake.$db.r ORDER BY k")
+      .as[Long].collect().toSeq == Seq(2L, 10L, 11L))
+    // rows outside the region reject loudly, nothing committed
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO loglake.$db.r REPLACE WHERE part = 'x' " +
+        "SELECT * FROM VALUES (20, 'z') AS t(k, part)")
+    }
+    assert(e.getMessage.contains("OUTSIDE the replaced region"))
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.r").as[Long].head() == 3L)
+    // a parenthesized predicate still splits at the top-level SELECT
+    // (subqueries inside the predicate are out of scope, as in Delta's
+    // replaceWhere — the expression parser has no subquery form)
+    spark.sql(s"INSERT INTO loglake.$db.r REPLACE WHERE " +
+      s"(part = 'y' OR part = 'zz') SELECT * FROM VALUES (30, 'y') AS t(k, part)")
+    assert(spark.sql(s"SELECT k FROM loglake.$db.r ORDER BY k")
+      .as[Long].collect().toSeq == Seq(10L, 11L, 30L))
+  }
+
   test("a string literal containing 'SHALLOW CLONE' is not claimed by the graft parser") {
     // the delegating parser must claim only identifier-shaped targets —
     // a stock CTAS whose literal mentions CLONE parses as plain SQL
