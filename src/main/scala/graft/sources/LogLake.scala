@@ -2201,7 +2201,17 @@ object LogLake {
     * vacuumed fails loudly at read (file not found), exactly like
     * Delta's VACUUM vs RETAIN. `olderThanMs` protects files staged by
     * an IN-FLIGHT commit (written, manifest not yet published): only
-    * files older than the horizon are eligible. Returns deleted paths. */
+    * files older than the horizon are eligible. Returns deleted paths.
+    *
+    * Reader grace contract (spec-pinned in `LogLakeSpec`): a snapshot
+    * resolved BEFORE a vacuum pins its file list, so a reader of the
+    * CURRENT version keeps reading through a concurrent vacuum — the
+    * active set is never swept. A reader pinned to an OLDER version
+    * whose generation the vacuum reclaims fails LOUDLY mid-scan
+    * (FileNotFound; `spark.sql.files.ignoreMissingFiles` must stay
+    * false), never silently serves partial rows — the Delta
+    * vacuum-vs-retention trade. The retention horizon IS the grace
+    * window: size `olderThanMs` above the longest-running query. */
   def vacuum(dir: String, olderThanMs: Long = 7L * 24 * 3600 * 1000,
       dryRun: Boolean = false): Seq[String] = {
     val f = fs(dir)

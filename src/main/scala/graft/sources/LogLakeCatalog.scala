@@ -229,6 +229,27 @@ class LogLakeCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
+object LogLakeV2Table {
+  /** Sessions already warned about serving the pushdown-less fallback
+    * scan — one line per session, not one per query. The counter is
+    * spec-visible ([[fallbackWarnings]]) because a log-line assertion
+    * is brittle where a counter is exact. */
+  private val warnedSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] val fallbackWarnings =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  private[sources] def warnFallbackScan(spark: SparkSession,
+      table: String): Unit =
+    if (warnedSessions.add(String.valueOf(System.identityHashCode(spark)))) {
+      fallbackWarnings.incrementAndGet()
+      org.slf4j.LoggerFactory.getLogger(classOf[LogLakeCatalog]).warn(
+        s"loglake: serving $table through the pushdown-less fallback scan — " +
+          "install graft.GraftExtensions (spark.sql.extensions) to get " +
+          "filter/projection pushdown and manifest stats skipping")
+    }
+}
+
 /** Catalog-served loglake table: metadata (name/schema/properties) plus
   * the DSv2 write hook. `asOf` pins a time-travelled read (VERSION AS
   * OF / TIMESTAMP AS OF); writes against a pinned version are rejected
@@ -265,13 +286,17 @@ final case class LogLakeV2Table(dir: String, asOf: Option[Long], identName: Stri
   /** Fallback scan for sessions WITHOUT GraftExtensions (whose analyzer
     * rule swaps in the native pushdown relation before planning ever
     * sees this). A correctness backstop, deliberately simple: the
-    * snapshot frame handed back as one opaque V1 TableScan. */
+    * snapshot frame handed back as one opaque V1 TableScan — and LOUD
+    * about it (once per session): without the extensions there is no
+    * filter/projection pushdown and no stats skipping, which is fine
+    * for a backstop and wrong for production reads. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = schema
         override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
+            context: SQLContext): T = {
+          LogLakeV2Table.warnFallbackScan(context.sparkSession, identName)
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
             override def schema: StructType = LogLakeV2Table.this.schema
@@ -281,6 +306,7 @@ final case class LogLakeV2Table(dir: String, asOf: Option[Long], identName: Stri
                 LogLake.snapshot(context.sparkSession, dir, asOf))
                 .asInstanceOf[org.apache.spark.rdd.RDD[Row]]
           }.asInstanceOf[T]
+        }
       }
     }
 

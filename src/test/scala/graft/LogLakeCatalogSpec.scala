@@ -140,6 +140,31 @@ class LogLakeCatalogSpec extends SparkTestBase {
       .as[Long].collect().toSeq == Seq(10L, 11L, 30L))
   }
 
+  test("the pushdown-less fallback scan warns exactly once per session") {
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.w (k BIGINT)")
+    spark.sql(s"INSERT INTO loglake.$db.w VALUES (1), (2)")
+    val dir = spark.sql(s"DESCRIBE DETAIL loglake.$db.w")
+      .select("location").as[String].head()
+    // this session HAS GraftExtensions, so the analyzer rule serves SQL
+    // reads natively — drive the fallback V1Scan directly, as a session
+    // without the extensions would
+    val table = graft.sources.LogLakeV2Table(dir, None, s"loglake.$db.w")
+    val before = graft.sources.LogLakeV2Table.fallbackWarnings.get()
+    def scanOnce(): Unit = {
+      val scan = table.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())).build()
+      scan.asInstanceOf[org.apache.spark.sql.connector.read.V1Scan]
+        .toV1TableScan[org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](spark.sqlContext)
+      ()
+    }
+    scanOnce(); scanOnce() // second scan in the same session stays quiet
+    assert(graft.sources.LogLakeV2Table.fallbackWarnings.get() == before + 1,
+      "expected exactly one fallback warning per session")
+  }
+
   test("a string literal containing 'SHALLOW CLONE' is not claimed by the graft parser") {
     // the delegating parser must claim only identifier-shaped targets —
     // a stock CTAS whose literal mentions CLONE parses as plain SQL

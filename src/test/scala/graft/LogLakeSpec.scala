@@ -201,6 +201,31 @@ class LogLakeSpec extends SparkTestBase {
       s"expected missing-file failure, got: $msgs")
   }
 
+  test("vacuum vs already-resolved readers: the current snapshot keeps reading; a pinned old snapshot fails loudly mid-scan") {
+    val dir = tmp("vac-grace")
+    LogLake.create(spark, dir, kv(1L -> "a", 2L -> "b"))
+    LogLake.overwrite(spark, dir, kv(7L -> "x"))
+    // both readers resolve their file lists BEFORE the vacuum — the
+    // frames pin exactly those paths (snapshot isolation)
+    val cur = LogLake.snapshot(spark, dir)
+    val old = LogLake.snapshot(spark, dir, asOf = Some(1L))
+    assert(sortedRows(old) == Seq(1L -> "a", 2L -> "b"))
+    LogLake.vacuum(dir, olderThanMs = 0L)
+    // the active set is never swept: a current-version reader is
+    // untouched by a concurrent vacuum — the grace contract
+    assert(sortedRows(cur) == Seq(7L -> "x"))
+    // the old generation is physically gone: the pinned reader fails
+    // LOUDLY mid-scan (missing file), never silently partial/empty —
+    // the retention horizon is the grace window, size it above the
+    // longest-running query
+    val e = intercept[Exception] { old.collect() }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .take(8).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.toLowerCase.contains("not exist") ||
+      msgs.toLowerCase.contains("no such"),
+      s"expected a loud missing-file failure, got: $msgs")
+  }
+
   test("vacuum's age horizon protects files staged by an in-flight commit") {
     val dir = tmp("vac-horizon")
     LogLake.create(spark, dir, kv(1L -> "a"))
