@@ -1092,6 +1092,89 @@ object Lake {
            |       CAST(SUM(CASE WHEN rid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rid_rows
            |FROM loglake.$ns.t
            |GROUP BY o_year ORDER BY o_year""".stripMargin)
+    },
+
+    // --- q136: WRITE-TIME ROW TRACKING (Delta row IDs) under the
+    // gate — the labeled MERGE feed with the CDC property ABSENT.
+    // Every row gets a stable identity at first write (manifest base +
+    // row_index — zero write cost); the merge rewrite materializes
+    // surviving rows' ids, so the change feed joins added and removed
+    // rows ON IDENTITY: carried rows cancel exactly, updates surface
+    // as pre/postimage pairs, inserts label correctly — no write-time
+    // change files, no read-side ambiguity. The feed is consumed
+    // through the STREAMING CDF source into a second table (real
+    // checkpointed micro-batches), then aggregated next to the
+    // snapshot. Same oracle shape as q129, proving row tracking and
+    // write-time CDC produce the identical labeled feed by different
+    // means. At 100 TB the labeling read costs the merge's
+    // changed-file volume — same as the diff it replaces — and the
+    // id-join broadcast side is manifest-sized.
+    Q(
+      "q136_loglake_row_tracking",
+      s"""WITH src AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |), base AS (
+         |  SELECT * FROM src WHERE o_orderkey % 3 <> 2
+         |), matched AS (
+         |  SELECT * FROM base WHERE o_orderkey % 5 = 0
+         |), ins AS (
+         |  SELECT * FROM src WHERE o_orderkey % 3 = 2
+         |), snap AS (
+         |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'M' ELSE o_orderstatus END
+         |           AS o_orderstatus, o_totalprice
+         |  FROM base
+         |  UNION ALL SELECT o_orderstatus, o_totalprice FROM ins
+         |)
+         |SELECT 'feed' AS leg, 'insert' AS ct, o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt, ${oSum("o_totalprice")} AS total
+         |FROM ins GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'feed', 'update_preimage', o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
+         |FROM matched GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'feed', 'update_postimage', 'M',
+         |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
+         |FROM matched
+         |UNION ALL
+         |SELECT 'snapshot', '-', o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT), ${oSum("o_totalprice")}
+         |FROM snap GROUP BY o_orderstatus
+         |ORDER BY leg, ct, o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q136"); val dst = freshDir("q136-dst")
+      val chk = freshDir("q136-chk")
+      val ord = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = ord.filter(col("o_orderkey") % 3 =!= 2)
+      LogLake.createEmpty(dir, base.schema)                              // v1
+      LogLake.setTableProperties(dir,
+        Map("loglake.enableRowTracking" -> "true"))
+      LogLake.append(s, dir, base, statsCols = Seq("o_orderkey"))        // v2
+      val source = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("M"))
+        .unionByName(ord.filter(col("o_orderkey") % 3 === 2))
+      LogLake.merge(s, dir, source, Seq("o_orderkey"))                   // v3
+      require(LogLake.history(dir).last.cdc.isEmpty,
+        "q136 must label WITHOUT write-time CDC files")
+      val q = s.readStream.format("loglake")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "3").load(dir)
+        .writeStream.format("loglake").option("path", dst)
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      val feed = LogLake.snapshot(s, dst)
+        .groupBy(col("_change_type").as("ct"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .select(lit("feed").as("leg"), col("ct"), col("o_orderstatus"),
+          col("cnt"), col("total"))
+      val snap = LogLake.snapshot(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .select(lit("snapshot").as("leg"), lit("-").as("ct"),
+          col("o_orderstatus"), col("cnt"), col("total"))
+      feed.unionByName(snap).orderBy("leg", "ct", "o_orderstatus")
     }
   )
 }

@@ -124,9 +124,31 @@ object LogLake {
     * metadata-only partition DELETE and exact planning-time pruning
     * (identity min=max stats are recorded alongside). Empty on
     * unpartitioned tables. */
+  /** `baseRowId`: WRITE-TIME ROW TRACKING (Delta's row IDs).
+    * [[NoRowIds]] (-1, the default — every pre-tracking manifest) means
+    * the file's rows have no identity; >= 0 means row `i` of the file
+    * has stable id `baseRowId + i` (fresh appends — zero write cost,
+    * the id is arithmetic); [[MaterializedRowIds]] (-2) means the file
+    * carries its ids in the hidden physical column [[RowIdCol]]
+    * (rewrites — a MERGE/UPDATE/OPTIMIZE preserves each surviving
+    * row's id by writing it into the new file, since base+offset can't
+    * survive a re-layout). Readers take
+    * `coalesce(materialized, base + row_index)`. */
   final case class AddFile(path: String, rows: Long, stats: Map[String, ColStats],
       bytes: Long = -1L, dv: String = "", dvRows: Long = 0L,
-      partitionValues: Map[String, String] = Map.empty)
+      partitionValues: Map[String, String] = Map.empty,
+      baseRowId: Long = -1L)
+
+  /** Sentinels for [[AddFile.baseRowId]]. */
+  val NoRowIds: Long = -1L
+  val MaterializedRowIds: Long = -2L
+
+  /** The hidden PHYSICAL column rewritten files store row ids under —
+    * never part of the table schema; explicit-schema reads simply never
+    * request it. */
+  private[sources] val RowIdCol = "__llrid"
+  /** The surfaced row-id column of [[snapshotWithRowIds]]. */
+  val RowIdField = "_row_id"
   /** `cdc`: table-relative paths of write-time CHANGE-DATA files
     * (Delta's AddCDCFile) — labeled change rows the WRITER recorded for
     * this commit, present only when `loglake.enableChangeDataFeed` was
@@ -163,7 +185,7 @@ object LogLake {
     * feature instead of misreading. */
   val SupportedFeatures: Set[String] = Set(
     "columnMapping", "deletionVectors", "partitionColumns",
-    "generatedColumns", "identityColumns")
+    "generatedColumns", "identityColumns", "rowTracking")
 
   /** Resolved state at `version`: active files, schema, every txnId
     * committed up to it (for O(tail) replay detection), and the
@@ -555,6 +577,43 @@ object LogLake {
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v))
             .withColumn("_commit_timestamp", lit(ts)))
+        else if (prevEntries.nonEmpty &&
+            (m.adds ++ prevEntries).forall(_.baseRowId != NoRowIds)) {
+          // ROW-TRACKING diff (Delta row IDs): added and removed rows
+          // join on stable identity — carried rows cancel exactly,
+          // changed rows surface as update_pre/postimage PAIRS, and a
+          // merge's genuine inserts and deletes label correctly WITHOUT
+          // write-time CDC files (the ask row tracking exists for).
+          // Rows whose id is NULL (files written before tracking was
+          // enabled, materialized through a rewrite) keep the multiset
+          // diff in their own legs — exact, never a phantom change.
+          // Read cost stays the commit's changed-file volume.
+          val cols = schema.fieldNames.toIndexedSeq
+          val a = readAddsWithRowIds(spark, dir, schema, m.adds)
+          val r = readAddsWithRowIds(spark, dir, schema, prevEntries)
+          def rows(df: DataFrame) = df.filter(col(RowIdField).isNull)
+            .select(cols.map(col): _*)
+          val j = a.filter(col(RowIdField).isNotNull)
+            .select(struct(cols.map(col): _*).as("__a"), col(RowIdField))
+            .join(r.filter(col(RowIdField).isNotNull)
+              .select(struct(cols.map(col): _*).as("__r"), col(RowIdField)),
+              Seq(RowIdField), "full_outer")
+          def side(s: String, label: String, from: DataFrame) =
+            from.select(cols.map(c => col(s"$s.$c").as(c)): _*)
+              .withColumn("_change_type", lit(label))
+          val changed = j.filter(col("__a").isNotNull && col("__r").isNotNull &&
+            !(col("__a") <=> col("__r")))
+          Some(side("__r", "update_preimage", changed)
+            .unionByName(side("__a", "update_postimage", changed))
+            .unionByName(side("__a", "insert", j.filter(col("__r").isNull)))
+            .unionByName(side("__r", "delete", j.filter(col("__a").isNull)))
+            .unionByName(rows(a).exceptAll(rows(r))
+              .withColumn("_change_type", lit(addLbl)))
+            .unionByName(rows(r).exceptAll(rows(a))
+              .withColumn("_change_type", lit(delLbl)))
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp", lit(ts)))
+        }
         else {
           val added = readAdds(spark, dir, schema, m.adds)
           val removed = readAdds(spark, dir, schema, prevEntries)
@@ -1151,14 +1210,16 @@ object LogLake {
           val touched = touchedFiles(spark, dir, files, schema, condition)
           if (touched.isEmpty) (Seq.empty[AddFile], Seq.empty[String])
           else {
-            val kept = readAdds(spark, dir, schema, touched).filter(miss)
+            // survivors keep their row ids under tracking (materialized)
+            val kept = trackedRead(spark, dir, schema, touched).filter(miss)
             (writeData(spark, dir, kept,
               inheritedStats(files, statsCols, schema, schema),
               physMap(schema)), touched.map(_.path))
           }
       }
+    // the region's replacement rows are NEW rows — fresh base row ids
     commit(dir, "overwrite", txnId, readV, schema.json,
-      newAdds ++ survivorAdds, removes)
+      assignBaseRowIds(dir, newAdds ++ survivorAdds), removes)
   }
 
   /** Schema contract per op: `create` sets it, `overwrite` may replace
@@ -1273,7 +1334,7 @@ object LogLake {
             .foreach(a => f.delete(new Path(dir, a.path), false))
       return readV
     }
-    commit(dir, op, txnId, readV, schemaJson, adds, removes)
+    commit(dir, op, txnId, readV, schemaJson, assignBaseRowIds(dir, adds), removes)
   }
 
   /** MERGE upsert (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT
@@ -1332,37 +1393,60 @@ object LogLake {
     // An insert-only merge (no touched files) skips the CDC file: its
     // commit has no removes, so the feed's pure-append fast path
     // already labels it exactly.
-    if (cdfEnabled(dir) && touched.nonEmpty) {
-      val tgt = readAdds(spark, dir, schema, touched) // DV-masked rows stay dead
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val rewritten = tgt.join(keys, keyCols, "left_anti").unionByName(src)
-        val adds = writeData(spark, dir, rewritten,
-          inheritedStats(files, statsCols, src.schema, schema), physMap(schema))
-        // labels: matched target rows are pre-images (one per row, incl.
-        // duplicates), source rows whose key matched are post-images
-        // (one per key — source keys are unique by contract), unmatched
-        // source rows are inserts
-        val tgtKeys = tgt.select(keyCols.map(col).toIndexedSeq: _*).distinct()
-        val cdcDf = tgt.join(keys, keyCols, "leftsemi")
-          .withColumn("_change_type", lit("update_preimage"))
-          .unionByName(src.join(tgtKeys, keyCols, "leftsemi")
-            .withColumn("_change_type", lit("update_postimage")))
-          .unionByName(src.join(tgtKeys, keyCols, "left_anti")
-            .withColumn("_change_type", lit("insert")))
-        val cdc = writeCdc(spark, dir, cdcDf, schema)
-        return commit(dir, "merge", txnId, readV, schema.json, adds,
-          touched.map(_.path), cdc)
-      } finally tgt.unpersist()
-    }
-    val rewritten =
-      if (touched.isEmpty) src
-      else readAdds(spark, dir, schema, touched) // DV-masked rows stay dead
-        .join(keys, keyCols, "left_anti")
-        .unionByName(src)
-    val adds = writeData(spark, dir, rewritten,
-      inheritedStats(files, statsCols, src.schema, schema), physMap(schema))
-    commit(dir, "merge", txnId, readV, schema.json, adds, touched.map(_.path))
+    val tracking = rowTrackingEnabled(dir)
+    // one scan of the touched files (persisted) feeds the rewrite, the
+    // row-id inheritance, and — when CDC is on — the labeling. Under
+    // row tracking a matched source row INHERITS its target row's id
+    // (an update keeps identity — the Delta row-ID contract; duplicate
+    // -key targets collapse to the MIN id), inserts draw fresh ids,
+    // carried rows keep theirs through the materialized column.
+    val tgtOpt =
+      if (touched.isEmpty) None
+      else Some(trackedRead(spark, dir, schema, touched) // DV-masked rows stay dead
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      val srcW: DataFrame =
+        if (!tracking) src
+        else tgtOpt match {
+          case None => withFreshRowIds(spark, dir, src)
+          case Some(tgt) =>
+            val matchIds = tgt.join(keys, keyCols, "leftsemi")
+              .groupBy(keyCols.map(col).toIndexedSeq: _*)
+              .agg(min(col(RowIdCol)).as(RowIdCol))
+            val withInh = src.join(matchIds, keyCols, "left_outer")
+            withInh.filter(col(RowIdCol).isNotNull).unionByName(
+              withFreshRowIds(spark, dir,
+                withInh.filter(col(RowIdCol).isNull).drop(RowIdCol)))
+        }
+      val rewritten = tgtOpt match {
+        case None => srcW
+        case Some(tgt) =>
+          val carried = tgt.join(keys, keyCols, "left_anti")
+          carried.unionByName(srcW.select(carried.columns.toIndexedSeq.map(col): _*))
+      }
+      val adds = writeData(spark, dir, rewritten,
+        inheritedStats(files, statsCols, src.schema, schema), physMap(schema))
+      val cdc: Seq[String] = tgtOpt match {
+        case Some(tgt) if cdfEnabled(dir) =>
+          // labels: matched target rows are pre-images (one per row,
+          // incl. duplicates), source rows whose key matched are
+          // post-images (one per key — source keys are unique by
+          // contract), unmatched source rows are inserts
+          val all = schema.fieldNames.toIndexedSeq
+          val tgtKeys = tgt.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+          val cdcDf = tgt.join(keys, keyCols, "leftsemi")
+            .select(all.map(col): _*)
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(src.join(tgtKeys, keyCols, "leftsemi")
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(src.join(tgtKeys, keyCols, "left_anti")
+              .withColumn("_change_type", lit("insert")))
+          writeCdc(spark, dir, cdcDf, schema)
+        case _ => Nil
+      }
+      commit(dir, "merge", txnId, readV, schema.json,
+        assignBaseRowIds(dir, adds), touched.map(_.path), cdc)
+    } finally tgtOpt.foreach(_.unpersist())
   }
 
   /** Row-level DELETE (copy-on-write): rewrite ONLY the files that
@@ -1419,12 +1503,25 @@ object LogLake {
       return commit(dir, "delete", txnId, readV, schema.json, adds, removes, cdc)
     }
     val cdc = deleteCdc()
-    val kept = readAdds(spark, dir, schema, touched)
+    // under row tracking survivors keep their ids (materialized into
+    // the rewritten files); merge-on-read needs nothing — a DV changes
+    // no row's position
+    val kept = trackedRead(spark, dir, schema, touched)
       .filter(!coalesce(condition, lit(false))) // NULL-condition rows survive, as in SQL DELETE
     val adds = writeData(spark, dir, kept,
       inheritedStats(files, statsCols, schema, schema), physMap(schema))
     commit(dir, "delete", txnId, readV, schema.json, adds, touched.map(_.path), cdc)
   }
+
+  /** The touched-file read a tracked rewrite starts from: row ids
+    * surface under [[RowIdCol]] so the rewrite materializes them;
+    * untracked tables read plain. */
+  private def trackedRead(spark: SparkSession, dir: String,
+      schema: StructType, adds: Seq[AddFile]): DataFrame =
+    if (rowTrackingEnabled(dir))
+      readAddsWithRowIds(spark, dir, schema, adds)
+        .withColumnRenamed(RowIdField, RowIdCol)
+    else readAdds(spark, dir, schema, adds)
 
   /** Row-level UPDATE (copy-on-write): `set` maps existing columns to
     * replacement expressions applied WHERE `condition` holds; rows and
@@ -1470,15 +1567,21 @@ object LogLake {
             .unionByName(post.withColumn("_change_type", lit("update_postimage"))),
           schema)
       }
+    // under row tracking the updated images KEEP their row ids — the
+    // touched read surfaces them and the SET projection passes them
+    // through to the materializing write
+    val tracking = rowTrackingEnabled(dir)
+    def passId(cols: Seq[Column]): Seq[Column] =
+      if (tracking) cols :+ col(RowIdCol) else cols
     if (mor) {
       // merge-on-read: mask the old images with deletion vectors and
       // append only the updated rows as new files — write volume is
       // the MATCHED rows, not the touched files
       val cdc = updateCdc()
-      val updated = regen(readAdds(spark, dir, schema, touched).filter(hit)
-        .select(schema.fieldNames.toIndexedSeq.map { c =>
+      val updated = regen(trackedRead(spark, dir, schema, touched).filter(hit)
+        .select(passId(schema.fieldNames.toIndexedSeq.map { c =>
           set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
-        }: _*))
+        }): _*))
       val newAdds = writeData(spark, dir, updated,
         inheritedStats(files, statsCols, schema, schema), physMap(schema))
       val (dvAdds, removes) = attachDvs(spark, dir, schema, touched, hit)
@@ -1493,8 +1596,8 @@ object LogLake {
         case None => col(c)
       }
     }
-    val rewritten = regen(readAdds(spark, dir, schema, touched)
-      .select(projected: _*))
+    val rewritten = regen(trackedRead(spark, dir, schema, touched)
+      .select(passId(projected): _*))
     val adds = writeData(spark, dir, rewritten,
       inheritedStats(files, statsCols, schema, schema), physMap(schema))
     commit(dir, "update", txnId, readV, schema.json, adds, touched.map(_.path), cdc)
@@ -1769,8 +1872,10 @@ object LogLake {
         files.forall(_.dv.isEmpty)))
       return readV // nothing worth compacting
     // the rewrite reads THROUGH deletion vectors, so OPTIMIZE also
-    // materializes pending deletes and purges the DVs (Delta's PURGE)
-    val df = readAdds(spark, dir, schema, files)
+    // materializes pending deletes and purges the DVs (Delta's PURGE).
+    // Row ids survive the re-layout: the tracked read surfaces them and
+    // the compacted files materialize them.
+    val df = trackedRead(spark, dir, schema, files)
     // identity-partitioned tables compact PER PARTITION (numFiles is a
     // per-table knob for the unpartitioned case; partitioned layout is
     // one file per live partition per rewrite — Delta's bin-packing
@@ -2005,39 +2110,20 @@ object LogLake {
     first
   }
 
-  /** Assign identity values to columns the incoming frame omits; loud
-    * if the frame carries a VALUE for one (ALWAYS semantics). A carried
-    * column that is entirely NULL is treated as absent — the shape
-    * Spark's INSERT column-list padding produces for an omitted column,
-    * and unambiguous because assigned identity values are never null
-    * (the null probe rides the same persisted pass the row indexing
-    * needs anyway). */
-  private def assignIdentity(spark: SparkSession, dir: String,
-      df0: DataFrame): DataFrame = {
-    val ids = identityColumns(dir)
-    if (ids.isEmpty) return df0
-    val carried = ids.keys.filter(df0.columns.contains).toSeq.sorted
-    // one persisted pass over the epoch serves the carried-value probe,
-    // the row count, and the indexing read; never the table's volume
-    val persisted = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Persist `df`, append a dense 0-based `__idx` long column on the
+    * INTERNAL row codec (zipWithIndex over the executed plan's
+    * UnsafeRows, one bytes-copy per row — the scan iterator reuses its
+    * buffer; no external-Row encode/decode), hand the indexed frame and
+    * the row count to `use`, and materialize the result before
+    * unpersisting the input. One pass over the EPOCH's volume — the
+    * shared kernel of identity assignment and row-id reservation. */
+  private def indexRows(spark: SparkSession, df: DataFrame)(
+      use: (DataFrame, Long) => DataFrame): DataFrame = {
+    val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (carried.nonEmpty) {
-        val counts = persisted.select(carried.map(c =>
-          count(col(c)).as(c)): _*).head() // count(col) counts non-nulls
-        carried.zipWithIndex.foreach { case (c, i) =>
-          if (counts.getLong(i) > 0L) throw new IllegalArgumentException(
-            s"loglake: $c is GENERATED ALWAYS AS IDENTITY — writes cannot " +
-              "supply it")
-        }
-      }
-      val df = if (carried.isEmpty) persisted else persisted.drop(carried: _*)
       val n = persisted.count()
-      // index on the INTERNAL row codec: zipWithIndex over the executed
-      // plan's UnsafeRows with one bytes-copy per row — no external-Row
-      // encode/decode round-trip on the hot path (the copy is required:
-      // the scan iterator reuses its row buffer)
       val schema = df.schema
-      val indexed = GraftBridge.toInternalRdd(df).zipWithIndex()
+      val indexed = GraftBridge.toInternalRdd(persisted).zipWithIndex()
         .mapPartitions { it =>
           it.map { case (r, i) =>
             new org.apache.spark.sql.catalyst.expressions.JoinedRow(
@@ -2047,12 +2133,142 @@ object LogLake {
         }
       val withIdx = GraftBridge.internalDf(spark, indexed,
         StructType(schema.fields :+ StructField("__idx", LongType, nullable = false)))
+      use(withIdx, n).localCheckpoint(true) // materialize before unpersist
+    } finally persisted.unpersist()
+  }
+
+  /** Assign identity values to columns the incoming frame omits; loud
+    * if the frame carries a VALUE for one (ALWAYS semantics). A carried
+    * column that is entirely NULL is treated as absent — the shape
+    * Spark's INSERT column-list padding produces for an omitted column,
+    * and unambiguous because assigned identity values are never null. */
+  private def assignIdentity(spark: SparkSession, dir: String,
+      df0: DataFrame): DataFrame = {
+    val ids = identityColumns(dir)
+    if (ids.isEmpty) return df0
+    val carried = ids.keys.filter(df0.columns.contains).toSeq.sorted
+    val df =
+      if (carried.isEmpty) df0
+      else {
+        val counts = df0.select(carried.map(c =>
+          count(col(c)).as(c)): _*).head() // count(col) counts non-nulls
+        carried.zipWithIndex.foreach { case (c, i) =>
+          if (counts.getLong(i) > 0L) throw new IllegalArgumentException(
+            s"loglake: $c is GENERATED ALWAYS AS IDENTITY — writes cannot " +
+              "supply it")
+        }
+        df0.drop(carried: _*)
+      }
+    indexRows(spark, df) { (withIdx, n) =>
       ids.foldLeft(withIdx) { case (d, (c, (_, step))) =>
         val first = reserveIdentity(dir, c, n)
         d.withColumn(c, lit(first) + lit(step) * col("__idx"))
       }.drop("__idx")
-        .localCheckpoint(true) // materialize before unpersisting the input
-    } finally persisted.unpersist()
+    }
+  }
+
+  // --------------------------------------------------- row tracking
+
+  /** WRITE-TIME ROW TRACKING (Delta's row IDs): every row gets a
+    * STABLE table-unique BIGINT identity at first write, preserved
+    * across MERGE/UPDATE/DELETE/OPTIMIZE rewrites. Fresh appends cost
+    * nothing (the manifest records one base per file; id = base +
+    * row_index); rewrites materialize surviving rows' ids into the
+    * hidden [[RowIdCol]] column of the new files. The payoff:
+    * [[changeFeed]] labels a MERGE's updates vs inserts EXACTLY without
+    * the CDC table property — added and removed rows join on identity,
+    * carried rows cancel, changed rows become update_pre/postimage
+    * pairs. Enable with table property `loglake.enableRowTracking=true`
+    * (files written before enablement have no ids — their rows surface
+    * NULL and the feed keeps the diff encoding for commits touching
+    * them). The id high-water mark is CAS-reserved through the property
+    * store like identity ranges: concurrent writers get disjoint
+    * ranges, a failed write burns its range — gaps, never duplicates. */
+  private[sources] def rowTrackingEnabled(dir: String): Boolean =
+    tableProperties(dir).get("loglake.enableRowTracking").exists(_.toBoolean)
+
+  private val RowIdHwmKey = "loglake.rowTracking.hwm"
+
+  /** CAS-reserve `n` fresh row ids; returns the first. */
+  private def reserveRowIds(dir: String, n: Long): Long = {
+    var first = 0L
+    publishKv(dir, "properties", { props =>
+      val hwm = props.getOrElse(RowIdHwmKey, "0").toLong
+      first = hwm
+      props + (RowIdHwmKey -> (hwm + n).toString)
+    })
+    first
+  }
+
+  /** Stamp per-file base row ids onto freshly-written adds (files whose
+    * rows are ALL new — append/create/overwrite/replaceWhere region
+    * data): one CAS reservation for the commit's total, bases assigned
+    * sequentially. Materialized (-2) and empty files pass through. */
+  private def assignBaseRowIds(dir: String, adds: Seq[AddFile]): Seq[AddFile] = {
+    if (!rowTrackingEnabled(dir)) return adds
+    val fresh = adds.filter(a => a.baseRowId == NoRowIds && a.rows > 0L)
+    if (fresh.isEmpty) return adds
+    var next = reserveRowIds(dir, fresh.map(_.rows).sum)
+    val assigned = fresh.map { a =>
+      val b = next; next += a.rows; a.path -> b
+    }.toMap
+    adds.map(a => assigned.get(a.path).map(b => a.copy(baseRowId = b)).getOrElse(a))
+  }
+
+  /** `df` + a fresh materialized [[RowIdCol]] — the insert side of a
+    * tracked rewrite (cost: one persisted pass over the SOURCE volume,
+    * the [[indexRows]] kernel). */
+  private def withFreshRowIds(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame =
+    indexRows(spark, df) { (withIdx, n) =>
+      withIdx.withColumn(RowIdCol, lit(reserveRowIds(dir, n)) + col("__idx"))
+        .drop("__idx")
+    }
+
+  /** Snapshot read surfacing each row's stable id as [[RowIdField]]:
+    * `coalesce(materialized column, base + row_index)` per file, the
+    * per-file base broadcast-joined on file name (manifest-sized build
+    * side); deletion vectors honored like [[readAdds]]. Rows of files
+    * written before tracking was enabled surface NULL. */
+  def snapshotWithRowIds(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val (files, schema) = activeState(dir, asOf)
+    readAddsWithRowIds(spark, dir, schema, files)
+  }
+
+  private[sources] def readAddsWithRowIds(spark: SparkSession, dir: String,
+      schema: StructType, adds: Seq[AddFile]): DataFrame = {
+    val outSchema = StructType(cleanSchema(schema).fields :+
+      StructField(RowIdField, LongType, nullable = true))
+    if (adds.isEmpty)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema)
+    val f = fs(dir)
+    import spark.implicits._
+    val ps = StructType(physSchema(schema).fields :+
+      StructField(RowIdCol, LongType, nullable = true))
+    val scan = spark.read.schema(ps)
+      .parquet(adds.map(a => resolvedPath(dir, a.path)): _*)
+      .select(
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("__name") +:
+          col("_metadata.row_index").as("__pos") +:
+          col(RowIdCol) +:
+          schema.fields.toIndexedSeq.map(fd => col(physName(fd)).as(fd.name)): _*)
+    val baseDf = broadcast(adds
+      .map(a => (fileName(a.path), a.baseRowId)).toDF("__name", "__base"))
+    val dved = adds.filter(_.dv.nonEmpty)
+    val masked =
+      if (dved.isEmpty) scan
+      else {
+        val dvDf = dved
+          .map(a => fileName(a.path) -> readDv(f, new Path(resolvedPath(dir, a.dv))))
+          .toDF("__name", "__positions")
+          .select(col("__name"), explode(col("__positions")).as("__pos"))
+        scan.join(dvDf, Seq("__name", "__pos"), "left_anti")
+      }
+    masked.join(baseDf, Seq("__name"), "left")
+      .withColumn(RowIdField, coalesce(col(RowIdCol),
+        when(col("__base") >= 0L, col("__base") + col("__pos"))))
+      .select(schema.fieldNames.toIndexedSeq.map(col) :+ col(RowIdField): _*)
   }
 
   private def readFully(f: FileSystem, p: Path): Array[Byte] = {
@@ -2343,7 +2559,8 @@ object LogLake {
     val adds = finishStaged(spark, dir, moved, physSchema(schema),
       schema.fieldNames.toIndexedSeq, physMap(schema),
       inheritedStats(priorFiles, Nil, schema, schema))
-    commit(dir, "append", txnId, readV, schema.json, adds, Nil)
+    commit(dir, "append", txnId, readV, schema.json,
+      assignBaseRowIds(dir, adds), Nil)
   }
 
   // ------------------------------------------------------------ internals
@@ -2471,7 +2688,8 @@ object LogLake {
       }
     f.delete(staging, true)
     finishStaged(spark, dir, moved, pdf.schema, df.columns.toIndexedSeq,
-      nameMap, statsCols)
+      nameMap, statsCols,
+      materializedRowIds = df.columns.contains(RowIdCol))
   }
 
   /** Post-staging adoption, shared by [[writeData]] and the DSv2
@@ -2484,7 +2702,7 @@ object LogLake {
   private def finishStaged(spark: SparkSession, dir: String,
       moved: Seq[(Path, Long, Map[String, String])], stagedSchema: StructType,
       logicalCols: Seq[String], nameMap: Map[String, String],
-      statsCols: Seq[String]): Seq[AddFile] = {
+      statsCols: Seq[String], materializedRowIds: Boolean = false): Seq[AddFile] = {
     val f = fs(dir)
     if (moved.isEmpty) return Seq.empty
 
@@ -2549,11 +2767,12 @@ object LogLake {
           s"${bad.headOption.getOrElse("<unavailable>")} — nothing committed")
     }
 
+    val brid = if (materializedRowIds) MaterializedRowIds else NoRowIds
     moved.map { case (p, len, pv) =>
       byFile.get(p.getName) match {
         case None => // empty part
           AddFile(s"$DataDir/${p.getName}", 0L, Map.empty, len,
-            partitionValues = pv)
+            partitionValues = pv, baseRowId = brid)
         case Some(r) =>
           val stats = statsCols.zipWithIndex.map { case (c, i) =>
             val mn = r.getAs[Any](s"__min_$i")
@@ -2566,7 +2785,7 @@ object LogLake {
             })
           }.toMap
           AddFile(s"$DataDir/${p.getName}", r.getAs[Long]("__rows"), stats,
-            len, partitionValues = pv)
+            len, partitionValues = pv, baseRowId = brid)
       }
     }
   }
@@ -2650,6 +2869,8 @@ object LogLake {
     val props = tableProperties(dir)
     if (props.keys.exists(_.startsWith(GenPrefix))) b += "generatedColumns"
     if (props.keys.exists(_.startsWith(IdPrefix))) b += "identityColumns"
+    if (props.get("loglake.enableRowTracking").exists(_.toBoolean) ||
+      adds.exists(_.baseRowId != NoRowIds)) b += "rowTracking"
     b.result()
   }
 
@@ -2751,6 +2972,7 @@ object LogLake {
       o.put("rows", a.rows)
       o.put("bytes", a.bytes)
       if (a.dv.nonEmpty) { o.put("dv", a.dv); o.put("dvRows", a.dvRows) }
+      if (a.baseRowId != NoRowIds) o.put("brid", a.baseRowId)
       if (a.partitionValues.nonEmpty) {
         val pv = o.putObject("pv")
         a.partitionValues.toSeq.sortBy(_._1).foreach { case (k, v) => pv.put(k, v) }
@@ -2781,7 +3003,8 @@ object LogLake {
       AddFile(a.get("path").asText(), a.get("rows").asLong(), stats,
         Option(a.get("bytes")).map(_.asLong()).getOrElse(-1L),
         Option(a.get("dv")).map(_.asText()).getOrElse(""),
-        Option(a.get("dvRows")).map(_.asLong()).getOrElse(0L), pv)
+        Option(a.get("dvRows")).map(_.asLong()).getOrElse(0L), pv,
+        Option(a.get("brid")).map(_.asLong()).getOrElse(NoRowIds))
     }.toSeq
   }
 
@@ -2870,6 +3093,7 @@ object LogLake {
     import com.fasterxml.jackson.core.JsonToken._
     var path = ""; var rows = 0L; var bytes = -1L
     var dv = ""; var dvRows = 0L
+    var brid = NoRowIds
     var stats = Map.empty[String, ColStats]
     var pv = Map.empty[String, String]
     while (p.nextToken() != END_OBJECT) {
@@ -2879,6 +3103,7 @@ object LogLake {
         case "bytes" => p.nextToken(); bytes = p.getLongValue
         case "dv" => p.nextToken(); dv = p.getText
         case "dvRows" => p.nextToken(); dvRows = p.getLongValue
+        case "brid" => p.nextToken(); brid = p.getLongValue
         case "pv" =>
           require(p.nextToken() == START_OBJECT, "add: pv must be an object")
           val m = Map.newBuilder[String, String]
@@ -2908,7 +3133,7 @@ object LogLake {
         case _ => p.nextToken(); p.skipChildren()
       }
     }
-    AddFile(path, rows, stats, bytes, dv, dvRows, pv)
+    AddFile(path, rows, stats, bytes, dv, dvRows, pv, brid)
   }
 
   /** Token-streamed checkpoint render — byte-identical layout to the
@@ -2934,6 +3159,7 @@ object LogLake {
         g.writeStringField("dv", a.dv)
         g.writeNumberField("dvRows", a.dvRows)
       }
+      if (a.baseRowId != NoRowIds) g.writeNumberField("brid", a.baseRowId)
       if (a.partitionValues.nonEmpty) {
         g.writeObjectFieldStart("pv")
         a.partitionValues.toSeq.sortBy(_._1)

@@ -240,6 +240,28 @@ class CdfMergeSpec extends SparkTestBase {
       Seq(("delete", 1L)))
   }
 
+  test("row tracking and write-time CDC coexist: change files win, labels agree") {
+    // both properties on: the merge still records CDC files (the feed's
+    // first-priority source) and the rewrite still preserves row ids —
+    // and the labels agree with what row tracking alone would derive
+    val dir = tmp("both")
+    LogLake.createEmpty(dir, kv(1L -> "a").schema)
+    LogLake.setTableProperties(dir, Map(
+      "loglake.enableRowTracking" -> "true",
+      "loglake.enableChangeDataFeed" -> "true"))
+    LogLake.append(spark, dir, kv(1L -> "a", 2L -> "b"))
+    LogLake.merge(spark, dir, kv(2L -> "B", 9L -> "z"), Seq("k"))
+    assert(LogLake.history(dir).last.cdc.nonEmpty, "CDC files still recorded")
+    assert(feed(dir, 2L, 3L) == Seq(
+      ("insert", 9L, "z"),
+      ("update_postimage", 2L, "B"),
+      ("update_preimage", 2L, "b")))
+    // ids preserved through the CDC-path rewrite too
+    val ids = LogLake.snapshotWithRowIds(spark, dir)
+      .select("k", LogLake.RowIdField).collect()
+    assert(ids.forall(!_.isNullAt(1)), s"lost row ids: ${ids.mkString(",")}")
+  }
+
   test("shallow clone carries table properties") {
     val src = tmp("clone-src"); val dst = tmp("clone-dst")
     LogLake.create(spark, src, kv(1L -> "a"))

@@ -43,8 +43,10 @@ object ManifestCodecProps extends Properties("ManifestCodec") {
     dvRows <- Gen.chooseNum(0L, 1000000L)
     nPv <- Gen.chooseNum(0, 3)
     pv <- Gen.mapOfN(nPv, Gen.zip(Gen.identifier, nastyString))
+    brid <- Gen.oneOf(Gen.const(-1L), Gen.const(-2L),
+      Gen.chooseNum(0L, Long.MaxValue))
   } yield AddFile(path, rows, stats, bytes, dv,
-    if (dv.isEmpty) 0L else dvRows, pv)
+    if (dv.isEmpty) 0L else dvRows, pv, brid)
 
   private val genManifest: Gen[Manifest] = for {
     v <- Gen.chooseNum(1L, Long.MaxValue)
