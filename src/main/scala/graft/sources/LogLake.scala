@@ -1400,10 +1400,17 @@ object LogLake {
     // (an update keeps identity — the Delta row-ID contract; duplicate
     // -key targets collapse to the MIN id), inserts draw fresh ids,
     // carried rows keep theirs through the materialized column.
+    // persist only when the scan is REUSED (row-id inheritance and/or
+    // CDC labeling); the plain path reads the touched files once and
+    // must not pay a materialization
+    val reused = tracking || cdfEnabled(dir)
     val tgtOpt =
       if (touched.isEmpty) None
-      else Some(trackedRead(spark, dir, schema, touched) // DV-masked rows stay dead
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else Some {
+        val t = trackedRead(spark, dir, schema, touched) // DV-masked rows stay dead
+        if (reused) t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else t
+      }
     try {
       val srcW: DataFrame =
         if (!tracking) src
@@ -1446,7 +1453,7 @@ object LogLake {
       }
       commit(dir, "merge", txnId, readV, schema.json,
         assignBaseRowIds(dir, adds), touched.map(_.path), cdc)
-    } finally tgtOpt.foreach(_.unpersist())
+    } finally if (reused) tgtOpt.foreach(_.unpersist())
   }
 
   /** Row-level DELETE (copy-on-write): rewrite ONLY the files that

@@ -62,6 +62,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * predicate is not a split point). */
   private val InsertReplace =
     s"""(?is)\\s*INSERT\\s+INTO\\s+($T)\\s+REPLACE\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
+  private val ShowParts =
+    s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+($T)\\s*;?\\s*""".r
   /** `CREATE TABLE t (…)` with column-level GENERATED clauses — claimed
     * only when the balanced column body actually contains GENERATED
     * ALWAYS (the stock grammar rejects the clause); plain CREATEs stay
@@ -82,6 +84,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Clone(tgt, mode, src) => LogLakeCloneCommand(tgt.trim, src.trim,
       mode.equalsIgnoreCase("deep"))
     case Convert(target) => LogLakeConvertCommand(target.trim)
+    case ShowParts(target) => LogLakeShowPartitionsCommand(target.trim)
     case AddCons(target, name, expr) =>
       LogLakeAddConstraintCommand(target.trim, name, expr.trim)
     case DropCons(target, name) =>
@@ -485,6 +488,33 @@ private[sources] object GraftSqlShapes {
           "PARTITIONED BY (…))")
     }
     LogLakeCreateGeneratedCommand(target, cols, parts)
+  }
+}
+
+/** `SHOW PARTITIONS t` — the live partition inventory straight from
+  * the manifest ([[LogLake.partitionsDf]]: metadata-only at any table
+  * size), rendered Hive-style (`col=value/...`) with per-partition
+  * file/live-row/byte counts. Stock Spark cannot serve this for the
+  * loglake catalog (no SupportsPartitionManagement — the spec is
+  * immutable identity columns), so the delegating parser claims it. */
+final case class LogLakeShowPartitionsCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DescribeTarget.attrs(StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("num_files", LongType, nullable = false),
+    StructField("num_rows", LongType, nullable = false),
+    StructField("size_in_bytes", LongType, nullable = false))))
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = DescribeTarget.dir(session, target)
+    val df = LogLake.partitionsDf(session, dir)
+    val partCols = df.columns.dropRight(3)
+    df.collect().toSeq.map { r =>
+      val rendered = partCols.zipWithIndex.map { case (c, i) =>
+        s"$c=${if (r.isNullAt(i)) LogLake.NullPartitionValue else r.get(i)}"
+      }.mkString("/")
+      Row(rendered, r.getLong(partCols.length),
+        r.getLong(partCols.length + 1), r.getLong(partCols.length + 2))
+    }.sortBy(_.getString(0))
   }
 }
 

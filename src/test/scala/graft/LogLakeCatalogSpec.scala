@@ -140,6 +140,20 @@ class LogLakeCatalogSpec extends SparkTestBase {
       .as[Long].collect().toSeq == Seq(10L, 11L, 30L))
   }
 
+  test("SHOW PARTITIONS lists the manifest's live partition inventory") {
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.sp (k BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    spark.sql(s"INSERT INTO loglake.$db.sp VALUES (1, 'x'), (2, 'y'), (3, 'x')")
+    val rows = spark.sql(s"SHOW PARTITIONS loglake.$db.sp")
+      .select("partition", "num_rows").as[(String, Long)].collect().toSeq.sorted
+    assert(rows == Seq("part=x" -> 2L, "part=y" -> 1L))
+    // a partition DELETE drops its row from the inventory (metadata-only)
+    spark.sql(s"DELETE FROM loglake.$db.sp WHERE part = 'x'")
+    assert(spark.sql(s"SHOW PARTITIONS loglake.$db.sp")
+      .select("partition").as[String].collect().toSeq == Seq("part=y"))
+  }
+
   test("the pushdown-less fallback scan warns exactly once per session") {
     val db = freshDb()
     spark.sql(s"CREATE TABLE loglake.$db.w (k BIGINT)")
