@@ -1203,23 +1203,44 @@ object LogLake {
         s"loglake: replaceWhere data contains a row OUTSIDE the replaced " +
           s"region, e.g. ${offending.head} — nothing committed")
     }
-    val (survivorAdds, removes) =
+    val (survivorAdds, removes, cdc) =
       partitionOnlyMatches(spark, dir, files, schema, condition) match {
-        case Some(matched) => (Seq.empty[AddFile], matched.map(_.path))
+        // the partition metadata-only path stays change-file-free (it
+        // would read the dropped volume, defeating the zero-IO region
+        // swap — same rule as partition DELETE); its feed keeps the
+        // exact remove-entry diff
+        case Some(matched) =>
+          (Seq.empty[AddFile], matched.map(_.path), Seq.empty[String])
         case None =>
           val touched = touchedFiles(spark, dir, files, schema, condition)
-          if (touched.isEmpty) (Seq.empty[AddFile], Seq.empty[String])
+          if (touched.isEmpty)
+            // no removes → the feed's pure-append fast path already
+            // labels the region's new rows as inserts exactly
+            (Seq.empty[AddFile], Seq.empty[String], Seq.empty[String])
           else {
+            // write-time CDC (property-gated, the DELETE/UPDATE rule):
+            // the region's outgoing rows label 'delete', the staged
+            // replacement rows 'insert' (read back from the staged
+            // files — one scan of the new region, never a re-execution
+            // of the caller's plan)
+            val cdcFiles =
+              if (!cdfEnabled(dir)) Seq.empty[String]
+              else writeCdc(spark, dir,
+                readAdds(spark, dir, schema, touched)
+                  .filter(coalesce(condition, lit(false)))
+                  .withColumn("_change_type", lit("delete"))
+                  .unionByName(readAdds(spark, dir, schema, newAdds)
+                    .withColumn("_change_type", lit("insert"))), schema)
             // survivors keep their row ids under tracking (materialized)
             val kept = trackedRead(spark, dir, schema, touched).filter(miss)
             (writeData(spark, dir, kept,
               inheritedStats(files, statsCols, schema, schema),
-              physMap(schema)), touched.map(_.path))
+              physMap(schema)), touched.map(_.path), cdcFiles)
           }
       }
     // the region's replacement rows are NEW rows — fresh base row ids
     commit(dir, "overwrite", txnId, readV, schema.json,
-      assignBaseRowIds(dir, newAdds ++ survivorAdds), removes)
+      assignBaseRowIds(dir, newAdds ++ survivorAdds), removes, cdc)
   }
 
   /** Schema contract per op: `create` sets it, `overwrite` may replace

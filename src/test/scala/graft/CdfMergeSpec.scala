@@ -240,6 +240,34 @@ class CdfMergeSpec extends SparkTestBase {
       Seq(("delete", 1L)))
   }
 
+  test("replaceWhere records change files on the rewrite path; partition regions stay zero-IO") {
+    // rewrite path (non-partition predicate): region rows out as
+    // 'delete', replacement rows as 'insert' — recorded at write
+    val dir = tmp("rw-cdf")
+    LogLake.create(spark, dir, kv(1L -> "a", 2L -> "b", 3L -> "c"))
+    enableCdf(dir)
+    LogLake.overwriteWhere(spark, dir, kv(10L -> "x", 11L -> "x"),
+      col("k") >= 2L)
+    assert(LogLake.history(dir).last.cdc.nonEmpty,
+      "rewrite-path replaceWhere must record change files under the property")
+    assert(feed(dir, 1L, 2L) == Seq(
+      ("delete", 2L, "b"), ("delete", 3L, "c"),
+      ("insert", 10L, "x"), ("insert", 11L, "x")))
+    // partition metadata-only path: no change files (zero data IO —
+    // the partition DELETE rule); the feed keeps the exact remove diff
+    val pdir = tmp("rw-part")
+    import spark.implicits._
+    LogLake.create(spark, pdir, Seq((1L, "x"), (2L, "y")).toDF("k", "part"),
+      partitionBy = Seq("part"))
+    enableCdf(pdir)
+    LogLake.overwriteWhere(spark, pdir, Seq((10L, "x")).toDF("k", "part"),
+      col("part") === "x")
+    assert(LogLake.history(pdir).last.cdc.isEmpty)
+    val pf = LogLake.changeFeed(spark, pdir, 1L, 2L)
+      .select("_change_type", "k").as[(String, Long)].collect().toSeq.sorted
+    assert(pf == Seq(("delete", 1L), ("insert", 10L)))
+  }
+
   test("row tracking and write-time CDC coexist: change files win, labels agree") {
     // both properties on: the merge still records CDC files (the feed's
     // first-priority source) and the rewrite still preserves row ids —
