@@ -83,7 +83,16 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
       }
       require(byVersion.isEmpty || byTime.isEmpty,
         "loglake: versionAsOf and timestampAsOf are mutually exclusive")
-      relation(sqlContext.sparkSession, dir(parameters), byVersion.orElse(byTime))
+      if (parameters.get("withRowIds").exists(_.toBoolean))
+        // row-tracking read: table columns + _row_id (stable identity;
+        // NULL for rows of files written before tracking) — the reader
+        // -API face of LogLake.snapshotWithRowIds, version pinned at
+        // construction like every snapshot
+        new LogLakeRowIdRelation(sqlContext.sparkSession, dir(parameters),
+          Some(byVersion.orElse(byTime)
+            .getOrElse(LogLake.currentVersion(dir(parameters)))))
+      else
+        relation(sqlContext.sparkSession, dir(parameters), byVersion.orElse(byTime))
     }
 
   // ---------------------------------------------------------- batch write
@@ -310,6 +319,25 @@ final class LogLakeCdfRelation(protected val spark: SparkSession,
     LogLake.cleanSchema(LogLake.activeState(dir, Some(to))._2))
   protected def frame(): DataFrame =
     LogLake.changeFeed(spark, dir, fromExcl, to)
+}
+
+/** Row-tracking relation (`option("withRowIds", "true")`): the pinned
+  * snapshot plus the stable `_row_id` column
+  * ([[LogLake.snapshotWithRowIds]] — materialized ids coalesced with
+  * manifest base + row_index, DV-masked). Projection/filter pushdown
+  * re-expressed onto the inner frame via [[FrameBackedScan]]; the
+  * per-file base map is broadcast, so at 100 TB the id computation
+  * adds one manifest-sized build side to the scan. */
+final class LogLakeRowIdRelation(protected val spark: SparkSession,
+    dir: String, asOf: Option[Long]) extends BaseRelation
+    with FrameBackedScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = StructType(
+    LogLake.cleanSchema(LogLake.activeState(dir, asOf)._2).fields :+
+      StructField(LogLake.RowIdField,
+        org.apache.spark.sql.types.LongType, nullable = true))
+  protected def frame(): DataFrame =
+    LogLake.snapshotWithRowIds(spark, dir, asOf)
 }
 
 /** Fallback relation for a snapshot with ACTIVE deletion vectors: the

@@ -144,6 +144,25 @@ class RowTrackingSpec extends SparkTestBase {
       s"expected the unlabeled diff for the untracked generation, got $feed")
   }
 
+  test("the reader API surfaces _row_id via option(withRowIds); time travel composes") {
+    val dir = tracked("reader", kv(1L -> "a", 2L -> "b"))
+    LogLake.merge(spark, dir, kv(2L -> "B", 9L -> "z"), Seq("k"))
+    val rows = spark.read.format("loglake")
+      .option("withRowIds", "true").load(dir)
+      .select("k", LogLake.RowIdField).as[(Long, Long)].collect().toMap
+    assert(rows.keySet == Set(1L, 2L, 9L))
+    assert(rows.values.toSeq.distinct.size == 3)
+    // version pinned: v2 (the pre-merge append) through the reader
+    val v2 = spark.read.format("loglake")
+      .option("withRowIds", "true").option("versionAsOf", "2").load(dir)
+      .select("k", LogLake.RowIdField).as[(Long, Long)].collect().toMap
+    assert(v2.keySet == Set(1L, 2L))
+    assert(v2(2L) == rows(2L), "the merge-updated row keeps its id across versions")
+    // predicate + projection still prune through the frame-backed scan
+    assert(spark.read.format("loglake").option("withRowIds", "true").load(dir)
+      .filter(col("k") === 9L).select(LogLake.RowIdField).count() == 1L)
+  }
+
   test("tracked tables round-trip through checkpoints and time travel") {
     val dir = tracked("chk", kv(1L -> "a"))
     (0 until 12).foreach(i => LogLake.append(spark, dir, kv((10L + i) -> s"r$i")))
