@@ -139,9 +139,16 @@ object LogLake {
       partitionValues: Map[String, String] = Map.empty,
       baseRowId: Long = -1L)
 
-  /** Sentinels for [[AddFile.baseRowId]]. */
+  /** Sentinels for [[AddFile.baseRowId]]. [[MaterializedRowIds]] (-2)
+    * additionally GUARANTEES every row has a non-null id —
+    * [[finishStaged]]'s stats aggregate counts nulls in the hidden
+    * column for free, so the change feed knows statically when its
+    * null-id fallback legs are impossible and skips their scans.
+    * [[MaterializedRowIdsPartial]] (-3) marks a rewritten file carrying
+    * some NULL ids (rows first written before tracking was enabled). */
   val NoRowIds: Long = -1L
   val MaterializedRowIds: Long = -2L
+  val MaterializedRowIdsPartial: Long = -3L
 
   /** The hidden PHYSICAL column rewritten files store row ids under —
     * never part of the table schema; explicit-schema reads simply never
@@ -583,34 +590,53 @@ object LogLake {
           // join on stable identity — carried rows cancel exactly,
           // changed rows surface as update_pre/postimage PAIRS, and a
           // merge's genuine inserts and deletes label correctly WITHOUT
-          // write-time CDC files (the ask row tracking exists for).
-          // Rows whose id is NULL (files written before tracking was
-          // enabled, materialized through a rewrite) keep the multiset
-          // diff in their own legs — exact, never a phantom change.
-          // Read cost stays the commit's changed-file volume.
+          // write-time CDC files (the ask row tracking exists for). ONE
+          // full-outer join, ONE pass: each joined row explodes into
+          // its 0–2 change rows (carried → none, changed → pair,
+          // one-sided → insert/delete), so the feed costs one join over
+          // the commit's changed-file volume, not a scan per label.
           val cols = schema.fieldNames.toIndexedSeq
           val a = readAddsWithRowIds(spark, dir, schema, m.adds)
           val r = readAddsWithRowIds(spark, dir, schema, prevEntries)
-          def rows(df: DataFrame) = df.filter(col(RowIdField).isNull)
-            .select(cols.map(col): _*)
           val j = a.filter(col(RowIdField).isNotNull)
             .select(struct(cols.map(col): _*).as("__a"), col(RowIdField))
             .join(r.filter(col(RowIdField).isNotNull)
               .select(struct(cols.map(col): _*).as("__r"), col(RowIdField)),
               Seq(RowIdField), "full_outer")
-          def side(s: String, label: String, from: DataFrame) =
-            from.select(cols.map(c => col(s"$s.$c").as(c)): _*)
-              .withColumn("_change_type", lit(label))
-          val changed = j.filter(col("__a").isNotNull && col("__r").isNotNull &&
-            !(col("__a") <=> col("__r")))
-          Some(side("__r", "update_preimage", changed)
-            .unionByName(side("__a", "update_postimage", changed))
-            .unionByName(side("__a", "insert", j.filter(col("__r").isNull)))
-            .unionByName(side("__r", "delete", j.filter(col("__a").isNull)))
-            .unionByName(rows(a).exceptAll(rows(r))
-              .withColumn("_change_type", lit(addLbl)))
-            .unionByName(rows(r).exceptAll(rows(a))
-              .withColumn("_change_type", lit(delLbl)))
+          def chg(s: String, label: String) =
+            struct(lit(label).as("_change_type") +:
+              cols.map(c => col(s"$s.$c").as(c)): _*)
+          val chgType = ArrayType(StructType(
+            StructField("_change_type", StringType, nullable = false) +:
+              schema.fields.map(f => StructField(f.name, f.dataType))))
+          val emitted = j.select(explode(
+            when(col("__a").isNull, array(chg("__r", "delete")))
+              .when(col("__r").isNull, array(chg("__a", "insert")))
+              .when(col("__a") <=> col("__r"), array().cast(chgType))
+              .otherwise(array(chg("__r", "update_preimage"),
+                chg("__a", "update_postimage")))).as("__c"))
+            .select(col("__c._change_type") +: cols.map(c => col(s"__c.$c")): _*)
+          // rows whose id is NULL (first written before tracking was
+          // enabled) keep the multiset diff in their own legs — exact,
+          // never a phantom change. The manifest says statically when
+          // such rows are IMPOSSIBLE (no partial-materialized file on
+          // either side), and then these legs (two extra scans of the
+          // changed files) are skipped entirely.
+          val nullIdsPossible = (m.adds ++ prevEntries)
+            .exists(_.baseRowId == MaterializedRowIdsPartial)
+          def nullRows(df: DataFrame) = df.filter(col(RowIdField).isNull)
+            .select(cols.map(col): _*)
+          val full =
+            if (!nullIdsPossible) emitted
+            else emitted
+              .unionByName(nullRows(a).exceptAll(nullRows(r))
+                .withColumn("_change_type", lit(addLbl))
+                .select(col("_change_type") +: cols.map(col): _*))
+              .unionByName(nullRows(r).exceptAll(nullRows(a))
+                .withColumn("_change_type", lit(delLbl))
+                .select(col("_change_type") +: cols.map(col): _*))
+          Some(full
+            .select(cols.map(col) :+ col("_change_type"): _*)
             .withColumn("_commit_version", lit(v))
             .withColumn("_commit_timestamp", lit(ts)))
         }
@@ -2767,7 +2793,12 @@ object LogLake {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i")) } ++
        constraints.zipWithIndex.map { case ((_, e), i) =>
          sum(when(not(coalesce(expr(s"($e)"), lit(true))), 1L).otherwise(0L))
-           .as(s"__viol_$i") })
+           .as(s"__viol_$i") } ++
+       // null row ids per file ride the same pass — decides the
+       // complete (-2) vs partial (-3) materialization sentinel
+       (if (materializedRowIds)
+         Seq(sum(when(col(RowIdCol).isNull, 1L).otherwise(0L)).as("__ridnulls"))
+       else Nil))
     val byFile = read.groupBy("__file")
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -2795,13 +2826,17 @@ object LogLake {
           s"${bad.headOption.getOrElse("<unavailable>")} — nothing committed")
     }
 
-    val brid = if (materializedRowIds) MaterializedRowIds else NoRowIds
     moved.map { case (p, len, pv) =>
       byFile.get(p.getName) match {
         case None => // empty part
           AddFile(s"$DataDir/${p.getName}", 0L, Map.empty, len,
-            partitionValues = pv, baseRowId = brid)
+            partitionValues = pv,
+            baseRowId = if (materializedRowIds) MaterializedRowIds else NoRowIds)
         case Some(r) =>
+          val brid =
+            if (!materializedRowIds) NoRowIds
+            else if (r.getAs[Long]("__ridnulls") > 0L) MaterializedRowIdsPartial
+            else MaterializedRowIds
           val stats = statsCols.zipWithIndex.map { case (c, i) =>
             val mn = r.getAs[Any](s"__min_$i")
             val nulls = r.getAs[Long](s"__nulls_$i")

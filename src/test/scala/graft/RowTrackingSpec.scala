@@ -126,7 +126,9 @@ class RowTrackingSpec extends SparkTestBase {
 
   test("files written before tracking surface NULL ids; the feed falls back to the diff for them") {
     val dir = tmp("late")
-    LogLake.create(spark, dir, kv(1L -> "a", 2L -> "b")) // untracked v1
+    // one untracked FILE (coalesce) so the later merge must CARRY a
+    // pre-tracking row through its rewrite — the partial-sentinel case
+    LogLake.create(spark, dir, kv(1L -> "a", 2L -> "b").coalesce(1)) // untracked v1
     LogLake.setTableProperties(dir, Map("loglake.enableRowTracking" -> "true"))
     LogLake.append(spark, dir, kv(3L -> "c")) // tracked v2
     val rows = LogLake.snapshotWithRowIds(spark, dir)
@@ -142,6 +144,24 @@ class RowTrackingSpec extends SparkTestBase {
       .select("_change_type", "k").as[(String, Long)].collect().toSeq.sorted
     assert(feed == Seq(("delete", 2L), ("insert", 2L)),
       s"expected the unlabeled diff for the untracked generation, got $feed")
+    // the rewrite carried pre-tracking rows whose ids are NULL — the
+    // manifest marks the file PARTIAL (-3), so later feeds know the
+    // null-id fallback legs are needed; a fully-tracked table's files
+    // are -2/base and those legs are skipped statically
+    val rewrittenBrid = LogLake.history(dir).last.adds.map(_.baseRowId)
+    assert(rewrittenBrid.contains(LogLake.MaterializedRowIdsPartial),
+      s"expected a partial-materialized sentinel, got $rewrittenBrid")
+    // a LATER merge touching the partial file takes the row-id branch
+    // (no -1 file involved) with the null-fallback legs LIVE: the
+    // tracked carried row cancels on its id, the null-id row's change
+    // surfaces through the multiset legs as delete+insert
+    LogLake.merge(spark, dir, kv(1L -> "A"), Seq("k"))
+    val v4 = LogLake.currentVersion(dir)
+    val feed2 = LogLake.changeFeed(spark, dir, v4 - 1, v4)
+      .select("_change_type", "k", "v").as[(String, Long, String)]
+      .collect().toSeq.sorted
+    assert(feed2 == Seq(("delete", 1L, "a"), ("insert", 1L, "A")),
+      s"expected the null-leg diff for the pre-tracking row, got $feed2")
   }
 
   test("the reader API surfaces _row_id via option(withRowIds); time travel composes") {
