@@ -2860,17 +2860,87 @@ object LogLake {
     Set("overwrite", "merge", "optimize", "delete", "update", "restore",
       "rename_column", "drop_column", "add_column")
 
+  /** Rewrites whose added files carry ONLY rows that already existed in
+    * the files they removed (optimize re-lays rows out; delete keeps a
+    * subset — cow survivors or DV re-adds). merge/update/overwrite
+    * create or change row content and are NOT in this set. */
+  private val SafeCarrier = Set("optimize", "delete")
+
+  /** Schema / whole-state surgery that composes with nothing — any
+    * concurrent commit in either direction is a conflict. */
+  private val StrictOps =
+    Set("restore", "rename_column", "drop_column", "add_column")
+
+  /** LOGICAL conflict detection (Delta's OptimisticTransaction rules,
+    * proved here by exhibiting a serial witness order for every
+    * accepted interleave): a rewriting op that lost the version race
+    * no longer aborts on ANY concurrent commit — it aborts only when
+    * the winner `w` genuinely invalidates it. At 1000 concurrent
+    * writers this is the difference between partition-disjoint
+    * maintenance jobs composing and the whole fleet serializing on one
+    * version counter. Returns Some(reason) on conflict, None when the
+    * composed state `parent - w.removes + w.adds - our.removes +
+    * our.adds` equals some serial execution:
+    *
+    *  - `w` is a blind append: serial witness (ours ; w). An append
+    *    reads nothing, so it is valid against ANY state, including
+    *    ours-applied — its rows simply survive, exactly what the
+    *    composition produces. (Our appends are blind by construction:
+    *    [[append]] never reads table data.)
+    *  - remove-sets overlap: CONFLICT (write-write on a file — the
+    *    loser's rewrite was computed from bytes that no longer exist).
+    *  - disjoint removes and `w` (or ours) is a [[SafeCarrier]]:
+    *    witness (w ; ours) (resp. (ours ; w)). The carrier's added
+    *    rows are a subset of rows its removed files already held at
+    *    the shared read version — files the OTHER side's conservative
+    *    stats-prune cleared (had any row matched, the file would be in
+    *    its touched = removed set and the overlap check above fires).
+    *    So the other side's decisions are identical against
+    *    carrier-applied state, and a content-preserving carrier cannot
+    *    itself be invalidated on files it owns exclusively.
+    *  - both sides create/change rows (merge/update/overwrite):
+    *    CONFLICT — each side's predicate/key scan never saw the
+    *    other's new rows, and neither serial order can repair both.
+    *  - `w` is [[StrictOps]] or changed the schema: CONFLICT.
+    *
+    * Properties (CDC/tracking flags, constraints) live in a separate
+    * CAS'd kv store and do not create versions; a property flipped
+    * mid-flight is read at op START, same as Delta. */
+  private def conflictReason(w: Manifest, ourOp: String,
+      ourRemoves: Set[String], ourSchemaJson: String): Option[String] = {
+    if (StrictOps(w.op)) Some(s"is a ${w.op}")
+    else if (w.schemaJson != ourSchemaJson) Some("changed the table schema")
+    else if (w.removes.isEmpty && (w.op == "append" || w.op == "create"))
+      None // blind append — serializes after us
+    else {
+      val overlap = w.removes.find(ourRemoves)
+      if (overlap.nonEmpty)
+        Some(s"${w.op} rewrote ${overlap.get}, which this $ourOp also rewrites")
+      else if (SafeCarrier(w.op) || SafeCarrier(ourOp)) None
+      else Some(s"${w.op} wrote rows this $ourOp's file pruning never saw")
+    }
+  }
+
   /** Commit loop: CAS-publish the manifest at the next version.
     * Appends/creates retry on a lost race (they commute); rewriting ops
-    * ([[Serializable2PC]]) require the table still at `readVersion`
-    * (serializable) and throw otherwise — their rewrite decision would
-    * be stale. A replay detected mid-loop deletes this attempt's staged
-    * files and returns the original commit's version. */
-  private def commit(dir: String, op: String, txnId: String, readVersion: Long,
+    * ([[Serializable2PC]]) re-validate against every manifest published
+    * since `readVersion` with [[conflictReason]] — non-conflicting
+    * winners are REBASED over (the manifest's `readVersion` then
+    * records the true, older read snapshot; DESCRIBE HISTORY shows the
+    * rebase distance), genuine conflicts throw with the reason named.
+    * [[StrictOps]] keep the old behavior: any intervening commit
+    * aborts. Each intervening manifest is read once across retries
+    * (the `validated` watermark), so N racers cost O(N) small reads
+    * total, not O(N²). A replay detected mid-loop deletes this
+    * attempt's staged files and returns the original commit's
+    * version. */
+  private[sources] def commit(dir: String, op: String, txnId: String, readVersion: Long,
       schemaJson: String, adds: Seq[AddFile], removes: Seq[String],
       cdc: Seq[String] = Nil, maxAttempts: Int = 20): Long = {
     val f = fs(dir)
     f.mkdirs(new Path(logPath(dir), "_tmp"))
+    val ourRemoves = removes.toSet
+    var validated = readVersion
     var attempts = 0
     while (attempts < maxAttempts) {
       replayedVersion(dir, txnId) match {
@@ -2882,10 +2952,22 @@ object LogLake {
         case None =>
       }
       val cur = currentVersion(dir)
-      if (Serializable2PC(op) && cur != readVersion)
-        throw new java.io.IOException(
-          s"loglake: $op read version $readVersion but the table is now at " +
-            s"$cur — concurrent commit, snapshot conflict (retry the whole $op)")
+      if (Serializable2PC(op) && cur != readVersion) {
+        if (StrictOps(op))
+          throw new java.io.IOException(
+            s"loglake: $op read version $readVersion but the table is now at " +
+              s"$cur — concurrent commit, snapshot conflict (retry the whole $op)")
+        while (validated < cur) {
+          val wv = validated + 1
+          val w = readManifest(f, versionFile(dir, wv))
+          conflictReason(w, op, ourRemoves, schemaJson).foreach { reason =>
+            throw new java.io.IOException(
+              s"loglake: $op read version $readVersion but version $wv $reason " +
+                s"— concurrent commit, snapshot conflict (retry the whole $op)")
+          }
+          validated = wv
+        }
+      }
       if (op == "create" && cur != 0L)
         throw new java.io.IOException(
           s"loglake: create raced with another writer — table now at version $cur")

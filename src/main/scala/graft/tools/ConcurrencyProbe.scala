@@ -154,11 +154,25 @@ object ConcurrencyProbe {
     val versions = hist.map(_.version)
     if (versions != (1L to versions.size.toLong))
       violations ::= s"version gap/duplicate: $versions"
+    // a serializable op may commit ABOVE its read version only by
+    // rebasing over provably non-conflicting winners — re-derive the
+    // commit protocol's rule from the log alone and check every
+    // intervening manifest against it
+    val byVersion = hist.map(m => m.version -> m).toMap
+    val safeCarrier = Set("optimize", "delete")
     hist.filter(m => Set("merge", "optimize", "overwrite", "delete",
         "update")(m.op))
       .foreach { m =>
-        if (m.readVersion != m.version - 1)
-          violations ::= s"serializable op ${m.op}@${m.version} read ${m.readVersion}"
+        val ourRm = m.removes.toSet
+        ((m.readVersion + 1) until m.version).map(byVersion).foreach { w =>
+          val ok = w.schemaJson == m.schemaJson &&
+            w.removes.forall(p => !ourRm(p)) &&
+            (w.removes.isEmpty && w.op == "append" ||
+              safeCarrier(w.op) || safeCarrier(m.op))
+          if (!ok) violations ::=
+            s"${m.op}@${m.version} (read ${m.readVersion}) rebased over " +
+              s"conflicting ${w.op}@${w.version}"
+        }
       }
     val byTxn = hist.filter(_.txnId.nonEmpty).map(m => m.txnId -> m).toMap
     claims.foreach { c =>
