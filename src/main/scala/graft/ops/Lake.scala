@@ -1175,6 +1175,71 @@ object Lake {
         .select(lit("snapshot").as("leg"), lit("-").as("ct"),
           col("o_orderstatus"), col("cnt"), col("total"))
       feed.unionByName(snap).orderBy("leg", "ct", "o_orderstatus")
+    },
+
+    // --- q137: the GENERAL MERGE clause matrix (Delta's full surface:
+    // conditional matched UPDATE/DELETE, conditional INSERT of
+    // arbitrary expressions, WHEN NOT MATCHED BY SOURCE UPDATE/DELETE)
+    // — one full-outer join over touched-file volume drives every
+    // clause as a single codegen'd CASE walk; NOT MATCHED BY SOURCE
+    // widens the touched set only to files its clause conditions'
+    // stats admit. The oracle replays the five-way row classification
+    // declaratively. At 100 TB the rewrite cost stays touched-file +
+    // source volume; the clause walk adds zero extra passes.
+    Q(
+      "q137_loglake_merge_clauses",
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 3 <> 2
+         |), src AS (
+         |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+         |), final AS (
+         |  SELECT CASE WHEN s.o_orderkey IS NOT NULL THEN 'U'
+         |              WHEN b.o_totalprice >= 50000 THEN 'S'
+         |              ELSE b.o_orderstatus END AS st,
+         |         CASE WHEN s.o_orderkey IS NOT NULL
+         |              THEN b.o_totalprice + s.o_totalprice
+         |              ELSE b.o_totalprice END AS tp,
+         |         CASE WHEN s.o_orderkey IS NOT NULL THEN b.o_totalprice < 200000
+         |              ELSE b.o_totalprice >= 50000 END AS keep
+         |  FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+         |  UNION ALL
+         |  SELECT 'I', s.o_totalprice * 2, s.o_totalprice < 150000
+         |  FROM src s LEFT JOIN base b ON b.o_orderkey = s.o_orderkey
+         |  WHERE b.o_orderkey IS NULL
+         |)
+         |SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("tp")} AS total
+         |FROM final WHERE keep GROUP BY st
+         |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      import LogLake.MergeClause._
+      val dir = freshDir("q137")
+      val ord = orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, dir, ord.filter(col("o_orderkey") % 3 =!= 2),
+        statsCols = Seq("o_orderkey", "o_totalprice"))             // v1
+      LogLake.mergeClauses(s, dir,
+        ord.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice"),
+        Seq("o_orderkey"),
+        Seq(
+          MatchedDelete(Some(col("target.o_totalprice") >= 200000d)),
+          MatchedUpdate(None, Map(
+            "o_orderstatus" -> lit("U"),
+            "o_totalprice" ->
+              (col("target.o_totalprice") + col("source.o_totalprice")))),
+          NotMatchedInsert(Some(col("source.o_totalprice") < 150000d), Map(
+            "o_orderkey" -> col("source.o_orderkey"),
+            "o_orderstatus" -> lit("I"),
+            "o_totalprice" -> (col("source.o_totalprice") * 2d))),
+          NotMatchedBySourceDelete(Some(col("target.o_totalprice") < 50000d)),
+          NotMatchedBySourceUpdate(None, Map(
+            "o_orderstatus" -> lit("S")))))                        // v2
+      LogLake.snapshot(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
     }
   )
 }

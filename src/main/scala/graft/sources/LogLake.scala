@@ -1503,6 +1503,269 @@ object LogLake {
     } finally if (reused) tgtOpt.foreach(_.unpersist())
   }
 
+  /** One WHEN clause of a general MERGE ([[mergeClauses]]). Conditions
+    * and assignment/insert expressions reference the target row's
+    * columns as `target.<col>` and the source row's as `source.<col>`
+    * — the lowered join exposes both sides as structs under those
+    * names, so the references resolve as ordinary nested-field access
+    * (whole-stage-codegen'd, no UDF). Clause order is significant:
+    * for each row class the FIRST clause whose condition holds acts
+    * (Delta/SQL:2003 MERGE semantics); a row no clause claims is
+    * carried (target side) or dropped (source side). */
+  sealed trait MergeClause extends Serializable
+  object MergeClause {
+    /** WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, … —
+      * unassigned columns keep the target row's value. */
+    final case class MatchedUpdate(condition: Option[Column],
+        set: Map[String, Column]) extends MergeClause
+    /** WHEN MATCHED [AND cond] THEN DELETE. */
+    final case class MatchedDelete(condition: Option[Column]) extends MergeClause
+    /** WHEN NOT MATCHED [AND cond] THEN INSERT (col, …) VALUES (…) —
+      * unassigned columns insert NULL. */
+    final case class NotMatchedInsert(condition: Option[Column],
+        values: Map[String, Column]) extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … —
+      * the condition and assignments may reference `target.` only. */
+    final case class NotMatchedBySourceUpdate(condition: Option[Column],
+        set: Map[String, Column]) extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+    final case class NotMatchedBySourceDelete(condition: Option[Column]) extends MergeClause
+  }
+
+  /** General MERGE — the full clause matrix Delta exposes
+    * (conditional UPDATE/DELETE on match, conditional INSERT of
+    * arbitrary expressions, WHEN NOT MATCHED BY SOURCE UPDATE/DELETE),
+    * over the same file-level copy-on-write machinery as [[merge]]:
+    *
+    *  - touched files = files containing a source key (one
+    *    metadata-column semi-join, driver contact file-name-sized)
+    *    ∪ files whose stats admit a NOT-MATCHED-BY-SOURCE clause
+    *    condition (an unconditional NMBS clause touches every file —
+    *    inherent to its semantics, same as Delta);
+    *  - ONE full-outer join of the touched rows with the source on the
+    *    equi-keys drives everything: each joined row classifies as
+    *    matched / target-only / source-only and walks its clause list
+    *    as a single nested CASE producing 0-or-1 output struct —
+    *    whole-stage codegen, no per-clause pass, no driver loop;
+    *  - rewrite cost tracks touched-file volume plus source volume,
+    *    never table volume; untouched files carry over by manifest
+    *    reference.
+    *
+    * Source keys must be unique per key tuple (the [[merge]] contract;
+    * SQL MERGE raises on ambiguous matches, we document instead).
+    * Under row tracking, updated rows keep their target row's id,
+    * inserts draw fresh ids, carried rows keep theirs. With the CDC
+    * table property set, the same join emits exactly-labeled change
+    * rows (update pre/post pairs, deletes, inserts) as write-time
+    * change files. Cites the reference's upsert consumer loop
+    * (consumer/sensor_data_consumer.py:124-145) for the capability
+    * class; the clause matrix itself follows the public Delta MERGE
+    * surface. */
+  def mergeClauses(spark: SparkSession, dir: String, source: DataFrame,
+      keyCols: Seq[String], clauses: Seq[MergeClause],
+      statsCols: Seq[String] = Nil, txnId: String = ""): Long = {
+    import MergeClause._
+    require(clauses.nonEmpty, "loglake: MERGE needs at least one WHEN clause")
+    replayedVersion(dir, txnId) match {
+      case Some(v) => return v
+      case None =>
+    }
+    val readV = currentVersion(dir)
+    val (files, schema) = activeState(dir, Some(readV))
+    require(keyCols.forall(schema.fieldNames.contains),
+      s"loglake: merge keys ${keyCols.mkString(",")} must be table columns")
+    require(keyCols.forall(source.columns.contains),
+      s"loglake: merge keys ${keyCols.mkString(",")} must be source columns")
+    val matchedCls = clauses.collect {
+      case c: MatchedUpdate => c; case c: MatchedDelete => c }
+    val insertCls = clauses.collect { case c: NotMatchedInsert => c }
+    val nmbsCls = clauses.collect {
+      case c: NotMatchedBySourceUpdate => c; case c: NotMatchedBySourceDelete => c }
+
+    val src = source
+    val keys = src.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+    // files containing a matching key — the [[merge]] pruning scan
+    val keyTouchedNames: Set[String] =
+      if (files.isEmpty || (matchedCls.isEmpty && insertCls.isEmpty && nmbsCls.isEmpty))
+        Set.empty
+      else {
+        val tgt = scanLogical(spark, schema,
+          files.map(a => resolvedPath(dir, a.path)),
+          Seq(col("_metadata.file_path") -> "__file"))
+          .select(keyCols.map(col) :+ col("__file"): _*)
+        tgt.join(keys, keyCols, "leftsemi")
+          .select("__file").distinct().collect()
+          .map(r => new Path(r.getString(0)).getName).toSet
+      }
+    // NOT MATCHED BY SOURCE reaches rows no source key selects, so its
+    // file scope is the clause conditions' (target-column) disjunction
+    // — an unconditional clause means every file
+    val nmbsTouched: Seq[AddFile] =
+      if (nmbsCls.isEmpty) Nil
+      else {
+        val conds = nmbsCls.map {
+          case NotMatchedBySourceUpdate(c, _) => c
+          case NotMatchedBySourceDelete(c) => c
+        }
+        if (conds.exists(_.isEmpty)) files
+        else touchedFiles(spark, dir, files, schema,
+          conds.flatten.map(stripTargetPrefix).reduce(_ || _))
+      }
+    val keyTouched = files.filter(a => keyTouchedNames(new Path(a.path).getName))
+    val touched = (keyTouched ++ nmbsTouched).distinctBy(_.path)
+
+    val tracking = rowTrackingEnabled(dir)
+    val cdf = cdfEnabled(dir)
+    val cols = schema.fieldNames.toIndexedSeq
+    // target struct carries the row id when tracking, so updates keep
+    // identity for free; inserts are tagged to draw fresh ids. The
+    // touched read is re-executed by the fresh/kept split (tracking)
+    // and the CDC emission — persist exactly when reused
+    val reused = tracking || cdf
+    val tgtRead =
+      if (touched.isEmpty) None
+      else Some {
+        val t = trackedRead(spark, dir, schema, touched)
+        if (reused) t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else t
+      }
+    try {
+      val tgtStructCols =
+        if (tracking) cols :+ RowIdCol else cols
+      val emptyTgt = {
+        val fs = StructType(cleanSchema(schema).fields ++
+          (if (tracking) Seq(StructField(RowIdCol, LongType)) else Nil))
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), fs)
+      }
+      val tgt = tgtRead.getOrElse(emptyTgt)
+      val j = tgt
+        .select(keyCols.map(c => col(c).as(s"__k_$c")) :+
+          struct(tgtStructCols.map(col): _*).as("target"): _*)
+        .join(src.select(keyCols.map(c => col(c).as(s"__k_$c")) :+
+            struct(src.columns.toIndexedSeq.map(col): _*).as("source"): _*),
+          keyCols.map(c => s"__k_$c"), "full_outer")
+
+      def tgtVal(c: String): Column = col(s"target.$c")
+      // one output struct per row class via an ordered CASE walk; null
+      // struct = row dropped (matched DELETE / unclaimed source row)
+      val outType = StructType(cleanSchema(schema).fields.toSeq.map(f =>
+        StructField(f.name, f.dataType)) ++
+        Seq(StructField("__fresh", org.apache.spark.sql.types.BooleanType)) ++
+        (if (tracking) Seq(StructField(RowIdCol, LongType)) else Nil))
+      def mk(vals: Map[String, Column], fresh: Boolean,
+          rid: Option[Column]): Column =
+        struct(schema.fields.toIndexedSeq.map(f =>
+          vals.getOrElse(f.name, if (fresh) lit(null) else tgtVal(f.name))
+            .cast(f.dataType).as(f.name)) ++
+          Seq(lit(fresh).as("__fresh")) ++
+          (if (tracking) Seq(rid.getOrElse(col(s"target.$RowIdCol"))
+            .cast(LongType).as(RowIdCol)) else Nil): _*)
+      val nullOut = lit(null).cast(StructType(outType.fields.map(f =>
+        StructField(f.name, f.dataType))))
+      val carryTgt = mk(Map.empty, fresh = false, rid = None)
+
+      def walk(cs: Seq[(Option[Column], Column)], default: Column): Column =
+        cs.foldRight(default) { case ((cond, out), rest) =>
+          cond.map(c => when(coalesce(c, lit(false)), out).otherwise(rest))
+            .getOrElse(out)
+        }
+      val matchedOut = walk(matchedCls.map {
+        case MatchedUpdate(c, set) => c -> mk(set, fresh = false, rid = None)
+        case MatchedDelete(c) => c -> nullOut
+      }, carryTgt)
+      val nmbsOut = walk(nmbsCls.map {
+        case NotMatchedBySourceUpdate(c, set) => c -> mk(set, fresh = false, rid = None)
+        case NotMatchedBySourceDelete(c) => c -> nullOut
+      }, carryTgt)
+      val insertOut = walk(insertCls.map {
+        case NotMatchedInsert(c, values) =>
+          c -> mk(values, fresh = true, rid = Some(lit(null)))
+      }, nullOut)
+
+      val classified = j.withColumn("__out",
+        when(col("target").isNotNull && col("source").isNotNull, matchedOut)
+          .when(col("source").isNull, nmbsOut)
+          .otherwise(insertOut))
+      val kept = classified.filter(col("__out").isNotNull)
+      val outCols = cols ++ (if (tracking) Seq(RowIdCol) else Nil)
+      val plain = kept
+        .select(col("__out.__fresh").as("__fresh") +:
+          outCols.map(c => col(s"__out.$c").as(c)): _*)
+      val rewritten =
+        if (!tracking) plain.drop("__fresh").select(cols.map(col): _*)
+        else plain.filter(!col("__fresh")).drop("__fresh")
+          .unionByName(withFreshRowIds(spark, dir,
+            plain.filter(col("__fresh")).drop("__fresh").drop(RowIdCol)))
+
+      val adds = writeData(spark, dir, rewritten,
+        inheritedStats(files, statsCols, schema, schema), physMap(schema))
+      if (touched.isEmpty && adds.forall(_.rows == 0L)) {
+        // nothing claimed anything — no commit (sweep the empty parts)
+        val fsys = fs(dir)
+        adds.foreach(a => fsys.delete(new Path(dir, a.path), false))
+        return readV
+      }
+      // write-time CDC from the SAME join: each classified row explodes
+      // into its labeled change rows (update pair / delete / insert)
+      val cdc: Seq[String] =
+        if (!cdf) Nil
+        else {
+          val chgType = ArrayType(StructType(
+            StructField("_change_type", StringType, nullable = false) +:
+              schema.fields.map(f => StructField(f.name, f.dataType))))
+          def chg(label: String, vals: Map[String, Column]): Column =
+            struct(lit(label).as("_change_type") +:
+              schema.fields.toIndexedSeq.map(f =>
+                vals.getOrElse(f.name, tgtVal(f.name))
+                  .cast(f.dataType).as(f.name)): _*)
+          def chgNew(label: String, vals: Map[String, Column]): Column =
+            struct(lit(label).as("_change_type") +:
+              schema.fields.toIndexedSeq.map(f =>
+                vals.getOrElse(f.name, lit(null))
+                  .cast(f.dataType).as(f.name)): _*)
+          val none = array().cast(chgType)
+          def walkChg(cs: Seq[(Option[Column], Column)], default: Column): Column =
+            cs.foldRight(default) { case ((cond, out), rest) =>
+              cond.map(c => when(coalesce(c, lit(false)), out).otherwise(rest))
+                .getOrElse(out)
+            }
+          val matchedChg = walkChg(matchedCls.map {
+            case MatchedUpdate(c, set) => c -> array(
+              chg("update_preimage", Map.empty), chg("update_postimage", set))
+            case MatchedDelete(c) => c -> array(chg("delete", Map.empty))
+          }, none)
+          val nmbsChg = walkChg(nmbsCls.map {
+            case NotMatchedBySourceUpdate(c, set) => c -> array(
+              chg("update_preimage", Map.empty), chg("update_postimage", set))
+            case NotMatchedBySourceDelete(c) => c -> array(chg("delete", Map.empty))
+          }, none)
+          val insertChg = walkChg(insertCls.map {
+            case NotMatchedInsert(c, values) =>
+              c -> array(chgNew("insert", values))
+          }, none)
+          val cdcDf = j.select(explode(
+            when(col("target").isNotNull && col("source").isNotNull, matchedChg)
+              .when(col("source").isNull, nmbsChg)
+              .otherwise(insertChg)).as("__c"))
+            .select(col("__c._change_type").as("_change_type") +:
+              cols.map(c => col(s"__c.$c").as(c)): _*)
+          if (touched.isEmpty) Nil else writeCdc(spark, dir, cdcDf, schema)
+        }
+      commit(dir, "merge", txnId, readV, schema.json,
+        assignBaseRowIds(dir, adds), touched.map(_.path), cdc)
+    } finally if (reused) tgtRead.foreach(_.unpersist())
+  }
+
+  /** `target.<col>` references → bare `<col>`, for evaluating a
+    * target-only clause condition against a plain table scan (the
+    * NOT-MATCHED-BY-SOURCE file-pruning pass). */
+  private def stripTargetPrefix(c: Column): Column =
+    GraftBridge.column(GraftBridge.catalystExpression(c).transform {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(parts)
+          if parts.length > 1 && parts.head.equalsIgnoreCase("target") =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(parts.tail)
+    })
+
   /** Row-level DELETE (copy-on-write): rewrite ONLY the files that
     * actually contain a matching row — located with one
     * metadata-column scan (driver contact is a file-name list) — with

@@ -69,8 +69,13 @@ class LogLakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else {
         requireCurrent(t, "MERGE")
         val keyCols = mergeKeys(m, mergeCond)
-        requireCanonicalUpsert(m, matched, notMatched, notMatchedBySource)
-        LogLakeMergeCommand(t.dir, rewriteReads(source), keyCols)
+        if (isCanonicalUpsert(m, matched, notMatched, notMatchedBySource))
+          // the canonical upsert keeps its dedicated lowering (no
+          // full-outer join — anti-join + union of whole source)
+          LogLakeMergeCommand(t.dir, rewriteReads(source), keyCols)
+        else
+          LogLakeMergeClausesCommand(t.dir, rewriteReads(source), keyCols,
+            lowerClauses(m, matched, notMatched, notMatchedBySource))
       }
     case _ => rewriteReads(plan)
   }
@@ -113,14 +118,14 @@ class LogLakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     keys(cond)
   }
 
-  /** The supported MERGE form is the canonical upsert — exactly
-    * `WHEN MATCHED THEN UPDATE SET *` + `WHEN NOT MATCHED THEN INSERT *`
-    * (what [[LogLake.merge]] implements as file-level copy-on-write). */
-  private def requireCanonicalUpsert(m: MergeIntoTable,
+  /** The canonical upsert — exactly `WHEN MATCHED THEN UPDATE SET *` +
+    * `WHEN NOT MATCHED THEN INSERT *` (what [[LogLake.merge]]
+    * implements as file-level copy-on-write without a full-outer
+    * join); anything else lowers to [[LogLake.mergeClauses]]. */
+  private def isCanonicalUpsert(m: MergeIntoTable,
       matched: Seq[MergeAction], notMatched: Seq[MergeAction],
-      notMatchedBySource: Seq[MergeAction]): Unit = {
-    if (notMatchedBySource.nonEmpty)
-      fail("loglake MERGE does not support WHEN NOT MATCHED BY SOURCE")
+      notMatchedBySource: Seq[MergeAction]): Boolean = {
+    if (notMatchedBySource.nonEmpty) return false
     val sourceIds = m.sourceTable.outputSet
     def isStar(assigns: Seq[Assignment]): Boolean = {
       val targetCols = m.targetTable.output.map(_.name).toSet
@@ -139,10 +144,52 @@ class LogLakeSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       covered == targetCols
     }
     (matched, notMatched) match {
-      case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins)))
-          if isStar(up) && isStar(ins) => ()
-      case _ => fail("loglake MERGE supports the canonical upsert only: " +
-        "`WHEN MATCHED THEN UPDATE SET *` + `WHEN NOT MATCHED THEN INSERT *`")
+      case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins))) =>
+        isStar(up) && isStar(ins)
+      case _ => false
+    }
+  }
+
+  /** Resolved MERGE actions → the [[LogLake.MergeClause]] ADT: every
+    * target attribute becomes `target.<name>`, every source attribute
+    * `source.<name>` — the names [[LogLake.mergeClauses]]'s joined
+    * structs expose, so the stored expressions re-resolve as plain
+    * nested-field access at run time. */
+  private def lowerClauses(m: MergeIntoTable,
+      matched: Seq[MergeAction], notMatched: Seq[MergeAction],
+      notMatchedBySource: Seq[MergeAction]): Seq[LogLake.MergeClause] = {
+    val targetIds = m.targetTable.outputSet
+    val sourceIds = m.sourceTable.outputSet
+    def sideRef(e: Expression): Expression = e.transform {
+      case a: AttributeReference if targetIds.contains(a) =>
+        UnresolvedAttribute(Seq("target", a.name))
+      case a: AttributeReference if sourceIds.contains(a) =>
+        UnresolvedAttribute(Seq("source", a.name))
+    }
+    def colOf(e: Expression): Column = GraftBridge.column(sideRef(e))
+    def setOf(assigns: Seq[Assignment]): Map[String, Column] =
+      assigns.map { a =>
+        val name = a.key match {
+          case att: Attribute => att.name
+          case other => fail(
+            s"loglake MERGE can only assign top-level columns, got ${other.sql}")
+        }
+        name -> colOf(a.value)
+      }.toMap
+    import LogLake.MergeClause._
+    matched.map {
+      case UpdateAction(c, up, _) => MatchedUpdate(c.map(colOf), setOf(up))
+      case DeleteAction(c) => MatchedDelete(c.map(colOf))
+      case other => fail(s"loglake MERGE: unsupported matched action $other")
+    } ++ notMatched.map {
+      case InsertAction(c, ins) => NotMatchedInsert(c.map(colOf), setOf(ins))
+      case other => fail(s"loglake MERGE: unsupported not-matched action $other")
+    } ++ notMatchedBySource.map {
+      case UpdateAction(c, up, _) =>
+        NotMatchedBySourceUpdate(c.map(colOf), setOf(up))
+      case DeleteAction(c) => NotMatchedBySourceDelete(c.map(colOf))
+      case other =>
+        fail(s"loglake MERGE: unsupported not-matched-by-source action $other")
     }
   }
 
@@ -197,6 +244,22 @@ final case class LogLakeMergeCommand(dir: String, source: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     LogLake.merge(spark, dir, GraftBridge.ofRows(spark, source), keyCols)
+    Nil
+  }
+}
+
+/** The general MERGE clause matrix — `WHEN MATCHED [AND cond] THEN
+  * UPDATE SET …/DELETE`, `WHEN NOT MATCHED [AND cond] THEN INSERT …`,
+  * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE` —
+  * lowered to [[LogLake.mergeClauses]] (one full-outer join over
+  * touched-file volume; clause walk as a single codegen'd CASE). */
+final case class LogLakeMergeClausesCommand(dir: String, source: LogicalPlan,
+    keyCols: Seq[String], clauses: Seq[LogLake.MergeClause])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    LogLake.mergeClauses(spark, dir, GraftBridge.ofRows(spark, source),
+      keyCols, clauses)
     Nil
   }
 }

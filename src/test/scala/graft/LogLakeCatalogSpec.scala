@@ -221,7 +221,31 @@ class LogLakeCatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SHOW TABLES IN loglake.$db").count() == 1L)
   }
 
-  test("unsupported MERGE shapes and writes to time-travelled snapshots fail loudly") {
+  test("the full MERGE clause matrix lowers through SQL") {
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.t (k BIGINT, v STRING, n BIGINT)")
+    spark.sql(s"INSERT INTO loglake.$db.t VALUES " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30), (4, 'd', 40)")
+    spark.sql(
+      s"""MERGE INTO loglake.$db.t AS t
+         |USING (SELECT 1L AS k, 'A' AS v, 11L AS n
+         |       UNION ALL SELECT 2L, 'B', 22L
+         |       UNION ALL SELECT 9L, 'z', 90L
+         |       UNION ALL SELECT 8L, 'y', 1L) AS s
+         |ON t.k = s.k
+         |WHEN MATCHED AND t.n >= 20 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = upper(s.v), n = t.n + s.n
+         |WHEN NOT MATCHED AND s.n >= 10 THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n * 2)
+         |WHEN NOT MATCHED BY SOURCE AND t.n >= 40 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(v, '!')""".stripMargin)
+    // 1 updated (A, 21); 2 deleted (n>=20); 3 NMBS-updated (c!); 4
+    // NMBS-deleted; 9 inserted doubled; 8 fails the insert condition
+    assert(spark.sql(s"SELECT k, v, n FROM loglake.$db.t ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "A", 21L), (3L, "c!", 30L), (9L, "z", 180L)))
+  }
+
+  test("non-equi MERGE ON and writes to time-travelled snapshots fail loudly") {
     val db = freshDb()
     spark.sql(s"CREATE TABLE loglake.$db.t (k BIGINT, v STRING)")
     spark.sql(s"INSERT INTO loglake.$db.t VALUES (1, 'a')")
@@ -229,10 +253,10 @@ class LogLakeCatalogSpec extends SparkTestBase {
       spark.sql(
         s"""MERGE INTO loglake.$db.t AS t
            |USING (SELECT 1L AS k, 'x' AS v) AS s
-           |ON t.k = s.k
+           |ON t.k < s.k
            |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    assert(e.getMessage.contains("canonical upsert"))
+    assert(e.getMessage.contains("equi-key"))
     val e2 = intercept[Exception] {
       spark.sql(s"DELETE FROM loglake.$db.t VERSION AS OF 1 WHERE k = 1")
     }
