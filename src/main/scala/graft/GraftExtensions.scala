@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tables onto the commit log, and swaps catalog reads onto the
     // native pushdown relation (Delta's DeltaAnalysis shape)
     ext.injectResolutionRule(session => new graft.sources.LogLakeSqlRule(session))
+    // metadata-only COUNT(*): unfiltered snapshot counts answer from
+    // the manifest (exact per-file rows minus DV cardinalities) — the
+    // scan collapses to a LocalRelation, zero data bytes at any size
+    ext.injectOptimizerRule(_ => new graft.sources.LogLakeMetadataOnlyCountRule)
     // audit DDL the stock grammar lacks: DESCRIBE HISTORY / DETAIL
     // (delegating parser — claims only its statements)
     ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))

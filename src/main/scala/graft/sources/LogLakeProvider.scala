@@ -353,6 +353,11 @@ final class LogLakeDvRelation(protected val spark: SparkSession,
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = schema0
   protected def frame(): DataFrame = LogLake.snapshot(spark, dir, asOf)
+  /** Exact logical row count from the manifest alone: physical rows
+    * minus DV-masked rows per file ([[LogLakeMetadataOnlyCountRule]]).
+    * The version is the relation's pinned snapshot — deterministic. */
+  def exactRowCount: Long =
+    LogLake.activeState(dir, asOf)._1.map(a => a.rows - a.dvRows).sum
 }
 
 /** Manifest-driven [[FileIndex]]: the file list comes from the commit
@@ -396,6 +401,11 @@ final class LogLakeFileIndex(spark: SparkSession, dir: String,
           "this snapshot?)"))
 
   def tableSchema: StructType = schema0
+
+  /** Exact row count from the manifest alone (this path never carries
+    * DVs — see the constructor guard), for
+    * [[LogLakeMetadataOnlyCountRule]]. */
+  def exactRowCount: Long = activeFiles.map(_.rows).sum
 
   /** Files the LAST planned scan admitted — the skipping decision,
     * exposed for spec assertions alongside FileSourceScanExec's own

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+
+import graft.sources.LogLake
+
+/** Metadata-only COUNT(*) ([[graft.sources.LogLakeMetadataOnlyCountRule]]):
+  * an unfiltered snapshot count answers from the manifest and reads
+  * ZERO data bytes — proved with the SparkListener byte pin, not plan
+  * shape alone — while filtered/grouped counts keep the real scan. */
+class MetadataOnlyCountSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"metacount-$name").toString + "/t"
+
+  private def kv(n: Int): DataFrame =
+    spark.range(n).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+
+  private def isLocal(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case _: LocalRelation => () }.nonEmpty
+
+  private def bytesReadDuring(body: => Unit): Long = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { body; Thread.sleep(2000) }
+    finally spark.sparkContext.removeSparkListener(listener)
+    bytes.get()
+  }
+
+  test("unfiltered count over the native path collapses to a LocalRelation, zero bytes") {
+    val dir = tmp("native")
+    LogLake.create(spark, dir, kv(1000))
+    LogLake.append(spark, dir, kv(234))
+    val cnt = spark.read.format("loglake").load(dir).groupBy().count()
+    assert(isLocal(cnt), s"plan kept a scan:\n${cnt.queryExecution.optimizedPlan}")
+    val bytes = bytesReadDuring {
+      assert(cnt.as[Long].head() == 1234L)
+    }
+    assert(bytes == 0L, s"metadata-only count read $bytes bytes")
+  }
+
+  test("the DV fallback path subtracts deletion-vector cardinalities") {
+    val dir = tmp("dv")
+    LogLake.create(spark, dir, kv(100))
+    LogLake.delete(spark, dir, col("k") % 10 === 0L, mor = true) // 10 DV'd rows
+    val df = spark.read.format("loglake").load(dir).groupBy().count()
+    assert(isLocal(df), s"plan kept a scan:\n${df.queryExecution.optimizedPlan}")
+    assert(df.as[Long].head() == 90L)
+  }
+
+  test("filtered and grouped counts keep the real scan and stay correct") {
+    val dir = tmp("neg")
+    LogLake.create(spark, dir, kv(100))
+    val filtered = spark.read.format("loglake").load(dir)
+      .filter(col("k") < 10L).groupBy().count()
+    assert(!isLocal(filtered), "a filtered count must scan")
+    assert(filtered.as[Long].head() == 10L)
+    val grouped = spark.read.format("loglake").load(dir)
+      .groupBy(col("k") % 2L).count()
+    assert(!isLocal(grouped), "a grouped count must scan")
+    assert(grouped.select(sum("count")).as[Long].head() == 100L)
+    val distinct = spark.read.format("loglake").load(dir)
+      .agg(count_distinct(col("v"))).as[Long]
+    assert(distinct.head() == 100L, "distinct count stays correct (scans)")
+  }
+
+  test("SQL count(*) and count(1) through the catalog collapse too") {
+    val db = "metacount_" + System.nanoTime()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS loglake.$db")
+    spark.sql(s"CREATE TABLE loglake.$db.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO loglake.$db.t VALUES (1, 'a'), (2, 'b')")
+    val c = spark.sql(s"SELECT count(*), count(1) FROM loglake.$db.t")
+    assert(isLocal(c), s"plan kept a scan:\n${c.queryExecution.optimizedPlan}")
+    assert(c.as[(Long, Long)].head() == ((2L, 2L)))
+  }
+
+  test("time travel counts answer from the pinned version's manifest") {
+    val dir = tmp("tt")
+    LogLake.create(spark, dir, kv(50))
+    LogLake.append(spark, dir, kv(25))
+    val v1 = spark.read.format("loglake").option("versionAsOf", "1")
+      .load(dir).groupBy().count()
+    assert(isLocal(v1))
+    assert(v1.as[Long].head() == 50L)
+  }
+}
