@@ -1381,7 +1381,41 @@ object LogLake {
             .foreach(a => f.delete(new Path(dir, a.path), false))
       return readV
     }
-    commit(dir, op, txnId, readV, schemaJson, assignBaseRowIds(dir, adds), removes)
+    val v = commit(dir, op, txnId, readV, schemaJson,
+      assignBaseRowIds(dir, adds), removes)
+    if (op == "append") maybeAutoCompact(spark, dir)
+    v
+  }
+
+  /** Post-commit opportunistic compaction (Delta's autoCompact): after
+    * an append into a table with `loglake.autoCompact=true`, if the
+    * active set holds at least `loglake.autoCompact.minNumFiles`
+    * (default 8) files below `loglake.autoCompact.smallFileBytes`
+    * (default 16 MiB), run an inline incremental OPTIMIZE over JUST
+    * those files — output count sized to ~128 MiB targets. The
+    * trigger check is metadata-only (manifest byte sizes); the
+    * compaction itself is best-effort: a snapshot conflict (another
+    * writer compacted first — with logical conflict detection, only a
+    * genuinely overlapping rewrite) is swallowed, because the append
+    * already committed and maintenance is opportunistic. At 100 TB
+    * this bounds steady-state small-file growth at the source instead
+    * of waiting for a scheduled OPTIMIZE. */
+  private def maybeAutoCompact(spark: SparkSession, dir: String): Unit = {
+    val props = tableProperties(dir)
+    if (!props.get("loglake.autoCompact").exists(_.toBoolean)) return
+    val small = props.getOrElse("loglake.autoCompact.smallFileBytes",
+      (16L * 1024 * 1024).toString).toLong
+    val minN = props.getOrElse("loglake.autoCompact.minNumFiles", "8").toInt
+    val smalls = activeState(dir)._1.filter(a => a.bytes >= 0L && a.bytes < small)
+    if (smalls.size < minN) return
+    val target = math.max(1,
+      math.ceil(smalls.map(_.bytes).sum.toDouble / (128L * 1024 * 1024)).toInt)
+    try optimize(spark, dir, numFiles = target, onlySmallerThan = small)
+    catch {
+      case e: java.io.IOException
+        if e.getMessage != null && e.getMessage.contains("concurrent commit") => ()
+    }
+    ()
   }
 
   /** MERGE upsert (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT
@@ -2876,8 +2910,12 @@ object LogLake {
     val adds = finishStaged(spark, dir, moved, physSchema(schema),
       schema.fieldNames.toIndexedSeq, physMap(schema),
       inheritedStats(priorFiles, Nil, schema, schema))
-    commit(dir, "append", txnId, readV, schema.json,
+    val v = commit(dir, "append", txnId, readV, schema.json,
       assignBaseRowIds(dir, adds), Nil)
+    // streaming epochs are the prime small-file producer — same
+    // opportunistic post-commit compaction as the batch append path
+    maybeAutoCompact(spark, dir)
+    v
   }
 
   // ------------------------------------------------------------ internals
