@@ -591,8 +591,11 @@ class LogLakeProviderSpec extends SparkTestBase {
       manifest.resolveSibling("." + manifest.getFileName.toString + ".crc"))
     val dataDir = java.nio.file.Paths.get(dir, LogLake.DataDir)
     java.nio.file.Files.list(dataDir).iterator().asScala.foreach(java.nio.file.Files.delete)
+    // collect(), not count(): an unfiltered count() now answers
+    // metadata-only from the manifest (by design, as Delta's does) and
+    // never plans the scan this test exists to probe
     val e = intercept[java.io.IOException] {
-      spark.read.format("loglake").load(dir).count()
+      spark.read.format("loglake").load(dir).collect()
     }
     assert(e.getMessage.contains("missing"), s"got: ${e.getMessage}")
   }
