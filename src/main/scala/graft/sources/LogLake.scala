@@ -2975,11 +2975,31 @@ object LogLake {
       if (nameMap.isEmpty) df
       else df.select(df.columns.toIndexedSeq.map(c =>
         col(c).as(nameMap.getOrElse(c, c))): _*)
+    // BLOOM FILTER INDEXES (Delta's bloom filter index, via parquet's
+    // native column bloom filters): `loglake.bloomFilter.columns` names
+    // logical columns whose staged files carry a bloom per row group;
+    // the parquet READER then skips row groups on pushed point
+    // predicates (equality / IN) that min/max stats cannot prune —
+    // e.g. a needle id inside every file's value range. Optional
+    // `loglake.bloomFilter.ndv.<col>` sizes the filter. Write-side
+    // only; zero read-path change (parquet-mr applies blooms to pushed
+    // predicates by default).
+    val bloomOpts: Map[String, String] = {
+      val props = tableProperties(dir)
+      props.get("loglake.bloomFilter.columns").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .flatMap { c =>
+          val phys = nameMap.getOrElse(c, c)
+          Seq(s"parquet.bloom.filter.enabled#$phys" -> "true") ++
+            props.get(s"loglake.bloomFilter.ndv.$c")
+              .map(n => s"parquet.bloom.filter.expected.ndv#$phys" -> n)
+        }.toMap
+    }
     val staging = new Path(dir, s"$LogDir/_tmp/w-${UUID.randomUUID()}")
     f.mkdirs(new Path(dir, DataDir))
     val moved: Seq[(Path, Long, Map[String, String])] =
       if (partPhys.isEmpty) {
-        pdf.write.parquet(staging.toString)
+        pdf.write.options(bloomOpts).parquet(staging.toString)
         f.listStatus(staging).toSeq
           .filter { s =>
             val n = s.getPath.getName
@@ -3009,7 +3029,7 @@ object LogLake {
         val staged = partPhys.zipWithIndex.foldLeft(arranged) {
           case (d, (p, i)) => d.withColumn(s"__llp_$i", col(p))
         }
-        staged.write
+        staged.write.options(bloomOpts)
           .partitionBy(partPhys.indices.map(i => s"__llp_$i"): _*)
           .parquet(staging.toString)
         def leaves(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
