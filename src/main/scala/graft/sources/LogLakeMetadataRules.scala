@@ -1,11 +1,14 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{StringType, StructField}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Metadata-only `COUNT(*)` (Delta's OptimizeMetadataOnlyDeltaQuery):
   * an unfiltered, ungrouped `count(*)` over a loglake snapshot is
@@ -34,6 +37,58 @@ class LogLakeMetadataOnlyCountRule extends Rule[LogicalPlan] {
             Seq(InternalRow.fromSeq(Seq.fill(aggExprs.size)(n))))
         case None => a
       }
+    // GROUP BY <partition columns> + count(*): per-tuple counts from
+    // the manifest's partition values — the partition-dashboard query
+    // at zero data bytes (Hive's metadata-only query, kept exact here
+    // because loglake counts are manifest-exact through DVs)
+    case a @ Aggregate(groupingExprs, aggExprs, child, _)
+        if groupingExprs.nonEmpty &&
+          groupingExprs.forall(_.isInstanceOf[AttributeReference]) =>
+      val groupAttrs = groupingExprs.map(_.asInstanceOf[AttributeReference])
+      // each output is a grouping attribute (possibly aliased) or count(*)
+      val shape: Option[Seq[Either[Attribute, Unit]]] =
+        traverseOpt(aggExprs) {
+          case at: AttributeReference
+              if groupAttrs.exists(_.semanticEquals(at)) => Some(Left(at))
+          case Alias(at: AttributeReference, _)
+              if groupAttrs.exists(_.semanticEquals(at)) => Some(Left(at))
+          case e if isCountStar(e) => Some(Right(()))
+          case _ => None
+        }
+      (shape, bareLakeScan(child)) match {
+        case (Some(outs), Some(counts))
+            if aggExprs.exists(isCountStar) =>
+          counts(groupAttrs.map(_.name)) match {
+            case Some((fields, groups)) =>
+              val zone = Some(SQLConf.get.sessionLocalTimeZone)
+              val byName = groupAttrs.map(_.name).zipWithIndex.toMap
+              // a tuple with zero live rows (e.g. only empty files)
+              // emits NO group, exactly like the scan it replaces
+              val rows = groups.toSeq.filter(_._2 > 0L).map { case (tuple, n) =>
+                val typed = tuple.zip(fields).map { case (s, f) =>
+                  if (s == LogLake.NullPartitionValue) null
+                  else Cast(Literal(UTF8String.fromString(s), StringType),
+                    f.dataType, zone).eval(InternalRow.empty)
+                }
+                InternalRow.fromSeq(outs.map {
+                  case Left(at) => typed(byName(at.name))
+                  case Right(_) => n
+                })
+              }
+              LocalRelation(a.output, rows)
+            case None => a
+          }
+        case _ => a
+      }
+  }
+
+  private def traverseOpt[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val out = Seq.newBuilder[B]
+    xs.foreach(x => f(x) match {
+      case Some(b) => out += b
+      case None => return None
+    })
+    Some(out.result())
   }
 
   private def isCountStar(e: NamedExpression): Boolean = e match {
@@ -57,4 +112,26 @@ class LogLakeMetadataOnlyCountRule extends Rule[LogicalPlan] {
     }
     case _ => None
   }
+
+  /** For the grouped case the Projects between Aggregate and relation
+    * must be PURE prunes (plain attribute passthroughs) — an aliasing
+    * or computing projection could detach a grouping attribute's name
+    * from the table column it reads. Returns the partition-group-count
+    * accessor when the child qualifies. */
+  private def bareLakeScan(plan: LogicalPlan):
+      Option[Seq[String] => Option[(Seq[StructField], Map[Seq[String], Long])]] =
+    plan match {
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        bareLakeScan(child)
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case idx: LogLakeFileIndex => Some(idx.exactGroupCounts)
+          case _ => None
+        }
+        case r: LogLakeDvRelation => Some(r.exactGroupCounts)
+        case _ => None
+      }
+      case _ => None
+    }
 }

@@ -358,6 +358,12 @@ final class LogLakeDvRelation(protected val spark: SparkSession,
     * The version is the relation's pinned snapshot — deterministic. */
   def exactRowCount: Long =
     LogLake.activeState(dir, asOf)._1.map(a => a.rows - a.dvRows).sum
+
+  /** Manifest-only per-partition-tuple counts (see
+    * [[LogLake.exactPartitionGroupCounts]]). */
+  def exactGroupCounts(cols: Seq[String]):
+      Option[(Seq[org.apache.spark.sql.types.StructField], Map[Seq[String], Long])] =
+    LogLake.exactPartitionGroupCounts(dir, asOf, cols)
 }
 
 /** Manifest-driven [[FileIndex]]: the file list comes from the commit
@@ -406,6 +412,12 @@ final class LogLakeFileIndex(spark: SparkSession, dir: String,
     * DVs — see the constructor guard), for
     * [[LogLakeMetadataOnlyCountRule]]. */
   def exactRowCount: Long = activeFiles.map(_.rows).sum
+
+  /** Manifest-only per-partition-tuple counts (see
+    * [[LogLake.exactPartitionGroupCounts]]). */
+  def exactGroupCounts(cols: Seq[String]):
+      Option[(Seq[StructField], Map[Seq[String], Long])] =
+    LogLake.exactPartitionGroupCounts(dir, asOf, cols)
 
   /** Files the LAST planned scan admitted — the skipping decision,
     * exposed for spec assertions alongside FileSourceScanExec's own

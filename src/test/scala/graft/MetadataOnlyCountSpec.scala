@@ -86,6 +86,44 @@ class MetadataOnlyCountSpec extends SparkTestBase {
     assert(c.as[(Long, Long)].head() == ((2L, 2L)))
   }
 
+  test("GROUP BY partition columns + count(*) answers from the manifest, zero bytes") {
+    val dir = tmp("grouped")
+    val df = spark.range(100).select(col("id").as("k"),
+      (col("id") % 4).cast("string").as("part"))
+    LogLake.create(spark, dir, df, partitionBy = Seq("part"))
+    val g = spark.read.format("loglake").load(dir)
+      .groupBy("part").count()
+    assert(isLocal(g), s"plan kept a scan:\n${g.queryExecution.optimizedPlan}")
+    val bytes = bytesReadDuring {
+      assert(g.as[(String, Long)].collect().toMap ==
+        Map("0" -> 25L, "1" -> 25L, "2" -> 25L, "3" -> 25L))
+    }
+    assert(bytes == 0L, s"metadata-only grouped count read $bytes bytes")
+    // SQL shape too, with the typed partition column
+    val db = "metagroup_" + System.nanoTime()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS loglake.$db")
+    spark.sql(s"CREATE TABLE loglake.$db.t (k BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO loglake.$db.t VALUES (1, 10), (2, 10), (3, 20)")
+    val c = spark.sql(s"SELECT p, count(*) AS cnt FROM loglake.$db.t GROUP BY p")
+    assert(isLocal(c), s"plan kept a scan:\n${c.queryExecution.optimizedPlan}")
+    assert(c.as[(Long, Long)].collect().toMap == Map(10L -> 2L, 20L -> 1L))
+  }
+
+  test("grouping by a NON-partition column keeps the scan") {
+    val dir = tmp("nongroup")
+    val df = spark.range(10).select(col("id").as("k"),
+      (col("id") % 2).cast("string").as("part"))
+    LogLake.create(spark, dir, df, partitionBy = Seq("part"))
+    val g = spark.read.format("loglake").load(dir).groupBy("k").count()
+    assert(!isLocal(g), "non-partition grouping must scan")
+    assert(g.count() == 10L)
+    // mixed aggregate alongside count must scan too
+    val mixed = spark.read.format("loglake").load(dir)
+      .groupBy("part").agg(count(lit(1)).as("cnt"), sum("k").as("s"))
+    assert(!isLocal(mixed), "a sum cannot come from the manifest")
+    assert(mixed.select(sum("s")).head().getLong(0) == 45L)
+  }
+
   test("time travel counts answer from the pinned version's manifest") {
     val dir = tmp("tt")
     LogLake.create(spark, dir, kv(50))
