@@ -1240,6 +1240,54 @@ object Lake {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // --- q138: METADATA-ONLY COUNTS (Delta's
+    // OptimizeMetadataOnlyDeltaQuery): unfiltered count(*), GROUP BY
+    // partition column + count(*), and partition-predicate-filtered
+    // count(*) over a partitioned loglake table all collapse to
+    // LocalRelations answered from the manifest — the query REQUIRES
+    // the collapsed plan (a scan would fail the run, not just slow
+    // it). The oracle recomputes the same counts the honest way. At
+    // 100 TB these are the dashboard queries that cost zero data
+    // bytes at any table size.
+    Q(
+      "q138_loglake_metadata_counts",
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus FROM orders
+         |)
+         |SELECT 'total' AS leg, '-' AS o_orderstatus,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt FROM base
+         |UNION ALL
+         |SELECT 'by_part', o_orderstatus, CAST(COUNT(*) AS BIGINT)
+         |FROM base GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'filtered', '-', CAST(COUNT(*) AS BIGINT)
+         |FROM base WHERE o_orderstatus <> 'O'
+         |ORDER BY leg, o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q138")
+      val ord = orders(s, d).select("o_orderkey", "o_orderstatus")
+      LogLake.create(s, dir, ord, partitionBy = Seq("o_orderstatus"))
+      def requireLocal(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        require(df.queryExecution.optimizedPlan.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        }.nonEmpty, s"q138: plan kept a scan:\n${df.queryExecution.optimizedPlan}")
+        df
+      }
+      val t = s.read.format("loglake").load(dir)
+      val total = requireLocal(t.groupBy().count())
+        .select(lit("total").as("leg"), lit("-").as("o_orderstatus"),
+          col("count").as("cnt"))
+      val byPart = requireLocal(t.groupBy("o_orderstatus").count())
+        .select(lit("by_part").as("leg"), col("o_orderstatus"),
+          col("count").as("cnt"))
+      val filtered = requireLocal(
+        t.filter(col("o_orderstatus") =!= "O").groupBy().count())
+        .select(lit("filtered").as("leg"), lit("-").as("o_orderstatus"),
+          col("count").as("cnt"))
+      total.unionByName(byPart).unionByName(filtered)
+        .orderBy("leg", "o_orderstatus")
     }
   )
 }

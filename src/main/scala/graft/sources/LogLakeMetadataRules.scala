@@ -1,9 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
@@ -99,17 +99,65 @@ class LogLakeMetadataOnlyCountRule extends Rule[LogicalPlan] {
 
   /** The child must be a bare loglake snapshot scan — a pass-through
     * [[Project]] is fine (count(1) evaluates none of it; column
-    * pruning empties it anyway), anything else bails. */
-  private def exactCount(plan: LogicalPlan): Option[Long] = plan match {
-    case Project(_, child) => exactCount(child)
-    case l: LogicalRelation => l.relation match {
-      case h: HadoopFsRelation => h.location match {
-        case idx: LogLakeFileIndex => Some(idx.exactRowCount)
-        case _ => None
+    * pruning empties it anyway). A [[Filter]] whose predicate touches
+    * ONLY partition columns still answers metadata-only: the predicate
+    * is evaluated per live partition tuple (typed through the declared
+    * partition types — identity partitioning makes it constant within
+    * a tuple) and the matching tuples' counts sum. Any other filter
+    * bails. */
+  private def exactCount(plan: LogicalPlan): Option[Long] =
+    exactCountPred(plan, Nil)
+
+  private def exactCountPred(plan: LogicalPlan,
+      preds: Seq[Expression]): Option[Long] = plan match {
+    case Project(_, child) if preds.isEmpty => exactCountPred(child, preds)
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      exactCountPred(child, preds)
+    case Filter(cond, child)
+        if cond.deterministic &&
+          !cond.exists(_.isInstanceOf[SubqueryExpression]) =>
+      exactCountPred(child, preds :+ cond)
+    case l: LogicalRelation =>
+      val counts: Option[(Long, Seq[String] => Option[(Seq[StructField], Map[Seq[String], Long])])] =
+        l.relation match {
+          case h: HadoopFsRelation => h.location match {
+            case idx: LogLakeFileIndex =>
+              Some((idx.exactRowCount, idx.exactGroupCounts))
+            case _ => None
+          }
+          case r: LogLakeDvRelation =>
+            Some((r.exactRowCount, r.exactGroupCounts))
+          case _ => None
+        }
+      counts.flatMap { case (total, grouped) =>
+        if (preds.isEmpty) Some(total)
+        else {
+          val attrs = preds.flatMap(_.collect {
+            case a: AttributeReference => a }).distinctBy(_.exprId)
+          // every referenced column must be a partition column — the
+          // grouped accessor returns None otherwise
+          grouped(attrs.map(_.name)).flatMap { case (fields, groups) =>
+            val zone = Some(SQLConf.get.sessionLocalTimeZone)
+            val byId = attrs.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+            val matchedSum = groups.toSeq.map { case (tuple, n) =>
+              val typed = tuple.zip(fields).map { case (s, f) =>
+                if (s == LogLake.NullPartitionValue) null
+                else Cast(Literal(UTF8String.fromString(s), StringType),
+                  f.dataType, zone).eval(InternalRow.empty)
+              }
+              val sat = preds.forall { p =>
+                val bound = p.transform {
+                  case a: AttributeReference =>
+                    Literal(typed(byId(a.exprId)), a.dataType)
+                }
+                bound.eval(InternalRow.empty) == true
+              }
+              if (sat) n else 0L
+            }.sum
+            Some(matchedSum)
+          }
+        }
       }
-      case r: LogLakeDvRelation => Some(r.exactRowCount)
-      case _ => None
-    }
     case _ => None
   }
 

@@ -109,6 +109,30 @@ class MetadataOnlyCountSpec extends SparkTestBase {
     assert(c.as[(Long, Long)].collect().toMap == Map(10L -> 2L, 20L -> 1L))
   }
 
+  test("a partition-only predicate count answers metadata-only; data predicates scan") {
+    val dir = tmp("partpred")
+    val df = spark.range(100).select(col("id").as("k"),
+      (col("id") % 4).cast("string").as("part"))
+    LogLake.create(spark, dir, df, partitionBy = Seq("part"))
+    val c = spark.read.format("loglake").load(dir)
+      .filter(col("part").isin("1", "2")).groupBy().count()
+    assert(isLocal(c), s"plan kept a scan:\n${c.queryExecution.optimizedPlan}")
+    val bytes = bytesReadDuring {
+      assert(c.as[Long].head() == 50L)
+    }
+    assert(bytes == 0L, s"partition-predicate count read $bytes bytes")
+    // compound partition predicate, still metadata-only
+    val c2 = spark.read.format("loglake").load(dir)
+      .filter(col("part") =!= "0" && col("part") < "3").groupBy().count()
+    assert(isLocal(c2))
+    assert(c2.as[Long].head() == 50L)
+    // a data-column predicate keeps the scan
+    val d = spark.read.format("loglake").load(dir)
+      .filter(col("part") === "1" && col("k") < 10L).groupBy().count()
+    assert(!isLocal(d), "data predicate must scan")
+    assert(d.as[Long].head() == 3L) // k in {1,5,9}
+  }
+
   test("grouping by a NON-partition column keeps the scan") {
     val dir = tmp("nongroup")
     val df = spark.range(10).select(col("id").as("k"),
