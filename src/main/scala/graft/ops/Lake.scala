@@ -1288,6 +1288,50 @@ object Lake {
           col("count").as("cnt"))
       total.unionByName(byPart).unionByName(filtered)
         .orderBy("leg", "o_orderstatus")
+    },
+
+    // --- q139: DYNAMIC PARTITION PRUNING over a partitioned loglake
+    // fact. The FileIndex surfaces a REAL partitionSchema (values from
+    // the manifest tuples, declared column order preserved by the
+    // overlapped-partition-column merge), so Spark's PartitionPruning
+    // rule plants a DynamicPruningSubquery on the fact scan: the dim
+    // filter's surviving keys — known only at runtime, via the reused
+    // broadcast — prune fact partitions BEFORE any fact bytes are
+    // read. The query REQUIRES the planted filter (a plan without it
+    // fails the run). At 100 TB this is the star-join pattern: a
+    // 1000-executor fact scan drops to the dim-selected partitions
+    // with zero extra passes.
+    Q(
+      "q139_loglake_dpp",
+      s"""WITH dim(o_orderstatus, cls) AS (
+         |  VALUES ('F', 'keep'), ('O', 'drop'), ('P', 'drop')
+         |)
+         |SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o.o_totalprice")} AS total
+         |FROM orders o JOIN dim d ON o.o_orderstatus = d.o_orderstatus
+         |WHERE d.cls = 'keep'
+         |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val dir = freshDir("q139")
+      val ord = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, dir, ord, partitionBy = Seq("o_orderstatus"))
+      // the dim must be file-backed: a LocalRelation dim is constant-
+      // folded before PartitionPruning looks for a selective filter
+      val dimDir = freshDir("q139dim")
+      Seq(("F", "keep"), ("O", "drop"), ("P", "drop")).toDF("o_orderstatus", "cls")
+        .write.parquet(dimDir)
+      val fact = s.read.format("loglake").load(dir)
+      val dim = s.read.parquet(dimDir)
+      val q = fact.join(broadcast(dim), Seq("o_orderstatus"))
+        .filter(col("cls") === "keep")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+      require(q.queryExecution.optimizedPlan.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))),
+        s"q139: no dynamic pruning filter planted:\n${q.queryExecution.optimizedPlan}")
+      q
     }
   )
 }

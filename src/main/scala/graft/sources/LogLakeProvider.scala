@@ -3,7 +3,8 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, GraftBridge, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
@@ -11,7 +12,7 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.functions.{col, expr, lit}
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Registers [[LogLake]] as a first-class Spark data source, format
   * name `loglake` — the Delta-shaped integration, built on the same
@@ -225,7 +226,11 @@ object LogLakeProvider {
       new LogLakeDvRelation(spark, dir, Some(v), LogLake.cleanSchema(schema))
     else {
       val index = new LogLakeFileIndex(spark, dir, Some(v), Some((files, schema)))
-      HadoopFsRelation(index, partitionSchema = new StructType(),
+      // partitionSchema overlaps dataSchema on purpose: the merge keeps
+      // each partition column in its DECLARED position (user-visible
+      // schema unchanged) while the scan serves its values from the
+      // manifest tuple, enabling exact partition pruning + DPP
+      HadoopFsRelation(index, partitionSchema = index.partitionSchema,
         dataSchema = index.tableSchema, bucketSpec = None,
         fileFormat = new ParquetFileFormat(), options = Map.empty)(spark)
     }
@@ -424,17 +429,84 @@ final class LogLakeFileIndex(spark: SparkSession, dir: String,
     * `numFiles` metric. */
   @volatile var lastScanFiles: Int = activeFiles.size
 
+  /** Identity-partitioned tables surface their partition columns as a
+    * REAL `partitionSchema` (values served from the manifest's
+    * per-file tuples, typed through the declared fields — the data
+    * files also store the columns, but the overlapped-partition-column
+    * merge keeps the declared position and the scan never reads them
+    * from parquet). That routes partition predicates through Spark's
+    * exact planning path instead of per-file stats, and — the 100 TB
+    * payoff — makes the scan ELIGIBLE FOR DYNAMIC PARTITION PRUNING:
+    * `PartitionPruning` only plants a DPP subquery on a scan whose
+    * relation has partition columns, so a star join's dim filter can
+    * prune fact partitions at runtime via the reused broadcast.
+    * Empty (falling back to flat stats-skipping listing) when the
+    * table is unpartitioned or any active file misses a tuple value
+    * (a foreign/hand-built manifest — never misread, just don't
+    * prune). */
+  private val partFields: Seq[StructField] = {
+    val phys = LogLake.partitionColumns(dir)
+    if (phys.isEmpty ||
+      !activeFiles.forall(a => phys.forall(a.partitionValues.contains))) Nil
+    else {
+      val byName = schema0.fields.map(f => f.name -> f).toMap
+      val fields = phys.flatMap(byName.get)
+      if (fields.size == phys.size) fields else Nil
+    }
+  }
+
   override def rootPaths: Seq[Path] = Seq(new Path(dir))
-  override def partitionSchema: StructType = new StructType()
+  override def partitionSchema: StructType = StructType(partFields)
+
+  private def statuses(adds: Seq[LogLake.AddFile]): Array[FileStatus] =
+    adds.map { a =>
+      new FileStatus(sizeOf(a), false, 1, 0L, 0L, new Path(LogLake.resolvedPath(dir, a.path)))
+    }.toArray
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = LogLake.pruneByPredicates(activeFiles, dataFilters)
-    lastScanFiles = kept.size
-    val statuses = kept.map { a =>
-      new FileStatus(sizeOf(a), false, 1, 0L, 0L, new Path(LogLake.resolvedPath(dir, a.path)))
-    }.toArray
-    Seq(PartitionDirectory(InternalRow.empty, statuses))
+    if (partFields.isEmpty) {
+      val kept = LogLake.pruneByPredicates(activeFiles, dataFilters)
+      lastScanFiles = kept.size
+      Seq(PartitionDirectory(InternalRow.empty, statuses(kept)))
+    } else {
+      val phys = LogLake.partitionColumns(dir)
+      val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+      // one directory per live partition tuple, typed through the
+      // declared fields (the same string→type cast the manifest's
+      // grouped counts are oracle-proven on)
+      val groups = activeFiles.groupBy(a => phys.map(a.partitionValues))
+        .toSeq.map { case (tuple, fs) =>
+          val vals = tuple.zip(partFields).map { case (s, f) =>
+            if (s == LogLake.NullPartitionValue) null
+            else Cast(Literal(UTF8String.fromString(s), StringType),
+              f.dataType, zone).eval(InternalRow.empty)
+          }
+          (InternalRow.fromSeq(vals), fs)
+        }
+      // static partition predicates must be applied EXACTLY here —
+      // FileSourceStrategy drops them from the post-scan filter. An
+      // unresolvable reference is a loud error, never a silent keep.
+      val admitted = if (partitionFilters.isEmpty) groups else {
+        val resolver = spark.sessionState.conf.resolver
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partFields.indexWhere(f => resolver(f.name, a.name))
+            require(i >= 0,
+              s"loglake: partition filter references non-partition column ${a.name}")
+            BoundReference(i, partFields(i).dataType, nullable = true)
+        }
+        val pred = Predicate.createInterpreted(bound)
+        pred.initialize(0)
+        groups.filter { case (row, _) => pred.eval(row) }
+      }
+      val dirs = admitted.flatMap { case (row, fs) =>
+        val kept = LogLake.pruneByPredicates(fs, dataFilters)
+        if (kept.isEmpty) None else Some(PartitionDirectory(row, statuses(kept)))
+      }
+      lastScanFiles = dirs.map(_.files.size).sum
+      dirs
+    }
   }
 
   override def inputFiles: Array[String] =
