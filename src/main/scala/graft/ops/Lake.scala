@@ -1332,6 +1332,50 @@ object Lake {
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))),
         s"q139: no dynamic pruning filter planted:\n${q.queryExecution.optimizedPlan}")
       q
+    },
+
+    // --- q140: METADATA-ONLY MIN/MAX/COUNT(col) (the rest of Delta's
+    // OptimizeMetadataOnlyDeltaQuery surface): ungrouped min/max over
+    // stats-covered columns, non-null counts via per-file null counts,
+    // min/max of the partition column itself (tuple values — no stats
+    // needed), and a partition-filtered variant — each REQUIRED to
+    // collapse to a LocalRelation (a kept scan fails the run, not just
+    // slows it). The oracle recomputes every aggregate honestly. At
+    // 100 TB these answer from the manifest regardless of table size;
+    // a DV'd or stats-less column keeps the scan (spec-pinned).
+    Q(
+      "q140_loglake_metadata_minmax",
+      """SELECT g.key_lo, g.key_hi, g.cnt, g.st_lo, g.st_hi,
+        |       f.price_lo, f.price_hi
+        |FROM (SELECT CAST(min(o_orderkey) AS BIGINT) AS key_lo,
+        |             CAST(max(o_orderkey) AS BIGINT) AS key_hi,
+        |             CAST(count(o_orderkey) AS BIGINT) AS cnt,
+        |             min(o_orderstatus) AS st_lo,
+        |             max(o_orderstatus) AS st_hi FROM orders) g
+        |CROSS JOIN (SELECT min(o_totalprice) AS price_lo,
+        |                   max(o_totalprice) AS price_hi
+        |            FROM orders WHERE o_orderstatus = 'F') f""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q140")
+      val ord = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, dir, ord,
+        statsCols = Seq("o_orderkey", "o_totalprice"),
+        partitionBy = Seq("o_orderstatus"))
+      def requireLocal(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        require(df.queryExecution.optimizedPlan.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        }.nonEmpty, s"q140: plan kept a scan:\n${df.queryExecution.optimizedPlan}")
+        df
+      }
+      val t = s.read.format("loglake").load(dir)
+      val global = requireLocal(t.groupBy().agg(
+        min("o_orderkey").as("key_lo"), max("o_orderkey").as("key_hi"),
+        count(col("o_orderkey")).as("cnt"),
+        min("o_orderstatus").as("st_lo"), max("o_orderstatus").as("st_hi")))
+      val filtered = requireLocal(t.filter(col("o_orderstatus") === "F")
+        .groupBy().agg(min("o_totalprice").as("price_lo"),
+          max("o_totalprice").as("price_hi")))
+      global.crossJoin(filtered)
     }
   )
 }

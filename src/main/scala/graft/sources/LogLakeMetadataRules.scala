@@ -2,12 +2,13 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{StringType, StructField}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.{Decimal, StructField}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Metadata-only `COUNT(*)` (Delta's OptimizeMetadataOnlyDeltaQuery):
@@ -27,14 +28,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * each file's deletion-vector cardinality). */
 class LogLakeMetadataOnlyCountRule extends Rule[LogicalPlan] {
 
+  /** The manifest-answerable aggregate shapes: `count(*)`,
+    * `count(col)` (non-null count via per-file null counts), and
+    * `min(col)` / `max(col)` (per-file exact min/max, reduced under
+    * the column's own ordering) — Delta's OptimizeMetadataOnlyDeltaQuery
+    * surface. count(*) stays DV-exact (rows − dvRows); the other three
+    * require a DV-FREE admitted set, since a masked row could hold the
+    * extremum or shift the null count. */
+  private sealed trait MetaAgg
+  private case object CountStar extends MetaAgg
+  private final case class CountCol(a: AttributeReference) extends MetaAgg
+  private final case class MinCol(a: AttributeReference) extends MetaAgg
+  private final case class MaxCol(a: AttributeReference) extends MetaAgg
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case a @ Aggregate(groupingExprs, aggExprs, child, _)
-        if groupingExprs.isEmpty && aggExprs.nonEmpty &&
-          aggExprs.forall(isCountStar) =>
-      exactCount(child) match {
-        case Some(n) =>
-          LocalRelation(a.output,
-            Seq(InternalRow.fromSeq(Seq.fill(aggExprs.size)(n))))
+        if groupingExprs.isEmpty && aggExprs.nonEmpty =>
+      val shapes = traverseOpt(aggExprs)(classify)
+      val answered = shapes.flatMap { aggs =>
+        scanWithPreds(child).flatMap { case (meta, preds) =>
+          answer(meta, preds, aggs)
+        }
+      }
+      answered match {
+        case Some(values) =>
+          LocalRelation(a.output, Seq(InternalRow.fromSeq(values)))
         case None => a
       }
     // GROUP BY <partition columns> + count(*): per-tuple counts from
@@ -91,74 +109,179 @@ class LogLakeMetadataOnlyCountRule extends Rule[LogicalPlan] {
     Some(out.result())
   }
 
-  private def isCountStar(e: NamedExpression): Boolean = e match {
-    case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _) =>
-      l.value != null // count(NULL) counts nothing; stats can't serve it
-    case _ => false
+  private def isCountStar(e: NamedExpression): Boolean =
+    classify(e).contains(CountStar)
+
+  private def classify(e: NamedExpression): Option[MetaAgg] = e match {
+    case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
+      case Count(Seq(l: Literal)) if l.value != null => Some(CountStar)
+      case Count(Seq(a: AttributeReference)) => Some(CountCol(a))
+      case Min(a: AttributeReference) => Some(MinCol(a))
+      case Max(a: AttributeReference) => Some(MaxCol(a))
+      case _ => None
+    }
+    case _ => None
   }
 
-  /** The child must be a bare loglake snapshot scan — a pass-through
-    * [[Project]] is fine (count(1) evaluates none of it; column
-    * pruning empties it anyway). A [[Filter]] whose predicate touches
-    * ONLY partition columns still answers metadata-only: the predicate
-    * is evaluated per live partition tuple (typed through the declared
-    * partition types — identity partitioning makes it constant within
-    * a tuple) and the matching tuples' counts sum. Any other filter
-    * bails. */
-  private def exactCount(plan: LogicalPlan): Option[Long] =
-    exactCountPred(plan, Nil)
-
-  private def exactCountPred(plan: LogicalPlan,
-      preds: Seq[Expression]): Option[Long] = plan match {
-    case Project(_, child) if preds.isEmpty => exactCountPred(child, preds)
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      exactCountPred(child, preds)
-    case Filter(cond, child)
-        if cond.deterministic &&
-          !cond.exists(_.isInstanceOf[SubqueryExpression]) =>
-      exactCountPred(child, preds :+ cond)
-    case l: LogicalRelation =>
-      val counts: Option[(Long, Seq[String] => Option[(Seq[StructField], Map[Seq[String], Long])])] =
-        l.relation match {
-          case h: HadoopFsRelation => h.location match {
-            case idx: LogLakeFileIndex =>
-              Some((idx.exactRowCount, idx.exactGroupCounts))
+  /** Walks pass-through Projects and deterministic Filters down to a
+    * bare loglake snapshot scan; returns the scan's pinned metadata
+    * plus the collected predicates (validated as partition-only later).
+    * A Project BELOW a collected Filter must be a pure attribute prune
+    * — anything computing could detach a predicate's references. */
+  private def scanWithPreds(plan: LogicalPlan):
+      Option[((Seq[LogLake.AddFile], StructType, Seq[String]), Seq[Expression])] = {
+    def go(p: LogicalPlan, preds: Seq[Expression]):
+        Option[((Seq[LogLake.AddFile], StructType, Seq[String]), Seq[Expression])] =
+      p match {
+        case Project(_, child) if preds.isEmpty => go(child, preds)
+        case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          go(child, preds)
+        case Filter(cond, child)
+            if cond.deterministic &&
+              !cond.exists(_.isInstanceOf[SubqueryExpression]) =>
+          go(child, preds :+ cond)
+        case l: LogicalRelation =>
+          val meta = l.relation match {
+            case h: HadoopFsRelation => h.location match {
+              case idx: LogLakeFileIndex => Some(idx.metaState)
+              case _ => None
+            }
+            case r: LogLakeDvRelation => Some(r.metaState)
             case _ => None
           }
-          case r: LogLakeDvRelation =>
-            Some((r.exactRowCount, r.exactGroupCounts))
-          case _ => None
-        }
-      counts.flatMap { case (total, grouped) =>
-        if (preds.isEmpty) Some(total)
-        else {
-          val attrs = preds.flatMap(_.collect {
-            case a: AttributeReference => a }).distinctBy(_.exprId)
-          // every referenced column must be a partition column — the
-          // grouped accessor returns None otherwise
-          grouped(attrs.map(_.name)).flatMap { case (fields, groups) =>
-            val zone = Some(SQLConf.get.sessionLocalTimeZone)
-            val byId = attrs.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
-            val matchedSum = groups.toSeq.map { case (tuple, n) =>
-              val typed = tuple.zip(fields).map { case (s, f) =>
-                if (s == LogLake.NullPartitionValue) null
-                else Cast(Literal(UTF8String.fromString(s), StringType),
-                  f.dataType, zone).eval(InternalRow.empty)
-              }
-              val sat = preds.forall { p =>
-                val bound = p.transform {
-                  case a: AttributeReference =>
-                    Literal(typed(byId(a.exprId)), a.dataType)
-                }
-                bound.eval(InternalRow.empty) == true
-              }
-              if (sat) n else 0L
-            }.sum
-            Some(matchedSum)
-          }
-        }
+          meta.map(m => (m, preds))
+        case _ => None
       }
-    case _ => None
+    go(plan, Nil)
+  }
+
+  /** Files admitted by the predicates: Some(kept) iff every predicate
+    * touches ONLY partition columns (evaluated exactly per live tuple,
+    * typed through the declared partition types); None = not
+    * metadata-answerable. */
+  private def admit(files: Seq[LogLake.AddFile], schema: StructType,
+      partPhys: Seq[String], preds: Seq[Expression]): Option[Seq[LogLake.AddFile]] = {
+    if (preds.isEmpty) return Some(files)
+    if (partPhys.isEmpty) return None
+    val fieldByName = schema.fields.map(f => f.name -> f).toMap
+    val attrs = preds.flatMap(_.collect {
+      case a: AttributeReference => a }).distinctBy(_.exprId)
+    val metas = attrs.map { a =>
+      fieldByName.get(a.name).map(f => (a, f, LogLake.physName(f)))
+    }
+    if (metas.exists(_.isEmpty)) return None
+    val bound = metas.flatten
+    if (!bound.forall(m => partPhys.contains(m._3))) return None
+    if (!files.forall(f => bound.forall(m => f.partitionValues.contains(m._3))))
+      return None
+    val zone = Some(SQLConf.get.sessionLocalTimeZone)
+    val kept = files.groupBy(f => bound.map(m => f.partitionValues(m._3)))
+      .toSeq.flatMap { case (tuple, fs) =>
+        val byId = bound.zip(tuple).map { case ((a, fld, _), s) =>
+          a.exprId -> (if (s == LogLake.NullPartitionValue) null
+          else Cast(Literal(UTF8String.fromString(s), StringType),
+            fld.dataType, zone).eval(InternalRow.empty))
+        }.toMap
+        val sat = preds.forall { p =>
+          val b = p.transform {
+            case a: AttributeReference => Literal(byId(a.exprId), a.dataType)
+          }
+          b.eval(InternalRow.empty) == true
+        }
+        if (sat) fs else Nil
+      }
+    Some(kept)
+  }
+
+  /** Decodes a manifest stats rendering ([[LogLake.ColStats]] tag +
+    * string) back to the column's INTERNAL Catalyst value. None = a
+    * tag/type pairing we can't reconstruct exactly — keep the scan. */
+  private def decodeStat(tag: String, s: String, dt: DataType): Option[Any] =
+    (tag, dt) match {
+      case ("string", StringType) => Some(UTF8String.fromString(s))
+      case ("long", LongType) => Some(s.toLong)
+      case ("long", IntegerType) => Some(s.toLong.toInt)
+      case ("long", ShortType) => Some(s.toLong.toShort)
+      case ("long", ByteType) => Some(s.toLong.toByte)
+      case ("long", BooleanType) => Some(s == "1")
+      case ("long", DateType) => Some(s.toLong.toInt)
+      case ("long", TimestampType) => Some(s.toLong)
+      case ("double", DoubleType) => Some(s.toDouble)
+      case ("double", FloatType) => Some(s.toDouble.toFloat)
+      case ("decimal", d: DecimalType) =>
+        val dec = Decimal(new java.math.BigDecimal(s))
+        if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
+      case _ => None
+    }
+
+  private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Per-file (min, max, nullCount) for `attr`, from stats or — for a
+    * partition column — from the file's tuple value (constant within
+    * the file under identity partitioning). None = this file can't
+    * answer for this column. */
+  private def fileStats(f: LogLake.AddFile, attr: AttributeReference,
+      phys: String, isPart: Boolean): Option[(Option[Any], Option[Any], Long)] = {
+    f.stats.get(phys) match {
+      case Some(s) if s.tpe == "null" => Some((None, None, s.nulls))
+      case Some(s) =>
+        for {
+          lo <- decodeStat(s.tpe, s.min, attr.dataType)
+          hi <- decodeStat(s.tpe, s.max, attr.dataType)
+        } yield (Some(lo), Some(hi), s.nulls)
+      case None if isPart && f.partitionValues.contains(phys) =>
+        val sv = f.partitionValues(phys)
+        if (sv == LogLake.NullPartitionValue) Some((None, None, f.rows))
+        else {
+          val zone = Some(SQLConf.get.sessionLocalTimeZone)
+          Option(Cast(Literal(UTF8String.fromString(sv), StringType),
+            attr.dataType, zone).eval(InternalRow.empty))
+            .map(v => (Some(v), Some(v), 0L))
+        }
+      case None => None
+    }
+  }
+
+  /** The answer row for the classified aggregates over the admitted
+    * set, or None when any aggregate isn't manifest-answerable. */
+  private def answer(meta: (Seq[LogLake.AddFile], StructType, Seq[String]),
+      preds: Seq[Expression], aggs: Seq[MetaAgg]): Option[Seq[Any]] = {
+    val (files, schema, partPhys) = meta
+    val admitted = admit(files, schema, partPhys, preds).getOrElse(return None)
+    val needStats = aggs.exists {
+      case CountStar => false
+      case _ => true
+    }
+    // a DV-masked row could be the extremum or shift the null count
+    if (needStats && admitted.exists(_.dvRows > 0L)) return None
+    val fieldByName = schema.fields.map(f => f.name -> f).toMap
+    val live = admitted.filter(_.rows > 0L)
+    def colMeta(a: AttributeReference): Option[(String, Boolean)] =
+      fieldByName.get(a.name).map { f =>
+        val phys = LogLake.physName(f)
+        (phys, partPhys.contains(phys))
+      }
+    val out = aggs.map {
+      case CountStar => admitted.map(f => f.rows - f.dvRows).sum: Any
+      case CountCol(a) =>
+        val (phys, isPart) = colMeta(a).getOrElse(return None)
+        live.map { f =>
+          val (_, _, nulls) = fileStats(f, a, phys, isPart).getOrElse(return None)
+          f.rows - nulls
+        }.sum: Any
+      case MinCol(a) =>
+        val (phys, isPart) = colMeta(a).getOrElse(return None)
+        val mins = live.flatMap(f =>
+          fileStats(f, a, phys, isPart).getOrElse(return None)._1)
+        if (mins.isEmpty) null else mins.reduce((x, y) => if (cmp(x, y) <= 0) x else y)
+      case MaxCol(a) =>
+        val (phys, isPart) = colMeta(a).getOrElse(return None)
+        val maxs = live.flatMap(f =>
+          fileStats(f, a, phys, isPart).getOrElse(return None)._2)
+        if (maxs.isEmpty) null else maxs.reduce((x, y) => if (cmp(x, y) >= 0) x else y)
+    }
+    Some(out)
   }
 
   /** For the grouped case the Projects between Aggregate and relation

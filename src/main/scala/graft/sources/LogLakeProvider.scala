@@ -369,6 +369,13 @@ final class LogLakeDvRelation(protected val spark: SparkSession,
   def exactGroupCounts(cols: Seq[String]):
       Option[(Seq[org.apache.spark.sql.types.StructField], Map[Seq[String], Long])] =
     LogLake.exactPartitionGroupCounts(dir, asOf, cols)
+
+  /** Pinned-snapshot metadata for [[LogLakeMetadataOnlyCountRule]]:
+    * (active files, declared schema, physical partition columns). */
+  def metaState: (Seq[LogLake.AddFile], StructType, Seq[String]) = {
+    val (files, schema) = LogLake.activeState(dir, asOf)
+    (files, schema, LogLake.partitionColumns(dir))
+  }
 }
 
 /** Manifest-driven [[FileIndex]]: the file list comes from the commit
@@ -423,6 +430,13 @@ final class LogLakeFileIndex(spark: SparkSession, dir: String,
   def exactGroupCounts(cols: Seq[String]):
       Option[(Seq[StructField], Map[Seq[String], Long])] =
     LogLake.exactPartitionGroupCounts(dir, asOf, cols)
+
+  /** Pinned-snapshot metadata for [[LogLakeMetadataOnlyCountRule]]:
+    * (active files, declared schema, physical partition columns) —
+    * resolved ONCE at construction, so the rule's answer is the same
+    * snapshot the scan it replaces would have read. */
+  def metaState: (Seq[LogLake.AddFile], StructType, Seq[String]) =
+    (activeFiles, schema0, LogLake.partitionColumns(dir))
 
   /** Files the LAST planned scan admitted — the skipping decision,
     * exposed for spec assertions alongside FileSourceScanExec's own

@@ -148,6 +148,81 @@ class MetadataOnlyCountSpec extends SparkTestBase {
     assert(mixed.select(sum("s")).head().getLong(0) == 45L)
   }
 
+  test("min/max/count(col) over stats-covered columns answer metadata-only") {
+    val dir = tmp("minmax")
+    val df = spark.range(100).select(col("id").as("k"),
+      concat(lit("v"), format_string("%03d", col("id"))).as("v"),
+      (col("id") * lit(0.5)).as("x"),
+      when(col("id") % 4 === 0, col("id")).as("sparse"))
+    LogLake.create(spark, dir, df, statsCols = Seq("k", "v", "x", "sparse"))
+    LogLake.append(spark, dir,
+      df.withColumn("k", col("k") + 100L)
+        .withColumn("v", concat(lit("w"), col("v"))),
+      statsCols = Seq("k", "v", "x", "sparse"))
+    val q = spark.read.format("loglake").load(dir).groupBy().agg(
+      count(lit(1)).as("cnt"), count(col("sparse")).as("nn"),
+      min("k").as("mnk"), max("k").as("mxk"),
+      min("v").as("mnv"), max("v").as("mxv"),
+      min("x").as("mnx"), max("x").as("mxx"))
+    assert(isLocal(q), s"plan kept a scan:\n${q.queryExecution.optimizedPlan}")
+    val bytes = bytesReadDuring {
+      val r = q.head()
+      assert(r.getLong(0) == 200L)
+      assert(r.getLong(1) == 50L) // 25 non-null per commit
+      assert(r.getLong(2) == 0L && r.getLong(3) == 199L)
+      assert(r.getString(4) == "v000" && r.getString(5) == "wv099")
+      assert(r.getDouble(6) == 0.0 && r.getDouble(7) == 49.5)
+    }
+    assert(bytes == 0L, s"metadata-only min/max read $bytes bytes")
+    // an all-null stats column yields NULL min/max, still metadata-only
+    val dir2 = tmp("allnull")
+    LogLake.create(spark, dir2,
+      spark.range(10).select(col("id").as("k"), lit(null).cast("string").as("v")),
+      statsCols = Seq("v"))
+    val q2 = spark.read.format("loglake").load(dir2)
+      .groupBy().agg(min("v").as("mn"), count(col("v")).as("nn"))
+    assert(isLocal(q2))
+    val r2 = q2.head()
+    assert(r2.isNullAt(0) && r2.getLong(1) == 0L)
+  }
+
+  test("min/max keep the scan without stats coverage or under DVs") {
+    val dir = tmp("nostats")
+    LogLake.create(spark, dir, kv(50)) // no statsCols
+    val q = spark.read.format("loglake").load(dir).groupBy().agg(min("k"))
+    assert(!isLocal(q), "min without stats must scan")
+    assert(q.head().getLong(0) == 0L)
+    // DVs: count(*) still collapses (rows − dvRows); min/max must scan
+    val dir2 = tmp("dvminmax")
+    LogLake.create(spark, dir2, kv(100), statsCols = Seq("k"))
+    LogLake.delete(spark, dir2, col("k") < 10L, mor = true)
+    val cnt = spark.read.format("loglake").load(dir2).groupBy().count()
+    assert(isLocal(cnt) && cnt.as[Long].head() == 90L)
+    val mn = spark.read.format("loglake").load(dir2).groupBy().agg(min("k"))
+    assert(!isLocal(mn), "min under DVs must scan — the masked row could be the min")
+    assert(mn.head().getLong(0) == 10L)
+  }
+
+  test("min/max over partition columns and under partition filters are metadata-only") {
+    val dir = tmp("partminmax")
+    val df = spark.range(90).select(col("id").as("k"),
+      (col("id") % 3).as("p"))
+    LogLake.create(spark, dir, df, statsCols = Seq("k"), partitionBy = Seq("p"))
+    // partition column served from the tuple values — no stats needed
+    val q = spark.read.format("loglake").load(dir)
+      .groupBy().agg(min("p").as("mn"), max("p").as("mx"), count(col("p")).as("nn"))
+    assert(isLocal(q), s"plan kept a scan:\n${q.queryExecution.optimizedPlan}")
+    assert(q.as[(Long, Long, Long)].head() == ((0L, 2L, 90L)))
+    // partition-filtered min over a stats column
+    val f = spark.read.format("loglake").load(dir)
+      .filter(col("p") === 1L).groupBy().agg(min("k").as("mn"), max("k").as("mx"))
+    assert(isLocal(f), s"plan kept a scan:\n${f.queryExecution.optimizedPlan}")
+    val bytes = bytesReadDuring {
+      assert(f.as[(Long, Long)].head() == ((1L, 88L)))
+    }
+    assert(bytes == 0L, s"partition-filtered min/max read $bytes bytes")
+  }
+
   test("time travel counts answer from the pinned version's manifest") {
     val dir = tmp("tt")
     LogLake.create(spark, dir, kv(50))
