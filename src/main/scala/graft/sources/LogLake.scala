@@ -1034,6 +1034,15 @@ object LogLake {
     case _ => false
   }
 
+  /** Types whose min/max/nullCount render exactly into manifest stats
+    * ([[typedRender]] round-trips them) — the default-stats filter. */
+  private def statsSupportedType(t: DataType): Boolean = t match {
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+         LongType | DateType | TimestampType | FloatType | DoubleType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   private def partitionSpecPath(dir: String) = new Path(dir, s"$LogDir/partition.json")
 
   /** The table's identity partition columns (PHYSICAL names, rename-
@@ -2993,7 +3002,26 @@ object LogLake {
     partLogical.foreach(c => require(df.columns.contains(c),
       s"loglake: partitioned write is missing partition column $c " +
         s"(have ${df.columns.mkString(",")})"))
-    val statsCols = (statsCols0 ++ partLogical).distinct
+    // DEFAULT STATS COLLECTION (Delta's dataSkippingNumIndexedCols):
+    // when the caller named no stats columns and the table carries no
+    // prior stats to inherit, collect min/max/nullCount on the first N
+    // written columns of stats-supported atomic types (N = the
+    // `loglake.dataSkippingNumIndexedCols` table property, default 32,
+    // 0 disables). At 100 TB data skipping must be the default posture,
+    // not an opt-in — an unindexed table makes every point query a
+    // full scan. The stats ride the single staged-data aggregate that
+    // already runs, so the marginal write cost is per-column agg width,
+    // not an extra pass.
+    val defaulted =
+      if (statsCols0.nonEmpty) statsCols0
+      else {
+        val n = tableProperties(dir)
+          .get("loglake.dataSkippingNumIndexedCols").map(_.trim.toInt)
+          .getOrElse(32)
+        df.schema.fields.take(math.max(n, 0))
+          .filter(f => statsSupportedType(f.dataType)).map(_.name).toSeq
+      }
+    val statsCols = (defaulted ++ partLogical).distinct
     statsCols.foreach(c => require(df.columns.contains(c),
       s"loglake: stats column $c not in ${df.columns.mkString(",")}"))
     val f = fs(dir)

@@ -188,10 +188,26 @@ class MetadataOnlyCountSpec extends SparkTestBase {
 
   test("min/max keep the scan without stats coverage or under DVs") {
     val dir = tmp("nostats")
-    LogLake.create(spark, dir, kv(50)) // no statsCols
+    LogLake.create(spark, dir, kv(50), statsCols = Seq("v")) // k uncovered
     val q = spark.read.format("loglake").load(dir).groupBy().agg(min("k"))
     assert(!isLocal(q), "min without stats must scan")
     assert(q.head().getLong(0) == 0L)
+    // default stats (dataSkippingNumIndexedCols) make a plain create
+    // metadata-answerable with no statsColumns named at all
+    val dirDef = tmp("defstats")
+    LogLake.create(spark, dirDef, kv(50))
+    val qd = spark.read.format("loglake").load(dirDef)
+      .groupBy().agg(min("k").as("mn"), max("v").as("mx"))
+    assert(isLocal(qd), s"default stats missing:\n${qd.queryExecution.optimizedPlan}")
+    assert(qd.as[(Long, String)].head() == ((0L, "v9")))
+    // and the property set to 0 disables collection
+    val dirOff = tmp("offstats")
+    LogLake.createEmpty(dirOff, kv(1).schema)
+    LogLake.setTableProperties(dirOff, Map("loglake.dataSkippingNumIndexedCols" -> "0"))
+    LogLake.append(spark, dirOff, kv(50))
+    val qo = spark.read.format("loglake").load(dirOff).groupBy().agg(min("k"))
+    assert(!isLocal(qo), "property 0 must disable default stats")
+    assert(qo.head().getLong(0) == 0L)
     // DVs: count(*) still collapses (rows − dvRows); min/max must scan
     val dir2 = tmp("dvminmax")
     LogLake.create(spark, dir2, kv(100), statsCols = Seq("k"))
