@@ -323,9 +323,31 @@ object LogLake {
       .map { case (_, p) => readManifest(f, p) }
   }
 
+  /** SNAPSHOT CACHE (Delta's DeltaLog snapshot cache): (dir, version,
+    * target-manifest identity) → assembled state. A published manifest
+    * is immutable, so a version's state never changes; the identity
+    * component (mtime + length of the version's own manifest file)
+    * guards the one aliasing case — a table dropped and re-created at
+    * the same path republishing the same version numbers. Validation
+    * (existence, log-span errors, vacuumed-version loud failures)
+    * always re-runs against a FRESH listing; only the checkpoint parse
+    * + tail replay is skipped on a hit. Bounded LRU: at 10⁶ files the
+    * state assembly is the dominant planning cost (~2 s,
+    * tools/MetaProbe) — with the cache it is paid once per version,
+    * not once per query. */
+  private val snapshotCache =
+    new java.util.LinkedHashMap[(String, Long, Long, Long), Checkpoint](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long, Long), Checkpoint]): Boolean =
+        size > 8
+    }
+  /** Cache-miss count — observability hook for the cache spec. */
+  private[sources] val snapshotAssembles = new java.util.concurrent.atomic.AtomicLong()
+
   /** Resolved state at `asOf` (default: latest): latest checkpoint at
     * or below the target, plus a replay of only the manifests after
-    * it — O(tail), not O(versions). */
+    * it — O(tail), not O(versions); served from [[snapshotCache]] when
+    * this process already assembled the version. */
   private def resolve(dir: String, asOf: Option[Long]): Checkpoint = {
     val f = fs(dir)
     val manifests = listManifests(dir)
@@ -334,6 +356,13 @@ object LogLake {
     val target = asOf.getOrElse(last)
     require(manifests.exists(_._1 == target),
       s"loglake: version $target does not exist at $dir (log spans 1..$last)")
+    val targetStatus = f.getFileStatus(manifests.find(_._1 == target).get._2)
+    val cacheKey = (dir, target, targetStatus.getModificationTime, targetStatus.getLen)
+    snapshotCache.synchronized(Option(snapshotCache.get(cacheKey))) match {
+      case Some(hit) => return hit
+      case None => ()
+    }
+    snapshotAssembles.incrementAndGet()
     val chk = listCheckpoints(dir).filter(_._1 <= target).lastOption
       .map { case (_, p) =>
         val in = f.open(p)
@@ -370,7 +399,9 @@ object LogLake {
         s"${unknown.toSeq.sorted.mkString(", ")} this reader does not " +
         s"support (supported: ${SupportedFeatures.toSeq.sorted.mkString(", ")}) " +
         "— upgrade the library; reading anyway could silently corrupt results")
-    Checkpoint(target, schemaJson, active.values.toSeq, txns.toMap, features)
+    val out = Checkpoint(target, schemaJson, active.values.toSeq, txns.toMap, features)
+    snapshotCache.synchronized(snapshotCache.put(cacheKey, out))
+    out
   }
 
   /** Active files + schema as of `asOf` (default: latest). */
