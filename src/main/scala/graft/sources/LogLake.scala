@@ -530,6 +530,49 @@ object LogLake {
     }
   }
 
+  /** V1 pushed filter → the Catalyst shape [[pruneByPredicates]]
+    * understands, with the attribute carrying the column's PHYSICAL
+    * name (stats are keyed physically — stable across renames, the
+    * property that keeps skipping working on the column-mapped
+    * fallback path). None = untranslated: the file is kept and the
+    * re-applied filter removes its rows — pruning is only ever an
+    * accelerator, never a correctness lever. */
+  private[sources] def v1PruneExpr(schema: StructType,
+      f: org.apache.spark.sql.sources.Filter):
+      Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.{sources => sf}
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def attr(n: String): Option[ce.AttributeReference] =
+      schema.fields.find(_.name == n).map(fl =>
+        ce.AttributeReference(physName(fl), fl.dataType, fl.nullable)())
+    def pair(n: String, v: Any): Option[(ce.AttributeReference, ce.Literal)] =
+      attr(n).flatMap { a =>
+        try Some((a, ce.Literal.create(v, a.dataType)))
+        catch { case _: Exception => None }
+      }
+    f match {
+      case sf.EqualTo(n, v) => pair(n, v).map { case (a, l) => ce.EqualTo(a, l) }
+      case sf.GreaterThan(n, v) => pair(n, v).map { case (a, l) => ce.GreaterThan(a, l) }
+      case sf.GreaterThanOrEqual(n, v) => pair(n, v).map { case (a, l) => ce.GreaterThanOrEqual(a, l) }
+      case sf.LessThan(n, v) => pair(n, v).map { case (a, l) => ce.LessThan(a, l) }
+      case sf.LessThanOrEqual(n, v) => pair(n, v).map { case (a, l) => ce.LessThanOrEqual(a, l) }
+      case sf.In(n, vs) if vs.nonEmpty =>
+        attr(n).flatMap { a =>
+          val ls = vs.toSeq.map { v =>
+            try Some(ce.Literal.create(v, a.dataType))
+            catch { case _: Exception => None }
+          }
+          if (ls.exists(_.isEmpty)) None else Some(ce.In(a, ls.flatten))
+        }
+      case sf.IsNull(n) => attr(n).map(ce.IsNull)
+      case sf.IsNotNull(n) => attr(n).map(ce.IsNotNull)
+      case sf.And(l, r) =>
+        for { le <- v1PruneExpr(schema, l); re <- v1PruneExpr(schema, r) }
+          yield ce.And(le, re)
+      case _ => None
+    }
+  }
+
   /** Row-level change feed for versions in `(fromV, toV]` — the CDC
     * READ side (q91 is the compaction side): for each commit, inserts
     * are the rows of its ADDED files minus the rows of its REMOVED

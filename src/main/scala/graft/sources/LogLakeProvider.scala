@@ -252,10 +252,16 @@ private[sources] trait FrameBackedScan
 
   override def needConversion: Boolean = false
 
+  /** Hook for relations that can SCOPE the frame by the pushed
+    * filters (manifest stats skipping) before the plan is built —
+    * default ignores them. */
+  protected def frameFor(filters: Array[org.apache.spark.sql.sources.Filter]): DataFrame =
+    frame()
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[org.apache.spark.sql.sources.Filter]):
       org.apache.spark.rdd.RDD[Row] = {
-    val base = frame()
+    val base = frameFor(filters)
     val filtered = filters.foldLeft(base) { (df, f) =>
       FrameBackedScan.translate(f).map(df.filter).getOrElse(df)
     }
@@ -358,6 +364,26 @@ final class LogLakeDvRelation(protected val spark: SparkSession,
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = schema0
   protected def frame(): DataFrame = LogLake.snapshot(spark, dir, asOf)
+
+  /** Files the LAST scan admitted after stats skipping (spec hook). */
+  @volatile var lastScanFiles: Int = -1
+
+  /** Manifest stats skipping on the FALLBACK path too: the pushed
+    * filters scope the FILE SET before the DV-masking plan is built —
+    * stats describe a file's physical rows (a superset of its live
+    * rows), so a file whose stats exclude the predicate holds no
+    * matching live row either. Between a broad MoR delete and the next
+    * OPTIMIZE a 100 TB table answers point queries from the admitted
+    * files, not every active file. Untranslated filters keep the file
+    * (Spark re-applies every pushed filter above the scan). */
+  override protected def frameFor(
+      filters: Array[org.apache.spark.sql.sources.Filter]): DataFrame = {
+    val (files, tableSchema) = LogLake.activeState(dir, asOf)
+    val exprs = filters.toSeq.flatMap(LogLake.v1PruneExpr(tableSchema, _))
+    val kept = LogLake.pruneByPredicates(files, exprs)
+    lastScanFiles = kept.size
+    LogLake.readAdds(spark, dir, tableSchema, kept)
+  }
   /** Exact logical row count from the manifest alone: physical rows
     * minus DV-masked rows per file ([[LogLakeMetadataOnlyCountRule]]).
     * The version is the relation's pinned snapshot — deterministic. */

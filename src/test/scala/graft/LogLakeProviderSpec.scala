@@ -213,6 +213,30 @@ class LogLakeProviderSpec extends SparkTestBase {
     assert(cdf.as[Long].collect().toSeq == Seq(500L))
   }
 
+  test("the DV fallback relation skips FILES by manifest stats, not just rows") {
+    val in = tmp("dvskip")
+    // 4 disjoint key-range commits = 4 files with disjoint k stats
+    (0 until 4).foreach { i =>
+      spark.range(i * 100L, i * 100L + 100L).coalesce(1)
+        .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+        .write.format("loglake").mode("append")
+        .option("statsColumns", "k").save(in)
+    }
+    LogLake.delete(spark, in, col("k") === 150L, mor = true) // force DV path
+    val rel = graft.sources.LogLakeProvider
+      .relation(spark, in, Some(LogLake.currentVersion(in)))
+      .asInstanceOf[graft.sources.LogLakeDvRelation]
+    val total = LogLake.activeState(in)._1.size
+    val q = spark.baseRelationToDataFrame(rel).filter(col("k") >= 300L)
+    assert(q.count() == 100L)
+    assert(rel.lastScanFiles == 1,
+      s"stats skipping admitted ${rel.lastScanFiles} of $total files")
+    // the DV'd file still masks its row when admitted
+    val q2 = spark.baseRelationToDataFrame(rel).filter(col("k").between(100L, 199L))
+    assert(q2.count() == 99L)
+    assert(rel.lastScanFiles == 1)
+  }
+
   test("a merge-on-read commit mid-stream: loud stop by default; ignoreChanges re-emits live rows, deletes stay masked") {
     val in = tmp("dvt-in"); val out = tmp("dvt-out"); val chk = tmp("dvt-chk")
     kv(1L -> "a", 2L -> "b", 3L -> "c").write.format("loglake").mode("append").save(in)
