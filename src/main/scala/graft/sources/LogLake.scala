@@ -834,32 +834,6 @@ object LogLake {
         Seq(col("num_files"), col("num_rows"), col("size_in_bytes")): _*)
   }
 
-  /** Exact live row counts per partition tuple for the given LOGICAL
-    * column names, from the manifest alone — rows minus DV cardinality
-    * summed per tuple. None unless the table is identity-partitioned
-    * on (a superset of) the requested columns and every active file
-    * carries their tuple values. Values are the manifest's raw strings
-    * ([[NullPartitionValue]] marks NULL); the caller casts through the
-    * declared types. Feeds the metadata-only GROUP-BY-count rule. */
-  private[sources] def exactPartitionGroupCounts(dir: String,
-      asOf: Option[Long], logicalCols: Seq[String]):
-      Option[(Seq[StructField], Map[Seq[String], Long])] = {
-    val partPhys = partitionColumns(dir)
-    if (partPhys.isEmpty || logicalCols.isEmpty) return None
-    val (files, schema) = activeState(dir, asOf)
-    val physByLogical = schema.fields.map(f => f.name -> physName(f)).toMap
-    val fieldByLogical = schema.fields.map(f => f.name -> f).toMap
-    val reqPhys = logicalCols.map(c =>
-      physByLogical.getOrElse(c, return None))
-    if (!reqPhys.forall(partPhys.contains)) return None
-    if (!files.forall(a => reqPhys.forall(a.partitionValues.contains)))
-      return None
-    val groups = files
-      .groupBy(a => reqPhys.map(a.partitionValues))
-      .map { case (t, fs) => t -> fs.map(a => a.rows - a.dvRows).sum }
-    Some((logicalCols.map(fieldByLogical), groups))
-  }
-
   /** Range scan with file skipping: reads only the files whose stats
     * intersect [lo, hi], then applies the exact predicate — identical
     * results to filtering the full snapshot, fewer files opened. */

@@ -28,18 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * each file's deletion-vector cardinality). */
 class LogLakeMetadataOnlyCountRule extends Rule[LogicalPlan] {
 
-  /** The manifest-answerable aggregate shapes: `count(*)`,
-    * `count(col)` (non-null count via per-file null counts), and
-    * `min(col)` / `max(col)` (per-file exact min/max, reduced under
-    * the column's own ordering) — Delta's OptimizeMetadataOnlyDeltaQuery
-    * surface. count(*) stays DV-exact (rows − dvRows); the other three
-    * require a DV-FREE admitted set, since a masked row could hold the
-    * extremum or shift the null count. */
-  private sealed trait MetaAgg
-  private case object CountStar extends MetaAgg
-  private final case class CountCol(a: AttributeReference) extends MetaAgg
-  private final case class MinCol(a: AttributeReference) extends MetaAgg
-  private final case class MaxCol(a: AttributeReference) extends MetaAgg
+  import LogLakeMetadataOnlyCountRule._
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case a @ Aggregate(groupingExprs, aggExprs, child, _)
@@ -55,49 +44,79 @@ class LogLakeMetadataOnlyCountRule extends Rule[LogicalPlan] {
           LocalRelation(a.output, Seq(InternalRow.fromSeq(values)))
         case None => a
       }
-    // GROUP BY <partition columns> + count(*): per-tuple counts from
-    // the manifest's partition values — the partition-dashboard query
-    // at zero data bytes (Hive's metadata-only query, kept exact here
-    // because loglake counts are manifest-exact through DVs)
+    // GROUP BY <partition columns> + manifest-answerable aggregates:
+    // per-tuple counts/min/max from the manifest's partition values and
+    // per-file stats — the partition-dashboard query at zero data bytes
+    // (Hive's metadata-only query, kept exact here because loglake
+    // counts are manifest-exact through DVs). Partition-only Filters
+    // below the Aggregate compose (admission per tuple).
     case a @ Aggregate(groupingExprs, aggExprs, child, _)
         if groupingExprs.nonEmpty &&
           groupingExprs.forall(_.isInstanceOf[AttributeReference]) =>
       val groupAttrs = groupingExprs.map(_.asInstanceOf[AttributeReference])
-      // each output is a grouping attribute (possibly aliased) or count(*)
-      val shape: Option[Seq[Either[Attribute, Unit]]] =
+      // each output is a grouping attribute (possibly aliased) or a
+      // manifest-answerable aggregate
+      val shape: Option[Seq[Either[Attribute, MetaAgg]]] =
         traverseOpt(aggExprs) {
           case at: AttributeReference
               if groupAttrs.exists(_.semanticEquals(at)) => Some(Left(at))
           case Alias(at: AttributeReference, _)
               if groupAttrs.exists(_.semanticEquals(at)) => Some(Left(at))
-          case e if isCountStar(e) => Some(Right(()))
-          case _ => None
+          case e => classify(e).map(Right(_))
         }
-      (shape, bareLakeScan(child)) match {
-        case (Some(outs), Some(counts))
-            if aggExprs.exists(isCountStar) =>
-          counts(groupAttrs.map(_.name)) match {
-            case Some((fields, groups)) =>
-              val zone = Some(SQLConf.get.sessionLocalTimeZone)
-              val byName = groupAttrs.map(_.name).zipWithIndex.toMap
-              // a tuple with zero live rows (e.g. only empty files)
-              // emits NO group, exactly like the scan it replaces
-              val rows = groups.toSeq.filter(_._2 > 0L).map { case (tuple, n) =>
-                val typed = tuple.zip(fields).map { case (s, f) =>
-                  if (s == LogLake.NullPartitionValue) null
-                  else Cast(Literal(UTF8String.fromString(s), StringType),
-                    f.dataType, zone).eval(InternalRow.empty)
-                }
-                InternalRow.fromSeq(outs.map {
-                  case Left(at) => typed(byName(at.name))
-                  case Right(_) => n
-                })
-              }
-              LocalRelation(a.output, rows)
-            case None => a
-          }
-        case _ => a
+      val answered = shape.flatMap { outs =>
+        scanWithPreds(child).flatMap { case (meta, preds) =>
+          groupedAnswer(meta, preds, groupAttrs, outs)
+        }
       }
+      answered match {
+        case Some(rows) => LocalRelation(a.output, rows)
+        case None => a
+      }
+  }
+
+  /** One output row per live partition tuple. None (keep the scan) when
+    * any grouping column isn't a partition column, any file misses a
+    * tuple value, or ANY group's aggregates aren't manifest-answerable
+    * — a partial collapse is never sound. */
+  private def groupedAnswer(
+      meta: (Seq[LogLake.AddFile], StructType, Seq[String]),
+      preds: Seq[Expression], groupAttrs: Seq[AttributeReference],
+      outs: Seq[Either[Attribute, MetaAgg]]): Option[Seq[InternalRow]] = {
+    val (files, schema, partPhys) = meta
+    val fieldByName = schema.fields.map(f => f.name -> f).toMap
+    val gMeta = groupAttrs.map { a =>
+      fieldByName.get(a.name).map(f => (a, f, LogLake.physName(f)))
+        .getOrElse(return None)
+    }
+    if (!gMeta.forall(m => partPhys.contains(m._3))) return None
+    if (!files.forall(f => gMeta.forall(m => f.partitionValues.contains(m._3))))
+      return None
+    val admitted = admit(files, schema, partPhys, preds).getOrElse(return None)
+    val zone = Some(SQLConf.get.sessionLocalTimeZone)
+    val byName = groupAttrs.map(_.name).zipWithIndex.toMap
+    val aggsOnly = outs.collect { case Right(ag) => ag }
+    val rows = admitted.groupBy(f => gMeta.map(m => f.partitionValues(m._3)))
+      .toSeq.flatMap { case (tuple, fs) =>
+        // a tuple with zero live rows (e.g. only empty or fully-DV'd
+        // files) emits NO group, exactly like the scan it replaces
+        if (fs.map(f => f.rows - f.dvRows).sum == 0L) None
+        else {
+          val typed = tuple.zip(gMeta).map { case (s, (_, fld, _)) =>
+            if (s == LogLake.NullPartitionValue) null
+            else Cast(Literal(UTF8String.fromString(s), StringType),
+              fld.dataType, zone).eval(InternalRow.empty)
+          }
+          val vals = computeAggs(fs, schema, partPhys, aggsOnly)
+            .getOrElse(return None)
+          val it = vals.iterator
+          Some(InternalRow.fromSeq(outs.map {
+            case Left(at) => typed(byName(at.name))
+            case Right(_) => it.next()
+          }))
+        }
+      }
+    Some(rows)
   }
 
   private def traverseOpt[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
@@ -108,9 +127,6 @@ class LogLakeMetadataOnlyCountRule extends Rule[LogicalPlan] {
     })
     Some(out.result())
   }
-
-  private def isCountStar(e: NamedExpression): Boolean =
-    classify(e).contains(CountStar)
 
   private def classify(e: NamedExpression): Option[MetaAgg] = e match {
     case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
@@ -248,7 +264,13 @@ class LogLakeMetadataOnlyCountRule extends Rule[LogicalPlan] {
   private def answer(meta: (Seq[LogLake.AddFile], StructType, Seq[String]),
       preds: Seq[Expression], aggs: Seq[MetaAgg]): Option[Seq[Any]] = {
     val (files, schema, partPhys) = meta
-    val admitted = admit(files, schema, partPhys, preds).getOrElse(return None)
+    admit(files, schema, partPhys, preds)
+      .flatMap(computeAggs(_, schema, partPhys, aggs))
+  }
+
+  /** The aggregate values over an already-admitted file set. */
+  private def computeAggs(admitted: Seq[LogLake.AddFile], schema: StructType,
+      partPhys: Seq[String], aggs: Seq[MetaAgg]): Option[Seq[Any]] = {
     val needStats = aggs.exists {
       case CountStar => false
       case _ => true
@@ -284,25 +306,19 @@ class LogLakeMetadataOnlyCountRule extends Rule[LogicalPlan] {
     Some(out)
   }
 
-  /** For the grouped case the Projects between Aggregate and relation
-    * must be PURE prunes (plain attribute passthroughs) — an aliasing
-    * or computing projection could detach a grouping attribute's name
-    * from the table column it reads. Returns the partition-group-count
-    * accessor when the child qualifies. */
-  private def bareLakeScan(plan: LogicalPlan):
-      Option[Seq[String] => Option[(Seq[StructField], Map[Seq[String], Long])]] =
-    plan match {
-      case Project(projectList, child)
-          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        bareLakeScan(child)
-      case l: LogicalRelation => l.relation match {
-        case h: HadoopFsRelation => h.location match {
-          case idx: LogLakeFileIndex => Some(idx.exactGroupCounts)
-          case _ => None
-        }
-        case r: LogLakeDvRelation => Some(r.exactGroupCounts)
-        case _ => None
-      }
-      case _ => None
-    }
+}
+
+private[sources] object LogLakeMetadataOnlyCountRule {
+  /** The manifest-answerable aggregate shapes: `count(*)`,
+    * `count(col)` (non-null count via per-file null counts), and
+    * `min(col)` / `max(col)` (per-file exact min/max, reduced under
+    * the column's own ordering) — Delta's OptimizeMetadataOnlyDeltaQuery
+    * surface. count(*) stays DV-exact (rows − dvRows); the other three
+    * require a DV-FREE admitted set, since a masked row could hold the
+    * extremum or shift the null count. */
+  sealed trait MetaAgg
+  case object CountStar extends MetaAgg
+  final case class CountCol(a: AttributeReference) extends MetaAgg
+  final case class MinCol(a: AttributeReference) extends MetaAgg
+  final case class MaxCol(a: AttributeReference) extends MetaAgg
 }

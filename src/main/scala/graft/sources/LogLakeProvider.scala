@@ -390,11 +390,6 @@ final class LogLakeDvRelation(protected val spark: SparkSession,
   def exactRowCount: Long =
     LogLake.activeState(dir, asOf)._1.map(a => a.rows - a.dvRows).sum
 
-  /** Manifest-only per-partition-tuple counts (see
-    * [[LogLake.exactPartitionGroupCounts]]). */
-  def exactGroupCounts(cols: Seq[String]):
-      Option[(Seq[org.apache.spark.sql.types.StructField], Map[Seq[String], Long])] =
-    LogLake.exactPartitionGroupCounts(dir, asOf, cols)
 
   /** Pinned-snapshot metadata for [[LogLakeMetadataOnlyCountRule]]:
     * (active files, declared schema, physical partition columns). */
@@ -451,11 +446,6 @@ final class LogLakeFileIndex(spark: SparkSession, dir: String,
     * [[LogLakeMetadataOnlyCountRule]]. */
   def exactRowCount: Long = activeFiles.map(_.rows).sum
 
-  /** Manifest-only per-partition-tuple counts (see
-    * [[LogLake.exactPartitionGroupCounts]]). */
-  def exactGroupCounts(cols: Seq[String]):
-      Option[(Seq[StructField], Map[Seq[String], Long])] =
-    LogLake.exactPartitionGroupCounts(dir, asOf, cols)
 
   /** Pinned-snapshot metadata for [[LogLakeMetadataOnlyCountRule]]:
     * (active files, declared schema, physical partition columns) —

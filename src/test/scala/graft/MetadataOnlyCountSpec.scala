@@ -239,6 +239,41 @@ class MetadataOnlyCountSpec extends SparkTestBase {
     assert(bytes == 0L, s"partition-filtered min/max read $bytes bytes")
   }
 
+  test("GROUP BY partition column + min/max/count(col) answers per tuple, zero bytes") {
+    val dir = tmp("groupminmax")
+    val df = spark.range(120).select(col("id").as("k"),
+      (col("id") % 3).cast("string").as("part"),
+      when(col("id") % 2 === 0, col("id")).as("even"))
+    LogLake.create(spark, dir, df, statsCols = Seq("k", "even"),
+      partitionBy = Seq("part"))
+    val g = spark.read.format("loglake").load(dir).groupBy("part").agg(
+      count(lit(1)).as("cnt"), count(col("even")).as("nn"),
+      min("k").as("mn"), max("k").as("mx"))
+    assert(isLocal(g), s"plan kept a scan:\n${g.queryExecution.optimizedPlan}")
+    val bytes = bytesReadDuring {
+      val got = g.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == Map(
+        "0" -> ((40L, 20L, 0L, 117L)),
+        "1" -> ((40L, 20L, 1L, 118L)),
+        "2" -> ((40L, 20L, 2L, 119L))))
+    }
+    assert(bytes == 0L, s"grouped min/max read $bytes bytes")
+    // a partition filter composes with the grouping
+    val f = spark.read.format("loglake").load(dir)
+      .filter(col("part") =!= "1").groupBy("part").agg(max("k").as("mx"))
+    assert(isLocal(f))
+    assert(f.as[(String, Long)].collect().toMap == Map("0" -> 117L, "2" -> 119L))
+    // a group losing stats coverage bails the WHOLE collapse
+    LogLake.append(spark, dir,
+      df.withColumn("k", col("k") + 200L), statsCols = Seq("even"))
+    val g2 = spark.read.format("loglake").load(dir)
+      .groupBy("part").agg(min("k").as("mn"))
+    assert(!isLocal(g2), "uncovered group must keep the scan")
+    assert(g2.as[(String, Long)].collect().toMap ==
+      Map("0" -> 0L, "1" -> 1L, "2" -> 2L))
+  }
+
   test("time travel counts answer from the pinned version's manifest") {
     val dir = tmp("tt")
     LogLake.create(spark, dir, kv(50))
