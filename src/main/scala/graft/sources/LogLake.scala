@@ -344,6 +344,12 @@ object LogLake {
   /** Cache-miss count — observability hook for the cache spec. */
   private[sources] val snapshotAssembles = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Probe hook: force the next resolve to reassemble (tools/MetaProbe
+    * measures the cold path explicitly). Never needed for correctness —
+    * the identity key already invalidates naturally. */
+  private[graft] def clearSnapshotCache(): Unit =
+    snapshotCache.synchronized(snapshotCache.clear())
+
   /** Resolved state at `asOf` (default: latest): latest checkpoint at
     * or below the target, plus a replay of only the manifests after
     * it — O(tail), not O(versions); served from [[snapshotCache]] when

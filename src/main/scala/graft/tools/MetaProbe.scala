@@ -76,6 +76,9 @@ object MetaProbe {
       t("currentVersion (list only)")(LogLake.currentVersion(dir))
       val (files, _) = t("activeState via checkpoint")(LogLake.activeState(dir))
       println(f"  ${"active files"}%-34s ${files.size}%8d")
+      // the snapshot cache: the SECOND resolve of the same version
+      // skips checkpoint parse + tail replay (validation still lists)
+      t("activeState again (snapshot cache)")(LogLake.activeState(dir))
       val m1 = usedMb()
       println(f"  ${"resolved-state heap"}%-34s ${m1 - m0}%8d MB")
       t("pruneFiles k in [0, 5e6]")(
@@ -83,9 +86,11 @@ object MetaProbe {
       t("snapshot plan (no execution)")(
         spark.read.schema(StructType.fromDDL("k LONG, v STRING"))
           .format("loglake").load(dir).queryExecution.executedPlan)
-      // worst case: no checkpoint → full log replay
+      // worst case: no checkpoint → full log replay (cache cleared so
+      // the cold path is what's measured)
       Files.delete(Paths.get(dir, LogLake.LogDir).resolve(
         f"chk-${1000}%020d.json"))
+      LogLake.clearSnapshotCache()
       t("activeState full replay (no chk)")(LogLake.activeState(dir))
       ()
     }
