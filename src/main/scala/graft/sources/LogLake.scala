@@ -350,6 +350,10 @@ object LogLake {
   private[graft] def clearSnapshotCache(): Unit =
     snapshotCache.synchronized(snapshotCache.clear())
 
+  /** Orphan count above which [[vacuum]] deletes through a Spark job
+    * instead of the driver loop (spec-adjustable). */
+  private[sources] var vacuumDistributedThreshold: Int = 4096
+
   /** Resolved state at `asOf` (default: latest): latest checkpoint at
     * or below the target, plus a replay of only the manifests after
     * it — O(tail), not O(versions); served from [[snapshotCache]] when
@@ -2867,23 +2871,27 @@ object LogLake {
     * (FileNotFound; `spark.sql.files.ignoreMissingFiles` must stay
     * false), never silently serves partial rows — the Delta
     * vacuum-vs-retention trade. The retention horizon IS the grace
-    * window: size `olderThanMs` above the longest-running query. */
+    * window: size `olderThanMs` above the longest-running query.
+    *
+    * Deletion is DISTRIBUTED when a session is passed and the orphan
+    * count is large (Delta's parallel vacuum): the driver decides WHAT
+    * to reclaim (listing + active-set diff — metadata-sized), the
+    * executors issue the per-file deletes — at 10⁶ reclaimable files
+    * on an object store, serial driver-side deletes are the
+    * bottleneck, not the listing. */
   def vacuum(dir: String, olderThanMs: Long = 7L * 24 * 3600 * 1000,
-      dryRun: Boolean = false): Seq[String] = {
+      dryRun: Boolean = false, spark: SparkSession = null): Seq[String] = {
     val f = fs(dir)
     val state: Seq[AddFile] =
       if (history(dir).isEmpty) Seq.empty else activeState(dir)._1
     val cutoff = System.currentTimeMillis() - olderThanMs
-    def sweep(sub: String, active: Set[String]): Seq[String] = {
+    def sweep(sub: String, active: Set[String]): Seq[(String, Path)] = {
       val d = new Path(dir, sub)
       if (!f.exists(d)) return Seq.empty
       f.listStatus(d).toSeq
         .filter(s => s.isFile && !active(s.getPath.getName)
           && s.getModificationTime < cutoff)
-        .map { s =>
-          if (!dryRun) f.delete(s.getPath, false)
-          s"$sub/${s.getPath.getName}"
-        }
+        .map(s => s"$sub/${s.getPath.getName}" -> s.getPath)
     }
     // change-data files age out like data generations (Delta vacuums
     // _change_data the same way): a cdc file whose commit passed the
@@ -2891,15 +2899,12 @@ object LogLake {
     // (changeFeed checks existence before reading). Unlike data files
     // there is no "active" set: every cdc file belongs to exactly one
     // historical commit, so age alone decides.
-    val cdcSwept: Seq[String] = {
+    val cdcSwept: Seq[(String, Path)] = {
       val cd = new Path(dir, CdcDir)
       if (!f.exists(cd)) Seq.empty
       else f.listStatus(cd).toSeq
         .filter(s => s.isFile && s.getModificationTime < cutoff)
-        .map { s =>
-          if (!dryRun) f.delete(s.getPath, false)
-          s"$CdcDir/${s.getPath.getName}"
-        }
+        .map(s => s"$CdcDir/${s.getPath.getName}" -> s.getPath)
     }
     // root-level *.parquet: CONVERTed originals live beside _loglake/;
     // once a rewrite retires one from the manifest it is reclaimable
@@ -2912,13 +2917,30 @@ object LogLake {
         s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
           !n.startsWith(".") && !rootActive(n) && s.getModificationTime < cutoff
       }
-      .map { s =>
-        if (!dryRun) f.delete(s.getPath, false)
-        s.getPath.getName
+      .map(s => s.getPath.getName -> s.getPath)
+    val all =
+      sweep(DataDir, state.map(a => new Path(a.path).getName).toSet) ++
+        sweep(DvDir, state.filter(_.dv.nonEmpty)
+          .map(a => new Path(a.dv).getName).toSet) ++ cdcSwept ++ rootOrphans
+    if (!dryRun) {
+      if (spark == null || all.size < vacuumDistributedThreshold)
+        all.foreach(p => f.delete(p._2, false))
+      else {
+        val conf = new SerHadoopConf(spark.sessionState.newHadoopConf())
+        val strs = all.map(_._2.toString)
+        spark.sparkContext
+          .parallelize(strs, math.max(1, math.min(64, strs.size / 1024)))
+          .foreachPartition { it =>
+            var cached: FileSystem = null
+            it.foreach { s =>
+              val p = new Path(s)
+              if (cached == null) cached = p.getFileSystem(conf.value)
+              cached.delete(p, false)
+            }
+          }
       }
-    sweep(DataDir, state.map(a => new Path(a.path).getName).toSet) ++
-      sweep(DvDir, state.filter(_.dv.nonEmpty)
-        .map(a => new Path(a.dv).getName).toSet) ++ cdcSwept ++ rootOrphans
+    }
+    all.map(_._1)
   }
 
   /** Exactly-once streaming append: each micro-batch commits as ONE

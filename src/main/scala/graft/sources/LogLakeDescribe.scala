@@ -269,7 +269,8 @@ final case class LogLakeVacuumCommand(target: String,
     val dir = DescribeTarget.dir(session, target)
     val ms = retainHours.map(h => (h * 3600 * 1000).toLong)
       .getOrElse(7L * 24 * 3600 * 1000)
-    LogLake.vacuum(dir, olderThanMs = ms, dryRun = dryRun).map(Row(_))
+    LogLake.vacuum(dir, olderThanMs = ms, dryRun = dryRun,
+      spark = session).map(Row(_))
   }
 }
 

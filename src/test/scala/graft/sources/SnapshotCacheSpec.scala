@@ -40,6 +40,29 @@ class SnapshotCacheSpec extends SparkTestBase {
     assert(assembles == mid, "a previously-assembled pinned version must hit")
   }
 
+  test("vacuum above the threshold deletes through a Spark job, same result") {
+    val dir = tmp("distvac")
+    LogLake.create(spark, dir,
+      spark.range(40).repartition(8).select(col("id").as("k")))
+    LogLake.overwrite(spark, dir,
+      spark.range(5).select(col("id").as("k"))) // retires 8 files
+    val prev = LogLake.vacuumDistributedThreshold
+    LogLake.vacuumDistributedThreshold = 2
+    try {
+      val dry = LogLake.vacuum(dir, olderThanMs = -1000L, dryRun = true,
+        spark = spark)
+      assert(dry.size >= 8)
+      val swept = LogLake.vacuum(dir, olderThanMs = -1000L, spark = spark)
+      assert(swept.toSet == dry.toSet)
+      // the files are really gone and the table still reads
+      val dd = new java.io.File(dir, "data")
+      assert(!swept.exists(s => new java.io.File(dir, s).exists()),
+        "distributed vacuum left orphans behind")
+      assert(spark.read.format("loglake").load(dir).count() == 5L)
+      assert(dd.listFiles().count(_.getName.endsWith(".parquet")) >= 1)
+    } finally LogLake.vacuumDistributedThreshold = prev
+  }
+
   test("drop-and-recreate at the same path is never served stale state") {
     val dir = tmp("recreate")
     LogLake.create(spark, dir, spark.range(7).select(col("id").as("k")))
