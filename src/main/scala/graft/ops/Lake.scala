@@ -1376,6 +1376,48 @@ object Lake {
         .groupBy().agg(min("o_totalprice").as("price_lo"),
           max("o_totalprice").as("price_hi")))
       global.crossJoin(filtered)
+    },
+
+    // --- q141: METADATA RETENTION (Delta's logRetentionDuration). 25
+    // commits (orders sliced by o_orderkey % 25) cross two checkpoint
+    // boundaries; cleanupMetadata then drops the log below the newest
+    // checkpoint (v20). The query reads BOTH retained surfaces through
+    // the truncated log — the latest snapshot per status, and the v20
+    // floor via time travel — while the builder asserts the sweep
+    // really happened and the history is exactly the 20..25 suffix.
+    // At one commit a minute, an uncleaned log is ~0.5M manifests a
+    // year and the per-read listing degrades with table AGE; retention
+    // keeps it proportional to the window. The oracle replays both
+    // states declaratively (v20 = slices 0..19).
+    Q(
+      "q141_loglake_log_cleanup",
+      s"""SELECT l.o_orderstatus, l.cnt, l.total, f.floor_rows, f.floor_total
+         |FROM (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |             ${oSum("o_totalprice")} AS total
+         |      FROM orders GROUP BY o_orderstatus) l
+         |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS floor_rows,
+         |                   ${oSum("o_totalprice")} AS floor_total
+         |            FROM orders WHERE o_orderkey % 25 <= 19) f
+         |ORDER BY l.o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q141")
+      val ord = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, dir, ord.filter(col("o_orderkey") % 25 === 0),
+        statsCols = Seq("o_orderkey"))
+      (1 to 24).foreach(i => LogLake.append(s, dir,
+        ord.filter(col("o_orderkey") % 25 === i)))
+      val swept = LogLake.cleanupMetadata(dir, olderThanMs = -60000L)
+      require(swept.nonEmpty, "q141: cleanup must sweep the expired log")
+      require(LogLake.history(dir).map(_.version) == (20L to 25L),
+        s"q141: retained log must be the 20..25 suffix, got " +
+          LogLake.history(dir).map(_.version).mkString(","))
+      val latest = LogLake.snapshot(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      val floor = LogLake.snapshot(s, dir, asOf = Some(20L))
+        .agg(count(lit(1)).as("floor_rows"),
+          dsum(col("o_totalprice")).as("floor_total"))
+      latest.crossJoin(floor).orderBy("o_orderstatus")
     }
   )
 }

@@ -314,12 +314,20 @@ object LogLake {
           } } })
 
   /** Manifests for versions in `(fromExcl, toIncl]` — the streaming
-    * source's batch-planning read: parses only the range it needs. */
+    * source's batch-planning read: parses only the range it needs.
+    * LOUD when the range reaches below the retained log
+    * ([[cleanupMetadata]]): silently skipping expired versions would
+    * hand a restarted stream a gap in the change history. */
   private[sources] def manifestRange(dir: String, fromExcl: Long,
       toIncl: Long): Seq[Manifest] = {
     val f = fs(dir)
-    listManifests(dir)
-      .filter { case (v, _) => v > fromExcl && v <= toIncl }
+    val all = listManifests(dir)
+    val firstRetained = all.headOption.map(_._1).getOrElse(0L)
+    require(toIncl <= fromExcl || fromExcl + 1 >= firstRetained,
+      s"loglake: versions ${fromExcl + 1}..$toIncl at $dir reach below " +
+        s"the retained log (metadata cleanup kept $firstRetained..) — " +
+        "restart the feed/stream from a retained version")
+    all.filter { case (v, _) => v > fromExcl && v <= toIncl }
       .map { case (_, p) => readManifest(f, p) }
   }
 
@@ -363,9 +371,17 @@ object LogLake {
     val manifests = listManifests(dir)
     require(manifests.nonEmpty, s"loglake: no table at $dir")
     val last = manifests.last._1
+    val first = manifests.head._1
     val target = asOf.getOrElse(last)
     require(manifests.exists(_._1 == target),
-      s"loglake: version $target does not exist at $dir (log spans 1..$last)")
+      if (target < first)
+        s"loglake: version $target at $dir predates the retained log — " +
+          s"metadata cleanup kept versions $first..$last " +
+          "([[cleanupMetadata]]; raise loglake.logRetentionMs to keep " +
+          "history longer)"
+      else
+        s"loglake: version $target does not exist at $dir " +
+          s"(log spans $first..$last)")
     val targetStatus = f.getFileStatus(manifests.find(_._1 == target).get._2)
     val cacheKey = (dir, target, targetStatus.getModificationTime, targetStatus.getLen)
     snapshotCache.synchronized(Option(snapshotCache.get(cacheKey))) match {
@@ -611,8 +627,15 @@ object LogLake {
   def changeFeed(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"loglake: changeFeed range $fromV..$toV is inverted")
     val f = fs(dir)
+    val allManifests = listManifests(dir)
+    val firstRetained = allManifests.headOption.map(_._1).getOrElse(0L)
+    require(toV <= fromV || fromV + 1 >= firstRetained,
+      s"loglake: change feed range ${fromV + 1}..$toV at $dir reaches " +
+        s"below the retained log (metadata cleanup kept $firstRetained..) " +
+        "— the expired versions' change history is gone; start from a " +
+        "retained version")
     val (_, schema) = activeState(dir, Some(toV))
-    val manifests = listManifests(dir)
+    val manifests = allManifests
       .filter { case (v, _) => v > fromV && v <= toV }
     // the removed side re-reads each file THROUGH its pre-commit
     // deletion vector, so a merge-on-read DELETE surfaces exactly the
@@ -2943,6 +2966,50 @@ object LogLake {
     all.map(_._1)
   }
 
+  /** METADATA RETENTION (Delta's `delta.logRetentionDuration`): delete
+    * manifests and checkpoints STRICTLY BELOW a retention floor — the
+    * newest checkpoint whose commit time is under the horizon. The log
+    * stays a contiguous suffix `floor..latest`, every retained version
+    * still resolves (checkpoint `floor` + manifest tail), and txn
+    * replay state survives (checkpoints carry the txn map forward).
+    * Time travel, change feeds, and stream restarts below the floor
+    * fail LOUDLY ([[resolve]]/[[manifestRange]]/[[changeFeed]] name the
+    * retained span) — expired history is gone, never silently partial.
+    *
+    * Without this a long-lived table's `_loglake/` grows one manifest
+    * per commit forever: at one commit a minute that is ~0.5M small
+    * files a year, and [[listManifests]] (the only O(all versions)
+    * read-path cost) degrades with the directory. Cleanup keeps the
+    * listing proportional to the RETENTION WINDOW, not table age.
+    *
+    * Runs automatically at checkpoint time when the table property
+    * `loglake.logRetentionMs` is set (Delta's
+    * `enableExpiredLogCleanup` behavior); driver-side only — the
+    * victim count is bounded by commit frequency × retention, not
+    * data size. Returns log-relative names of the swept (or, with
+    * `dryRun`, sweepable) files. */
+  def cleanupMetadata(dir: String,
+      olderThanMs: Long = 30L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
+    val f = fs(dir)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val manifests = listManifests(dir)
+    if (manifests.isEmpty) return Seq.empty
+    val checkpoints = listCheckpoints(dir)
+    val manifestVs = manifests.map(_._1).toSet
+    val floorOpt = checkpoints.map(_._1)
+      .filter(v => manifestVs(v) && commitTsOf(dir, v) < cutoff)
+      .lastOption
+    floorOpt match {
+      case None => Seq.empty
+      case Some(floor) =>
+        val victims = manifests.filter(_._1 < floor) ++
+          checkpoints.filter(_._1 < floor)
+        if (!dryRun) victims.foreach { case (_, p) => f.delete(p, false) }
+        victims.map { case (_, p) => s"$LogDir/${p.getName}" }
+    }
+  }
+
   /** Exactly-once streaming append: each micro-batch commits as ONE
     * loglake version whose txnId is derived from (checkpoint identity,
     * epoch) — a crash-replayed epoch finds its txn in the log and
@@ -3497,6 +3564,12 @@ object LogLake {
       try writeCheckpointStream(out, resolve(dir, Some(v))) finally out.close()
       if (!f.rename(tmp, new Path(logPath(dir), f"chk-$v%020d.json")))
         f.delete(tmp, false)
+      // expired-log cleanup rides the checkpoint cadence (Delta's
+      // enableExpiredLogCleanup): opt-in via table property, and —
+      // like the checkpoint itself — purely best-effort
+      tableProperties(dir).get("loglake.logRetentionMs")
+        .flatMap(_.toLongOption)
+        .foreach(ms => cleanupMetadata(dir, olderThanMs = ms))
     } catch { case _: Exception => () }
 
   // ----------------------------------------------------------- stats enc
