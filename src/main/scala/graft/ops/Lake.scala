@@ -1418,6 +1418,60 @@ object Lake {
         .agg(count(lit(1)).as("floor_rows"),
           dsum(col("o_totalprice")).as("floor_total"))
       latest.crossJoin(floor).orderBy("o_orderstatus")
+    },
+
+    // --- q142: HASH-BUCKETED ACID TABLES (Hive/Spark bucketing on the
+    // loglake format). Both sides of a custkey join are created
+    // bucketed INTO 8 BUCKETS on the key; every write conforms to the
+    // create-time spec (one repartition whose partition-id expression
+    // IS the bucket-id definition, the id rides the file NAME), and
+    // the native scan surfaces HashPartitioning — so the join plans
+    // with NO exchange under either table, which the builder REQUIRES
+    // structurally (a shuffling plan fails the run, not just slows
+    // it). An extra append per side proves multi-file buckets still
+    // co-locate. At 100 TB this converts the recurring fact⋈dim join
+    // from a full network re-shuffle of both tables into a local
+    // per-bucket merge — the single biggest repeated-query win a table
+    // layout can buy. Oracle = the plain join (bucketing is pure
+    // layout; semantics are untouched).
+    Q(
+      "q142_loglake_bucketed_join",
+      s"""SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o.o_totalprice")} AS total
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+    ) { (s, d) =>
+      // broadcast disabled: the pattern exists for sides too big to
+      // broadcast; AQE off so the exchange (or its absence) is
+      // structurally checkable pre-execution
+      val s2 = graft.Sessions.derived(s,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      val ordDir = freshDir("q142o"); val custDir = freshDir("q142c")
+      val ord = orders(s2, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = customer(s2, d).select("c_custkey", "c_mktsegment")
+      LogLake.create(s2, ordDir, ord.filter(col("o_orderkey") % 2 === 0),
+        bucketBy = Seq("o_custkey"), numBuckets = 8)
+      LogLake.append(s2, ordDir, ord.filter(col("o_orderkey") % 2 === 1))
+      LogLake.create(s2, custDir, cust.filter(col("c_custkey") % 2 === 0),
+        bucketBy = Seq("c_custkey"), numBuckets = 8)
+      LogLake.append(s2, custDir, cust.filter(col("c_custkey") % 2 === 1))
+      val q = s2.read.format("loglake").load(ordDir)
+        .join(s2.read.format("loglake").load(custDir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+      val smj = q.queryExecution.executedPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.getOrElse(throw new IllegalStateException(
+        s"q142: expected a sort-merge join:\n${q.queryExecution.executedPlan}"))
+      val shuffles = smj.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      require(shuffles.isEmpty,
+        s"q142: bucketed join must not shuffle either side:\n$smj")
+      q
     }
   )
 }

@@ -192,7 +192,7 @@ object LogLake {
     * feature instead of misreading. */
   val SupportedFeatures: Set[String] = Set(
     "columnMapping", "deletionVectors", "partitionColumns",
-    "generatedColumns", "identityColumns", "rowTracking")
+    "generatedColumns", "identityColumns", "rowTracking", "bucketing")
 
   /** Resolved state at `version`: active files, schema, every txnId
     * committed up to it (for O(tail) replay detection), and the
@@ -1155,6 +1155,121 @@ object LogLake {
     }
   }
 
+  // ---------------------------------------------------------- bucketing
+
+  /** The table's hash-bucket layout (Spark/Hive bucketing): every data
+    * file owns ONE bucket id `pmod(murmur3(cols), n)`, carried in the
+    * file NAME under Spark's `_%05d` convention (parsed back by the
+    * planner's BucketingUtils), so the native scan reports
+    * `HashPartitioning(cols, n)` and a join or aggregation on the
+    * bucket keys runs with ZERO shuffle on the bucketed side — at
+    * 100 TB the difference between a co-located merge and re-shuffling
+    * the fact table per query. `cols`/`sortCols` hold PHYSICAL names
+    * (rename-stable, like the partition spec); `sortCols` additionally
+    * orders rows inside each bucket file, so after an OPTIMIZE (one
+    * file per bucket) a sort-merge join needs neither shuffle NOR
+    * sort. Create-only and immutable, like Delta/Hive bucket specs —
+    * changing the layout of an existing table is a full rewrite by
+    * definition. */
+  final case class TableBucketSpec(cols: Seq[String], n: Int,
+      sortCols: Seq[String])
+
+  private def bucketSpecPath(dir: String) = new Path(dir, s"$LogDir/bucket.json")
+
+  def bucketSpec(dir: String): Option[TableBucketSpec] = {
+    val f = fs(dir)
+    val p = bucketSpecPath(dir)
+    if (!f.exists(p)) return None
+    import scala.jdk.CollectionConverters._
+    val node = mapper.readTree(readFully(f, p))
+    Some(TableBucketSpec(
+      node.get("cols").elements().asScala.map(_.asText()).toSeq,
+      node.get("n").asInt(),
+      Option(node.get("sortCols")).iterator
+        .flatMap(_.elements().asScala.map(_.asText())).toSeq))
+  }
+
+  private def writeBucketSpec(dir: String, spec: TableBucketSpec): Unit = {
+    val f = fs(dir)
+    val node = mapper.createObjectNode()
+    val cols = node.putArray("cols"); spec.cols.foreach(cols.add)
+    node.put("n", spec.n)
+    val sorts = node.putArray("sortCols"); spec.sortCols.foreach(sorts.add)
+    val tmp = new Path(dir, s"$LogDir/_tmp/b-${UUID.randomUUID()}.json")
+    f.mkdirs(tmp.getParent)
+    val out = f.create(tmp, false)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    // only reachable pre-create (version 0) — same replace rule as the
+    // partition spec: a stale spec from a failed create is dead metadata
+    f.delete(bucketSpecPath(dir), false)
+    if (!f.rename(tmp, bucketSpecPath(dir))) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"loglake: could not publish the bucket spec at $dir (create race?)")
+    }
+  }
+
+  /** Validate and publish a create-time bucket spec (after the
+    * partition spec, so disjointness checks see it). */
+  private def stageBucketSpec(dir: String, schema: StructType,
+      bucketBy: Seq[String], numBuckets: Int, sortBy: Seq[String]): Unit = {
+    require(currentVersion(dir) == 0L,
+      s"loglake: bucketBy is create-only — table already exists at $dir")
+    require(bucketBy.nonEmpty, "loglake: bucketBy needs at least one column")
+    require(numBuckets >= 1 && numBuckets <= 100000,
+      s"loglake: numBuckets must be in [1, 100000], got $numBuckets")
+    def phys(c: String, what: String): String = {
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"loglake: $what column $c not in ${schema.fieldNames.mkString(",")}"))
+      physName(f)
+    }
+    val cols = bucketBy.map(phys(_, "bucket"))
+    require(cols.distinct.size == cols.size,
+      s"loglake: duplicate bucket columns in ${bucketBy.mkString(",")}")
+    val parts = partitionColumns(dir).toSet
+    cols.filter(parts).foreach(c => throw new IllegalArgumentException(
+      s"loglake: bucket column $c is also a partition column — a " +
+        "partition key is constant per file, hashing it buckets nothing"))
+    writeBucketSpec(dir, TableBucketSpec(cols, numBuckets,
+      sortBy.map(phys(_, "bucket sort"))))
+  }
+
+  /** Fresh data-file name for a staged part: plain UUID, plus the
+    * `_%05d` bucket tag when the table is bucketed. The staged name's
+    * part index IS the bucket id: [[writeData]] pre-shuffles with
+    * `repartition(n, cols)`, whose partition-id expression is exactly
+    * the bucket-id definition (`pmod(murmur3(cols), n)`), and the
+    * staging writer names each task's output `part-<index>-…`. */
+  private val StagedPartIndex = """^part-(\d+)""".r
+  private def dataFileName(bucket: Option[TableBucketSpec],
+      stagedName: String): String = {
+    val base = UUID.randomUUID().toString
+    bucket match {
+      case None => s"$base.parquet"
+      case Some(_) =>
+        val idx = StagedPartIndex.findFirstMatchIn(stagedName).getOrElse(
+          throw new IllegalStateException(
+            s"loglake: staged file $stagedName carries no part index — " +
+              "cannot tag its bucket id")).group(1).toInt
+        f"${base}_$idx%05d.parquet"
+    }
+  }
+
+  /** Does every active file carry a parseable bucket tag? (Spark's
+    * BucketingUtils contract, re-stated here because that helper is
+    * private to Spark.) Used defensively by the read path: a bucketed
+    * scan over an untagged file would fail, while serving the same
+    * files WITHOUT the bucket spec is merely unaccelerated. */
+  private[sources] val BucketTagName = """.*_(\d+)(?:\..*)?$""".r
+  def allBucketTagged(files: Seq[AddFile]): Boolean =
+    files.forall { a =>
+      new Path(a.path).getName match {
+        case BucketTagName(_) => true
+        case _ => false
+      }
+    }
+
   /** Unescape one Hive partition-path component (`%XX` sequences — the
     * inverse of ExternalCatalogUtils.escapePathName). */
   private def unescapePathName(s: String): String = {
@@ -1178,8 +1293,13 @@ object LogLake {
 
   def create(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String] = Nil, txnId: String = "",
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, bucketBy: Seq[String] = Nil,
+      numBuckets: Int = 0, bucketSortBy: Seq[String] = Nil): Long = {
+    require(bucketBy.nonEmpty || (numBuckets == 0 && bucketSortBy.isEmpty),
+      "loglake: numBuckets/bucketSortBy need bucketBy columns")
     if (partitionBy.nonEmpty) stagePartitionSpec(dir, df.schema, partitionBy)
+    if (bucketBy.nonEmpty)
+      stageBucketSpec(dir, df.schema, bucketBy, numBuckets, bucketSortBy)
     write(spark, dir, df, "create", statsCols, txnId)
   }
 
@@ -1212,14 +1332,19 @@ object LogLake {
     * ([[LogLakeCatalog]]): commits v1 carrying the schema and zero
     * files, so the first INSERT is a plain append. */
   def createEmpty(dir: String, schema: StructType, txnId: String = "",
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, bucketBy: Seq[String] = Nil,
+      numBuckets: Int = 0, bucketSortBy: Seq[String] = Nil): Long = {
     replayedVersion(dir, txnId) match {
       case Some(v) => return v
       case None =>
     }
     require(currentVersion(dir) == 0L,
       s"loglake: cannot create — table already exists at $dir")
+    require(bucketBy.nonEmpty || (numBuckets == 0 && bucketSortBy.isEmpty),
+      "loglake: numBuckets/bucketSortBy need bucketBy columns")
     if (partitionBy.nonEmpty) stagePartitionSpec(dir, schema, partitionBy)
+    if (bucketBy.nonEmpty)
+      stageBucketSpec(dir, schema, bucketBy, numBuckets, bucketSortBy)
     commit(dir, "create", txnId, 0L, schema.json, Nil, Nil)
   }
 
@@ -2352,7 +2477,17 @@ object LogLake {
     // every output file owns one partition tuple AND a compact z-range.
     val partLogical = partitionColumns(dir).flatMap(p =>
       schema.fields.find(f => physName(f) == p).map(_.name))
+    // a bucketed table has exactly one legal clustering — writeData
+    // re-buckets the compaction output (file count = numBuckets per
+    // partition tuple, `numFiles` is moot), and ZORDER is rejected:
+    // a z-curve layout and a hash-bucket layout are mutually exclusive
+    // file organizations (use bucket sortCols for in-bucket order)
+    if (bucketSpec(dir).nonEmpty) require(zorderCols.isEmpty,
+      "loglake: OPTIMIZE ZORDER is not supported on a bucketed table — " +
+        "the bucket spec owns the layout; declare bucket sort columns " +
+        "at create time for in-file ordering instead")
     val arranged = zorderCols match {
+      case Nil if bucketSpec(dir).nonEmpty => df
       case Nil if partLogical.isEmpty => df.repartition(numFiles)
       case Nil => df // writeData's arrange pass re-clusters by partition
       case cols =>
@@ -2806,10 +2941,12 @@ object LogLake {
       a.copy(path = s"$base/${a.path}",
         dv = if (a.dv.isEmpty) a.dv else s"$base/${a.dv}")
     }
-    // the partition spec must exist BEFORE the clone's first commit —
-    // later writes through the clone re-cluster like the source
+    // the partition/bucket specs must exist BEFORE the clone's first
+    // commit — later writes through the clone re-cluster like the
+    // source (and the referenced file names keep their bucket tags)
     val parts = partitionColumns(srcDir)
     if (parts.nonEmpty) writePartitionSpec(dstDir, parts)
+    bucketSpec(srcDir).foreach(writeBucketSpec(dstDir, _))
     val v = commit(dstDir, "clone", "", 0L, schema.json, adds, Nil)
     // table properties travel with the clone, as in Delta — including
     // CHECK constraints (the clone starts valid: same data, same rules)
@@ -2839,8 +2976,14 @@ object LogLake {
     fDst.mkdirs(new Path(dstDir, DataDir))
     if (files.exists(_.dv.nonEmpty)) fDst.mkdirs(new Path(dstDir, DvDir))
     val plan: Seq[(String, String)] = files.flatMap { a =>
+      // preserve the source file's bucket tag (if any) on the fresh
+      // name — a deep clone of a bucketed table must stay bucketed
+      val tag = new Path(a.path).getName match {
+        case BucketTagName(t) => s"_$t"
+        case _ => ""
+      }
       val dataCopy = resolvedPath(srcDir, a.path) ->
-        s"$DataDir/${UUID.randomUUID()}.parquet"
+        s"$DataDir/${UUID.randomUUID()}$tag.parquet"
       val dvCopy =
         if (a.dv.isEmpty) None
         else Some(resolvedPath(srcDir, a.dv) ->
@@ -2870,6 +3013,7 @@ object LogLake {
     }
     val parts = partitionColumns(srcDir)
     if (parts.nonEmpty) writePartitionSpec(dstDir, parts)
+    bucketSpec(srcDir).foreach(writeBucketSpec(dstDir, _))
     val v = commit(dstDir, "clone", "", 0L, schema.json, adds, Nil)
     val cons = checkConstraints(srcDir)
     if (cons.nonEmpty) publishConstraints(dstDir, _ ++ cons)
@@ -3070,7 +3214,10 @@ object LogLake {
     val (live, empty) = files.partition(_._2 > 0L)
     sweep(empty)
     if (live.isEmpty) return readV
-    if (partitionColumns(dir).nonEmpty) {
+    // partitioned and bucketed tables can't adopt spool files verbatim —
+    // the layout demands a re-cluster, which the append path's writeData
+    // performs (partition split and/or bucket repartition + tag)
+    if (partitionColumns(dir).nonEmpty || bucketSpec(dir).nonEmpty) {
       val df = scanLogical(spark, schema, live.map(_._1))
       val v = append(spark, dir, df, txnId = txnId)
       sweep(live)
@@ -3194,16 +3341,35 @@ object LogLake {
     }
     val staging = new Path(dir, s"$LogDir/_tmp/w-${UUID.randomUUID()}")
     f.mkdirs(new Path(dir, DataDir))
+    // BUCKETED LAYOUT: every write conforms to the table's create-time
+    // bucket spec, whoever the caller is (append, MERGE/DELETE rewrite,
+    // OPTIMIZE, streaming epoch) — one `repartition(n, cols)` whose
+    // partition-id expression IS the bucket-id definition, so the
+    // staged part index maps 1:1 onto bucket ids for the file tag.
+    // Overrides `arrange=false` pre-arrangements by design: a bucketed
+    // table has exactly one legal clustering.
+    val bucket = bucketSpec(dir)
+    def bucketArranged(d: DataFrame): DataFrame =
+      bucket match {
+        case None => d
+        case Some(bs) =>
+          val b = d.repartition(bs.n, bs.cols.map(col): _*)
+          if (bs.sortCols.nonEmpty)
+            b.sortWithinPartitions(bs.sortCols.map(col): _*)
+          else b
+      }
     val moved: Seq[(Path, Long, Map[String, String])] =
       if (partPhys.isEmpty) {
-        pdf.write.options(bloomOpts).parquet(staging.toString)
+        bucketArranged(pdf).write.options(bloomOpts)
+          .parquet(staging.toString)
         f.listStatus(staging).toSeq
           .filter { s =>
             val n = s.getPath.getName
             s.isFile && n.startsWith("part-") && n.endsWith(".parquet")
           }
           .map { s =>
-            val dst = new Path(dir, s"$DataDir/${UUID.randomUUID()}.parquet")
+            val dst = new Path(dir,
+              s"$DataDir/${dataFileName(bucket, s.getPath.getName)}")
             if (!f.rename(s.getPath, dst))
               throw new java.io.IOException(
                 s"loglake: could not move ${s.getPath} to $dst")
@@ -3221,10 +3387,24 @@ object LogLake {
         // sort) keeps file count = live partition count per write, not
         // tasks × partitions — the optimized-write default; skewed
         // partitions compact later via OPTIMIZE.
-        val arranged =
-          if (arrange) pdf.repartition(partPhys.map(col): _*) else pdf
-        val staged = partPhys.zipWithIndex.foldLeft(arranged) {
+        val arranged = bucket match {
+          case Some(bs) => pdf.repartition(bs.n, bs.cols.map(col): _*)
+          case None =>
+            if (arrange) pdf.repartition(partPhys.map(col): _*) else pdf
+        }
+        val staged0 = partPhys.zipWithIndex.foldLeft(arranged) {
           case (d, (p, i)) => d.withColumn(s"__llp_$i", col(p))
+        }
+        // bucketed: sort on the staging writer's OWN partition columns
+        // (the `__llp_i` duplicates) so its required ordering is a
+        // satisfied prefix — the writer then skips its non-stable
+        // re-sort and the in-bucket `sortCols` order survives into
+        // every file
+        val staged = bucket match {
+          case Some(bs) => staged0.sortWithinPartitions(
+            (partPhys.indices.map(i => s"__llp_$i") ++ bs.sortCols)
+              .map(col): _*)
+          case None => staged0
         }
         staged.write.options(bloomOpts)
           .partitionBy(partPhys.indices.map(i => s"__llp_$i"): _*)
@@ -3251,7 +3431,8 @@ object LogLake {
           require(pv.size == partPhys.size,
             s"loglake: staged file ${s.getPath} resolved partition values " +
               s"$pv for spec ${partPhys.mkString(",")}")
-          val dst = new Path(dir, s"$DataDir/${UUID.randomUUID()}.parquet")
+          val dst = new Path(dir,
+            s"$DataDir/${dataFileName(bucket, s.getPath.getName)}")
           if (!f.rename(s.getPath, dst))
             throw new java.io.IOException(
               s"loglake: could not move ${s.getPath} to $dst")
@@ -3534,6 +3715,7 @@ object LogLake {
     if (props.keys.exists(_.startsWith(IdPrefix))) b += "identityColumns"
     if (props.get("loglake.enableRowTracking").exists(_.toBoolean) ||
       adds.exists(_.baseRowId != NoRowIds)) b += "rowTracking"
+    if (bucketSpec(dir).nonEmpty) b += "bucketing"
     b.result()
   }
 

@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{GraftBridge, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Literal => V2Literal}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
@@ -108,25 +108,55 @@ class LogLakeCatalog extends TableCatalog with SupportsNamespaces {
       s"$catalogName.${ident.toString}")
   }
 
-  /** `CREATE TABLE … PARTITIONED BY (col, …)` — identity transforms
-    * only (no bucket/days/truncate): each lowers onto the table's
-    * immutable identity partition spec. */
+  /** `CREATE TABLE … PARTITIONED BY (col, …) [CLUSTERED BY (col, …)
+    * [SORTED BY (col, …)] INTO n BUCKETS]` — identity transforms lower
+    * onto the table's immutable identity partition spec; a bucket
+    * transform lowers onto its hash-bucket spec (shuffle-free joins on
+    * the bucket keys). No days/truncate derived partitioning. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val partitionBy = partitions.toSeq.map {
+    var bucketBy = Seq.empty[String]
+    var bucketSortBy = Seq.empty[String]
+    var numBuckets = 0
+    def topRef(r: org.apache.spark.sql.connector.expressions.NamedReference,
+        what: String): String = {
+      val parts = r.fieldNames()
+      require(parts.length == 1,
+        s"loglake: $what supports top-level columns only, got " +
+          parts.mkString("."))
+      parts.head
+    }
+    val partitionBy = partitions.toSeq.flatMap {
+      // the concrete BucketTransform/SortedBucketTransform classes are
+      // private[sql]; their public Transform encoding is
+      //   bucket:        arguments = numBuckets +: columns
+      //   sorted_bucket: arguments = (columns :+ numBuckets) ++ sortedColumns
+      case t if t.name == "bucket" || t.name == "sorted_bucket" =>
+        require(bucketBy.isEmpty, "loglake: one bucket spec per table")
+        val args = t.arguments().toSeq
+        val litAt = args.indexWhere(_.isInstanceOf[V2Literal[_]])
+        require(litAt >= 0, s"loglake: malformed bucket transform ${t.describe()}")
+        numBuckets = args(litAt).asInstanceOf[V2Literal[_]]
+          .value().asInstanceOf[Number].intValue()
+        def refs(es: Seq[Any]): Seq[String] =
+          es.map(e => topRef(e.asInstanceOf[NamedReference], "CLUSTERED BY"))
+        if (t.name == "bucket") bucketBy = refs(args.drop(litAt + 1))
+        else {
+          bucketBy = refs(args.take(litAt))
+          bucketSortBy = refs(args.drop(litAt + 1))
+        }
+        None
       case t if t.name == "identity" && t.references().length == 1 =>
-        val parts = t.references()(0).fieldNames()
-        require(parts.length == 1,
-          s"loglake: PARTITIONED BY supports top-level columns only, got " +
-            parts.mkString("."))
-        parts.head
+        Some(topRef(t.references()(0), "PARTITIONED BY"))
       case other => throw new UnsupportedOperationException(
         s"loglake: PARTITIONED BY supports identity columns only, got " +
           s"${other.describe()} — use OPTIMIZE ZORDER for derived clustering")
     }
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
-    LogLake.createEmpty(dir, schema, partitionBy = partitionBy)
+    LogLake.createEmpty(dir, schema, partitionBy = partitionBy,
+      bucketBy = bucketBy, numBuckets = numBuckets,
+      bucketSortBy = bucketSortBy)
     // user TBLPROPERTIES persist in the table's property store; the
     // engine-injected provider/location/owner keys are catalog
     // metadata, not table state
@@ -267,12 +297,19 @@ final case class LogLakeV2Table(dir: String, asOf: Option[Long], identName: Stri
     * TABLE's Partitioning section). Physical names resolve back to
     * current logical names — a renamed partition column shows its
     * logical name. */
-  override def partitioning(): Array[Transform] =
-    LogLake.partitionColumns(dir).map { p =>
-      val logical = schema.fields
-        .find(f => LogLake.physName(f) == p).map(_.name).getOrElse(p)
-      org.apache.spark.sql.connector.expressions.Expressions.identity(logical)
-    }.toArray
+  override def partitioning(): Array[Transform] = {
+    def logical(p: String): String = schema.fields
+      .find(f => LogLake.physName(f) == p).map(_.name).getOrElse(p)
+    val parts = LogLake.partitionColumns(dir).map { p =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .identity(logical(p)): Transform
+    }
+    val buckets = LogLake.bucketSpec(dir).toSeq.map { bs =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(bs.n, bs.cols.map(logical): _*): Transform
+    }
+    (parts ++ buckets).toArray
+  }
 
   override def properties(): util.Map[String, String] =
     (LogLake.tableProperties(dir) ++

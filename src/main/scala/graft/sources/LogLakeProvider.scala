@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, GraftBridge, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.BucketSpec
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
@@ -226,12 +227,21 @@ object LogLakeProvider {
       new LogLakeDvRelation(spark, dir, Some(v), LogLake.cleanSchema(schema))
     else {
       val index = new LogLakeFileIndex(spark, dir, Some(v), Some((files, schema)))
-      // partitionSchema overlaps dataSchema on purpose: the merge keeps
-      // each partition column in its DECLARED position (user-visible
-      // schema unchanged) while the scan serves its values from the
-      // manifest tuple, enabling exact partition pruning + DPP
+      // BUCKETED TABLES surface their hash layout to the planner: the
+      // scan reports HashPartitioning(cols, n) (files grouped by the
+      // bucket id in their name), so joins/aggregations on the bucket
+      // keys run with no shuffle and equality predicates prune to one
+      // bucket's files. Defensive: served only when every active file
+      // carries a parseable bucket tag (always true for tables created
+      // with a spec — the gate keeps untagged writers out); otherwise
+      // the same files scan unbucketed, merely unaccelerated. Physical
+      // names == logical on this path (divergent mapping took the
+      // fallback above).
+      val buckets = LogLake.bucketSpec(dir)
+        .filter(_ => LogLake.allBucketTagged(files))
+        .map(bs => BucketSpec(bs.n, bs.cols, bs.sortCols))
       HadoopFsRelation(index, partitionSchema = index.partitionSchema,
-        dataSchema = index.tableSchema, bucketSpec = None,
+        dataSchema = index.tableSchema, bucketSpec = buckets,
         fileFormat = new ParquetFileFormat(), options = Map.empty)(spark)
     }
   }
