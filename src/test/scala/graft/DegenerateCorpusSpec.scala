@@ -34,8 +34,18 @@ class DegenerateCorpusSpec extends SparkTestBase {
           val rows = q.fn(spark, degenDir).toJSON.collect()
           (rows.length, rows.sorted.mkString("\n").hashCode)
         }
-        val a = fingerprint()
-        val b = fingerprint()
+        // one retry for Spark's ClosureCleaner failing to LOAD a class
+        // resource ("capturingClassReader is null") — a transient JVM/
+        // fd-pressure artifact of a 1000+-second suite run, seen once in
+        // r11 on q136 and unreproducible solo. Any second failure, and
+        // every failure in our own code, still fails the test.
+        def attempt(): (Int, Int) =
+          try fingerprint() catch {
+            case e: NullPointerException if Option(e.getMessage)
+              .exists(_.contains("capturingClassReader")) => fingerprint()
+          }
+        val a = attempt()
+        val b = attempt()
         if (a != b)
           failures += s"${q.name}: nondeterministic ($a vs $b)"
       } catch {
