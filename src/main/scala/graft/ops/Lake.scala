@@ -1472,6 +1472,59 @@ object Lake {
       require(shuffles.isEmpty,
         s"q142: bucketed join must not shuffle either side:\n$smj")
       q
+    },
+
+    // --- q143: TYPE WIDENING (Delta's typeWidening): the table is
+    // created NARROW (int key, decimal(12,2) price), two ALTER COLUMN
+    // TYPE commits widen to bigint / decimal(20,4) METADATA-ONLY (the
+    // builder asserts zero data commits), and an append lands rows
+    // that only fit the wide types (keys beyond int range, 4-decimal
+    // prices). The final aggregate reads old narrow parquet and new
+    // wide parquet through ONE schema — the vectorized reader promotes
+    // the old files in place. At 100 TB this is the schema migration
+    // that never rewrites: the alternative is a full-table rewrite to
+    // relax a type. Oracle replays the same union declaratively.
+    Q(
+      "q143_loglake_type_widening",
+      s"""WITH t AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(20,4)) AS price,
+         |         o_orderstatus AS st
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT CAST(o_orderkey AS BIGINT) + 10000000000,
+         |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(20,4))
+         |           + CAST(0.0025 AS DECIMAL(20,4)),
+         |         o_orderstatus
+         |  FROM orders WHERE o_orderkey % 100 = 0
+         |)
+         |SELECT st, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(MAX(k) AS BIGINT) AS max_k, ${oSum("price")} AS total
+         |FROM t GROUP BY st ORDER BY st""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val dir = freshDir("q143")
+      val ord = orders(s, d)
+      LogLake.create(s, dir, ord.select(
+        col("o_orderkey").cast("int").as("k"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"),
+        col("o_orderstatus").as("st")), statsCols = Seq("k"))
+      val v0 = LogLake.currentVersion(dir)
+      LogLake.widenColumn(s, dir, "k", LongType)
+      LogLake.widenColumn(s, dir, "price", DecimalType(20, 4))
+      require(LogLake.currentVersion(dir) == v0 + 2 &&
+        LogLake.history(dir).takeRight(2).forall(_.adds.isEmpty),
+        "q143: widening must be two metadata-only commits")
+      LogLake.append(s, dir, ord.filter(col("o_orderkey") % 100 === 0).select(
+        (col("o_orderkey") + lit(10000000000L)).as("k"),
+        (col("o_totalprice").cast(DecimalType(12, 2)).cast(DecimalType(20, 4))
+          + lit(0.0025).cast(DecimalType(20, 4))).cast(DecimalType(20, 4)).as("price"),
+        col("o_orderstatus").as("st")))
+      s.read.format("loglake").load(dir)
+        .groupBy("st")
+        .agg(count(lit(1)).as("cnt"), max("k").as("max_k"),
+          dsum(col("price")).as("total"))
+        .orderBy("st")
     }
   )
 }

@@ -192,7 +192,8 @@ object LogLake {
     * feature instead of misreading. */
   val SupportedFeatures: Set[String] = Set(
     "columnMapping", "deletionVectors", "partitionColumns",
-    "generatedColumns", "identityColumns", "rowTracking", "bucketing")
+    "generatedColumns", "identityColumns", "rowTracking", "bucketing",
+    "typeWidening")
 
   /** Resolved state at `version`: active files, schema, every txnId
     * committed up to it (for O(tail) replay detection), and the
@@ -2348,6 +2349,84 @@ object LogLake {
       StructType(schema0.fields :+ f).json, Nil, Nil)
   }
 
+  /** Is `to` a LOSSLESS widening of `from` that the Spark 4 vectorized
+    * parquet reader promotes in place at scan time? (Each case probed
+    * against this runtime: int32→int64, float→double, integral→double,
+    * integral→decimal with enough integer digits, decimal growing in
+    * scale and/or integer digits.) Everything else — narrowing, string
+    * casts, float→decimal, timestamp family moves — is NOT a widening. */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => false
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (ByteType | ShortType | IntegerType, DoubleType) => true
+    case (ByteType, d: DecimalType) => d.precision - d.scale >= 3
+    case (ShortType, d: DecimalType) => d.precision - d.scale >= 5
+    case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10
+    case (LongType, d: DecimalType) => d.precision - d.scale >= 20
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+    case _ => false
+  }
+
+  /** ALTER COLUMN … TYPE — TYPE WIDENING as a metadata-only commit
+    * (Delta's typeWidening table feature): the schema field moves to a
+    * strictly wider type from the fixed lossless matrix ([[widens]]);
+    * existing parquet files keep their narrower physical type, which
+    * the vectorized reader promotes in place at scan time. Zero data
+    * rewritten at any table size. Stats skipping stays SOUND without
+    * touching old manifests: every integral renders under the single
+    * "long" stats tag (so the common int→long widen keeps pruning
+    * working on old files), and a cross-family predicate literal that
+    * no longer parses under an old file's stats tag compares as
+    * overlap = keep ([[cmp]]) — conservatively unpruned, never
+    * misread. Refused for: partition columns (the path-string
+    * round-trip is typed), bucket HASH columns (murmur3 of the same
+    * value differs across widths — widening would silently re-home
+    * every existing row's bucket and corrupt co-located joins),
+    * identity columns (reservation arithmetic is Long-typed), and
+    * columns referenced by CHECK constraints or generation rules.
+    * Gated as "typeWidening": a build that predates the feature must
+    * refuse the table rather than risk a typed misread. */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+      newType: DataType, txnId: String = ""): Long = {
+    replayedVersion(dir, txnId) match {
+      case Some(v) => return v
+      case None =>
+    }
+    val readV = currentVersion(dir)
+    val (_, schema0) = activeState(dir, Some(readV))
+    val f = schema0.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"loglake: cannot widen $name — table has " +
+          s"${schema0.fieldNames.mkString(", ")}"))
+    require(widens(f.dataType, newType),
+      s"loglake: cannot widen $name from ${f.dataType.simpleString} to " +
+        s"${newType.simpleString} — not a lossless widening the parquet " +
+        "reader promotes (byte→short→int→long, float→double, " +
+        "byte/short/int→double, integral→decimal with enough integer " +
+        "digits, decimal growth)")
+    val phys = physName(f)
+    require(!partitionColumns(dir).contains(phys),
+      s"loglake: cannot widen partition column $name — partition values " +
+        "round-trip a typed path rendering pinned at create")
+    bucketSpec(dir).foreach(bs => require(!bs.cols.contains(phys),
+      s"loglake: cannot widen bucket column $name — the bucket id is " +
+        "murmur3 of the typed value, which differs across widths; " +
+        "existing files' rows would silently land in the wrong bucket"))
+    require(!identityColumns(dir).keys.exists(_.equalsIgnoreCase(name)),
+      s"loglake: cannot widen identity column $name")
+    requireNoConstraintRef(spark, dir, name, "widen")
+    val fields = schema0.fields.map(x =>
+      if (x.name.equalsIgnoreCase(name))
+        StructField(x.name, newType, x.nullable, x.metadata)
+      else x)
+    commit(dir, "widen_column", txnId, readV, StructType(fields).json,
+      Nil, Nil, extraFeatures = Set("typeWidening"))
+  }
+
   /** The files that CONTAIN at least one row matching `condition` —
     * one scan over the snapshot's metadata column; the driver receives
     * only file names. */
@@ -3557,7 +3636,7 @@ object LogLake {
     * anyone else commits. Creates/appends stay optimistic (commute). */
   private val Serializable2PC =
     Set("overwrite", "merge", "optimize", "delete", "update", "restore",
-      "rename_column", "drop_column", "add_column")
+      "rename_column", "drop_column", "add_column", "widen_column")
 
   /** Rewrites whose added files carry ONLY rows that already existed in
     * the files they removed (optimize re-lays rows out; delete keeps a
@@ -3568,7 +3647,8 @@ object LogLake {
   /** Schema / whole-state surgery that composes with nothing — any
     * concurrent commit in either direction is a conflict. */
   private val StrictOps =
-    Set("restore", "rename_column", "drop_column", "add_column")
+    Set("restore", "rename_column", "drop_column", "add_column",
+      "widen_column")
 
   /** LOGICAL conflict detection (Delta's OptimisticTransaction rules,
     * proved here by exhibiting a serial witness order for every
@@ -3635,7 +3715,8 @@ object LogLake {
     * version. */
   private[sources] def commit(dir: String, op: String, txnId: String, readVersion: Long,
       schemaJson: String, adds: Seq[AddFile], removes: Seq[String],
-      cdc: Seq[String] = Nil, maxAttempts: Int = 20): Long = {
+      cdc: Seq[String] = Nil, maxAttempts: Int = 20,
+      extraFeatures: Set[String] = Set.empty): Long = {
     val f = fs(dir)
     f.mkdirs(new Path(logPath(dir), "_tmp"))
     val ourRemoves = removes.toSet
@@ -3682,7 +3763,7 @@ object LogLake {
       val ts = parentTs.map(pt => math.max(System.currentTimeMillis(), pt + 1L))
         .getOrElse(System.currentTimeMillis())
       val features = parent.map(_.features).getOrElse(Set.empty) ++
-        commitFeatures(dir, schemaJson, adds)
+        commitFeatures(dir, schemaJson, adds) ++ extraFeatures
       if (casPublish(f, dir, v,
         renderManifest(Manifest(v, op, txnId, readVersion, schemaJson, adds,
           removes, cdc, ts, features)))) {

@@ -192,6 +192,9 @@ class LogLakeCatalog extends TableCatalog with SupportsNamespaces {
       case a: TableChange.AddColumn =>
         LogLake.addColumn(dir, org.apache.spark.sql.types.StructField(
           topLevel(a.fieldNames, "ADD COLUMN"), a.dataType, a.isNullable))
+      case w: TableChange.UpdateColumnType =>
+        LogLake.widenColumn(spark, dir,
+          topLevel(w.fieldNames, "ALTER COLUMN TYPE"), w.newDataType)
       case p: TableChange.SetProperty =>
         LogLake.setTableProperties(dir, Map(p.property -> p.value))
       case p: TableChange.RemoveProperty =>
