@@ -2319,6 +2319,12 @@ object LogLake {
       require(!partitionColumns(dir).contains(physName(f)),
         s"loglake: cannot drop $name — it is a partition column (the " +
           "partition spec is immutable after create)")
+      bucketSpec(dir).foreach(bs =>
+        require(!bs.cols.contains(physName(f)) &&
+          !bs.sortCols.contains(physName(f)),
+          s"loglake: cannot drop $name — the bucket spec clusters on it " +
+            "(the spec is immutable after create; every write re-buckets " +
+            "by these columns)"))
     }
     requireNoConstraintRef(spark, dir, name, "drop")
     val fields = activateMapping(schema0).fields

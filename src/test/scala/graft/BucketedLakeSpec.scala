@@ -232,5 +232,17 @@ class BucketedLakeSpec extends SparkTestBase {
       LogLake.create(spark, tmp("guard3"), sample(1, 10),
         bucketBy = Seq("k"), numBuckets = 0)
     }
+    // dropping a bucket-spec column would make the table unwritable
+    // (every write re-buckets on it) — refused; RENAME is fine (the
+    // spec stores rename-stable physical names)
+    val dir4 = tmp("guard4")
+    LogLake.create(spark, dir4, sample(1, 10), bucketBy = Seq("k"), numBuckets = 2)
+    assert(intercept[IllegalArgumentException] {
+      LogLake.dropColumn(spark, dir4, "k")
+    }.getMessage.contains("bucket spec"))
+    LogLake.renameColumn(spark, dir4, "k", "key")
+    LogLake.append(spark, dir4,
+      sample(11, 20).withColumnRenamed("k", "key"))
+    assert(spark.read.format("loglake").load(dir4).count() == 20)
   }
 }
