@@ -422,13 +422,13 @@ object Sim {
          |  CAST(c AS DOUBLE) / LEAST(na, nb) AS containment,
          |  CASE WHEN na <= nb THEN d1 ELSE d2 END AS contained
          |FROM scored
-         |WHERE CAST(c AS DOUBLE) / LEAST(na, nb) >= 0.8
+         |WHERE CAST(c AS DOUBLE) / LEAST(na, nb) >= 0.3
          |ORDER BY d1, d2""".stripMargin
     ) { (s, d) =>
       candidateOverlap(s, d)
         .withColumn("containment",
           col("c").cast("double") / least(col("na"), col("nb")))
-        .filter(col("containment") >= 0.8)
+        .filter(col("containment") >= 0.3)
         .select(col("d1"), col("d2"), col("containment"),
           when(col("na") <= col("nb"), col("d1")).otherwise(col("d2")).as("contained"))
         .orderBy("d1", "d2")
@@ -1065,6 +1065,81 @@ object Sim {
           min(col("scale")).as("min_scale"),
           max(col("scale")).as("max_scale"))
         .orderBy("label")
+    },
+
+    // --- q144: SemDeDup (Abbas et al. 2023) — SEMANTIC dedup at corpus
+    // scale: k-means-style clusters bound the candidate space (pairwise
+    // cosine runs ONLY inside a cluster, never all-pairs — the paper's
+    // whole point, and the same bucketed-candidates discipline as every
+    // dedup op here), then within each cluster a member is REMOVED when
+    // another member sits within the similarity threshold and it is the
+    // one CLOSER to the centroid (the paper keeps the cluster-edge
+    // exemplar; ties break to the lower id). One broadcast assignment
+    // pass + one c_id-keyed self-join + one aggregate — every stage
+    // partitions on cluster id, so 1000 executors each dedup their own
+    // clusters. Deterministic fixed centroids (vec_id % 53) stand in
+    // for trained ones, as in q70; cosines are the exact fixed-point
+    // sdot kernel, so the oracle replays bit-identically.
+    Q(
+      "q144_semdedup", {
+        val cosNC = s"${oDdot("n.embedding", "cent.ce")} / (n.nrm * cent.cn)"
+        val cosAB = s"${oDdot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)"
+        s"""WITH cent AS (
+           |  SELECT vec_id AS c_id, embedding AS ce, ${oDnorm("embedding")} AS cn
+           |  FROM embeddings WHERE vec_id % 53 = 0
+           |), n AS (
+           |  SELECT vec_id, embedding, ${oDnorm("embedding")} AS nrm FROM embeddings
+           |), assign AS (
+           |  SELECT vec_id, c_id, embedding, nrm, cosc FROM (
+           |    SELECT n.vec_id, cent.c_id, n.embedding, n.nrm, $cosNC AS cosc,
+           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+           |             ORDER BY $cosNC DESC, cent.c_id) AS rnk
+           |    FROM n, cent WHERE n.nrm * cent.cn <> 0
+           |  ) WHERE rnk = 1
+           |), rem AS (
+           |  SELECT DISTINCT a.vec_id
+           |  FROM assign a JOIN assign b
+           |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
+           |  WHERE $cosAB >= 0.3
+           |    AND (a.cosc > b.cosc OR (a.cosc = b.cosc AND a.vec_id > b.vec_id))
+           |)
+           |SELECT a.c_id AS centroid_id,
+           |       CAST(COUNT(*) AS BIGINT) AS n_members,
+           |       CAST(SUM(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           |       CAST(MIN(CASE WHEN r.vec_id IS NULL THEN a.vec_id END) AS BIGINT) AS first_kept
+           |FROM assign a LEFT JOIN rem r ON a.vec_id = r.vec_id
+           |GROUP BY a.c_id ORDER BY centroid_id""".stripMargin
+      }
+    ) { (s, d) =>
+      val n = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), dnorm(col("embedding")).as("nrm"))
+      val cent = n.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cosc").desc, col("c_id"))
+      val assign = n.crossJoin(broadcast(cent))
+        .filter(col("nrm") * col("cn") =!= 0) // zero-norm: unassignable
+        .withColumn("cosc", ddot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select("vec_id", "c_id", "embedding", "nrm", "cosc")
+      val a = assign.select(col("vec_id"), col("c_id"), col("embedding"),
+        col("nrm"), col("cosc"))
+      val b = assign.select(col("vec_id").as("b_id"), col("c_id"),
+        col("embedding").as("be"), col("nrm").as("bn"), col("cosc").as("bcosc"))
+      val removed = a.join(b, Seq("c_id"))
+        .filter(col("vec_id") =!= col("b_id"))
+        .filter(ddot(col("embedding"), col("be")) / (col("nrm") * col("bn")) >= 0.3)
+        .filter(col("cosc") > col("bcosc") ||
+          (col("cosc") === col("bcosc") && col("vec_id") > col("b_id")))
+        .select("vec_id").distinct()
+        .withColumn("rm", lit(1))
+      assign.join(removed, Seq("vec_id"), "left")
+        .groupBy(col("c_id").as("centroid_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("rm").isNull, 0).otherwise(1)).cast("long").as("n_removed"),
+          min(when(col("rm").isNull, col("vec_id"))).as("first_kept"))
+        .orderBy("centroid_id")
     }
   )
 }

@@ -818,25 +818,36 @@ object LogLake {
     val physToLogical = schema.fields.iterator
       .map(f => physName(f) -> f.name).toMap
     val parts = partitionColumns(dir).map(p => physToLogical.getOrElse(p, p))
+    val buckets = bucketSpec(dir)
     val row = Row(
       "loglake", dir, v,
       files.size.toLong,
       files.map(a => a.rows - a.dvRows).sum,
       files.map(a => math.max(a.bytes, 0L)).sum,
       parts,
-      tableProperties(dir))
-    val s = StructType(Seq(
-      StructField("format", StringType, nullable = false),
-      StructField("location", StringType, nullable = false),
-      StructField("version", LongType, nullable = false),
-      StructField("numFiles", LongType, nullable = false),
-      StructField("numRows", LongType, nullable = false),
-      StructField("sizeInBytes", LongType, nullable = false),
-      StructField("partitionColumns", ArrayType(StringType), nullable = false),
-      StructField("properties", MapType(StringType, StringType), nullable = false)))
+      tableProperties(dir),
+      buckets.map(_.cols.map(p => physToLogical.getOrElse(p, p))).getOrElse(Nil),
+      buckets.map(_.n.toLong).getOrElse(0L),
+      // features ride every manifest monotonically — the tip has them all
+      readManifest(fs(dir), versionFile(dir, v)).features.toSeq.sorted)
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(Seq(row).asJava, s)
+    spark.createDataFrame(Seq(row).asJava, DetailSchema)
   }
+
+  /** [[detailDf]]'s row shape (shared with the SQL DESCRIBE DETAIL
+    * command so both surfaces stay in lockstep). */
+  val DetailSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("location", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("numFiles", LongType, nullable = false),
+    StructField("numRows", LongType, nullable = false),
+    StructField("sizeInBytes", LongType, nullable = false),
+    StructField("partitionColumns", ArrayType(StringType), nullable = false),
+    StructField("properties", MapType(StringType, StringType), nullable = false),
+    StructField("clusteringColumns", ArrayType(StringType), nullable = false),
+    StructField("numBuckets", LongType, nullable = false),
+    StructField("tableFeatures", ArrayType(StringType), nullable = false)))
 
   /** Partition inventory — `SHOW PARTITIONS` as data: one row per live
     * partition tuple with file/live-row/byte counts, straight from the

@@ -601,15 +601,8 @@ private[sources] final case class LogLakeCreateGeneratedCommand(target: String,
 
 /** `DESCRIBE DETAIL` — [[LogLake.detailDf]]'s one-row summary. */
 final case class LogLakeDetailCommand(target: String) extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = DescribeTarget.attrs(StructType(Seq(
-    StructField("format", StringType, nullable = false),
-    StructField("location", StringType, nullable = false),
-    StructField("version", LongType, nullable = false),
-    StructField("numFiles", LongType, nullable = false),
-    StructField("numRows", LongType, nullable = false),
-    StructField("sizeInBytes", LongType, nullable = false),
-    StructField("partitionColumns", ArrayType(StringType), nullable = false),
-    StructField("properties", MapType(StringType, StringType), nullable = false))))
+  override val output: Seq[Attribute] =
+    DescribeTarget.attrs(LogLake.DetailSchema)
 
   override def run(session: SparkSession): Seq[Row] =
     LogLake.detailDf(session, DescribeTarget.dir(session, target))

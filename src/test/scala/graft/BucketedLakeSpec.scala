@@ -211,6 +211,18 @@ class BucketedLakeSpec extends SparkTestBase {
     assert(spec.cols == Seq("k") && spec.n == 4 && spec.sortCols == Seq("k"))
     assert(LogLake.allBucketTagged(LogLake.activeState(dir)._1))
     assert(spark.sql(s"SELECT count(*) FROM loglake.$db.bt").head().getLong(0) == 100)
+    // DESCRIBE DETAIL surfaces the layout and the protocol features
+    val det = spark.sql(s"DESCRIBE DETAIL loglake.$db.bt").collect().head
+    assert(det.getAs[scala.collection.Seq[String]]("clusteringColumns")
+      .toSeq == Seq("k"))
+    assert(det.getAs[Long]("numBuckets") == 4L)
+    assert(det.getAs[scala.collection.Seq[String]]("tableFeatures")
+      .contains("bucketing"))
+    // SHOW CREATE TABLE renders the bucket transform from partitioning()
+    val ddl = spark.sql(s"SHOW CREATE TABLE loglake.$db.bt")
+      .head().getString(0)
+    assert(ddl.contains("bucket(4, k)") || ddl.contains("CLUSTERED BY"),
+      s"bucket layout missing from SHOW CREATE TABLE:\n$ddl")
     spark.sql(s"DROP TABLE loglake.$db.bt")
     spark.sql(s"DROP NAMESPACE loglake.$db")
   }
