@@ -1531,6 +1531,49 @@ object Lake {
         .agg(count(lit(1)).as("cnt"), max("k").as("max_k"),
           dsum(col("price")).as("total"))
         .orderBy("st")
+    },
+
+    // --- q145: NAMED TAGS (Iceberg refs) + vacuum pinning. v1 is
+    // tagged 'baseline', a full overwrite then RETIRES every v1 file,
+    // and an immediate zero-retention vacuum runs — the tag must pin
+    // the retired generation (builder requires the sweep found NOTHING
+    // to reclaim), and the final result joins the CURRENT state with a
+    // `VERSION AS OF 'baseline'` read whose files only still exist
+    // because of the pin. At 100 TB tags are how a lakehouse keeps
+    // auditable point-in-time snapshots without suspending vacuum:
+    // the pin costs one metadata resolve per tag at vacuum time, and
+    // dropping the tag releases the storage on the next pass. Oracle
+    // replays both states declaratively.
+    Q(
+      "q145_loglake_tags",
+      s"""SELECT cur.o_orderstatus, cur.cnt, cur.total,
+         |       b.base_rows, b.base_total
+         |FROM (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |             ${oSum("o_totalprice")} AS total
+         |      FROM orders WHERE o_orderkey % 3 <> 0
+         |      GROUP BY o_orderstatus) cur
+         |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS base_rows,
+         |                   ${oSum("o_totalprice")} AS base_total
+         |            FROM orders) b
+         |ORDER BY cur.o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q145")
+      val ord = orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, dir, ord)
+      LogLake.setTag(dir, "baseline")
+      LogLake.overwrite(s, dir, ord.filter(col("o_orderkey") % 3 =!= 0))
+      val swept = LogLake.vacuum(dir, olderThanMs = -60000L, spark = s)
+      require(swept.isEmpty,
+        s"q145: the tag must pin the retired generation, vacuum swept $swept")
+      val current = s.read.format("loglake").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      val baseline = s.read.format("loglake")
+        .option("versionAsOf", "baseline").load(dir)
+        .agg(count(lit(1)).as("base_rows"),
+          dsum(col("o_totalprice")).as("base_total"))
+      current.crossJoin(baseline).orderBy("o_orderstatus")
     }
   )
 }

@@ -2984,6 +2984,50 @@ object LogLake {
       change: Map[String, String] => Map[String, String]): Unit =
     publishKv(dir, "constraints", change)
 
+  // ---------------------------------------------------- named tags
+
+  /** NAMED TAGS (Iceberg's refs): human-named pointers to committed
+    * versions, CAS-published under `_loglake/tags/` like every other
+    * KV set. A tag PINS its snapshot against the two reclamation
+    * surfaces: [[vacuum]] keeps every tagged version's data files and
+    * DV sidecars (not just the current version's), and
+    * [[cleanupMetadata]] clamps its retention floor to the oldest tag,
+    * so `VERSION AS OF 'name'` keeps resolving for as long as the tag
+    * exists — drop the tag and the pinned storage ages out on the next
+    * maintenance pass. The pin cost is metadata-sized: each tagged
+    * version is one extra resolve during vacuum planning, and the kept
+    * files are whatever the tagged snapshot references. */
+  def tags(dir: String): Map[String, Long] =
+    readKv(dir, "tags").map { case (k, v) => k -> v.toLong }
+
+  def setTag(dir: String, name: String, version: Option[Long] = None): Unit = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"loglake: tag name must be [A-Za-z0-9_-]+, got '$name'")
+    val v = version.getOrElse(currentVersion(dir))
+    // loud existence check — a tag must point at a RESOLVABLE version
+    resolve(dir, Some(v))
+    publishKv(dir, "tags", _ + (name -> v.toString))
+  }
+
+  def deleteTag(dir: String, name: String): Unit = {
+    require(tags(dir).contains(name),
+      s"loglake: no tag '$name' at $dir (have " +
+        s"${tags(dir).keys.toSeq.sorted.mkString(", ")})")
+    publishKv(dir, "tags", _ - name)
+  }
+
+  /** The version a tag names — loud when absent. */
+  def versionForTag(dir: String, name: String): Long =
+    tags(dir).getOrElse(name, throw new IllegalArgumentException(
+      s"loglake: no tag '$name' at $dir (have " +
+        s"${tags(dir).keys.toSeq.sorted.mkString(", ")})"))
+
+  /** `VERSION AS OF <v>` argument resolution: a decimal string is a
+    * version number, anything else is a tag name. */
+  private[sources] def resolveVersionRef(dir: String, ref: String): Long =
+    ref.toLongOption.getOrElse(versionForTag(dir, ref))
+
   /** CAS-publish a KV-set transform: each attempt re-reads the CURRENT
     * set and applies `change` to it, so a lost race never clobbers the
     * concurrent writer's effect. */
@@ -3145,8 +3189,18 @@ object LogLake {
   def vacuum(dir: String, olderThanMs: Long = 7L * 24 * 3600 * 1000,
       dryRun: Boolean = false, spark: SparkSession = null): Seq[String] = {
     val f = fs(dir)
+    // tagged snapshots stay readable through vacuum: the keep-set is
+    // the UNION of the current version's files and every tagged
+    // version's (Iceberg's expire-snapshots-respects-refs rule); each
+    // tag costs one metadata-sized resolve here, nothing at read time
     val state: Seq[AddFile] =
-      if (history(dir).isEmpty) Seq.empty else activeState(dir)._1
+      if (history(dir).isEmpty) Seq.empty
+      else {
+        val pinned = tags(dir).values.toSeq.distinct.sorted
+        (activeState(dir)._1 ++
+          pinned.flatMap(v => activeState(dir, Some(v))._1))
+          .groupBy(_.path).map(_._2.head).toSeq
+      }
     val cutoff = System.currentTimeMillis() - olderThanMs
     def sweep(sub: String, active: Set[String]): Seq[(String, Path)] = {
       val d = new Path(dir, sub)
@@ -3237,8 +3291,13 @@ object LogLake {
     if (manifests.isEmpty) return Seq.empty
     val checkpoints = listCheckpoints(dir)
     val manifestVs = manifests.map(_._1).toSet
+    // the floor clamps to the OLDEST TAG: resolving a tagged version
+    // needs a checkpoint at-or-below it plus the manifest tail up to
+    // it, so no log below a tag may be swept while the tag exists
+    val minTag = tags(dir).values.minOption.getOrElse(Long.MaxValue)
     val floorOpt = checkpoints.map(_._1)
-      .filter(v => manifestVs(v) && commitTsOf(dir, v) < cutoff)
+      .filter(v => manifestVs(v) && commitTsOf(dir, v) < cutoff &&
+        v <= minTag)
       .lastOption
     floorOpt match {
       case None => Seq.empty

@@ -91,12 +91,13 @@ class LogLakeCatalog extends TableCatalog with SupportsNamespaces {
     LogLakeV2Table(dir, None, s"$catalogName.${ident.toString}")
   }
 
-  /** `SELECT … VERSION AS OF n` */
+  /** `SELECT … VERSION AS OF n` — or `VERSION AS OF 'tag'` (a named
+    * ref, Iceberg-style: any non-numeric argument resolves through the
+    * tag set). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"loglake: VERSION AS OF takes a commit version number, got '$version'"))
+    val v = LogLake.resolveVersionRef(dir, version)
     LogLakeV2Table(dir, Some(v), s"$catalogName.${ident.toString}")
   }
 

@@ -64,6 +64,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)\\s*INSERT\\s+INTO\\s+($T)\\s+REPLACE\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
   private val ShowParts =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+($T)\\s*;?\\s*""".r
+  /** Iceberg-style named refs: `ALTER TABLE t CREATE TAG name [AS OF
+    * VERSION n]` / `ALTER TABLE t DROP TAG name` / `SHOW TAGS t`. */
+  private val CreateTag =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($T)\\s+CREATE\\s+TAG\\s+([\\w-]+)(?:\\s+AS\\s+OF\\s+VERSION\\s+([0-9]+))?\\s*;?\\s*""".r
+  private val DropTag =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($T)\\s+DROP\\s+TAG\\s+([\\w-]+)\\s*;?\\s*""".r
+  private val ShowTags =
+    s"""(?is)\\s*SHOW\\s+TAGS\\s+($T)\\s*;?\\s*""".r
   /** `CREATE TABLE t (…)` with column-level GENERATED clauses — claimed
     * only when the balanced column body actually contains GENERATED
     * ALWAYS (the stock grammar rejects the clause); plain CREATEs stay
@@ -85,6 +93,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       mode.equalsIgnoreCase("deep"))
     case Convert(target) => LogLakeConvertCommand(target.trim)
     case ShowParts(target) => LogLakeShowPartitionsCommand(target.trim)
+    case CreateTag(target, name, v) =>
+      LogLakeSetTagCommand(target.trim, name, Option(v).map(_.toLong))
+    case DropTag(target, name) => LogLakeDropTagCommand(target.trim, name)
+    case ShowTags(target) => LogLakeShowTagsCommand(target.trim)
     case AddCons(target, name, expr) =>
       LogLakeAddConstraintCommand(target.trim, name, expr.trim)
     case DropCons(target, name) =>
@@ -541,6 +553,37 @@ final case class LogLakeDropConstraintCommand(target: String,
     LogLake.dropCheckConstraint(DescribeTarget.dir(session, target), name)
     Nil
   }
+}
+
+/** `ALTER TABLE t CREATE TAG name [AS OF VERSION n]` — a named ref
+  * ([[LogLake.setTag]]): pins the version against vacuum and metadata
+  * retention; read back with `VERSION AS OF 'name'`. */
+final case class LogLakeSetTagCommand(target: String, name: String,
+    version: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    LogLake.setTag(DescribeTarget.dir(session, target), name, version)
+    Nil
+  }
+}
+
+final case class LogLakeDropTagCommand(target: String,
+    name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    LogLake.deleteTag(DescribeTarget.dir(session, target), name)
+    Nil
+  }
+}
+
+final case class LogLakeShowTagsCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DescribeTarget.attrs(StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("version", LongType, nullable = false))))
+  override def run(session: SparkSession): Seq[Row] =
+    LogLake.tags(DescribeTarget.dir(session, target)).toSeq.sortBy(_._1)
+      .map { case (t, v) => Row(t, v) }
 }
 
 /** `INSERT INTO t REPLACE WHERE <predicate> <query>` — Delta's

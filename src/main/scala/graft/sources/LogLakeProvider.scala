@@ -78,7 +78,9 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
         .getOrElse(LogLake.currentVersion(d))
       new LogLakeCdfRelation(sqlContext.sparkSession, d, from, to)
     } else {
-      val byVersion = parameters.get("versionAsOf").map(_.toLong)
+      // a non-numeric versionAsOf is a NAMED TAG (Iceberg-style ref)
+      val byVersion = parameters.get("versionAsOf")
+        .map(LogLake.resolveVersionRef(dir(parameters), _))
       val byTime = parameters.get("timestampAsOf").map { t =>
         LogLake.versionAtTimestamp(dir(parameters),
           LogLake.parseTimestampMillis(t))
