@@ -45,7 +45,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vac =
     s"""(?is)\\s*VACUUM\\s+($T)(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val Restore =
-    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?($T)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+([0-9]+)\\s*;?\\s*""".r
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?($T)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+([0-9]+|'[\\w-]+')\\s*;?\\s*""".r
   private val RestoreTs =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?($T)\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
   private val Convert =
@@ -82,7 +82,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Hist(target) => LogLakeHistoryCommand(target.trim)
     case Detail(target) => LogLakeDetailCommand(target.trim)
-    case Restore(target, v) => LogLakeRestoreCommand(target.trim, v.toLong)
+    case Restore(target, v) => LogLakeRestoreCommand(target.trim, v.trim)
     case RestoreTs(target, t) => LogLakeRestoreTimestampCommand(target.trim, t)
     case Optim(target, where, zorder) => LogLakeOptimizeCommand(target.trim,
       Option(zorder).toSeq.flatMap(_.split(',')).map(_.trim.stripPrefix("`")
@@ -290,13 +290,18 @@ final case class LogLakeVacuumCommand(target: String,
   * [[LogLake.restore]]: the rollback is itself a NEW commit, history
   * stays intact. */
 final case class LogLakeRestoreCommand(target: String,
-    toVersion: Long) extends LeafRunnableCommand {
+    toRef: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = DescribeTarget.attrs(StructType(Seq(
     StructField("restoredVersion", LongType, nullable = false),
     StructField("newVersion", LongType, nullable = false))))
 
   override def run(session: SparkSession): Seq[Row] = {
     val dir = DescribeTarget.dir(session, target)
+    // a quoted ref is a NAMED TAG; bare digits are a version number
+    val toVersion =
+      if (toRef.startsWith("'"))
+        LogLake.versionForTag(dir, toRef.stripPrefix("'").stripSuffix("'"))
+      else toRef.toLong
     val v = LogLake.restore(session, dir, toVersion)
     Seq(Row(toVersion, v))
   }

@@ -39,6 +39,9 @@ class TagsSpec extends SparkTestBase {
       Set(("after-append", 2L), ("baseline", 1L), ("sql-tag", 1L)))
     spark.sql(s"ALTER TABLE '$dir' DROP TAG sql-tag")
     assert(!LogLake.tags(dir).contains("sql-tag"))
+    // RESTORE TO VERSION AS OF 'tag' resolves through the ref too
+    spark.sql(s"RESTORE TABLE '$dir' TO VERSION AS OF 'baseline'")
+    assert(spark.read.format("loglake").load(dir).count() == 50)
     LogLake.deleteTag(dir, "baseline")
     intercept[IllegalArgumentException] {
       spark.read.format("loglake").option("versionAsOf", "baseline")
