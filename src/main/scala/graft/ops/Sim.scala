@@ -422,13 +422,13 @@ object Sim {
          |  CAST(c AS DOUBLE) / LEAST(na, nb) AS containment,
          |  CASE WHEN na <= nb THEN d1 ELSE d2 END AS contained
          |FROM scored
-         |WHERE CAST(c AS DOUBLE) / LEAST(na, nb) >= 0.3
+         |WHERE CAST(c AS DOUBLE) / LEAST(na, nb) >= 0.8
          |ORDER BY d1, d2""".stripMargin
     ) { (s, d) =>
       candidateOverlap(s, d)
         .withColumn("containment",
           col("c").cast("double") / least(col("na"), col("nb")))
-        .filter(col("containment") >= 0.3)
+        .filter(col("containment") >= 0.8)
         .select(col("d1"), col("d2"), col("containment"),
           when(col("na") <= col("nb"), col("d1")).otherwise(col("d2")).as("contained"))
         .orderBy("d1", "d2")

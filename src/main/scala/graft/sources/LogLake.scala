@@ -814,7 +814,9 @@ object LogLake {
   def detailDf(spark: SparkSession, dir: String): DataFrame = {
     val v = currentVersion(dir)
     require(v > 0L, s"loglake: no table at $dir")
-    val (files, schema) = activeState(dir, Some(v))
+    val resolved = resolve(dir, Some(v))
+    val files = resolved.files
+    val schema = DataType.fromJson(resolved.schemaJson).asInstanceOf[StructType]
     val physToLogical = schema.fields.iterator
       .map(f => physName(f) -> f.name).toMap
     val parts = partitionColumns(dir).map(p => physToLogical.getOrElse(p, p))
@@ -828,8 +830,9 @@ object LogLake {
       tableProperties(dir),
       buckets.map(_.cols.map(p => physToLogical.getOrElse(p, p))).getOrElse(Nil),
       buckets.map(_.n.toLong).getOrElse(0L),
-      // features ride every manifest monotonically — the tip has them all
-      readManifest(fs(dir), versionFile(dir, v)).features.toSeq.sorted)
+      // the resolve above already carries the monotone feature set —
+      // no second manifest read
+      resolved.features.toSeq.sorted)
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(Seq(row).asJava, DetailSchema)
   }
@@ -1150,21 +1153,38 @@ object LogLake {
   }
 
   private def writePartitionSpec(dir: String, physCols: Seq[String]): Unit = {
-    val f = fs(dir)
     val arr = mapper.createArrayNode()
     physCols.foreach(arr.add)
-    val tmp = new Path(dir, s"$LogDir/_tmp/p-${UUID.randomUUID()}.json")
+    publishSpecOnce(dir, partitionSpecPath(dir),
+      mapper.writeValueAsBytes(arr), "partition")
+  }
+
+  /** WRITE-ONCE publication for create-time layout specs (partition +
+    * bucket): the first writer's content wins and every later attempt
+    * must match it byte-for-byte. The delete-then-rename rule this
+    * replaces was last-writer-wins, and two racing creates could leave
+    * the LOSER's spec beside the WINNER's committed files — for a
+    * bucket spec that is silently wrong join results (the scan would
+    * report a HashPartitioning the data does not satisfy). A retried
+    * create with the SAME spec proceeds (idempotent); a DIFFERING spec
+    * fails loudly before any data is written under the wrong layout; a
+    * stale spec from a dead create attempt must be cleared by deleting
+    * the directory (the loud path, traded for the old convenience). */
+  private def publishSpecOnce(dir: String, target: Path,
+      bytes: Array[Byte], what: String): Unit = {
+    val f = fs(dir)
+    val tmp = new Path(dir, s"$LogDir/_tmp/s-${UUID.randomUUID()}.json")
     f.mkdirs(tmp.getParent)
     val out = f.create(tmp, false)
-    try out.write(mapper.writeValueAsBytes(arr)) finally out.close()
-    // only reachable pre-create (version 0) — a stale spec from an
-    // earlier FAILED create attempt is dead metadata, safe to replace
-    f.delete(partitionSpecPath(dir), false)
-    if (!f.rename(tmp, partitionSpecPath(dir))) {
-      f.delete(tmp, false)
-      throw new java.io.IOException(
-        s"loglake: could not publish the partition spec at $dir (create race?)")
-    }
+    try out.write(bytes) finally out.close()
+    if (f.exists(target) || !f.rename(tmp, target)) f.delete(tmp, false)
+    // read back whatever is published now — covers both the lost race
+    // and local-FS rename-replace semantics (ours may have clobbered a
+    // concurrent winner's; byte equality is the only safe witness)
+    val back = try readFully(f, target) catch { case _: Exception => null }
+    require(back != null && java.util.Arrays.equals(back, bytes),
+      s"loglake: $what spec create race at $dir — a concurrent create " +
+        "published a different spec; delete the table directory to start over")
   }
 
   // ---------------------------------------------------------- bucketing
@@ -1202,23 +1222,12 @@ object LogLake {
   }
 
   private def writeBucketSpec(dir: String, spec: TableBucketSpec): Unit = {
-    val f = fs(dir)
     val node = mapper.createObjectNode()
     val cols = node.putArray("cols"); spec.cols.foreach(cols.add)
     node.put("n", spec.n)
     val sorts = node.putArray("sortCols"); spec.sortCols.foreach(sorts.add)
-    val tmp = new Path(dir, s"$LogDir/_tmp/b-${UUID.randomUUID()}.json")
-    f.mkdirs(tmp.getParent)
-    val out = f.create(tmp, false)
-    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-    // only reachable pre-create (version 0) — same replace rule as the
-    // partition spec: a stale spec from a failed create is dead metadata
-    f.delete(bucketSpecPath(dir), false)
-    if (!f.rename(tmp, bucketSpecPath(dir))) {
-      f.delete(tmp, false)
-      throw new java.io.IOException(
-        s"loglake: could not publish the bucket spec at $dir (create race?)")
-    }
+    publishSpecOnce(dir, bucketSpecPath(dir),
+      mapper.writeValueAsBytes(node), "bucket")
   }
 
   /** Validate and publish a create-time bucket spec (after the
@@ -2419,6 +2428,10 @@ object LogLake {
       throw new IllegalArgumentException(
         s"loglake: cannot widen $name — table has " +
           s"${schema0.fieldNames.mkString(", ")}"))
+    // same-type ALTER COLUMN TYPE is a no-op, not an error — re-run
+    // migration scripts must be idempotent (Delta/Spark catalogs no-op
+    // here too)
+    if (f.dataType == newType) return readV
     require(widens(f.dataType, newType),
       s"loglake: cannot widen $name from ${f.dataType.simpleString} to " +
         s"${newType.simpleString} — not a lossless widening the parquet " +
@@ -2578,12 +2591,13 @@ object LogLake {
     // partition tuple, `numFiles` is moot), and ZORDER is rejected:
     // a z-curve layout and a hash-bucket layout are mutually exclusive
     // file organizations (use bucket sortCols for in-bucket order)
-    if (bucketSpec(dir).nonEmpty) require(zorderCols.isEmpty,
+    val bucketed = bucketSpec(dir).nonEmpty
+    if (bucketed) require(zorderCols.isEmpty,
       "loglake: OPTIMIZE ZORDER is not supported on a bucketed table — " +
         "the bucket spec owns the layout; declare bucket sort columns " +
         "at create time for in-file ordering instead")
     val arranged = zorderCols match {
-      case Nil if bucketSpec(dir).nonEmpty => df
+      case Nil if bucketed => df
       case Nil if partLogical.isEmpty => df.repartition(numFiles)
       case Nil => df // writeData's arrange pass re-clusters by partition
       case cols =>
@@ -3001,9 +3015,18 @@ object LogLake {
     readKv(dir, "tags").map { case (k, v) => k -> v.toLong }
 
   def setTag(dir: String, name: String, version: Option[Long] = None): Unit = {
-    require(name.nonEmpty &&
-      name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+    // ASCII-only, matching the SQL surfaces' grammar exactly (a tag the
+    // DDL regexes can't address would be API-only); digit-only names
+    // are refused because `VERSION AS OF` parses bare digits as a
+    // VERSION NUMBER — such a tag would be unreachable or, worse,
+    // silently shadowed by a real version on a long-lived table
+    require(name.nonEmpty && name.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-'),
       s"loglake: tag name must be [A-Za-z0-9_-]+, got '$name'")
+    require(!name.forall(_.isDigit),
+      s"loglake: tag name '$name' is all digits — VERSION AS OF would " +
+        "read it as a version number, never as this tag")
     val v = version.getOrElse(currentVersion(dir))
     // loud existence check — a tag must point at a RESOLVABLE version
     resolve(dir, Some(v))
@@ -3796,6 +3819,11 @@ object LogLake {
     val f = fs(dir)
     f.mkdirs(new Path(logPath(dir), "_tmp"))
     val ourRemoves = removes.toSet
+    // static within this commit (schema, adds, and the table's spec/
+    // property metadata don't change across CAS retries) — computed
+    // once, not per attempt: each evaluation is several small metadata
+    // reads, real GETs on an object store under contention
+    val ourFeatures = commitFeatures(dir, schemaJson, adds) ++ extraFeatures
     var validated = readVersion
     var attempts = 0
     while (attempts < maxAttempts) {
@@ -3838,8 +3866,7 @@ object LogLake {
         else f.getFileStatus(versionFile(dir, cur)).getModificationTime)
       val ts = parentTs.map(pt => math.max(System.currentTimeMillis(), pt + 1L))
         .getOrElse(System.currentTimeMillis())
-      val features = parent.map(_.features).getOrElse(Set.empty) ++
-        commitFeatures(dir, schemaJson, adds) ++ extraFeatures
+      val features = parent.map(_.features).getOrElse(Set.empty) ++ ourFeatures
       if (casPublish(f, dir, v,
         renderManifest(Manifest(v, op, txnId, readVersion, schemaJson, adds,
           removes, cdc, ts, features)))) {

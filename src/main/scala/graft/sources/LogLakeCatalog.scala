@@ -309,8 +309,18 @@ final case class LogLakeV2Table(dir: String, asOf: Option[Long], identName: Stri
         .identity(logical(p)): Transform
     }
     val buckets = LogLake.bucketSpec(dir).toSeq.map { bs =>
-      org.apache.spark.sql.connector.expressions.Expressions
-        .bucket(bs.n, bs.cols.map(logical): _*): Transform
+      import org.apache.spark.sql.connector.expressions.Expressions
+      // sorted specs surface as sorted_bucket so SHOW CREATE TABLE /
+      // DDL round-trips keep SORTED BY (a plain bucket() would silently
+      // drop the in-bucket sort, and with it the sort-free SMJ
+      // property). Spark's SortedBucketTransform factory is
+      // private[sql]; GraftSortedBucketTransform reproduces its public
+      // Transform encoding exactly.
+      if (bs.sortCols.isEmpty)
+        Expressions.bucket(bs.n, bs.cols.map(logical): _*): Transform
+      else
+        GraftSortedBucketTransform(bs.n, bs.cols.map(logical),
+          bs.sortCols.map(logical)): Transform
     }
     (parts ++ buckets).toArray
   }
@@ -385,4 +395,27 @@ final case class LogLakeV2Table(dir: String, asOf: Option[Long], identName: Stri
           }
       }
     }
+}
+
+/** `sorted_bucket` as a PUBLIC Transform implementation — Spark's own
+  * SortedBucketTransform and its factory are private[sql]. Encoding
+  * matches Spark's exactly (`arguments = (columns :+ numBuckets) ++
+  * sortedColumns`, name "sorted_bucket"), so consumers that parse the
+  * generic Transform surface — including this catalog's own
+  * createTable — round-trip it, and SHOW CREATE TABLE renders the
+  * in-bucket sort instead of silently dropping SORTED BY. */
+final case class GraftSortedBucketTransform(n: Int, cols: Seq[String],
+    sortCols: Seq[String])
+    extends org.apache.spark.sql.connector.expressions.Transform {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Expressions, NamedReference}
+  override def name(): String = "sorted_bucket"
+  private def refs(ns: Seq[String]): Seq[NamedReference] =
+    ns.map(Expressions.column)
+  override def references(): Array[NamedReference] =
+    (refs(cols) ++ refs(sortCols)).toArray
+  override def arguments(): Array[V2Expr] =
+    ((refs(cols) :+ Expressions.literal(n)) ++ refs(sortCols)).toArray
+  override def describe(): String =
+    s"sorted_bucket(${(cols :+ n.toString).mkString(", ")}, " +
+      s"${sortCols.mkString(", ")})"
 }

@@ -218,11 +218,12 @@ class BucketedLakeSpec extends SparkTestBase {
     assert(det.getAs[Long]("numBuckets") == 4L)
     assert(det.getAs[scala.collection.Seq[String]]("tableFeatures")
       .contains("bucketing"))
-    // SHOW CREATE TABLE renders the bucket transform from partitioning()
+    // SHOW CREATE TABLE renders the SORTED layout (a plain bucket()
+    // would silently drop SORTED BY on a DDL round-trip)
     val ddl = spark.sql(s"SHOW CREATE TABLE loglake.$db.bt")
       .head().getString(0)
-    assert(ddl.contains("bucket(4, k)") || ddl.contains("CLUSTERED BY"),
-      s"bucket layout missing from SHOW CREATE TABLE:\n$ddl")
+    assert(ddl.contains("sorted_bucket") || ddl.contains("SORTED BY"),
+      s"sorted bucket layout missing from SHOW CREATE TABLE:\n$ddl")
     spark.sql(s"DROP TABLE loglake.$db.bt")
     spark.sql(s"DROP NAMESPACE loglake.$db")
   }

@@ -49,6 +49,14 @@ class TagsSpec extends SparkTestBase {
     }
     // a tag must point at a resolvable version
     intercept[Exception] { LogLake.setTag(dir, "ghost", Some(99L)) }
+    // digit-only names are refused: VERSION AS OF would read them as a
+    // version number, never as the tag
+    assert(intercept[IllegalArgumentException] {
+      LogLake.setTag(dir, "2024")
+    }.getMessage.contains("all digits"))
+    // non-ASCII names are refused: the SQL DDL grammar couldn't address
+    // them and the tag would be API-only
+    intercept[IllegalArgumentException] { LogLake.setTag(dir, "café") }
   }
 
   test("vacuum keeps every tagged snapshot's files; dropping the tag releases them") {

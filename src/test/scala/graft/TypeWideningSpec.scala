@@ -83,6 +83,11 @@ class TypeWideningSpec extends SparkTestBase {
       }
       assert(e.getMessage.contains("not a lossless widening"))
     }
+    // same-type ALTER is an idempotent no-op (re-run migrations), not
+    // an error and not a new commit
+    val v = LogLake.currentVersion(dir)
+    assert(LogLake.widenColumn(spark, dir, "k", DecimalType(12, 2)) == v)
+    assert(LogLake.currentVersion(dir) == v)
   }
 
   test("refusals: partition, bucket-hash, identity, constraint-referenced columns") {
