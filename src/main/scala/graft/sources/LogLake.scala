@@ -1291,6 +1291,36 @@ object LogLake {
       }
     }
 
+  /** MERGE/upsert candidate pruning on bucketed tables: when the
+    * bucket columns are a subset of the merge keys, a source row can
+    * only match target rows in ITS OWN bucket — so the source keys'
+    * bucket ids (≤ n values, one tiny distinct agg) bound the files
+    * the touched-file semi-join must scan. A selective merge against a
+    * 100 TB bucketed table then reads O(touched buckets / n) of the
+    * table for discovery instead of all of it. `functions.hash` is the
+    * same murmur3(seed 42) HashPartitioning's partition-id expression
+    * uses, so `pmod(hash(cols), n)` reproduces the write-side bucket id
+    * exactly. Falls through untouched (full candidate set) when the
+    * table isn't bucketed, the bucket columns aren't all merge keys,
+    * or any file lacks a parseable tag. */
+  private def bucketPruneForKeys(spark: SparkSession, dir: String,
+      files: Seq[AddFile], schema: StructType, keys: DataFrame,
+      keyCols: Seq[String]): Seq[AddFile] = {
+    val bs = bucketSpec(dir).getOrElse(return files)
+    val physToLogical = schema.fields.iterator
+      .map(f => physName(f) -> f.name).toMap
+    val logicalCols = bs.cols.map(p => physToLogical.getOrElse(p, p))
+    if (!logicalCols.forall(keyCols.contains)) return files
+    if (!allBucketTagged(files)) return files
+    val ids = keys
+      .select(pmod(hash(logicalCols.map(col): _*), lit(bs.n)).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet // bounded by n
+    files.filter(a => new Path(a.path).getName match {
+      case BucketTagName(t) => ids(t.toInt)
+      case _ => true
+    })
+  }
+
   /** Unescape one Hive partition-path component (`%XX` sequences — the
     * inverse of ExternalCatalogUtils.escapePathName). */
   private def unescapePathName(s: String): String = {
@@ -1706,11 +1736,12 @@ object LogLake {
     val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val keys = src.select(keyCols.map(col).toIndexedSeq: _*).distinct()
 
+    val candidates = bucketPruneForKeys(spark, dir, files, schema, keys, keyCols)
     val touchedNames: Set[String] =
-      if (files.isEmpty) Set.empty
+      if (candidates.isEmpty) Set.empty
       else {
         val tgt = scanLogical(spark, schema,
-          files.map(a => resolvedPath(dir, a.path)),
+          candidates.map(a => resolvedPath(dir, a.path)),
           Seq(col("_metadata.file_path") -> "__file"))
           .select(keyCols.map(col) :+ col("__file"): _*)
         tgt.join(keys, keyCols, "leftsemi")
@@ -1880,18 +1911,23 @@ object LogLake {
 
     val src = source
     val keys = src.select(keyCols.map(col).toIndexedSeq: _*).distinct()
-    // files containing a matching key — the [[merge]] pruning scan
+    // files containing a matching key — the [[merge]] pruning scan,
+    // bucket-bounded first when the layout allows
     val keyTouchedNames: Set[String] =
       if (files.isEmpty || (matchedCls.isEmpty && insertCls.isEmpty && nmbsCls.isEmpty))
         Set.empty
       else {
-        val tgt = scanLogical(spark, schema,
-          files.map(a => resolvedPath(dir, a.path)),
-          Seq(col("_metadata.file_path") -> "__file"))
-          .select(keyCols.map(col) :+ col("__file"): _*)
-        tgt.join(keys, keyCols, "leftsemi")
-          .select("__file").distinct().collect()
-          .map(r => new Path(r.getString(0)).getName).toSet
+        val candidates = bucketPruneForKeys(spark, dir, files, schema, keys, keyCols)
+        if (candidates.isEmpty) Set.empty
+        else {
+          val tgt = scanLogical(spark, schema,
+            candidates.map(a => resolvedPath(dir, a.path)),
+            Seq(col("_metadata.file_path") -> "__file"))
+            .select(keyCols.map(col) :+ col("__file"): _*)
+          tgt.join(keys, keyCols, "leftsemi")
+            .select("__file").distinct().collect()
+            .map(r => new Path(r.getString(0)).getName).toSet
+        }
       }
     // NOT MATCHED BY SOURCE reaches rows no source key selects, so its
     // file scope is the clause conditions' (target-column) disjunction

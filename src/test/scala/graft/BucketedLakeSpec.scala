@@ -171,6 +171,38 @@ class BucketedLakeSpec extends SparkTestBase {
     assert(spark.read.format("loglake").load(dir).count() == 150)
   }
 
+  test("MERGE discovery is bucket-bounded: a one-key merge reads ~one bucket, not the table") {
+    val dir = tmp("mergeprune")
+    LogLake.create(spark, dir, sample(1, 4000), bucketBy = Seq("k"), numBuckets = 8)
+    def bytesDuring(f: => Unit): Long = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { f; Thread.sleep(2000) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      bytes.get()
+    }
+    val fullScan = bytesDuring {
+      spark.read.format("loglake").load(dir).agg(sum("k")).collect(); ()
+    }
+    val mergeRead = bytesDuring {
+      LogLake.merge(spark, dir,
+        Seq((7L, "updated", 0)).toDF("k", "v", "grp"), Seq("k"))
+    }
+    // discovery + rewrite each read ~1 of 8 buckets; without pruning
+    // discovery alone reads the whole table
+    assert(mergeRead < fullScan,
+      s"bucket-pruned merge must read less than a full scan " +
+        s"($mergeRead vs $fullScan)")
+    assert(spark.read.format("loglake").load(dir)
+      .filter(col("k") === 7L).select("v").head().getString(0) == "updated")
+    assert(spark.read.format("loglake").load(dir).count() == 4000)
+  }
+
   test("deep clone keeps the bucket layout") {
     val src = tmp("cloneS"); val dst = tmp("cloneD")
     LogLake.create(spark, src, sample(1, 100), bucketBy = Seq("k"), numBuckets = 4)
