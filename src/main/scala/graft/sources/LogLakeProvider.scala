@@ -621,8 +621,21 @@ final class LogLakeSource(spark: SparkSession, dir: String,
     .getOrElse(0L)
   private val maxVersions = options.get("maxVersionsPerTrigger").map(_.toLong)
   private val maxBytes = options.get("maxBytesPerTrigger").map(_.toLong)
+  // SUB-VERSION admission (Delta's maxFilesPerTrigger): unlike the two
+  // caps above — whole-commit-grained — the file cap SPLITS an
+  // append-class commit across micro-batches, so one fat backfill
+  // commit (10⁶ files) streams as bounded batches instead of one
+  // enormous trigger. Offsets then carry (version, filesConsumed);
+  // rewrite/DV/optimize commits stay indivisible (their row semantics
+  // are per-commit), as does the initialSnapshot first batch.
+  private val maxFiles = options.get("maxFilesPerTrigger").map(_.toLong)
   maxVersions.foreach(n => require(n >= 1L, s"maxVersionsPerTrigger must be >= 1, got $n"))
   maxBytes.foreach(n => require(n >= 1L, s"maxBytesPerTrigger must be >= 1, got $n"))
+  maxFiles.foreach(n => require(n >= 1L, s"maxFilesPerTrigger must be >= 1, got $n"))
+  require(!(readChangeFeed && maxFiles.nonEmpty),
+    "loglake: maxFilesPerTrigger splits commits mid-version, which a CDF " +
+      "batch cannot express (changes are per-commit) — use " +
+      "maxVersionsPerTrigger with readChangeFeed")
 
   // the snapshot pin: the version the first batch will deliver when
   // initialSnapshot is on (getBatch re-reads the snapshot AS OF the
@@ -667,9 +680,17 @@ final class LogLakeSource(spark: SparkSession, dir: String,
         "run's frozen schema would silently drop the new data")
   }
 
-  private def ver(o: V1Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.toLong
+  private def ver(o: V1Offset): Long = parseOff(o)._1
+
+  /** Offset decoding: a bare long is a WHOLE-VERSION position
+    * (filesConsumed = -1, every pre-split checkpoint), the object form
+    * `{"v":N,"i":K}` means "versions ≤ N-1 fully, plus the first K
+    * add-files of version N" (manifests are immutable, so the index is
+    * replay-stable). */
+  private def parseOff(o: V1Offset): (Long, Int) = o match {
+    case l: LongOffset => (l.offset, -1)
+    case LogLakeSource.SplitOffset(v, i) => (v, i)
+    case other => LogLakeSource.parseOffsetJson(other.json)
   }
 
   override def getOffset: Option[V1Offset] = {
@@ -695,7 +716,15 @@ final class LogLakeSource(spark: SparkSession, dir: String,
   override def getDefaultReadLimit: ReadLimit = {
     val limits = maxVersions.map(n => ReadLimit.maxFiles(n.toInt)).toSeq ++
       maxBytes.map(b => ReadLimit.maxBytes(b)).toSeq
-    limits match {
+    if (maxFiles.nonEmpty)
+      // the file cap needs its own carrier (ReadMaxFiles already
+      // carries the VERSION cap here); the limit object is a closed
+      // loop between this method and latestOffset, never interpreted
+      // by the engine
+      LogLakeSource.GraftReadLimit(
+        maxVersions.getOrElse(Long.MaxValue), maxFiles.get,
+        maxBytes.getOrElse(Long.MaxValue))
+    else limits match {
       case Seq()    => ReadLimit.allAvailable()
       case Seq(one) => one
       case many     => ReadLimit.compositeLimit(many.toArray)
@@ -704,38 +733,78 @@ final class LogLakeSource(spark: SparkSession, dir: String,
 
   override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
     val cur = availableNowEnd.getOrElse(LogLake.currentVersion(dir))
-    Option(start).map(_.json.toLong) match {
+    val startPos: Option[(Long, Int)] =
+      Option(start).map(o => LogLakeSource.parseOffsetJson(o.json))
+    startPos match {
       case None if initialSnapshot =>
         LongOffset(snapV) // the snapshot batch itself (cur >= snapV always)
       case prev =>
-        val base = prev.getOrElse(startV)
-        if (cur <= base) LongOffset(base) // no new commits — no progress
-        else {
-          def caps(l: ReadLimit): (Long, Long) = l match {
-            case mf: ReadMaxFiles => (mf.maxFiles().toLong, Long.MaxValue)
-            case mb: ReadMaxBytes => (Long.MaxValue, mb.maxBytes())
-            case c: CompositeReadLimit => c.getReadLimits.map(caps)
-              .reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
-            case _ => (Long.MaxValue, Long.MaxValue)
-          }
-          val (vCap, byteCap) = caps(limit)
-          val hi = if (vCap == Long.MaxValue) cur else math.min(cur, base + vCap)
-          val end =
-            if (byteCap == Long.MaxValue) hi
-            else {
-              // admit whole versions until the byte cap; the first is
-              // always admitted, else one fat commit wedges the stream
-              var last = base; var acc = 0L; var open = true
-              LogLake.manifestRange(dir, base, hi).foreach { m =>
-                val sz = m.adds.iterator.map(a => math.max(a.bytes, 0L)).sum
-                if (open && (last == base || acc + sz <= byteCap)) {
-                  last = m.version; acc += sz
-                } else open = false
-              }
-              last
-            }
-          LongOffset(end)
+        val (bv, bi) = prev.getOrElse((startV, -1))
+        def asOffset(v: Long, i: Int): ConnOffset =
+          if (i < 0) LongOffset(v) else LogLakeSource.SplitOffset(v, i)
+        if (cur <= bv && bi < 0) return LongOffset(bv) // no new commits
+        def caps(l: ReadLimit): (Long, Long, Long) = l match {
+          case g: LogLakeSource.GraftReadLimit => (g.versions, g.bytes, g.files)
+          case mf: ReadMaxFiles => (mf.maxFiles().toLong, Long.MaxValue, Long.MaxValue)
+          case mb: ReadMaxBytes => (Long.MaxValue, mb.maxBytes(), Long.MaxValue)
+          case c: CompositeReadLimit => c.getReadLimits.map(caps)
+            .reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2),
+              math.min(a._3, b._3)))
+          case _ => (Long.MaxValue, Long.MaxValue, Long.MaxValue)
         }
+        val (vCap, byteCap, fileCap) = caps(limit)
+        // one walk serves every cap combination: versions/bytes admit
+        // whole commits (first always — a fat commit must not wedge the
+        // stream); the file cap additionally SPLITS append-class
+        // commits at a file boundary, resuming mid-version next trigger
+        val fromExcl = if (bi >= 0) bv - 1 else bv
+        var endV = bv; var endI = bi
+        var versionsTaken = 0L; var filesTaken = 0L; var bytesTaken = 0L
+        var open = true
+        LogLake.manifestRange(dir, fromExcl, cur).foreach { m =>
+          if (open) {
+            val skip = if (m.version == bv && bi >= 0) bi else 0
+            val adds = m.adds.drop(skip)
+            val vBytes = adds.iterator.map(a => math.max(a.bytes, 0L)).sum
+            val progressed = versionsTaken > 0L || filesTaken > 0L ||
+              endI != bi || endV != bv
+            val splittable = fileCap != Long.MaxValue && m.removes.isEmpty &&
+              m.op != "optimize" && adds.forall(_.dv.isEmpty)
+            if (splittable) {
+              var taken = 0
+              var fits = true
+              adds.foreach { a =>
+                val first = !progressed && taken == 0
+                if (fits && (first ||
+                    (filesTaken + 1 <= fileCap &&
+                      bytesTaken + math.max(a.bytes, 0L) <= byteCap))) {
+                  taken += 1
+                  filesTaken += 1
+                  bytesTaken += math.max(a.bytes, 0L)
+                } else fits = false
+              }
+              if (taken == adds.size) {
+                endV = m.version; endI = -1; versionsTaken += 1
+                if (versionsTaken >= vCap || filesTaken >= fileCap ||
+                  bytesTaken >= byteCap) open = false
+              } else {
+                if (taken > 0 || skip > 0) { endV = m.version; endI = skip + taken }
+                open = false
+              }
+            } else {
+              val wholeFits = !progressed ||
+                (versionsTaken + 1 <= vCap && bytesTaken + vBytes <= byteCap &&
+                  filesTaken + adds.size <= fileCap)
+              if (wholeFits) {
+                endV = m.version; endI = -1
+                versionsTaken += 1; filesTaken += adds.size; bytesTaken += vBytes
+                if (versionsTaken >= vCap || filesTaken >= fileCap ||
+                  bytesTaken >= byteCap) open = false
+              } else open = false
+            }
+          }
+        }
+        asOffset(endV, endI)
     }
   }
 
@@ -744,7 +813,7 @@ final class LogLakeSource(spark: SparkSession, dir: String,
       math.max(LogLake.currentVersion(dir), if (initialSnapshot) snapV else 0L)))
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val to = ver(end)
+    val (to, toI) = parseOff(end)
     if (readChangeFeed) return getCdfBatch(start, to)
     // Fast path: plain parquet file list (no deletion vectors in play) —
     // stays a single native vectorized scan. DV-bearing batches fall back
@@ -764,8 +833,17 @@ final class LogLakeSource(spark: SparkSession, dir: String,
         if (live.forall(_.dv.isEmpty)) live.map(a => LogLake.resolvedPath(dir, a.path))
         else { dvFrames ::= LogLake.readAdds(spark, dir, mappedSchema, live); Nil }
       case _ =>
-        val from = start.map(ver).getOrElse(startV)
-        LogLake.manifestRange(dir, from, to).flatMap { m =>
+        val (fromV, fromI) = start.map(parseOff).getOrElse((startV, -1))
+        // a mid-version start re-includes its version, sliced below;
+        // offsets only land mid-version on append-class commits (the
+        // admission walk never splits rewrites/DV commits)
+        val fromExcl = if (fromI >= 0) fromV - 1 else fromV
+        def slice(m: LogLake.Manifest): Seq[LogLake.AddFile] = {
+          val lo = if (m.version == fromV && fromI >= 0) fromI else 0
+          val hi = if (m.version == to && toI >= 0) toI else m.adds.size
+          m.adds.slice(lo, hi)
+        }
+        LogLake.manifestRange(dir, fromExcl, to).flatMap { m =>
           requireNoNewColumns(org.apache.spark.sql.types.DataType
             .fromJson(m.schemaJson).asInstanceOf[StructType], m.version)
           if (m.op == "optimize") Nil // layout-only: same rows, new files
@@ -793,7 +871,8 @@ final class LogLakeSource(spark: SparkSession, dir: String,
                 "Set ignoreChanges=true to re-emit the rewritten files' rows " +
                 "(at-least-once), start past it with startingVersion, or take " +
                 "the current state first with initialSnapshot=true.")
-          else m.adds.filter(_.rows != 0L).map(a => LogLake.resolvedPath(dir, a.path))
+          else slice(m).filter(_.rows != 0L)
+            .map(a => LogLake.resolvedPath(dir, a.path))
         }
     }
     // a divergent column mapping needs the rename projection, which
@@ -842,6 +921,32 @@ final class LogLakeSource(spark: SparkSession, dir: String,
 }
 
 object LogLakeSource {
+
+  /** Mid-version stream position: versions ≤ `v`-1 fully consumed plus
+    * the first `i` add-files of version `v` (manifest add order is
+    * immutable, so the index replays byte-identically). Whole-version
+    * positions keep the plain-long [[LongOffset]] encoding — every
+    * pre-split checkpoint restores unchanged. */
+  final case class SplitOffset(v: Long, i: Int)
+      extends org.apache.spark.sql.execution.streaming.Offset {
+    override def json: String = s"""{"v":$v,"i":$i}"""
+  }
+
+  private val SplitOffsetJson = """\{"v":(\d+),"i":(\d+)\}""".r
+
+  /** Decode either offset encoding (bare long | split object). */
+  def parseOffsetJson(j: String): (Long, Int) = j.trim match {
+    case SplitOffsetJson(v, i) => (v.toLong, i.toInt)
+    case plain => (plain.toLong, -1)
+  }
+
+  /** The admission caps as ONE carrier: versions/bytes admit whole
+    * commits, `files` splits append-class commits ([[ReadLimit]] is a
+    * closed loop between getDefaultReadLimit and latestOffset — the
+    * engine passes it through uninterpreted). */
+  final case class GraftReadLimit(versions: Long, files: Long, bytes: Long)
+      extends org.apache.spark.sql.connector.read.streaming.ReadLimit
+
   /** The CDF read schema: table columns + the three change-metadata
     * columns, the `table_changes` shape. */
   def withCdfColumns(table: StructType): StructType =

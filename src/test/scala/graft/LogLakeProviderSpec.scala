@@ -670,6 +670,46 @@ class LogLakeProviderSpec extends SparkTestBase {
       s"a sub-file byte cap must still admit exactly one commit per batch, got $batches")
   }
 
+  test("maxFilesPerTrigger splits one fat commit across batches, offsets resume mid-version") {
+    val in = tmp("split-in"); val out = tmp("split-out"); val chk = tmp("split-chk")
+    // ONE commit carrying six single-row files — the backfill shape a
+    // whole-commit cap cannot pace
+    def createSingleRowFiles(rows: Seq[(Long, String)], append: Boolean): Unit = {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+      try {
+        if (append) LogLake.append(spark, in, kv(rows: _*))
+        else LogLake.create(spark, in, kv(rows: _*))
+      } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    createSingleRowFiles((1L to 6L).map(i => i -> s"v$i"), append = false)
+    assert(LogLake.activeState(in)._1.size == 6)
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    def drain(cap: Int): Unit = {
+      val q = spark.readStream.format("loglake")
+        .option("maxFilesPerTrigger", cap.toString).load(in)
+        .writeStream.option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val n = b.count(); batches.synchronized { batches += n }
+          b.write.format("loglake").mode("append").save(out); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive, "AvailableNow must terminate")
+    }
+    drain(4)
+    // 6 files under cap 4 → [4, 2]: the second batch resumed from the
+    // checkpointed MID-VERSION offset {"v":1,"i":4}
+    assert(batches.filter(_ > 0) == Seq(4L, 2L), s"got $batches")
+    // a later multi-file commit drains under the cap on restart, still
+    // exactly-once end to end
+    createSingleRowFiles((7L to 10L).map(i => i -> s"v$i"), append = true)
+    batches.clear()
+    drain(3)
+    assert(batches.filter(_ > 0) == Seq(3L, 1L), s"got $batches")
+    assert(sortedRows(spark.read.format("loglake").load(out)) ==
+      (1L to 10L).map(i => i -> s"v$i"))
+  }
+
   test("initialSnapshot streams the current state first, then tails — history may contain rewrites") {
     val in = tmp("snap-in"); val out = tmp("snap-out"); val chk = tmp("snap-chk")
     kv(1L -> "a", 2L -> "b").write.format("loglake").mode("append").save(in)
