@@ -753,6 +753,14 @@ final class LogLakeSource(spark: SparkSession, dir: String,
           case _ => (Long.MaxValue, Long.MaxValue, Long.MaxValue)
         }
         val (vCap, byteCap, fileCap) = caps(limit)
+        // fast paths keep the uncapped (and pure-version-capped) hot
+        // trigger loop manifest-free — the walk below reads every
+        // manifest in range, which only capped admission needs
+        if (vCap == Long.MaxValue && byteCap == Long.MaxValue &&
+          fileCap == Long.MaxValue)
+          return LongOffset(math.max(cur, bv))
+        if (byteCap == Long.MaxValue && fileCap == Long.MaxValue && bi < 0)
+          return LongOffset(math.min(cur, bv + vCap))
         // one walk serves every cap combination: versions/bytes admit
         // whole commits (first always — a fat commit must not wedge the
         // stream); the file cap additionally SPLITS append-class
