@@ -320,7 +320,17 @@ object LogLake {
     * ([[cleanupMetadata]]): silently skipping expired versions would
     * hand a restarted stream a gap in the change history. */
   private[sources] def manifestRange(dir: String, fromExcl: Long,
-      toIncl: Long): Seq[Manifest] = {
+      toIncl: Long): Seq[Manifest] =
+    manifestIterator(dir, fromExcl, toIncl).toSeq
+
+  /** Lazy twin of [[manifestRange]]: one directory listing up front
+    * (names only — the retention guard needs it anyway), but each
+    * manifest is READ only when pulled. The streaming admission walk
+    * stops pulling the moment its caps close, so a capped trigger
+    * against a deep backlog reads O(admitted) manifests, not
+    * O(backlog). */
+  private[sources] def manifestIterator(dir: String, fromExcl: Long,
+      toIncl: Long): Iterator[Manifest] = {
     val f = fs(dir)
     val all = listManifests(dir)
     val firstRetained = all.headOption.map(_._1).getOrElse(0L)
@@ -328,7 +338,7 @@ object LogLake {
       s"loglake: versions ${fromExcl + 1}..$toIncl at $dir reach below " +
         s"the retained log (metadata cleanup kept $firstRetained..) — " +
         "restart the feed/stream from a retained version")
-    all.filter { case (v, _) => v > fromExcl && v <= toIncl }
+    all.iterator.filter { case (v, _) => v > fromExcl && v <= toIncl }
       .map { case (_, p) => readManifest(f, p) }
   }
 
@@ -1180,9 +1190,11 @@ object LogLake {
     if (f.exists(target) || !f.rename(tmp, target)) f.delete(tmp, false)
     // read back whatever is published now — covers both the lost race
     // and local-FS rename-replace semantics (ours may have clobbered a
-    // concurrent winner's; byte equality is the only safe witness)
-    val back = try readFully(f, target) catch { case _: Exception => null }
-    require(back != null && java.util.Arrays.equals(back, bytes),
+    // concurrent winner's; byte equality is the only safe witness).
+    // Transient I/O failures rethrow as themselves: misreporting one
+    // as a "race" would hand the user destructive advice
+    val back = readFully(f, target)
+    require(java.util.Arrays.equals(back, bytes),
       s"loglake: $what spec create race at $dir — a concurrent create " +
         "published a different spec; delete the table directory to start over")
   }
@@ -1307,13 +1319,18 @@ object LogLake {
       files: Seq[AddFile], schema: StructType, keys: DataFrame,
       keyCols: Seq[String]): Seq[AddFile] = {
     val bs = bucketSpec(dir).getOrElse(return files)
-    val physToLogical = schema.fields.iterator
-      .map(f => physName(f) -> f.name).toMap
-    val logicalCols = bs.cols.map(p => physToLogical.getOrElse(p, p))
-    if (!logicalCols.forall(keyCols.contains)) return files
+    val byPhys = schema.fields.iterator.map(f => physName(f) -> f).toMap
+    val bucketFields = bs.cols.map(p => byPhys.getOrElse(p, return files))
+    if (!bucketFields.forall(f => keyCols.contains(f.name))) return files
     if (!allBucketTagged(files)) return files
+    // hash the TABLE-TYPED values: the write side bucketed table-typed
+    // rows, and murmur3 is width-sensitive — a LongType table merged
+    // from an IntegerType source (names match, types coerce later)
+    // would otherwise hash into the wrong buckets and silently miss
+    // every existing match
+    val typedKeys = bucketFields.map(f => col(f.name).cast(f.dataType))
     val ids = keys
-      .select(pmod(hash(logicalCols.map(col): _*), lit(bs.n)).as("__b"))
+      .select(pmod(hash(typedKeys: _*), lit(bs.n)).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet // bounded by n
     files.filter(a => new Path(a.path).getName match {
       case BucketTagName(t) => ids(t.toInt)

@@ -297,11 +297,10 @@ final case class LogLakeRestoreCommand(target: String,
 
   override def run(session: SparkSession): Seq[Row] = {
     val dir = DescribeTarget.dir(session, target)
-    // a quoted ref is a NAMED TAG; bare digits are a version number
-    val toVersion =
-      if (toRef.startsWith("'"))
-        LogLake.versionForTag(dir, toRef.stripPrefix("'").stripSuffix("'"))
-      else toRef.toLong
+    // strip the quotes and resolve through the ONE ref rule (digit-only
+    // tag names are refused at setTag, so bare digits are unambiguous)
+    val toVersion = LogLake.resolveVersionRef(dir,
+      toRef.stripPrefix("'").stripSuffix("'"))
     val v = LogLake.restore(session, dir, toVersion)
     Seq(Row(toVersion, v))
   }

@@ -764,13 +764,21 @@ final class LogLakeSource(spark: SparkSession, dir: String,
         // one walk serves every cap combination: versions/bytes admit
         // whole commits (first always — a fat commit must not wedge the
         // stream); the file cap additionally SPLITS append-class
-        // commits at a file boundary, resuming mid-version next trigger
+        // commits at a file boundary, resuming mid-version next
+        // trigger. The walk is LAZY (manifests read only while caps
+        // stay open) and version-bounded when vCap is finite, so a
+        // capped trigger against a deep backlog reads O(admitted)
+        // manifests, never O(backlog).
         val fromExcl = if (bi >= 0) bv - 1 else bv
+        val hi = if (vCap == Long.MaxValue) cur
+          else math.min(cur, bv + vCap) // ≤ vCap admissions past bv
         var endV = bv; var endI = bi
         var versionsTaken = 0L; var filesTaken = 0L; var bytesTaken = 0L
         var open = true
-        LogLake.manifestRange(dir, fromExcl, cur).foreach { m =>
-          if (open) {
+        val it = LogLake.manifestIterator(dir, fromExcl, hi)
+        while (it.hasNext && open) {
+          val m = it.next()
+          locally {
             val skip = if (m.version == bv && bi >= 0) bi else 0
             val adds = m.adds.drop(skip)
             val vBytes = adds.iterator.map(a => math.max(a.bytes, 0L)).sum
@@ -903,6 +911,18 @@ final class LogLakeSource(spark: SparkSession, dir: String,
     * as 'insert' at the snapshot version (Delta's startingVersion-less
     * streaming CDF contract: begin from current state, then tail). */
   private def getCdfBatch(start: Option[V1Offset], to: Long): DataFrame = {
+    // a checkpoint written under maxFilesPerTrigger may hold a
+    // MID-VERSION offset; CDF batches are per-commit and cannot resume
+    // mid-commit — dropping the index would silently lose the
+    // version's unconsumed remainder, so refuse loudly instead
+    start.map(parseOff).foreach { case (v, i) =>
+      require(i < 0,
+        s"loglake: the checkpoint holds a mid-version offset (version $v, " +
+          s"$i files consumed — written under maxFilesPerTrigger); a CDF " +
+          "restart cannot resume mid-commit. Finish draining with the " +
+          "original options, or start a fresh checkpoint with " +
+          s"startingVersion=$v")
+    }
     val df = start match {
       case None if initialSnapshot =>
         val (files, snapSchema) = LogLake.activeState(dir, Some(to))
