@@ -1162,11 +1162,13 @@ object LogLake {
     mapper.readTree(readFully(f, p)).elements().asScala.map(_.asText()).toSeq
   }
 
-  private def writePartitionSpec(dir: String, physCols: Seq[String]): Unit = {
+  private def writePartitionSpec(dir: String,
+      physCols: Seq[String]): (Path, Array[Byte]) = {
     val arr = mapper.createArrayNode()
     physCols.foreach(arr.add)
-    publishSpecOnce(dir, partitionSpecPath(dir),
-      mapper.writeValueAsBytes(arr), "partition")
+    val bytes = mapper.writeValueAsBytes(arr)
+    publishSpecOnce(dir, partitionSpecPath(dir), bytes, "partition")
+    (partitionSpecPath(dir), bytes)
   }
 
   /** WRITE-ONCE publication for create-time layout specs (partition +
@@ -1233,19 +1235,22 @@ object LogLake {
         .flatMap(_.elements().asScala.map(_.asText())).toSeq))
   }
 
-  private def writeBucketSpec(dir: String, spec: TableBucketSpec): Unit = {
+  private def writeBucketSpec(dir: String,
+      spec: TableBucketSpec): (Path, Array[Byte]) = {
     val node = mapper.createObjectNode()
     val cols = node.putArray("cols"); spec.cols.foreach(cols.add)
     node.put("n", spec.n)
     val sorts = node.putArray("sortCols"); spec.sortCols.foreach(sorts.add)
-    publishSpecOnce(dir, bucketSpecPath(dir),
-      mapper.writeValueAsBytes(node), "bucket")
+    val bytes = mapper.writeValueAsBytes(node)
+    publishSpecOnce(dir, bucketSpecPath(dir), bytes, "bucket")
+    (bucketSpecPath(dir), bytes)
   }
 
   /** Validate and publish a create-time bucket spec (after the
     * partition spec, so disjointness checks see it). */
   private def stageBucketSpec(dir: String, schema: StructType,
-      bucketBy: Seq[String], numBuckets: Int, sortBy: Seq[String]): Unit = {
+      bucketBy: Seq[String], numBuckets: Int,
+      sortBy: Seq[String]): (Path, Array[Byte]) = {
     require(currentVersion(dir) == 0L,
       s"loglake: bucketBy is create-only — table already exists at $dir")
     require(bucketBy.nonEmpty, "loglake: bucketBy needs at least one column")
@@ -1323,6 +1328,35 @@ object LogLake {
     val bucketFields = bs.cols.map(p => byPhys.getOrElse(p, return files))
     if (!bucketFields.forall(f => keyCols.contains(f.name))) return files
     if (!allBucketTagged(files)) return files
+    // prune only when the source key's type LOSSLESSLY casts to the
+    // table's bucket column type: the semi-join the prune feeds compares
+    // under Spark's coerced COMMON type, so for e.g. a DoubleType source
+    // key against a LongType bucket column, cast(double AS long) can
+    // land in a different bucket than the row that matches under double
+    // comparison (any long ≥ 2^53) — the prune would drop the file
+    // holding the match and the merge would insert a duplicate. A lossy
+    // pairing falls through to the full candidate set (correct, just
+    // unpruned).
+    val srcTypes = keys.schema.fields.iterator.map(f => f.name -> f.dataType).toMap
+    def lossless(src: org.apache.spark.sql.types.DataType,
+        tbl: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      def rank(t: DataType): Int = t match {
+        case ByteType => 1; case ShortType => 2
+        case IntegerType => 3; case LongType => 4; case _ => -1
+      }
+      if (src == tbl) true
+      else (src, tbl) match {
+        case (s, t) if rank(s) > 0 && rank(t) > 0 => rank(s) <= rank(t)
+        case (FloatType, DoubleType) => true
+        case (s, DoubleType) if rank(s) > 0 && rank(s) <= 3 => true
+        case (s, FloatType) if rank(s) > 0 && rank(s) <= 2 => true
+        case _ => false
+      }
+    }
+    if (!bucketFields.forall(f =>
+      srcTypes.get(f.name).exists(st => lossless(st, f.dataType))))
+      return files
     // hash the TABLE-TYPED values: the write side bucketed table-typed
     // rows, and murmur3 is width-sensitive — a LongType table merged
     // from an IntegerType source (names match, types coerce later)
@@ -1365,10 +1399,38 @@ object LogLake {
       numBuckets: Int = 0, bucketSortBy: Seq[String] = Nil): Long = {
     require(bucketBy.nonEmpty || (numBuckets == 0 && bucketSortBy.isEmpty),
       "loglake: numBuckets/bucketSortBy need bucketBy columns")
-    if (partitionBy.nonEmpty) stagePartitionSpec(dir, df.schema, partitionBy)
-    if (bucketBy.nonEmpty)
-      stageBucketSpec(dir, df.schema, bucketBy, numBuckets, bucketSortBy)
-    write(spark, dir, df, "create", statsCols, txnId)
+    val staged =
+      (if (partitionBy.nonEmpty)
+        Seq(stagePartitionSpec(dir, df.schema, partitionBy)) else Nil) ++
+      (if (bucketBy.nonEmpty)
+        Seq(stageBucketSpec(dir, df.schema, bucketBy, numBuckets, bucketSortBy))
+      else Nil)
+    val v = write(spark, dir, df, "create", statsCols, txnId)
+    verifyStagedSpecs(dir, staged)
+    v
+  }
+
+  /** Post-commit witness for create-time layout specs: the v1 commit
+    * CAS is the true create arbiter, so after WINNING it, the creator
+    * re-reads each spec it staged and requires byte equality. Closes
+    * the residual local-FS window in [[publishSpecOnce]] — two racing
+    * creates can BOTH pass the publish-time read-back when racer B's
+    * rename-replace lands after racer A's read-back; whichever of them
+    * then wins v1 dies HERE instead of leaving a table whose spec (and
+    * possibly bucket-tagged files) belong to the loser. No commit with
+    * a wrong layout ever becomes readable: both racers fail loudly and
+    * the directory must be recreated. */
+  private def verifyStagedSpecs(dir: String,
+      staged: Seq[(Path, Array[Byte])]): Unit = {
+    val f = fs(dir)
+    staged.foreach { case (p, bytes) =>
+      val back = try readFully(f, p) catch { case _: Exception => null }
+      require(back != null && java.util.Arrays.equals(back, bytes),
+        s"loglake: layout spec at $p was replaced by a concurrent create " +
+          s"race during table creation at $dir — the committed data may be " +
+          "laid out under the other spec; delete the table directory and " +
+          "recreate")
+    }
   }
 
   /** Validate and publish a create-time partition spec. Published
@@ -1377,7 +1439,7 @@ object LogLake {
     * (its spec file either lost the rename or described the same
     * create). */
   private def stagePartitionSpec(dir: String, schema: StructType,
-      partitionBy: Seq[String]): Unit = {
+      partitionBy: Seq[String]): (Path, Array[Byte]) = {
     require(currentVersion(dir) == 0L,
       s"loglake: partitionBy is create-only — table already exists at $dir")
     val phys = partitionBy.map { c =>
@@ -1410,10 +1472,15 @@ object LogLake {
       s"loglake: cannot create — table already exists at $dir")
     require(bucketBy.nonEmpty || (numBuckets == 0 && bucketSortBy.isEmpty),
       "loglake: numBuckets/bucketSortBy need bucketBy columns")
-    if (partitionBy.nonEmpty) stagePartitionSpec(dir, schema, partitionBy)
-    if (bucketBy.nonEmpty)
-      stageBucketSpec(dir, schema, bucketBy, numBuckets, bucketSortBy)
-    commit(dir, "create", txnId, 0L, schema.json, Nil, Nil)
+    val staged =
+      (if (partitionBy.nonEmpty)
+        Seq(stagePartitionSpec(dir, schema, partitionBy)) else Nil) ++
+      (if (bucketBy.nonEmpty)
+        Seq(stageBucketSpec(dir, schema, bucketBy, numBuckets, bucketSortBy))
+      else Nil)
+    val v = commit(dir, "create", txnId, 0L, schema.json, Nil, Nil)
+    verifyStagedSpecs(dir, staged)
+    v
   }
 
   /** CONVERT an existing FLAT parquet directory into a loglake table
@@ -3268,14 +3335,19 @@ object LogLake {
     // tagged snapshots stay readable through vacuum: the keep-set is
     // the UNION of the current version's files and every tagged
     // version's (Iceberg's expire-snapshots-respects-refs rule); each
-    // tag costs one metadata-sized resolve here, nothing at read time
+    // tag costs one metadata-sized resolve here, nothing at read time.
+    // Dedup by (path, dv), NOT path alone: a merge-on-read DELETE
+    // re-adds the same data path with a NEW dv sidecar, so a tagged
+    // version and the current version can legitimately hold the same
+    // path under different DVs — dedup by path would keep only one DV
+    // name and sweep the other, breaking `VERSION AS OF 'tag'` reads
     val state: Seq[AddFile] =
       if (history(dir).isEmpty) Seq.empty
       else {
         val pinned = tags(dir).values.toSeq.distinct.sorted
         (activeState(dir)._1 ++
           pinned.flatMap(v => activeState(dir, Some(v))._1))
-          .groupBy(_.path).map(_._2.head).toSeq
+          .groupBy(a => (a.path, a.dv)).map(_._2.head).toSeq
       }
     val cutoff = System.currentTimeMillis() - olderThanMs
     def sweep(sub: String, active: Set[String]): Seq[(String, Path)] = {

@@ -81,6 +81,27 @@ class TagsSpec extends SparkTestBase {
     }
   }
 
+  test("vacuum keeps BOTH DV generations when a tag and head share a data path") {
+    // merge-on-read DELETE re-adds the same data path under a NEW dv
+    // sidecar, so a tagged version and the current version can hold the
+    // same path with DIFFERENT DVs. A keep-set deduped by path alone
+    // would keep only one DV name and sweep the other — the tagged read
+    // (or the head read) then dies on a missing sidecar.
+    val dir = tmp("dvgen")
+    LogLake.create(spark, dir, sample(1, 50))
+    LogLake.delete(spark, dir, $"k" <= 5, mor = true)   // v2: path + dv1
+    LogLake.setTag(dir, "pin")                          // pins v2
+    LogLake.delete(spark, dir, $"k" <= 10, mor = true)  // v3: same path + dv2
+    val swept = LogLake.vacuum(dir, olderThanMs = -60000L)
+    // dv1 (tagged) and dv2 (head) must BOTH survive
+    assert(spark.read.format("loglake").option("versionAsOf", "pin")
+      .load(dir).count() == 45, "tagged DV generation must survive vacuum")
+    assert(spark.read.format("loglake").load(dir).count() == 40,
+      "head DV generation must survive vacuum")
+    assert(!swept.exists(_.startsWith(LogLake.DvDir + "/")),
+      s"no live DV may be swept, got: $swept")
+  }
+
   test("metadata retention clamps its floor to the oldest tag") {
     val dir = tmp("retain")
     LogLake.create(spark, dir, sample(1, 5))
