@@ -1519,9 +1519,14 @@ object LogLake {
       .parquet(files.map(_.getPath.toString): _*)
       .select(col("_metadata.file_path").as("__file") +:
         schema.fieldNames.toIndexedSeq.map(col): _*)
+    val prefixLen = stringStatsPrefixLen(dir)
+    def statCol(c: String): Column =
+      if (prefixLen > 0 && schema(c).dataType == StringType)
+        substring(col(c), 1, prefixLen + 1)
+      else col(c)
     val aggs = count(lit(1)).as("__rows") +:
       statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
-        min(col(c)).as(s"__min_$i"), max(col(c)).as(s"__max_$i"),
+        min(statCol(c)).as(s"__min_$i"), max(statCol(c)).as(s"__max_$i"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i")) }
     val byFile = read.groupBy("__file").agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1535,11 +1540,7 @@ object LogLake {
             val mn = r.getAs[Any](s"__min_$i")
             val nulls = r.getAs[Long](s"__nulls_$i")
             c -> (if (mn == null) ColStats("null", "", "", nulls)
-            else {
-              val (t, lo) = typedRender(mn)
-              val (_, hi) = typedRender(r.getAs[Any](s"__max_$i"))
-              ColStats(t, lo, hi, nulls)
-            })
+            else renderStats(mn, r.getAs[Any](s"__max_$i"), nulls, prefixLen))
           }.toMap
           AddFile(name, r.getAs[Long]("__rows"), stats, s.getLen)
       }
@@ -3789,9 +3790,23 @@ object LogLake {
       .parquet(moved.map(_._1.toString): _*)
       .select(col("_metadata.file_path").as("__file") +:
         logicalCols.map(c => col(nameMap.getOrElse(c, c)).as(c)): _*)
+    // string stats columns aggregate over a (prefixLen+1)-code-point
+    // SUBSTRING, not the full value: min over prefixes is still a
+    // valid lower bound (prefix ≤ value) and the truncated-max
+    // prefix-increment in [[renderStats]] stays a strict upper bound,
+    // while the partial aggregates ship ≤ 33 code points per file
+    // instead of whole multi-KB documents. The +1 cp distinguishes
+    // "exactly fits" from "was longer" on the driver.
+    val prefixLen = stringStatsPrefixLen(dir)
+    def statCol(c: String): Column = {
+      val phys = nameMap.getOrElse(c, c)
+      if (prefixLen > 0 && stagedSchema(phys).dataType == StringType)
+        substring(col(c), 1, prefixLen + 1)
+      else col(c)
+    }
     val aggs = count(lit(1)).as("__rows") +:
       (statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
-        min(col(c)).as(s"__min_$i"), max(col(c)).as(s"__max_$i"),
+        min(statCol(c)).as(s"__min_$i"), max(statCol(c)).as(s"__max_$i"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i")) } ++
        constraints.zipWithIndex.map { case ((_, e), i) =>
          sum(when(not(coalesce(expr(s"($e)"), lit(true))), 1L).otherwise(0L))
@@ -3843,11 +3858,7 @@ object LogLake {
             val mn = r.getAs[Any](s"__min_$i")
             val nulls = r.getAs[Long](s"__nulls_$i")
             nameMap.getOrElse(c, c) -> (if (mn == null) ColStats("null", "", "", nulls)
-            else {
-              val (t, lo) = typedRender(mn)
-              val (_, hi) = typedRender(r.getAs[Any](s"__max_$i"))
-              ColStats(t, lo, hi, nulls)
-            })
+            else renderStats(mn, r.getAs[Any](s"__max_$i"), nulls, prefixLen))
           }.toMap
           AddFile(s"$DataDir/${p.getName}", r.getAs[Long]("__rows"), stats,
             len, partitionValues = pv, baseRowId = brid)
@@ -4087,6 +4098,83 @@ object LogLake {
   }
 
   private[sources] def renderValue(v: Any): String = typedRender(v)._2
+
+  /** Default cap on STORED string stats, in CODE POINTS — Delta's
+    * 32-char truncation rule. Without it the manifest copies each
+    * file's full lexicographic min and max strings: on the exact
+    * tables this engine targets (an LLM corpus with a `text` column)
+    * that is the two extreme DOCUMENTS per file — gigabytes of text
+    * in the commit log at 10⁶ files, parsed on the driver at every
+    * cold resolve and amplified by every checkpoint. Configurable per
+    * table via `loglake.stats.stringPrefixLength` (≤ 0 = store exact,
+    * the pre-truncation behavior). */
+  val DefaultStringStatsPrefixLen = 32
+
+  /** Stats tag for a TRUNCATED string min/max pair. Stored bounds
+    * remain SOUND for file skipping — min is a ≤-prefix of the true
+    * min (valid lower bound), max is [[prefixIncrement]]-ed (a strict
+    * upper bound on every string sharing the stored 32-cp prefix) —
+    * but they are NOT the exact extreme values, so the metadata-only
+    * MIN/MAX rule must refuse the tag ([[LogLakeMetadataRules]]) or it
+    * would return a truncated answer as the query result. */
+  val StringTruncTag = "strunc"
+
+  /** Cut `s` to at most `n` code points, never splitting a surrogate
+    * pair (an unpaired surrogate would re-encode as U+FFFD and change
+    * the UTF-8 comparison order the stats rely on). */
+  private[sources] def truncCodePoints(s: String, n: Int): String = {
+    val end = s.offsetByCodePoints(0, math.min(n, s.codePointCount(0, s.length)))
+    s.substring(0, end)
+  }
+
+  /** Smallest-effort STRICT upper bound for every string with prefix
+    * `p`: increment the LAST incrementable code point and drop the
+    * tail (UTF-8 byte order follows code-point order, so
+    * `a…(z+1) > a…z·anything`). Skips the surrogate gap (U+D7FF
+    * increments to U+E000). None when every code point is U+10FFFF —
+    * no bounded upper bound exists (store the exact max instead;
+    * pathological, never a natural-language corpus). */
+  private[sources] def prefixIncrement(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < Character.MAX_CODE_POINT) {
+        val next = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+        val kept = cps.take(i) :+ next
+        return Some(new String(kept, 0, kept.length))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  /** Build the stored [[ColStats]] for an aggregate (min, max) pair,
+    * applying string truncation when `prefixLen > 0` and either bound
+    * exceeds it. The TAG flips to [[StringTruncTag]] for the whole
+    * pair the moment either side is inexact — consumers that need
+    * exact extremes (metadata-only MIN/MAX) refuse by tag, consumers
+    * that need sound bounds (file skipping) keep working unchanged. */
+  private def renderStats(mnV: Any, mxV: Any, nulls: Long,
+      prefixLen: Int): ColStats = {
+    val (t, lo) = typedRender(mnV)
+    val (_, hi) = typedRender(mxV)
+    if (t != "string" || prefixLen <= 0) return ColStats(t, lo, hi, nulls)
+    val loCp = lo.codePointCount(0, lo.length)
+    val hiCp = hi.codePointCount(0, hi.length)
+    if (loCp <= prefixLen && hiCp <= prefixLen) ColStats(t, lo, hi, nulls)
+    else {
+      val loT = if (loCp <= prefixLen) lo else truncCodePoints(lo, prefixLen)
+      val hiT =
+        if (hiCp <= prefixLen) hi
+        else prefixIncrement(truncCodePoints(hi, prefixLen)).getOrElse(hi)
+      ColStats(StringTruncTag, loT, hiT, nulls)
+    }
+  }
+
+  /** The per-table string-stats cap ([[DefaultStringStatsPrefixLen]]). */
+  private def stringStatsPrefixLen(dir: String): Int =
+    tableProperties(dir).get("loglake.stats.stringPrefixLength")
+      .flatMap(_.trim.toIntOption).getOrElse(DefaultStringStatsPrefixLen)
 
   /** Compare two rendered values under the stats' type tag; a caller
     * whose bound renders under a DIFFERENT tag gets 0 (overlap = keep —

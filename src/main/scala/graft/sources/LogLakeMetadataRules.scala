@@ -214,6 +214,11 @@ class LogLakeMetadataOnlyCountRule extends Rule[LogicalPlan] {
     * tag/type pairing we can't reconstruct exactly — keep the scan. */
   private def decodeStat(tag: String, s: String, dt: DataType): Option[Any] =
     (tag, dt) match {
+      // TRUNCATED string stats ([[LogLake.StringTruncTag]]) are sound
+      // BOUNDS, not exact extremes: answering MIN/MAX from them would
+      // return a 32-cp prefix (or its prefix-increment) as the query
+      // result. REFUSE — the query falls back to the data scan.
+      case (LogLake.StringTruncTag, _) => None
       case ("string", StringType) => Some(UTF8String.fromString(s))
       case ("long", LongType) => Some(s.toLong)
       case ("long", IntegerType) => Some(s.toLong.toInt)
@@ -241,6 +246,12 @@ class LogLakeMetadataOnlyCountRule extends Rule[LogicalPlan] {
       phys: String, isPart: Boolean): Option[(Option[Any], Option[Any], Long)] = {
     f.stats.get(phys) match {
       case Some(s) if s.tpe == "null" => Some((None, None, s.nulls))
+      // truncated string stats: the BOUNDS are refused (inexact) but
+      // the null count is still exact — COUNT(col) stays
+      // metadata-only; MIN/MAX must check `rows - nulls` before
+      // treating the empty bounds as "no values in this file"
+      case Some(s) if s.tpe == LogLake.StringTruncTag =>
+        Some((None, None, s.nulls))
       case Some(s) =>
         for {
           lo <- decodeStat(s.tpe, s.min, attr.dataType)
@@ -294,13 +305,21 @@ class LogLakeMetadataOnlyCountRule extends Rule[LogicalPlan] {
         }.sum: Any
       case MinCol(a) =>
         val (phys, isPart) = colMeta(a).getOrElse(return None)
-        val mins = live.flatMap(f =>
-          fileStats(f, a, phys, isPart).getOrElse(return None)._1)
+        val mins = live.flatMap { f =>
+          val (lo, _, nulls) = fileStats(f, a, phys, isPart).getOrElse(return None)
+          // a file with non-null values but no EXACT bound (truncated
+          // string stats) cannot be skipped — refuse the whole rewrite
+          if (lo.isEmpty && f.rows - nulls > 0L) return None
+          lo
+        }
         if (mins.isEmpty) null else mins.reduce((x, y) => if (cmp(x, y) <= 0) x else y)
       case MaxCol(a) =>
         val (phys, isPart) = colMeta(a).getOrElse(return None)
-        val maxs = live.flatMap(f =>
-          fileStats(f, a, phys, isPart).getOrElse(return None)._2)
+        val maxs = live.flatMap { f =>
+          val (_, hi, nulls) = fileStats(f, a, phys, isPart).getOrElse(return None)
+          if (hi.isEmpty && f.rows - nulls > 0L) return None
+          hi
+        }
         if (maxs.isEmpty) null else maxs.reduce((x, y) => if (cmp(x, y) >= 0) x else y)
     }
     Some(out)
