@@ -1574,6 +1574,66 @@ object Lake {
         .agg(count(lit(1)).as("base_rows"),
           dsum(col("o_totalprice")).as("base_total"))
       current.crossJoin(baseline).orderBy("o_orderstatus")
+    },
+
+    // --- q146: WRITABLE BRANCHES (Iceberg branches / Delta WAP).
+    // Main holds orders; a 'staging' branch is created and a derived
+    // batch is appended TO THE BRANCH while main takes an unrelated
+    // append of its own. The builder REQUIRES isolation (main never
+    // sees the staged rows pre-publish), then publishes: the
+    // append-only branch composes with the interleaved main commit as
+    // one atomic blind-append commit (zero data rewritten — publish
+    // moves files by rename, metadata-sized on rename-capable
+    // stores). At 100 TB this is the write-audit-publish pattern: a
+    // pipeline stages a day's ingest on a branch, audits it with full
+    // query power, and promotes it without ever exposing partial
+    // state. Oracle replays main ∪ main-append ∪ branch-append.
+    Q(
+      "q146_loglake_branch_wap",
+      s"""WITH t AS (
+         |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + 30000000000, 'M', o_totalprice
+         |  FROM orders WHERE o_orderkey % 11 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 20000000000, 'B', o_totalprice + 1.5
+         |  FROM orders WHERE o_orderkey % 7 = 0
+         |)
+         |SELECT st, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(MAX(k) AS BIGINT) AS max_k, ${oSum("price")} AS total
+         |FROM t GROUP BY st ORDER BY st""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q146")
+      val ord = orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("price"))
+      LogLake.create(s, dir, ord)
+      LogLake.createBranch(s, dir, "staging")
+      // stage on the branch; main takes its own append meanwhile
+      LogLake.append(s, LogLake.branchDir(dir, "staging"),
+        ord.filter(col("k") % 7 === 0).select(
+          (col("k") + lit(20000000000L)).as("k"), lit("B").as("st"),
+          (col("price") + lit(1.5)).as("price")))
+      LogLake.append(s, dir,
+        ord.filter(col("k") % 11 === 0).select(
+          (col("k") + lit(30000000000L)).as("k"), lit("M").as("st"),
+          col("price")))
+      val staged = ord.filter(col("k") % 7 === 0).count()
+      val mainPre = s.read.format("loglake").load(dir).count()
+      require(mainPre == ord.count() + ord.filter(col("k") % 11 === 0).count(),
+        "q146: staged branch rows leaked into main before publish")
+      val v = LogLake.publishBranch(s, dir, "staging")
+      require(LogLake.branches(dir).isEmpty &&
+        LogLake.history(dir).find(_.version == v).exists(_.op == "publish"),
+        "q146: publish must land as one blind-append commit and retire the branch")
+      require(s.read.format("loglake").load(dir).count() == mainPre + staged,
+        "q146: published rows missing from main")
+      s.read.format("loglake").load(dir)
+        .groupBy("st")
+        .agg(count(lit(1)).as("cnt"), max("k").as("max_k"),
+          dsum(col("price")).as("total"))
+        .orderBy("st")
     }
   )
 }

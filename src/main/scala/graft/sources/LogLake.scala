@@ -3172,6 +3172,165 @@ object LogLake {
   private[sources] def resolveVersionRef(dir: String, ref: String): Long =
     ref.toLongOption.getOrElse(versionForTag(dir, ref))
 
+  // ---------------------------------------------------- writable branches
+
+  /** WRITABLE BRANCH REFS — Iceberg branches / Delta's
+    * write-audit-publish: a branch is a fully writable STAGING HEAD of
+    * the table, created from a committed main version and published
+    * back as ONE atomic main commit.
+    *
+    * Mechanics: [[createBranch]] shallow-clones the base snapshot into
+    * `_loglake/branches/<name>` — a real loglake table referencing the
+    * parent's data files by absolute path, zero bytes copied — and
+    * registers `name → base version`. EVERY existing write surface
+    * (append, merge, delete, streaming sink, …) then works against
+    * [[branchDir]] unchanged: branch commits land in the branch's own
+    * log, invisible to main readers. [[publishBranch]] computes the
+    * branch's net file delta vs its base snapshot, moves branch-local
+    * files into the parent's layout (a metadata rename per file, no
+    * byte copy on rename-capable stores), and commits the delta onto
+    * main THROUGH the existing logical conflict detection:
+    *
+    *  - an APPEND-ONLY branch (the classic WAP ingest: write → audit →
+    *    publish) publishes as a blind append — it composes with ANY
+    *    main commits since the base, exactly like a live append would;
+    *  - a branch that REWROTE (merge/delete/update/optimize) publishes
+    *    as op `publish_rewrite` with `readVersion = base`: main
+    *    winners since the base are re-validated winner-by-winner
+    *    (blind appends rebase over; overlapping removes or
+    *    unserializable writes conflict LOUDLY — recreate the branch
+    *    from the new head and replay).
+    *
+    * Storage safety while a branch lives: [[vacuum]] keeps every
+    * parent file any branch still references (same rule as tags) and
+    * [[cleanupMetadata]] clamps its floor to the oldest branch base
+    * (publish validation must be able to read `base+1..head`).
+    * Branch creation and publication are both auditable: DESCRIBE
+    * HISTORY shows a `branch` row at creation and a
+    * `publish`/`publish_rewrite` row whose readVersion is the base —
+    * the rebase distance is `published version − base − 1`.
+    *
+    * Known limits (documented, loud where they bite): property /
+    * constraint / schema changes made ON the branch do not publish
+    * (publish refuses a diverged schema); an OLDER build of this
+    * library running vacuum on the parent would not know the branch
+    * registry — the same writer-feature hazard Iceberg refs have. */
+  def branches(dir: String): Map[String, Long] =
+    readKv(dir, "branches").map { case (k, v) => k -> v.toLong }
+
+  /** The branch's own table directory — every LogLake API and the
+    * `loglake` format accept it like any table path. */
+  def branchDir(dir: String, name: String): String =
+    s"$dir/$LogDir/branches/$name"
+
+  def createBranch(spark: SparkSession, dir: String, name: String,
+      version: Option[Long] = None): Long = {
+    require(name.nonEmpty && name.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-'),
+      s"loglake: branch name must be [A-Za-z0-9_-]+, got '$name'")
+    require(!branches(dir).contains(name),
+      s"loglake: branch '$name' already exists at $dir")
+    val base = version.getOrElse(currentVersion(dir))
+    require(base >= 1L, s"loglake: no committed version to branch from at $dir")
+    resolve(dir, Some(base)) // loud when unresolvable
+    // audit row on main FIRST: the branch is visible in DESCRIBE
+    // HISTORY from the moment it can pin storage
+    commit(dir, "branch", "", base, activeState(dir)._2.json, Nil, Nil)
+    val bdir = branchDir(dir, name)
+    // a crashed earlier attempt may have left an unregistered clone —
+    // it never made the registry, so it pinned nothing; clear it
+    val f = fs(dir)
+    if (f.exists(new Path(bdir))) f.delete(new Path(bdir), true)
+    cloneShallow(spark, dir, bdir, asOf = Some(base))
+    publishKv(dir, "branches", _ + (name -> base.toString))
+    base
+  }
+
+  /** Drop the branch: registry entry plus the whole branch directory
+    * (branch-local data files included — unpublished work is
+    * DISCARDED; publish first to keep it). */
+  def dropBranch(dir: String, name: String): Unit = {
+    require(branches(dir).contains(name),
+      s"loglake: no branch '$name' at $dir (have " +
+        s"${branches(dir).keys.toSeq.sorted.mkString(", ")})")
+    publishKv(dir, "branches", _ - name)
+    fs(dir).delete(new Path(branchDir(dir, name)), true)
+  }
+
+  /** Publish the branch's net changes onto main as one atomic commit
+    * (fast-forward for append-only branches), then drop the branch.
+    * Returns the new main version. See the class note on [[branches]]
+    * for the conflict semantics. */
+  def publishBranch(spark: SparkSession, dir: String, name: String): Long = {
+    val base = branches(dir).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"loglake: no branch '$name' at $dir (have " +
+          s"${branches(dir).keys.toSeq.sorted.mkString(", ")})"))
+    val bdir = branchDir(dir, name)
+    val (bFiles, bSchema) = activeState(bdir)
+    val (_, mainSchema) = activeState(dir)
+    require(bSchema.json == mainSchema.json,
+      s"loglake: branch '$name' schema diverged from main — schema " +
+        "changes do not publish; recreate the branch after evolving main")
+    val (v1Files, _) = activeState(bdir, Some(1L)) // the base snapshot
+    val v1Keys = v1Files.iterator.map(a => (a.path, a.dv)).toSet
+    val curKeys = bFiles.iterator.map(a => (a.path, a.dv)).toSet
+    val parentBase = fs(dir).makeQualified(new Path(dir)).toUri.getPath
+    // a v1 entry references the parent: map back to the parent's OWN
+    // manifest rendering (relative under the parent dir, verbatim when
+    // the parent itself held an external path)
+    def toParent(p: String): String =
+      if (p.startsWith(s"$parentBase/")) p.stripPrefix(s"$parentBase/") else p
+    val removes = v1Files.filterNot(a => curKeys((a.path, a.dv)))
+      .map(a => toParent(a.path))
+    val f = fs(dir)
+    // move branch-local adds into the parent's layout under fresh
+    // names (bucket tags preserved); remember each move for rollback
+    val movedBack = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
+    def adopt(rel: String, isDv: Boolean): String = {
+      val src = new Path(bdir, rel)
+      val name0 = src.getName
+      val dstRel =
+        if (isDv) s"$DvDir/${UUID.randomUUID()}.dv"
+        else name0 match {
+          case BucketTagName(t) => s"$DataDir/${UUID.randomUUID()}_$t.parquet"
+          case _ => s"$DataDir/${UUID.randomUUID()}.parquet"
+        }
+      val dst = new Path(dir, dstRel)
+      f.mkdirs(dst.getParent)
+      if (!f.rename(src, dst)) throw new java.io.IOException(
+        s"loglake: publish could not move $src to $dst")
+      movedBack += ((dst, src))
+      dstRel
+    }
+    try {
+      val adds = bFiles.filterNot(a => v1Keys((a.path, a.dv))).map { a =>
+        a.copy(
+          path = if (isExternal(a.path)) toParent(a.path)
+            else adopt(a.path, isDv = false),
+          dv = if (a.dv.isEmpty) ""
+            else if (isExternal(a.dv)) toParent(a.dv)
+            else adopt(a.dv, isDv = true))
+      }
+      // blind iff the branch never rewrote: every commit after the
+      // clone is an append AND nothing was removed — then the adds'
+      // content never depended on table state and the publish composes
+      // with any main winner, like a live append
+      val blind = removes.isEmpty &&
+        history(bdir).forall(h => h.op == "clone" || h.op == "append")
+      val v = commit(dir, if (blind) "publish" else "publish_rewrite", "",
+        base, mainSchema.json, adds, removes)
+      publishKv(dir, "branches", _ - name)
+      f.delete(new Path(bdir), true)
+      v
+    } catch {
+      case e: Throwable =>
+        movedBack.foreach { case (dst, src) => f.rename(dst, src) }
+        throw e
+    }
+  }
+
   /** CAS-publish a KV-set transform: each attempt re-reads the CURRENT
     * set and applies `change` to it, so a lost race never clobbers the
     * concurrent writer's effect. */
@@ -3221,9 +3380,13 @@ object LogLake {
       s"loglake: cannot clone into $dstDir — a table already exists there")
     val (files, schema) = activeState(srcDir, asOf)
     val base = f.makeQualified(new Path(srcDir)).toUri.getPath
+    // a source entry may itself be external (clone of a clone /
+    // CONVERTed originals): reference it VERBATIM, never prefix an
+    // already-absolute path
     val adds = files.map { a =>
-      a.copy(path = s"$base/${a.path}",
-        dv = if (a.dv.isEmpty) a.dv else s"$base/${a.dv}")
+      a.copy(
+        path = if (isExternal(a.path)) a.path else s"$base/${a.path}",
+        dv = if (a.dv.isEmpty || isExternal(a.dv)) a.dv else s"$base/${a.dv}")
     }
     // the partition/bucket specs must exist BEFORE the clone's first
     // commit — later writes through the clone re-cluster like the
@@ -3346,8 +3509,28 @@ object LogLake {
       if (history(dir).isEmpty) Seq.empty
       else {
         val pinned = tags(dir).values.toSeq.distinct.sorted
+        // live BRANCHES pin like tags: any parent file a branch still
+        // references (clone-inherited external paths back into this
+        // dir) must survive — a published-later branch would otherwise
+        // read swept bytes. Branch-LOCAL files live under the branch's
+        // own directory and are never in the parent's sweep scope.
+        val parentBase = f.makeQualified(new Path(dir)).toUri.getPath
+        val branchPinned = branches(dir).keys.toSeq.sorted.flatMap { b =>
+          val bdir = branchDir(dir, b)
+          if (history(bdir).isEmpty) Nil
+          else activeState(bdir)._1.flatMap { a =>
+            def rel(p: String): Option[String] =
+              if (p.startsWith(s"$parentBase/"))
+                Some(p.stripPrefix(s"$parentBase/")) else None
+            rel(a.path).map(p =>
+              a.copy(path = p, dv = a.dv match {
+                case d if d.nonEmpty => rel(d).getOrElse("")
+                case _ => ""
+              }))
+          }
+        }
         (activeState(dir)._1 ++
-          pinned.flatMap(v => activeState(dir, Some(v))._1))
+          pinned.flatMap(v => activeState(dir, Some(v))._1) ++ branchPinned)
           .groupBy(a => (a.path, a.dv)).map(_._2.head).toSeq
       }
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -3442,11 +3625,16 @@ object LogLake {
     val manifestVs = manifests.map(_._1).toSet
     // the floor clamps to the OLDEST TAG: resolving a tagged version
     // needs a checkpoint at-or-below it plus the manifest tail up to
-    // it, so no log below a tag may be swept while the tag exists
+    // it, so no log below a tag may be swept while the tag exists.
+    // Live BRANCH BASES clamp identically: a rewriting branch's
+    // publish re-validates main's manifests `base+1..head`, so the
+    // log below the oldest base must stay readable until the branch
+    // publishes or drops
     val minTag = tags(dir).values.minOption.getOrElse(Long.MaxValue)
+    val minBranch = branches(dir).values.minOption.getOrElse(Long.MaxValue)
     val floorOpt = checkpoints.map(_._1)
       .filter(v => manifestVs(v) && commitTsOf(dir, v) < cutoff &&
-        v <= minTag)
+        v <= minTag && v <= minBranch)
       .lastOption
     floorOpt match {
       case None => Seq.empty
@@ -3871,7 +4059,8 @@ object LogLake {
     * anyone else commits. Creates/appends stay optimistic (commute). */
   private val Serializable2PC =
     Set("overwrite", "merge", "optimize", "delete", "update", "restore",
-      "rename_column", "drop_column", "add_column", "widen_column")
+      "rename_column", "drop_column", "add_column", "widen_column",
+      "publish_rewrite")
 
   /** Rewrites whose added files carry ONLY rows that already existed in
     * the files they removed (optimize re-lays rows out; delete keeps a
@@ -3924,8 +4113,15 @@ object LogLake {
       ourRemoves: Set[String], ourSchemaJson: String): Option[String] = {
     if (StrictOps(w.op)) Some(s"is a ${w.op}")
     else if (w.schemaJson != ourSchemaJson) Some("changed the table schema")
-    else if (w.removes.isEmpty && (w.op == "append" || w.op == "create"))
-      None // blind append — serializes after us
+    else if (w.adds.isEmpty && w.removes.isEmpty)
+      None // pure metadata row ("branch" audit commit) — serializes anywhere
+    else if (w.removes.isEmpty &&
+      (w.op == "append" || w.op == "create" || w.op == "publish"))
+      // blind append — serializes after us. Op "publish" is ONLY ever
+      // written for append-only branches ([[publishBranch]] names a
+      // rewriting branch's commit "publish_rewrite"), so its adds are
+      // state-independent exactly like a live append's
+      None
     else {
       val overlap = w.removes.find(ourRemoves)
       if (overlap.nonEmpty)

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.LogLake
+
+/** WRITABLE BRANCHES (Iceberg branches / write-audit-publish):
+  * [[LogLake.createBranch]] stages a fully writable head of the table;
+  * every write API works against [[LogLake.branchDir]] unchanged and
+  * stays invisible to main; [[LogLake.publishBranch]] lands the net
+  * delta as one atomic main commit through the logical conflict rules
+  * (append-only branches compose with anything; rewriting branches
+  * rebase over blind appends and conflict loudly on overlap). Live
+  * branches pin vacuum and metadata retention like tags. */
+class BranchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"llbranch-$name").toString + "/t"
+
+  private def sample(from: Int, to: Int): DataFrame =
+    (from to to).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+
+  private def readMain(dir: String): DataFrame =
+    spark.read.format("loglake").load(dir)
+
+  private def readBranch(dir: String, name: String): DataFrame =
+    spark.read.format("loglake").load(LogLake.branchDir(dir, name))
+
+  test("write-audit-publish: branch writes stay invisible, publish lands atomically") {
+    val dir = tmp("wap")
+    LogLake.create(spark, dir, sample(1, 50))
+    val base = LogLake.createBranch(spark, dir, "staging")
+    assert(base == 1L && LogLake.branches(dir) == Map("staging" -> 1L))
+    // the branch reads the base snapshot without copying a byte
+    assert(readBranch(dir, "staging").count() == 50)
+    // WRITE to the branch through the ordinary API
+    LogLake.append(spark, LogLake.branchDir(dir, "staging"), sample(51, 80))
+    // AUDIT: branch sees staged rows, main does not
+    assert(readBranch(dir, "staging").count() == 80)
+    assert(readMain(dir).count() == 50, "main must not see unpublished rows")
+    // PUBLISH: one atomic commit, branch retired
+    val v = LogLake.publishBranch(spark, dir, "staging")
+    assert(readMain(dir).count() == 80)
+    assert(LogLake.branches(dir).isEmpty, "published branch must be dropped")
+    assert(readMain(dir).agg(sum("k")).head().getLong(0) == (1 to 80).sum)
+    // audit trail: a `branch` row at creation, a `publish` row whose
+    // readVersion is the base (rebase distance = v - base - 1)
+    val hist = LogLake.history(dir)
+    assert(hist.exists(_.op == "branch"))
+    val pub = hist.find(_.version == v).get
+    assert(pub.op == "publish" && pub.readVersion == base)
+  }
+
+  test("append-only publish composes with main commits made meanwhile") {
+    val dir = tmp("compose")
+    LogLake.create(spark, dir, sample(1, 10))
+    LogLake.createBranch(spark, dir, "ingest")
+    LogLake.append(spark, LogLake.branchDir(dir, "ingest"), sample(11, 20))
+    // main moves on while the branch is being audited — a DELETE even
+    LogLake.append(spark, dir, sample(101, 110))
+    LogLake.delete(spark, dir, $"k" <= 5L)
+    val before = readMain(dir).count() // 5 + 10
+    LogLake.publishBranch(spark, dir, "ingest")
+    assert(readMain(dir).count() == before + 10,
+      "blind publish must compose with interleaved main commits")
+  }
+
+  test("rewriting branch: rebases over blind appends, conflicts loudly on overlap") {
+    val dir = tmp("rewrite")
+    LogLake.create(spark, dir, sample(1, 100).repartition(4))
+    LogLake.createBranch(spark, dir, "fix")
+    // REWRITE on the branch (delete half)
+    LogLake.delete(spark, LogLake.branchDir(dir, "fix"), $"k" % 2L === 0L)
+    // main gets a blind append meanwhile — publish must rebase over it
+    LogLake.append(spark, dir, sample(201, 210))
+    val v = LogLake.publishBranch(spark, dir, "fix")
+    assert(readMain(dir).count() == 50 + 10)
+    val pub = LogLake.history(dir).find(_.version == v).get
+    assert(pub.op == "publish_rewrite")
+    // now a conflicting interleave: branch rewrites files that a main
+    // DELETE also rewrites → loud snapshot conflict, nothing committed
+    val dir2 = tmp("conflict")
+    LogLake.create(spark, dir2, sample(1, 100).repartition(2))
+    LogLake.createBranch(spark, dir2, "fix2")
+    LogLake.delete(spark, LogLake.branchDir(dir2, "fix2"), $"k" <= 50L)
+    LogLake.delete(spark, dir2, $"k" > 90L) // touches the same files
+    val mainCount = readMain(dir2).count()
+    val e = intercept[java.io.IOException] {
+      LogLake.publishBranch(spark, dir2, "fix2")
+    }
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    assert(readMain(dir2).count() == mainCount, "failed publish must change nothing")
+    // the branch survives a failed publish, still readable
+    assert(readBranch(dir2, "fix2").count() == 50)
+  }
+
+  test("merge-on-read branch delete publishes its deletion vector") {
+    val dir = tmp("dv")
+    LogLake.create(spark, dir, sample(1, 40).repartition(1))
+    LogLake.createBranch(spark, dir, "mor")
+    LogLake.delete(spark, LogLake.branchDir(dir, "mor"), $"k" <= 10L, mor = true)
+    assert(readBranch(dir, "mor").count() == 30)
+    LogLake.publishBranch(spark, dir, "mor")
+    assert(readMain(dir).count() == 30,
+      "published DV must mask the same rows on main")
+  }
+
+  test("vacuum keeps branch-referenced files; retention clamps to the branch base") {
+    val dir = tmp("pin")
+    LogLake.create(spark, dir, sample(1, 50))
+    LogLake.createBranch(spark, dir, "hold")
+    // main OVERWRITES — the original generation is only referenced by
+    // the branch now
+    LogLake.overwrite(spark, dir, sample(500, 520))
+    val swept = LogLake.vacuum(dir, olderThanMs = -60000L)
+    assert(swept.isEmpty, s"branch-referenced files must survive, swept: $swept")
+    assert(readBranch(dir, "hold").count() == 50, "branch must read after vacuum")
+    // retention: many commits + cleanup must keep the log at/below base
+    (1 to 15).foreach(i => LogLake.append(spark, dir, sample(i, i)))
+    LogLake.cleanupMetadata(dir, olderThanMs = -60000L)
+    val vs = LogLake.history(dir).map(_.version)
+    assert(vs.head <= 2L, s"log below the branch base must be retained, got ${vs.head}")
+    // drop the branch: storage + log float free on the next pass
+    LogLake.dropBranch(dir, "hold")
+    assert(LogLake.vacuum(dir, olderThanMs = -60000L).nonEmpty,
+      "dropped branch releases the pinned generation")
+    LogLake.cleanupMetadata(dir, olderThanMs = -60000L)
+    assert(LogLake.history(dir).map(_.version).head > 2L)
+  }
+
+  test("publish refuses a diverged schema; dropBranch discards staged work") {
+    val dir = tmp("guards")
+    LogLake.create(spark, dir, sample(1, 10))
+    LogLake.createBranch(spark, dir, "s")
+    LogLake.addColumn(LogLake.branchDir(dir, "s"),
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.IntegerType))
+    intercept[IllegalArgumentException] {
+      LogLake.publishBranch(spark, dir, "s")
+    }
+    LogLake.dropBranch(dir, "s")
+    assert(LogLake.branches(dir).isEmpty)
+    assert(!new java.io.File(LogLake.branchDir(dir, "s")).exists)
+    assert(readMain(dir).count() == 10)
+    // name rules + duplicates are refused
+    intercept[IllegalArgumentException] { LogLake.createBranch(spark, dir, "bad name") }
+    LogLake.createBranch(spark, dir, "b1")
+    intercept[IllegalArgumentException] { LogLake.createBranch(spark, dir, "b1") }
+  }
+}
