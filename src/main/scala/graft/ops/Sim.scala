@@ -1077,16 +1077,19 @@ object Sim {
     // exemplar; ties break to the lower id). One broadcast assignment
     // pass + one c_id-keyed self-join + one aggregate — every stage
     // partitions on cluster id, so 1000 executors each dedup their own
-    // clusters. Deterministic fixed centroids (vec_id % 53) stand in
-    // for trained ones, as in q70; cosines are the exact fixed-point
-    // sdot kernel, so the oracle replays bit-identically.
+    // clusters. Centroids are a FIXED-SIZE set (k = 32 lowest vec_ids,
+    // a deterministic stand-in for trained centroids): broadcast size
+    // and the n×k assignment cost are INDEPENDENT of corpus size — the
+    // paper's fixed-k posture, unlike a modulo rule whose k grows with
+    // the table. Cosines are the exact fixed-point sdot kernel, so the
+    // oracle replays bit-identically.
     Q(
       "q144_semdedup", {
         val cosNC = s"${oDdot("n.embedding", "cent.ce")} / (n.nrm * cent.cn)"
         val cosAB = s"${oDdot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)"
         s"""WITH cent AS (
            |  SELECT vec_id AS c_id, embedding AS ce, ${oDnorm("embedding")} AS cn
-           |  FROM embeddings WHERE vec_id % 53 = 0
+           |  FROM embeddings ORDER BY vec_id LIMIT 32
            |), n AS (
            |  SELECT vec_id, embedding, ${oDnorm("embedding")} AS nrm FROM embeddings
            |), assign AS (
@@ -1113,7 +1116,9 @@ object Sim {
     ) { (s, d) =>
       val n = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), dnorm(col("embedding")).as("nrm"))
-      val cent = n.filter(col("vec_id") % 53 === 0)
+      // fixed k: a TakeOrdered over vec_id — one metadata-sized
+      // broadcast regardless of corpus size
+      val cent = n.orderBy("vec_id").limit(32)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
           col("nrm").as("cn"))
       val w = Window.partitionBy("vec_id").orderBy(col("cosc").desc, col("c_id"))
