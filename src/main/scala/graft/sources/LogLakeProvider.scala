@@ -632,10 +632,6 @@ final class LogLakeSource(spark: SparkSession, dir: String,
   maxVersions.foreach(n => require(n >= 1L, s"maxVersionsPerTrigger must be >= 1, got $n"))
   maxBytes.foreach(n => require(n >= 1L, s"maxBytesPerTrigger must be >= 1, got $n"))
   maxFiles.foreach(n => require(n >= 1L, s"maxFilesPerTrigger must be >= 1, got $n"))
-  require(!(readChangeFeed && maxFiles.nonEmpty),
-    "loglake: maxFilesPerTrigger splits commits mid-version, which a CDF " +
-      "batch cannot express (changes are per-commit) — use " +
-      "maxVersionsPerTrigger with readChangeFeed")
 
   // the snapshot pin: the version the first batch will deliver when
   // initialSnapshot is on (getBatch re-reads the snapshot AS OF the
@@ -784,8 +780,15 @@ final class LogLakeSource(spark: SparkSession, dir: String,
             val vBytes = adds.iterator.map(a => math.max(a.bytes, 0L)).sum
             val progressed = versionsTaken > 0L || filesTaken > 0L ||
               endI != bi || endV != bv
+            // CDF narrows splittability further: an append-class
+            // commit's change rows come 1:1 from its add-files, so a
+            // file-boundary split is exact — but a commit carrying
+            // write-time change files (insert-only MERGE with CDC)
+            // must stay whole, since its change rows live in the cdc
+            // files, not the adds
             val splittable = fileCap != Long.MaxValue && m.removes.isEmpty &&
-              m.op != "optimize" && adds.forall(_.dv.isEmpty)
+              m.op != "optimize" && adds.forall(_.dv.isEmpty) &&
+              (!readChangeFeed || m.cdc.isEmpty)
             if (splittable) {
               var taken = 0
               var fits = true
@@ -830,7 +833,7 @@ final class LogLakeSource(spark: SparkSession, dir: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val (to, toI) = parseOff(end)
-    if (readChangeFeed) return getCdfBatch(start, to)
+    if (readChangeFeed) return getCdfBatch(start, to, toI)
     // Fast path: plain parquet file list (no deletion vectors in play) —
     // stays a single native vectorized scan. DV-bearing batches fall back
     // to the merge-on-read read (scan anti-join DV positions, the same
@@ -909,19 +912,32 @@ final class LogLakeSource(spark: SparkSession, dir: String,
   /** One CDF micro-batch: the changes of versions `(start, to]` — or,
     * under `initialSnapshot`, a first batch of the whole table's rows
     * as 'insert' at the snapshot version (Delta's startingVersion-less
-    * streaming CDF contract: begin from current state, then tail). */
-  private def getCdfBatch(start: Option[V1Offset], to: Long): DataFrame = {
-    // a checkpoint written under maxFilesPerTrigger may hold a
-    // MID-VERSION offset; CDF batches are per-commit and cannot resume
-    // mid-commit — dropping the index would silently lose the
-    // version's unconsumed remainder, so refuse loudly instead
-    start.map(parseOff).foreach { case (v, i) =>
-      require(i < 0,
-        s"loglake: the checkpoint holds a mid-version offset (version $v, " +
-          s"$i files consumed — written under maxFilesPerTrigger); a CDF " +
-          "restart cannot resume mid-commit. Finish draining with the " +
-          "original options, or start a fresh checkpoint with " +
-          s"startingVersion=$v")
+    * streaming CDF contract: begin from current state, then tail).
+    *
+    * SUB-VERSION boundaries (`maxFilesPerTrigger`): the admission walk
+    * only ever splits APPEND-CLASS commits with no write-time change
+    * files, whose change rows come 1:1 from their add-files as
+    * 'insert' — so a mid-version start/end slices that commit's
+    * add-file list exactly like the raw mode, and the batch stays
+    * byte-identical on replay (manifest add order is immutable).
+    * Rewrite/DV/cdc-bearing commits always arrive whole, through
+    * [[LogLake.changeFeed]]. */
+  private def getCdfBatch(start: Option[V1Offset], to: Long,
+      toI: Int): DataFrame = {
+    // 'insert' rows of one append-class commit's add-files [lo, hi)
+    def insertSlice(m: LogLake.Manifest, lo: Int, hi: Int): Option[DataFrame] = {
+      requireNoNewColumns(org.apache.spark.sql.types.DataType
+        .fromJson(m.schemaJson).asInstanceOf[StructType], m.version)
+      require(m.removes.isEmpty && m.cdc.isEmpty && m.adds.forall(_.dv.isEmpty),
+        s"loglake: mid-version offset into version ${m.version} (${m.op}), " +
+          "which is not an append-class commit — corrupt checkpoint?")
+      val files = m.adds.slice(lo, hi).filter(_.rows != 0L)
+      if (files.isEmpty) None
+      else Some(LogLake.readAdds(spark, dir, mappedSchema, files)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(m.version))
+        .withColumn("_commit_timestamp",
+          lit(LogLake.commitTimestamp(dir, m.version))))
     }
     val df = start match {
       case None if initialSnapshot =>
@@ -932,14 +948,39 @@ final class LogLakeSource(spark: SparkSession, dir: String,
           .withColumn("_commit_version", lit(to))
           .withColumn("_commit_timestamp", lit(LogLake.commitTimestamp(dir, to)))
       case _ =>
-        val from = start.map(ver).getOrElse(startV)
-        // same loud schema-evolution stop as the raw mode: a CDF batch
-        // under a silently-narrowed schema would drop the new column
-        LogLake.manifestRange(dir, from, to).foreach { m =>
-          requireNoNewColumns(org.apache.spark.sql.types.DataType
-            .fromJson(m.schemaJson).asInstanceOf[StructType], m.version)
+        val (fromV, fromI) = start.map(parseOff).getOrElse((startV, -1))
+        val pieces = List.newBuilder[DataFrame]
+        // (a) remainder of a split commit the last trigger stopped in
+        if (fromI >= 0) {
+          val m = LogLake.manifestRange(dir, fromV - 1, fromV).head
+          val hi = if (to == fromV && toI >= 0) toI else m.adds.size
+          insertSlice(m, fromI, hi).foreach(pieces += _)
         }
-        LogLake.changeFeed(spark, dir, from, to)
+        // (b) whole versions between the boundaries
+        val wholeFrom = fromV // (a) consumed the fromV tail when fromI >= 0
+        val wholeTo = if (toI >= 0) to - 1 else to
+        if (wholeTo > wholeFrom) {
+          // same loud schema-evolution stop as the raw mode: a CDF
+          // batch under a silently-narrowed schema would drop the new
+          // column
+          LogLake.manifestRange(dir, wholeFrom, wholeTo).foreach { m =>
+            requireNoNewColumns(org.apache.spark.sql.types.DataType
+              .fromJson(m.schemaJson).asInstanceOf[StructType], m.version)
+          }
+          pieces += LogLake.changeFeed(spark, dir, wholeFrom, wholeTo)
+        }
+        // (c) leading files of the split commit this trigger ends in
+        if (toI >= 0 && to != fromV) {
+          val m = LogLake.manifestRange(dir, to - 1, to).head
+          insertSlice(m, 0, toI).foreach(pieces += _)
+        }
+        pieces.result() match {
+          case Nil => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          case one :: Nil => one
+          case many => many.map(_.select(
+            schema.fieldNames.toIndexedSeq.map(col): _*)).reduce(_ union _)
+        }
     }
     GraftBridge.asStreamingRdd(
       df.select(schema.fieldNames.toIndexedSeq.map(col): _*))

@@ -710,6 +710,57 @@ class LogLakeProviderSpec extends SparkTestBase {
       (1L to 10L).map(i => i -> s"v$i"))
   }
 
+  test("maxFilesPerTrigger paces a CDF stream: append commits split, rewrites stay whole") {
+    val in = tmp("cdfsplit-in"); val chk = tmp("cdfsplit-chk")
+    def createSingleRowFiles(rows: Seq[(Long, String)], append: Boolean): Unit = {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+      try {
+        if (append) LogLake.append(spark, in, kv(rows: _*))
+        else LogLake.create(spark, in, kv(rows: _*))
+      } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    // ONE fat append-class commit carrying six single-row files
+    createSingleRowFiles((1L to 6L).map(i => i -> s"v$i"), append = false)
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[(Long, String, Long)]]()
+    def drain(cap: Int): Unit = {
+      val q = spark.readStream.format("loglake")
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .option("maxFilesPerTrigger", cap.toString).load(in)
+        .writeStream.option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect().map(r => (r.getAs[Long]("k"),
+            r.getAs[String]("_change_type"),
+            r.getAs[Long]("_commit_version"))).toSeq.sortBy(_._1)
+          batches.synchronized { if (rows.nonEmpty) batches += rows }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive, "AvailableNow must terminate")
+    }
+    drain(4)
+    // 6 insert rows under cap 4 → [4, 2], all labeled insert @ v1; the
+    // second batch resumed from the checkpointed mid-version offset
+    assert(batches.map(_.size) == Seq(4, 2), s"got ${batches.map(_.size)}")
+    assert(batches.flatten.map(_._1).sorted == (1L to 6L),
+      "split CDF batches must cover the commit exactly once (add-file " +
+        "order within the manifest, not key order)")
+    assert(batches.flatten.forall(r => r._2 == "insert" && r._3 == 1L))
+    // a DELETE (rewrite) plus another fat append: the delete's changes
+    // arrive WHOLE (never split), the append splits under the cap
+    LogLake.delete(spark, in, org.apache.spark.sql.functions.col("k") <= 2L)
+    createSingleRowFiles((7L to 10L).map(i => i -> s"v$i"), append = true)
+    batches.clear()
+    drain(3)
+    val flat = batches.flatten
+    assert(flat.filter(_._2 == "delete").map(_._1) == Seq(1L, 2L),
+      s"rewrite commit must deliver its deletes exactly once, got $flat")
+    assert(flat.filter(_._2 == "insert").map(_._1).sorted == (7L to 10L),
+      s"got $flat")
+    // the delete's batch is not split below the commit boundary: no
+    // batch mixes parts of the append beyond the cap
+    assert(batches.forall(_.size <= 3 + 2), s"got ${batches.map(_.size)}")
+  }
+
   test("initialSnapshot streams the current state first, then tails — history may contain rewrites") {
     val in = tmp("snap-in"); val out = tmp("snap-out"); val chk = tmp("snap-chk")
     kv(1L -> "a", 2L -> "b").write.format("loglake").mode("append").save(in)
