@@ -229,14 +229,52 @@ object LogLake {
       .sortBy(_._1)
   }
 
-  private def listCheckpoints(dir: String): Seq[(Long, Path)] = {
+  /** Multi-part checkpoint piece: `chk-<v>.p<i>-of-<n>.json`. Part 1
+    * carries the header (schema/txns/features) plus its file slice;
+    * parts 2..n are file slices only. */
+  private val CheckpointPartName = """^chk-(\d{20})\.p(\d+)-of-(\d+)\.json$""".r
+
+  /** COMPLETE checkpoints ascending: (version, ordered part paths). A
+    * single-file checkpoint is one part; a multi-part group counts
+    * ONLY when all n parts exist — a torn group (crashed writer,
+    * mid-sweep reader) is skipped entirely, which is sound because a
+    * checkpoint is purely an accelerator: an earlier complete one plus
+    * a longer manifest tail resolves the same state. */
+  private def listCheckpoints(dir: String): Seq[(Long, Seq[Path])] = {
     val f = fs(dir)
     val lp = logPath(dir)
     if (!f.exists(lp)) return Seq.empty
-    f.listStatus(lp).toSeq
-      .flatMap(s => if (s.isFile) numbered("chk-", ".json")(s.getPath.getName)
-        .map(_ -> s.getPath) else None)
-      .sortBy(_._1)
+    val files = f.listStatus(lp).toSeq.filter(_.isFile).map(_.getPath)
+    val singles = files.flatMap(p =>
+      numbered("chk-", ".json")(p.getName).map(_ -> Seq(p)))
+    val groups = files.flatMap { p =>
+      p.getName match {
+        case CheckpointPartName(v, i, n) => Some((v.toLong, i.toInt, n.toInt, p))
+        case _ => None
+      }
+    }.groupBy(_._1).flatMap { case (v, ps) =>
+      val n = ps.head._3
+      val byIdx = ps.map(q => q._2 -> q._4).toMap
+      if (ps.forall(_._3 == n) && byIdx.size == ps.size &&
+        (1 to n).forall(byIdx.contains))
+        Some(v -> (1 to n).map(byIdx).toSeq)
+      else None // torn — skip
+    }
+    (singles ++ groups).sortBy(_._1)
+  }
+
+  /** EVERY checkpoint-class file (singles + parts, complete or torn),
+    * version-tagged — the metadata-retention sweep's victim list. */
+  private def listCheckpointFilesRaw(dir: String): Seq[(Long, Path)] = {
+    val f = fs(dir)
+    val lp = logPath(dir)
+    if (!f.exists(lp)) return Seq.empty
+    f.listStatus(lp).toSeq.filter(_.isFile).map(_.getPath).flatMap { p =>
+      numbered("chk-", ".json")(p.getName).map(_ -> p).orElse(p.getName match {
+        case CheckpointPartName(v, _, _) => Some(v.toLong -> p)
+        case _ => None
+      })
+    }.sortBy(_._1)
   }
 
   private def readManifest(f: FileSystem, p: Path): Manifest =
@@ -401,12 +439,36 @@ object LogLake {
     }
     snapshotAssembles.incrementAndGet()
     val chk = listCheckpoints(dir).filter(_._1 <= target).lastOption
-      .map { case (_, p) =>
-        val in = f.open(p)
-        try parseCheckpointStream(in)
-        catch { case e: Exception =>
-          throw new java.io.IOException(s"loglake: unreadable checkpoint $p", e) }
-        finally in.close()
+      .map { case (_, parts) =>
+        def parseOne(p: Path): Checkpoint = {
+          val in = f.open(p)
+          try parseCheckpointStream(in)
+          catch { case e: Exception =>
+            throw new java.io.IOException(s"loglake: unreadable checkpoint $p", e) }
+          finally in.close()
+        }
+        if (parts.size == 1) parseOne(parts.head)
+        else {
+          // multi-part: parse the parts IN PARALLEL (each is its own
+          // stream) and concatenate file slices in part order — at 10⁷
+          // files the resolve cost is bounded by one part's parse, not
+          // the whole document's
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(parts.size, 8))
+          val pieces =
+            try {
+              val futs = parts.map(p => pool.submit(
+                new java.util.concurrent.Callable[Checkpoint] {
+                  override def call(): Checkpoint = parseOne(p)
+                }))
+              futs.map(_.get())
+            } catch {
+              case e: java.util.concurrent.ExecutionException => throw e.getCause
+            } finally pool.shutdown()
+          val head = pieces.head // part 1 carries the header
+          Checkpoint(head.version, head.schemaJson,
+            pieces.flatMap(_.files), head.txns, head.features)
+        }
       }
     val active = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -797,10 +859,19 @@ object LogLake {
       val removedEntries = m.removes.flatMap(state.get)
       m.removes.foreach(state.remove)
       m.adds.foreach(a => state(a.path) = a)
+      // rebaseDistance: how many winning commits this op was REBASED
+      // over by the logical conflict rules — `version − readVersion −
+      // 1`. 0 = committed exactly where it read (no contention); n > 0
+      // = n concurrent winners landed first and were each validated
+      // non-conflicting (or, for appends, simply composed with). The
+      // WAP audit surface: a published branch's row shows its base in
+      // readVersion and the interleaved-commit count here.
       Row(v, ts, m.op, if (m.txnId.isEmpty) null else m.txnId, m.readVersion,
         m.adds.size.toLong, m.adds.map(live).sum,
         m.removes.size.toLong, removedEntries.map(live).sum,
-        m.cdc.size.toLong)
+        m.cdc.size.toLong,
+        math.max(0L, v - m.readVersion - 1L),
+        m.features.toSeq.sorted)
     }
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
@@ -812,7 +883,10 @@ object LogLake {
       StructField("numAddedRows", LongType, nullable = false),
       StructField("numRemovedFiles", LongType, nullable = false),
       StructField("numRemovedRows", LongType, nullable = false),
-      StructField("numChangeFiles", LongType, nullable = false)))
+      StructField("numChangeFiles", LongType, nullable = false),
+      StructField("rebaseDistance", LongType, nullable = false),
+      StructField("tableFeatures", org.apache.spark.sql.types.ArrayType(
+        StringType, containsNull = false), nullable = false)))
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.reverse.asJava, schema)
   }
@@ -3639,8 +3713,11 @@ object LogLake {
     floorOpt match {
       case None => Seq.empty
       case Some(floor) =>
+        // checkpoint victims come from the RAW file listing (singles +
+        // every part, torn groups included) — a complete-groups-only
+        // sweep would leak a crashed writer's partial parts forever
         val victims = manifests.filter(_._1 < floor) ++
-          checkpoints.filter(_._1 < floor)
+          listCheckpointFilesRaw(dir).filter(_._1 < floor)
         if (!dryRun) victims.foreach { case (_, p) => f.delete(p, false) }
         victims.map { case (_, p) => s"$LogDir/${p.getName}" }
     }
@@ -4250,18 +4327,51 @@ object LogLake {
   }
 
   /** Best-effort, byte-idempotent: the same version always resolves to
-    * the same content, and rename-replace of an identical file is
-    * harmless, so concurrent checkpointers cannot corrupt anything. A
-    * failure here is swallowed — the commit already succeeded and the
-    * checkpoint is purely an accelerator. */
+    * the same content, deterministic part slicing gives every
+    * concurrent checkpointer identical bytes per part, and
+    * rename-replace of an identical file is harmless — so concurrent
+    * checkpointers cannot corrupt anything. A failure here is
+    * swallowed — the commit already succeeded and the checkpoint is
+    * purely an accelerator (readers skip torn part groups).
+    *
+    * MULTI-PART (Delta's multi-part checkpoints): above
+    * `loglake.checkpoint.partSizeFiles` active files (default 10⁶, the
+    * point where one ~200 MB JSON document starts to dominate the cold
+    * resolve) the state splits into ⌈files/partSize⌉ slices written IN
+    * PARALLEL as `chk-<v>.p<i>-of-<n>.json`; part 1 carries the
+    * header. A reader uses the group only when all n parts exist, so
+    * partial visibility mid-write or mid-sweep degrades to the
+    * previous checkpoint, never to a torn state. */
   private def writeCheckpoint(dir: String, v: Long): Unit =
     try {
       val f = fs(dir)
-      val tmp = new Path(logPath(dir), s"_tmp/c-${UUID.randomUUID()}")
-      val out = f.create(tmp, true)
-      try writeCheckpointStream(out, resolve(dir, Some(v))) finally out.close()
-      if (!f.rename(tmp, new Path(logPath(dir), f"chk-$v%020d.json")))
-        f.delete(tmp, false)
+      val c = resolve(dir, Some(v))
+      val partSize = tableProperties(dir)
+        .get("loglake.checkpoint.partSizeFiles")
+        .flatMap(_.toLongOption).getOrElse(1000000L)
+      def writeOne(piece: Checkpoint, name: String): Unit = {
+        val tmp = new Path(logPath(dir), s"_tmp/c-${UUID.randomUUID()}")
+        val out = f.create(tmp, true)
+        try writeCheckpointStream(out, piece) finally out.close()
+        if (!f.rename(tmp, new Path(logPath(dir), name))) f.delete(tmp, false)
+      }
+      if (partSize <= 0L || c.files.size <= partSize)
+        writeOne(c, f"chk-$v%020d.json")
+      else {
+        val slices = c.files.grouped(partSize.toInt).toVector
+        val n = slices.size
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(n, 8))
+        try {
+          slices.zipWithIndex.map { case (slice, i) =>
+            pool.submit(new Runnable {
+              override def run(): Unit = writeOne(
+                if (i == 0) Checkpoint(c.version, c.schemaJson, slice, c.txns, c.features)
+                else Checkpoint(c.version, "", slice, Map.empty, Set.empty),
+                f"chk-$v%020d.p${i + 1}-of-$n.json")
+            })
+          }.foreach(_.get())
+        } finally pool.shutdown()
+      }
       // expired-log cleanup rides the checkpoint cadence (Delta's
       // enableExpiredLogCleanup): opt-in via table property, and —
       // like the checkpoint itself — purely best-effort

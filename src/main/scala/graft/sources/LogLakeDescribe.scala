@@ -72,6 +72,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+($T)\\s+DROP\\s+TAG\\s+([\\w-]+)\\s*;?\\s*""".r
   private val ShowTags =
     s"""(?is)\\s*SHOW\\s+TAGS\\s+($T)\\s*;?\\s*""".r
+  /** Writable branch refs (write-audit-publish): `ALTER TABLE t
+    * CREATE BRANCH name [AS OF VERSION n]` / `ALTER TABLE t PUBLISH
+    * BRANCH name` / `ALTER TABLE t DROP BRANCH name` / `SHOW
+    * BRANCHES t`. */
+  private val CreateBranch =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($T)\\s+CREATE\\s+BRANCH\\s+([\\w-]+)(?:\\s+AS\\s+OF\\s+VERSION\\s+([0-9]+))?\\s*;?\\s*""".r
+  private val PublishBranch =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($T)\\s+PUBLISH\\s+BRANCH\\s+([\\w-]+)\\s*;?\\s*""".r
+  private val DropBranch =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($T)\\s+DROP\\s+BRANCH\\s+([\\w-]+)\\s*;?\\s*""".r
+  private val ShowBranches =
+    s"""(?is)\\s*SHOW\\s+BRANCHES\\s+($T)\\s*;?\\s*""".r
   /** `CREATE TABLE t (…)` with column-level GENERATED clauses — claimed
     * only when the balanced column body actually contains GENERATED
     * ALWAYS (the stock grammar rejects the clause); plain CREATEs stay
@@ -97,6 +109,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       LogLakeSetTagCommand(target.trim, name, Option(v).map(_.toLong))
     case DropTag(target, name) => LogLakeDropTagCommand(target.trim, name)
     case ShowTags(target) => LogLakeShowTagsCommand(target.trim)
+    case CreateBranch(target, name, v) =>
+      LogLakeCreateBranchCommand(target.trim, name, Option(v).map(_.toLong))
+    case PublishBranch(target, name) =>
+      LogLakePublishBranchCommand(target.trim, name)
+    case DropBranch(target, name) =>
+      LogLakeDropBranchCommand(target.trim, name)
+    case ShowBranches(target) => LogLakeShowBranchesCommand(target.trim)
     case AddCons(target, name, expr) =>
       LogLakeAddConstraintCommand(target.trim, name, expr.trim)
     case DropCons(target, name) =>
@@ -230,7 +249,10 @@ final case class LogLakeHistoryCommand(target: String) extends LeafRunnableComma
     StructField("numAddedRows", LongType, nullable = false),
     StructField("numRemovedFiles", LongType, nullable = false),
     StructField("numRemovedRows", LongType, nullable = false),
-    StructField("numChangeFiles", LongType, nullable = false))))
+    StructField("numChangeFiles", LongType, nullable = false),
+    StructField("rebaseDistance", LongType, nullable = false),
+    StructField("tableFeatures", org.apache.spark.sql.types.ArrayType(
+      StringType, containsNull = false), nullable = false))))
 
   override def run(session: SparkSession): Seq[Row] =
     LogLake.historyDf(session, DescribeTarget.dir(session, target))
@@ -588,6 +610,51 @@ final case class LogLakeShowTagsCommand(target: String)
   override def run(session: SparkSession): Seq[Row] =
     LogLake.tags(DescribeTarget.dir(session, target)).toSeq.sortBy(_._1)
       .map { case (t, v) => Row(t, v) }
+}
+
+/** `ALTER TABLE t CREATE BRANCH name [AS OF VERSION n]` — a writable
+  * staging head ([[LogLake.createBranch]]); write to it with any API
+  * against [[LogLake.branchDir]], then `PUBLISH BRANCH` lands the net
+  * delta on main as one atomic commit (write-audit-publish). */
+final case class LogLakeCreateBranchCommand(target: String, name: String,
+    version: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DescribeTarget.attrs(StructType(Seq(
+    StructField("baseVersion", LongType, nullable = false))))
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(LogLake.createBranch(session,
+      DescribeTarget.dir(session, target), name, version)))
+}
+
+final case class LogLakePublishBranchCommand(target: String,
+    name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DescribeTarget.attrs(StructType(Seq(
+    StructField("version", LongType, nullable = false))))
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(LogLake.publishBranch(session,
+      DescribeTarget.dir(session, target), name)))
+}
+
+final case class LogLakeDropBranchCommand(target: String,
+    name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    LogLake.dropBranch(DescribeTarget.dir(session, target), name)
+    Nil
+  }
+}
+
+final case class LogLakeShowBranchesCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DescribeTarget.attrs(StructType(Seq(
+    StructField("branch", StringType, nullable = false),
+    StructField("baseVersion", LongType, nullable = false),
+    StructField("headVersion", LongType, nullable = false))))
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = DescribeTarget.dir(session, target)
+    LogLake.branches(dir).toSeq.sortBy(_._1).map { case (b, base) =>
+      Row(b, base, LogLake.currentVersion(LogLake.branchDir(dir, b)))
+    }
+  }
 }
 
 /** `INSERT INTO t REPLACE WHERE <predicate> <query>` — Delta's

@@ -46,11 +46,43 @@ object MetaProbe {
         s""""adds":[${adds.mkString(",")}],"removes":[]}"""
       Files.write(log.resolve(f"$v%020d.json"), json.getBytes("UTF-8"))
     }
-    // checkpoint at the last version: all files, rendered once
-    val all = (1L to i).map(add)
-    val chk = s"""{"version":$nManifests,"schema":"${esc(schemaJson)}",""" +
-      s""""files":[${all.mkString(",")}],"txns":{}}"""
-    Files.write(log.resolve(f"chk-$nManifests%020d.json"), chk.getBytes("UTF-8"))
+    // checkpoint at the last version: all files, STREAMED (a 10⁷-file
+    // checkpoint is ~1.7 GB of JSON — building it as one string would
+    // measure the heap, not the parser)
+    writeChk(log.resolve(f"chk-$nManifests%020d.json"),
+      nManifests, 1L, i, header = true)
+  }
+
+  private def writeChk(p: java.nio.file.Path, v: Int, from: Long, to: Long,
+      header: Boolean): Unit = {
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(p.toFile), 1 << 20)
+    try {
+      w.write(s"""{"version":$v,"schema":"${if (header) esc(schemaJson) else ""}","files":[""")
+      var j = from
+      while (j <= to) {
+        if (j > from) w.write(",")
+        w.write(add(j)); j += 1
+      }
+      w.write("""],"txns":{}}""")
+    } finally w.close()
+  }
+
+  /** Swap the single-file checkpoint for an n-part group
+    * (`chk-<v>.p<i>-of-<n>.json`) over the same file set — the
+    * multi-part layout [[LogLake]] writes above
+    * `loglake.checkpoint.partSizeFiles`. */
+  private def makeMultiPart(dir: String, nFiles: Long, nManifests: Int,
+      partSize: Long): Int = {
+    val log = Paths.get(dir, LogLake.LogDir)
+    Files.deleteIfExists(log.resolve(f"chk-$nManifests%020d.json"))
+    val n = ((nFiles + partSize - 1) / partSize).toInt
+    (1 to n).foreach { p =>
+      val from = (p - 1).toLong * partSize + 1
+      val to = math.min(nFiles, p.toLong * partSize)
+      writeChk(log.resolve(f"chk-$nManifests%020d.p$p-of-$n.json"),
+        nManifests, from, to, header = p == 1)
+    }
+    n
   }
 
   private def t[A](tag: String)(f: => A): A = {
@@ -74,8 +106,11 @@ object MetaProbe {
       t("craft log (1000 manifests + chk)")(makeTable(dir, n, 1000))
       val m0 = usedMb()
       t("currentVersion (list only)")(LogLake.currentVersion(dir))
-      val (files, _) = t("activeState via checkpoint")(LogLake.activeState(dir))
-      println(f"  ${"active files"}%-34s ${files.size}%8d")
+      // keep only the SIZE — holding the 10⁷-entry state across the
+      // later cold-resolve measurements would gift them a heap full of
+      // garbage-collection pressure the first resolve didn't have
+      val nActive = t("activeState via checkpoint")(LogLake.activeState(dir)._1.size)
+      println(f"  ${"active files"}%-34s $nActive%8d")
       // the snapshot cache: the SECOND resolve of the same version
       // skips checkpoint parse + tail replay (validation still lists)
       t("activeState again (snapshot cache)")(LogLake.activeState(dir))
@@ -86,10 +121,18 @@ object MetaProbe {
       t("snapshot plan (no execution)")(
         spark.read.schema(StructType.fromDDL("k LONG, v STRING"))
           .format("loglake").load(dir).queryExecution.executedPlan)
+      // multi-part checkpoint over the same state: resolve parses the
+      // parts in parallel — the 10⁷-file posture (part write cost is
+      // reported too; LogLake's own writer parallelizes it the same way)
+      val nParts = t(s"craft multi-part chk (10⁶/part)")(
+        makeMultiPart(dir, n, 1000, 1000000L))
+      LogLake.clearSnapshotCache()
+      t(s"activeState via $nParts-part chk")(LogLake.activeState(dir))
       // worst case: no checkpoint → full log replay (cache cleared so
       // the cold path is what's measured)
-      Files.delete(Paths.get(dir, LogLake.LogDir).resolve(
-        f"chk-${1000}%020d.json"))
+      val log = Paths.get(dir, LogLake.LogDir)
+      Files.list(log).forEach(p =>
+        if (p.getFileName.toString.startsWith("chk-")) Files.delete(p))
       LogLake.clearSnapshotCache()
       t("activeState full replay (no chk)")(LogLake.activeState(dir))
       ()

@@ -132,6 +132,27 @@ class BranchSpec extends SparkTestBase {
     assert(LogLake.history(dir).map(_.version).head > 2L)
   }
 
+  test("branch DDL: CREATE/PUBLISH/DROP BRANCH + SHOW BRANCHES on a path target") {
+    val dir = tmp("ddl")
+    LogLake.create(spark, dir, sample(1, 20))
+    spark.sql(s"ALTER TABLE '$dir' CREATE BRANCH staging")
+    LogLake.append(spark, LogLake.branchDir(dir, "staging"), sample(21, 30))
+    val shown = spark.sql(s"SHOW BRANCHES '$dir'").collect()
+    assert(shown.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("staging", 1L)))
+    assert(shown.head.getLong(2) == 2L, "branch head = clone + one append")
+    assert(readMain(dir).count() == 20)
+    val v = spark.sql(s"ALTER TABLE '$dir' PUBLISH BRANCH staging")
+      .collect().head.getLong(0)
+    assert(readMain(dir).count() == 30 && v == LogLake.currentVersion(dir))
+    assert(spark.sql(s"SHOW BRANCHES '$dir'").count() == 0L)
+    spark.sql(s"ALTER TABLE '$dir' CREATE BRANCH scrap AS OF VERSION 1")
+    assert(spark.read.format("loglake")
+      .load(LogLake.branchDir(dir, "scrap")).count() == 20)
+    spark.sql(s"ALTER TABLE '$dir' DROP BRANCH scrap")
+    assert(LogLake.branches(dir).isEmpty)
+  }
+
   test("publish refuses a diverged schema; dropBranch discards staged work") {
     val dir = tmp("guards")
     LogLake.create(spark, dir, sample(1, 10))

@@ -313,6 +313,21 @@ class LogLakeCatalogSpec extends SparkTestBase {
       .filter(col("operation") === "delete")
       .select("numAddedFiles").as[Long].head() == 0L)
 
+    // rebase auditability: every row carries rebaseDistance
+    // (version − readVersion − 1; how many winners the logical
+    // conflict rules rebased this commit over) and the feature set in
+    // force at that version
+    val audit = spark.sql(s"DESCRIBE HISTORY loglake.$db.h")
+      .select("version", "readVersion", "rebaseDistance")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(audit.forall { case (v, rv, d) => d == math.max(0L, v - rv - 1L) })
+    assert(audit.forall(_._3 == 0L),
+      "an uncontended serial history must show zero rebase distance")
+    assert(spark.sql(s"DESCRIBE HISTORY loglake.$db.h")
+      .filter(col("version") === 3L)
+      .select("tableFeatures").as[Seq[String]].head()
+      .contains("partitionColumns"))
+
     val det = spark.sql(s"DESCRIBE DETAIL loglake.$db.h").collect().head
     assert(det.getAs[String]("format") == "loglake")
     assert(det.getAs[Long]("version") == 3L)
