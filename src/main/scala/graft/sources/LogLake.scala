@@ -184,7 +184,8 @@ object LogLake {
   final case class Manifest(version: Long, op: String, txnId: String,
       readVersion: Long, schemaJson: String, adds: Seq[AddFile],
       removes: Seq[String], cdc: Seq[String] = Nil, ts: Long = 0L,
-      features: Set[String] = Set.empty)
+      features: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty)
 
   /** Every feature THIS build understands. A future build that adds a
     * gated capability (say row tracking) adds its tag here; an older
@@ -195,12 +196,24 @@ object LogLake {
     "generatedColumns", "identityColumns", "rowTracking", "bucketing",
     "typeWidening")
 
+  /** WRITER features (Delta's readerFeatures/writerFeatures split): a
+    * capability an uninformed WRITE or MAINTENANCE pass would corrupt,
+    * but every reader serves faithfully. `branches` is the archetype —
+    * reading main ignores the branch registry safely, while a
+    * branch-unaware vacuum would sweep the files a live branch still
+    * references. Reader-blocking features gate at [[resolve]]; writer
+    * features gate at [[commit]]/[[vacuum]]/[[cleanupMetadata]] via
+    * [[requireWriterSupported]], so an old build can keep QUERYING a
+    * branched table but refuses to mutate or maintain it. */
+  val SupportedWriterFeatures: Set[String] = SupportedFeatures + "branches"
+
   /** Resolved state at `version`: active files, schema, every txnId
     * committed up to it (for O(tail) replay detection), and the
     * feature set in force. */
   final case class Checkpoint(version: Long, schemaJson: String,
       files: Seq[AddFile], txns: Map[String, Long],
-      features: Set[String] = Set.empty)
+      features: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -467,18 +480,21 @@ object LogLake {
             } finally pool.shutdown()
           val head = pieces.head // part 1 carries the header
           Checkpoint(head.version, head.schemaJson,
-            pieces.flatMap(_.files), head.txns, head.features)
+            pieces.flatMap(_.files), head.txns, head.features,
+            head.writerFeatures)
         }
       }
     val active = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
     var schemaJson = ""
     var features = Set.empty[String]
+    var writerFeatures = Set.empty[String]
     chk.foreach { c =>
       c.files.foreach(a => active(a.path) = a)
       txns ++= c.txns
       schemaJson = c.schemaJson
       features = c.features
+      writerFeatures = c.writerFeatures
     }
     val floor = chk.map(_.version).getOrElse(0L)
     manifests.filter { case (v, _) => v > floor && v <= target }
@@ -489,6 +505,7 @@ object LogLake {
         if (m.txnId.nonEmpty) txns(m.txnId) = m.version
         schemaJson = m.schemaJson
         features ++= m.features // monotone — a commit never downgrades
+        writerFeatures ++= m.writerFeatures
       }
     // the protocol gate: refuse a state this build cannot read
     // faithfully, never misread it (Delta's protocol-action contract)
@@ -498,7 +515,8 @@ object LogLake {
         s"${unknown.toSeq.sorted.mkString(", ")} this reader does not " +
         s"support (supported: ${SupportedFeatures.toSeq.sorted.mkString(", ")}) " +
         "— upgrade the library; reading anyway could silently corrupt results")
-    val out = Checkpoint(target, schemaJson, active.values.toSeq, txns.toMap, features)
+    val out = Checkpoint(target, schemaJson, active.values.toSeq,
+      txns.toMap, features, writerFeatures)
     snapshotCache.synchronized(snapshotCache.put(cacheKey, out))
     out
   }
@@ -871,7 +889,7 @@ object LogLake {
         m.removes.size.toLong, removedEntries.map(live).sum,
         m.cdc.size.toLong,
         math.max(0L, v - m.readVersion - 1L),
-        m.features.toSeq.sorted)
+        (m.features ++ m.writerFeatures).toSeq.sorted)
     }
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
@@ -3309,8 +3327,11 @@ object LogLake {
     require(base >= 1L, s"loglake: no committed version to branch from at $dir")
     resolve(dir, Some(base)) // loud when unresolvable
     // audit row on main FIRST: the branch is visible in DESCRIBE
-    // HISTORY from the moment it can pin storage
-    commit(dir, "branch", "", base, activeState(dir)._2.json, Nil, Nil)
+    // HISTORY from the moment it can pin storage, and the commit
+    // stamps the `branches` WRITER feature so a branch-unaware build
+    // refuses to write to or vacuum the parent while the branch lives
+    commit(dir, "branch", "", base, activeState(dir)._2.json, Nil, Nil,
+      extraWriterFeatures = Set("branches"))
     val bdir = branchDir(dir, name)
     // a crashed earlier attempt may have left an unregistered clone —
     // it never made the registry, so it pinned nothing; clear it
@@ -3567,9 +3588,25 @@ object LogLake {
     * executors issue the per-file deletes — at 10⁶ reclaimable files
     * on an object store, serial driver-side deletes are the
     * bottleneck, not the listing. */
+  /** The writer gate for maintenance passes that bypass [[commit]]:
+    * vacuum and metadata retention DELETE state, so running them from
+    * a build that lacks an in-force writer feature (e.g. `branches` —
+    * whose live refs pin the keep-set) is exactly the corruption the
+    * gate exists to stop. Reads stay open; only mutation refuses. */
+  private def requireWriterSupported(dir: String): Unit = {
+    if (history(dir).isEmpty) return
+    val unknown = resolve(dir, None).writerFeatures -- SupportedWriterFeatures
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"loglake: the table at $dir requires writer feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} this build does not " +
+        "support — reading is fine, but maintenance could corrupt " +
+        "state; upgrade the library")
+  }
+
   def vacuum(dir: String, olderThanMs: Long = 7L * 24 * 3600 * 1000,
       dryRun: Boolean = false, spark: SparkSession = null): Seq[String] = {
     val f = fs(dir)
+    requireWriterSupported(dir)
     // tagged snapshots stay readable through vacuum: the keep-set is
     // the UNION of the current version's files and every tagged
     // version's (Iceberg's expire-snapshots-respects-refs rule); each
@@ -3692,6 +3729,7 @@ object LogLake {
       olderThanMs: Long = 30L * 24 * 3600 * 1000,
       dryRun: Boolean = false): Seq[String] = {
     val f = fs(dir)
+    requireWriterSupported(dir)
     val cutoff = System.currentTimeMillis() - olderThanMs
     val manifests = listManifests(dir)
     if (manifests.isEmpty) return Seq.empty
@@ -4224,7 +4262,8 @@ object LogLake {
   private[sources] def commit(dir: String, op: String, txnId: String, readVersion: Long,
       schemaJson: String, adds: Seq[AddFile], removes: Seq[String],
       cdc: Seq[String] = Nil, maxAttempts: Int = 20,
-      extraFeatures: Set[String] = Set.empty): Long = {
+      extraFeatures: Set[String] = Set.empty,
+      extraWriterFeatures: Set[String] = Set.empty): Long = {
     val f = fs(dir)
     f.mkdirs(new Path(logPath(dir), "_tmp"))
     val ourRemoves = removes.toSet
@@ -4233,6 +4272,8 @@ object LogLake {
     // once, not per attempt: each evaluation is several small metadata
     // reads, real GETs on an object store under contention
     val ourFeatures = commitFeatures(dir, schemaJson, adds) ++ extraFeatures
+    val ourWriterFeatures = extraWriterFeatures ++
+      (if (branches(dir).nonEmpty) Set("branches") else Set.empty[String])
     var validated = readVersion
     var attempts = 0
     while (attempts < maxAttempts) {
@@ -4276,9 +4317,21 @@ object LogLake {
       val ts = parentTs.map(pt => math.max(System.currentTimeMillis(), pt + 1L))
         .getOrElse(System.currentTimeMillis())
       val features = parent.map(_.features).getOrElse(Set.empty) ++ ourFeatures
+      // the WRITER gate: refuse to mutate a table whose in-force
+      // writer features this build does not implement — an uninformed
+      // write or maintenance pass is how e.g. a live branch's pinned
+      // files get swept ([[SupportedWriterFeatures]])
+      val parentWf = parent.map(_.writerFeatures).getOrElse(Set.empty)
+      val unknownWf = parentWf -- SupportedWriterFeatures
+      if (unknownWf.nonEmpty) throw new UnsupportedOperationException(
+        s"loglake: the table at $dir requires writer feature(s) " +
+          s"${unknownWf.toSeq.sorted.mkString(", ")} this build does not " +
+          "support — reading is fine, but writing or maintaining it " +
+          "could corrupt state; upgrade the library")
+      val writerFeatures = parentWf ++ ourWriterFeatures
       if (casPublish(f, dir, v,
         renderManifest(Manifest(v, op, txnId, readVersion, schemaJson, adds,
-          removes, cdc, ts, features)))) {
+          removes, cdc, ts, features, writerFeatures)))) {
         if (v % CheckpointInterval == 0) writeCheckpoint(dir, v)
         return v
       }
@@ -4365,7 +4418,8 @@ object LogLake {
           slices.zipWithIndex.map { case (slice, i) =>
             pool.submit(new Runnable {
               override def run(): Unit = writeOne(
-                if (i == 0) Checkpoint(c.version, c.schemaJson, slice, c.txns, c.features)
+                if (i == 0) Checkpoint(c.version, c.schemaJson, slice,
+                  c.txns, c.features, c.writerFeatures)
                 else Checkpoint(c.version, "", slice, Map.empty, Set.empty),
                 f"chk-$v%020d.p${i + 1}-of-$n.json")
             })
@@ -4581,6 +4635,10 @@ object LogLake {
       val ft = root.putArray("features")
       m.features.toSeq.sorted.foreach(ft.add)
     }
+    if (m.writerFeatures.nonEmpty) {
+      val wf = root.putArray("wfeatures")
+      m.writerFeatures.toSeq.sorted.foreach(wf.add)
+    }
     root.toString
   }
 
@@ -4592,10 +4650,13 @@ object LogLake {
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     val features = Option(n.get("features"))
       .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
+    val writerFeatures = Option(n.get("wfeatures"))
+      .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
     Manifest(n.get("version").asLong(), n.get("op").asText(), n.get("txnId").asText(),
       n.get("readVersion").asLong(), n.get("schema").asText(),
       parseAdds(n, "adds"), removes, cdc,
-      Option(n.get("ts")).map(_.asLong()).getOrElse(0L), features)
+      Option(n.get("ts")).map(_.asLong()).getOrElse(0L), features,
+      writerFeatures)
   }
 
   // ------------------------------------------- checkpoint streaming I/O
@@ -4617,6 +4678,7 @@ object LogLake {
     val files = scala.collection.mutable.ArrayBuffer[AddFile]()
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
     var features = Set.empty[String]
+    var writerFeatures = Set.empty[String]
     require(p.nextToken() == START_OBJECT, "checkpoint: expected an object")
     while (p.nextToken() != END_OBJECT) {
       p.currentName() match {
@@ -4627,6 +4689,11 @@ object LogLake {
           val b = Set.newBuilder[String]
           while (p.nextToken() != END_ARRAY) b += p.getText
           features = b.result()
+        case "wfeatures" =>
+          require(p.nextToken() == START_ARRAY, "checkpoint: wfeatures must be an array")
+          val b = Set.newBuilder[String]
+          while (p.nextToken() != END_ARRAY) b += p.getText
+          writerFeatures = b.result()
         case "files" =>
           require(p.nextToken() == START_ARRAY, "checkpoint: files must be an array")
           while (p.nextToken() != END_ARRAY) files += parseAddStream(p)
@@ -4639,7 +4706,8 @@ object LogLake {
       }
     }
     p.close()
-    Checkpoint(version, schema, files.toSeq, txns.toMap, features)
+    Checkpoint(version, schema, files.toSeq, txns.toMap, features,
+      writerFeatures)
   }
 
   /** One add entry; the parser sits ON its START_OBJECT. */
@@ -4701,6 +4769,11 @@ object LogLake {
     if (c.features.nonEmpty) {
       g.writeArrayFieldStart("features")
       c.features.toSeq.sorted.foreach(g.writeString)
+      g.writeEndArray()
+    }
+    if (c.writerFeatures.nonEmpty) {
+      g.writeArrayFieldStart("wfeatures")
+      c.writerFeatures.toSeq.sorted.foreach(g.writeString)
       g.writeEndArray()
     }
     g.writeArrayFieldStart("files")

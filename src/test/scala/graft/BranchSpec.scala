@@ -132,6 +132,45 @@ class BranchSpec extends SparkTestBase {
     assert(LogLake.history(dir).map(_.version).head > 2L)
   }
 
+  test("two branches publish concurrently: both land or conflict loudly, never corrupt") {
+    val dir = tmp("race")
+    LogLake.create(spark, dir, sample(1, 40).repartition(4))
+    LogLake.createBranch(spark, dir, "ingestA")
+    LogLake.createBranch(spark, dir, "ingestB")
+    LogLake.append(spark, LogLake.branchDir(dir, "ingestA"), sample(101, 110))
+    LogLake.append(spark, LogLake.branchDir(dir, "ingestB"), sample(201, 215))
+    // both publishes race from separate threads — append-only, so BOTH
+    // must land (blind appends compose); the commit CAS serializes them
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futs = Seq("ingestA", "ingestB").map(b => pool.submit(
+      new java.util.concurrent.Callable[Long] {
+        override def call(): Long = LogLake.publishBranch(spark, dir, b)
+      }))
+    val versions = futs.map(_.get())
+    pool.shutdown()
+    assert(versions.toSet.size == 2, s"publishes must serialize, got $versions")
+    assert(readMain(dir).count() == 40 + 10 + 15)
+    assert(LogLake.branches(dir).isEmpty)
+    assert(readMain(dir).agg(sum("k")).head().getLong(0) ==
+      (1 to 40).sum + (101 to 110).sum.toLong + (201 to 215).sum)
+  }
+
+  test("a branch of a shallow clone references the ORIGINAL files, not a doubled path") {
+    // regression: cloneShallow used to prefix `$base/` unconditionally,
+    // so a clone-of-a-clone (or a branch of a clone — same substrate)
+    // produced malformed double-absolute paths
+    val src = tmp("orig"); val c1 = tmp("clone1"); val c2 = tmp("clone2")
+    LogLake.create(spark, src, sample(1, 30))
+    LogLake.cloneShallow(spark, src, c1)
+    LogLake.cloneShallow(spark, c1, c2) // clone of a clone
+    assert(spark.read.format("loglake").load(c2).count() == 30)
+    LogLake.createBranch(spark, c1, "wip") // branch of a clone
+    LogLake.append(spark, LogLake.branchDir(c1, "wip"), sample(31, 35))
+    LogLake.publishBranch(spark, c1, "wip")
+    assert(spark.read.format("loglake").load(c1).count() == 35)
+    assert(spark.read.format("loglake").load(src).count() == 30)
+  }
+
   test("branch DDL: CREATE/PUBLISH/DROP BRANCH + SHOW BRANCHES on a path target") {
     val dir = tmp("ddl")
     LogLake.create(spark, dir, sample(1, 20))

@@ -121,4 +121,59 @@ class FeatureGateSpec extends graft.SparkTestBase {
     }
     assert(LogLake.snapshot(spark, dir).count() == 13L)
   }
+
+  test("branches stamp a WRITER feature: reads stay open, foreign writes/maintenance refuse") {
+    val dir = tmp("writer")
+    LogLake.create(spark, dir, kv(1L -> "a", 2L -> "b"))
+    LogLake.createBranch(spark, dir, "wip")
+    // the audit commit carries the writer feature, reader set untouched
+    val m = lastManifest(dir)
+    assert(m.op == "branch" && m.writerFeatures == Set("branches") &&
+      m.features.isEmpty)
+    // and it inherits monotonically through later commits
+    LogLake.append(spark, dir, kv(3L -> "c"))
+    assert(lastManifest(dir).writerFeatures == Set("branches"))
+    // a FUTURE writer feature this build lacks: hand-publish a commit
+    val v = LogLake.currentVersion(dir)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sessionState.newHadoopConf())
+    val future = Manifest(v + 1, "append", "", v,
+      LogLake.activeState(dir)._2.json, Nil, Nil,
+      ts = System.currentTimeMillis(),
+      writerFeatures = Set("branchesV9"))
+    WireLog.writeSmallFile(f,
+      new Path(dir, f"_loglake/${v + 1}%020d.json"),
+      LogLake.renderManifest(future))
+    LogLake.clearSnapshotCache()
+    // READS keep working — that is the whole point of the split
+    assert(LogLake.snapshot(spark, dir).count() == 3L)
+    // writes refuse loudly
+    val ew = intercept[UnsupportedOperationException] {
+      LogLake.append(spark, dir, kv(9L -> "z"))
+    }
+    assert(ew.getMessage.contains("branchesV9") &&
+      ew.getMessage.contains("writer feature"))
+    // maintenance refuses loudly too (vacuum would sweep pinned state)
+    intercept[UnsupportedOperationException] { LogLake.vacuum(dir) }
+    intercept[UnsupportedOperationException] { LogLake.cleanupMetadata(dir) }
+  }
+
+  test("writer features round-trip the checkpoint codec") {
+    val dir = tmp("wchk")
+    LogLake.create(spark, dir, kv(1L -> "a"))
+    LogLake.createBranch(spark, dir, "pin")
+    (0 until 12).foreach(i =>
+      LogLake.append(spark, dir, kv((10L + i) -> s"r$i")))
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sessionState.newHadoopConf())
+    val chk = f.listStatus(new Path(dir, "_loglake")).toSeq
+      .filter(_.getPath.getName.startsWith("chk-"))
+    assert(chk.nonEmpty)
+    chk.foreach { s =>
+      val in = f.open(s.getPath)
+      val parsed = try LogLake.parseCheckpointStream(in) finally in.close()
+      assert(parsed.writerFeatures == Set("branches"),
+        s"checkpoint ${s.getPath.getName} lost the writer feature set")
+    }
+  }
 }
