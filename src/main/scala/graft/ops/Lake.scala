@@ -1634,6 +1634,63 @@ object Lake {
         .agg(count(lit(1)).as("cnt"), max("k").as("max_k"),
           dsum(col("price")).as("total"))
         .orderBy("st")
+    },
+
+    // --- q147: STRING STATS TRUNCATION on a real text corpus (the
+    // round-12 Delta-32-char rule). The documents table — the exact
+    // shape this engine targets at 100 TB — lands in a loglake table
+    // whose default stats now store BOUNDED text min/max (≤ 32 code
+    // points, `strunc`-tagged) instead of copying each file's two
+    // extreme documents into the manifest; the builder REQUIRES the
+    // bound and the tag. The query then proves both stats consumers
+    // stay sound through truncation: an exact-equality needle on a
+    // >100-char document (far beyond the truncation horizon) still
+    // finds every match, and per-language aggregates over the
+    // truncated-stats files are exact. Oracle replays over the raw
+    // parquet.
+    Q(
+      "q147_loglake_text_stats",
+      s"""WITH needle AS (
+         |  SELECT text FROM documents WHERE length(text) > 100
+         |  ORDER BY doc_id LIMIT 1
+         |), hits AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS needle_hits
+         |  FROM documents a JOIN needle n ON a.text = n.text
+         |)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+         |       (SELECT needle_hits FROM hits) AS needle_hits
+         |FROM documents WHERE length(text) > 32
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q147")
+      val docs = documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      LogLake.create(s, dir, docs.repartition(4))
+      // the contract this query exists to pin: text stats are BOUNDED
+      // and tagged — the manifest never carries whole documents
+      val textStats = LogLake.pruneFiles(dir, "text", null, null)._1
+        .flatMap(_.stats.get("text"))
+      require(textStats.nonEmpty &&
+        textStats.forall(st => st.tpe == "null" ||
+          (st.min.codePointCount(0, st.min.length) <= 32 &&
+            st.max.codePointCount(0, st.max.length) <= 32)),
+        "q147: text stats must be truncated to the 32-cp bound")
+      require(textStats.exists(_.tpe == LogLake.StringTruncTag),
+        "q147: a corpus of >32-char documents must carry the strunc tag")
+      val lake = s.read.format("loglake").load(dir)
+      val needle = lake.filter(length(col("text")) > 100)
+        .orderBy("doc_id").limit(1).select(col("text").as("ntext"))
+      val hits = lake.join(broadcast(needle), col("text") === col("ntext"))
+        .agg(count(lit(1)).as("needle_hits"))
+      lake.filter(length(col("text")) > 32)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          min("doc_id").as("min_id"))
+        .crossJoin(hits)
+        .orderBy("lang")
     }
   )
 }
