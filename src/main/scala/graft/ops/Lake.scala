@@ -1662,7 +1662,7 @@ object Lake {
          |       CAST(MIN(doc_id) AS BIGINT) AS min_id,
          |       (SELECT needle_hits FROM hits) AS needle_hits
          |FROM documents WHERE length(text) > 32
-         |GROUP BY lang ORDER BY lang""".stripMargin
+         |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
     ) { (s, d) =>
       val dir = freshDir("q147")
       val docs = documents(s, d)
