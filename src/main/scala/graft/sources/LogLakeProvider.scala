@@ -180,9 +180,24 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
 
 object LogLakeProvider {
 
-  private def dir(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
+  /** The target table directory — `option("branch", name)` addresses
+    * a live branch's head through the same path (read, write, CDF,
+    * and streaming all resolve here), so
+    * `spark.read.format("loglake").option("branch","staging").load(t)`
+    * and a branch-addressed writer need no knowledge of the on-disk
+    * branch layout. */
+  private def dir(parameters: Map[String, String]): String = {
+    val base = parameters.getOrElse("path",
       throw new IllegalArgumentException("loglake requires a path option"))
+    parameters.get("branch") match {
+      case Some(b) =>
+        require(LogLake.branches(base).contains(b),
+          s"loglake: no branch '$b' at $base (have " +
+            s"${LogLake.branches(base).keys.toSeq.sorted.mkString(", ")})")
+        LogLake.branchDir(base, b)
+      case None => base
+    }
+  }
 
   private def md5id(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

@@ -171,6 +171,28 @@ class BranchSpec extends SparkTestBase {
     assert(spark.read.format("loglake").load(src).count() == 30)
   }
 
+  test("option(branch, name) addresses the branch head for read, write, and streaming") {
+    val dir = tmp("opt")
+    LogLake.create(spark, dir, sample(1, 10))
+    LogLake.createBranch(spark, dir, "staging")
+    // write THROUGH the option — no branchDir knowledge needed
+    sample(11, 15).write.format("loglake").mode("append")
+      .option("branch", "staging").save(dir)
+    assert(spark.read.format("loglake").option("branch", "staging")
+      .load(dir).count() == 15)
+    assert(readMain(dir).count() == 10, "main stays isolated")
+    // time travel composes: branch v1 is the clone snapshot
+    assert(spark.read.format("loglake").option("branch", "staging")
+      .option("versionAsOf", "1").load(dir).count() == 10)
+    // an unknown branch is loud
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("loglake").option("branch", "ghost").load(dir)
+    }
+    assert(e.getMessage.contains("no branch 'ghost'"))
+    LogLake.publishBranch(spark, dir, "staging")
+    assert(readMain(dir).count() == 15)
+  }
+
   test("branch DDL: CREATE/PUBLISH/DROP BRANCH + SHOW BRANCHES on a path target") {
     val dir = tmp("ddl")
     LogLake.create(spark, dir, sample(1, 20))
