@@ -484,24 +484,34 @@ object LogLake {
             head.writerFeatures)
         }
       }
-    val active = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
     var schemaJson = ""
     var features = Set.empty[String]
     var writerFeatures = Set.empty[String]
     chk.foreach { c =>
-      c.files.foreach(a => active(a.path) = a)
       txns ++= c.txns
       schemaJson = c.schemaJson
       features = c.features
       writerFeatures = c.writerFeatures
     }
+    // TAIL-AS-DELTA assembly: the manifest tail is ≤ CheckpointInterval
+    // commits while the checkpoint can name 10⁷ files — building one
+    // big map keyed by every checkpoint path (the obvious replay) costs
+    // more than the checkpoint PARSE at that size. Instead the tail
+    // replays into a tail-sized delta (adds + an ever-removed set) and
+    // one pass over the checkpoint list applies it. Ordering semantics
+    // are EXACTLY the old LinkedHashMap's: an updated path keeps its
+    // checkpoint position; a path removed at any point re-enters (if
+    // re-added) at the END in tail-add order; new paths append in
+    // tail-add order.
+    val delta = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val removedEver = scala.collection.mutable.HashSet[String]()
     val floor = chk.map(_.version).getOrElse(0L)
     manifests.filter { case (v, _) => v > floor && v <= target }
       .foreach { case (_, p) =>
         val m = readManifest(f, p)
-        m.removes.foreach(active.remove)
-        m.adds.foreach(a => active(a.path) = a)
+        m.removes.foreach { r => removedEver += r; delta.remove(r) }
+        m.adds.foreach(a => delta(a.path) = a)
         if (m.txnId.nonEmpty) txns(m.txnId) = m.version
         schemaJson = m.schemaJson
         features ++= m.features // monotone — a commit never downgrades
@@ -515,7 +525,19 @@ object LogLake {
         s"${unknown.toSeq.sorted.mkString(", ")} this reader does not " +
         s"support (supported: ${SupportedFeatures.toSeq.sorted.mkString(", ")}) " +
         "— upgrade the library; reading anyway could silently corrupt results")
-    val out = Checkpoint(target, schemaJson, active.values.toSeq,
+    val files: Seq[AddFile] = {
+      val out = Seq.newBuilder[AddFile]
+      chk.iterator.flatMap(_.files).foreach { a =>
+        if (!removedEver(a.path)) delta.remove(a.path) match {
+          case Some(updated) => out += updated // in-place update
+          case None => out += a
+        }
+      }
+      // tail-added new paths and removed-then-re-added paths, in order
+      delta.valuesIterator.foreach(out += _)
+      out.result()
+    }
+    val out = Checkpoint(target, schemaJson, files,
       txns.toMap, features, writerFeatures)
     snapshotCache.synchronized(snapshotCache.put(cacheKey, out))
     out
@@ -3326,19 +3348,34 @@ object LogLake {
     val base = version.getOrElse(currentVersion(dir))
     require(base >= 1L, s"loglake: no committed version to branch from at $dir")
     resolve(dir, Some(base)) // loud when unresolvable
-    // audit row on main FIRST: the branch is visible in DESCRIBE
-    // HISTORY from the moment it can pin storage, and the commit
-    // stamps the `branches` WRITER feature so a branch-unaware build
-    // refuses to write to or vacuum the parent while the branch lives
-    commit(dir, "branch", "", base, activeState(dir)._2.json, Nil, Nil,
-      extraWriterFeatures = Set("branches"))
-    val bdir = branchDir(dir, name)
-    // a crashed earlier attempt may have left an unregistered clone —
-    // it never made the registry, so it pinned nothing; clear it
-    val f = fs(dir)
-    if (f.exists(new Path(bdir))) f.delete(new Path(bdir), true)
-    cloneShallow(spark, dir, bdir, asOf = Some(base))
+    // REGISTRY FIRST: vacuum and metadata retention pin by the
+    // registered BASE VERSION (a branch can only ever reference parent
+    // files from its base snapshot), so registering before the clone
+    // closes the window where a concurrent vacuum could sweep the
+    // base's retired files out from under the clone-in-progress. A
+    // crash after this leaves a registry entry with no branch table —
+    // inert (it pins like a tag) and released by dropBranch
     publishKv(dir, "branches", _ + (name -> base.toString))
+    try {
+      // audit row on main: the branch is visible in DESCRIBE HISTORY,
+      // and the commit stamps the `branches` WRITER feature so a
+      // branch-unaware build refuses to write to or vacuum the parent
+      // while the branch lives
+      commit(dir, "branch", "", base, activeState(dir)._2.json, Nil, Nil,
+        extraWriterFeatures = Set("branches"))
+      val bdir = branchDir(dir, name)
+      // a crashed earlier attempt may have left an orphan clone; clear it
+      val f = fs(dir)
+      if (f.exists(new Path(bdir))) f.delete(new Path(bdir), true)
+      cloneShallow(spark, dir, bdir, asOf = Some(base))
+    } catch {
+      // release the registry entry a failed create would otherwise
+      // strand (it pins vacuum/retention and blocks the name)
+      case e: Throwable =>
+        try publishKv(dir, "branches", _ - name)
+        catch { case _: Exception => () }
+        throw e
+    }
     base
   }
 
@@ -3399,31 +3436,46 @@ object LogLake {
       movedBack += ((dst, src))
       dstRel
     }
-    try {
-      val adds = bFiles.filterNot(a => v1Keys((a.path, a.dv))).map { a =>
-        a.copy(
-          path = if (isExternal(a.path)) toParent(a.path)
-            else adopt(a.path, isDv = false),
-          dv = if (a.dv.isEmpty) ""
-            else if (isExternal(a.dv)) toParent(a.dv)
-            else adopt(a.dv, isDv = true))
+    val v =
+      try {
+        val adds = bFiles.filterNot(a => v1Keys((a.path, a.dv))).map { a =>
+          a.copy(
+            path = if (isExternal(a.path)) toParent(a.path)
+              else adopt(a.path, isDv = false),
+            dv = if (a.dv.isEmpty) ""
+              else if (isExternal(a.dv)) toParent(a.dv)
+              else adopt(a.dv, isDv = true))
+        }
+        // blind iff the branch never rewrote: every commit after the
+        // clone is an append AND nothing was removed — then the adds'
+        // content never depended on table state and the publish composes
+        // with any main winner, like a live append
+        val blind = removes.isEmpty &&
+          history(bdir).forall(h => h.op == "clone" || h.op == "append")
+        commit(dir, if (blind) "publish" else "publish_rewrite", "",
+          base, mainSchema.json, adds, removes)
+      } catch {
+        // rollback is ONLY sound while nothing is committed: a failed
+        // move or a snapshot conflict puts every file back and the
+        // branch is untouched. Once the commit CAS wins, main OWNS the
+        // moved files — the cleanup below must never rename them back
+        case e: Throwable =>
+          movedBack.foreach { case (dst, src) => f.rename(dst, src) }
+          throw e
       }
-      // blind iff the branch never rewrote: every commit after the
-      // clone is an append AND nothing was removed — then the adds'
-      // content never depended on table state and the publish composes
-      // with any main winner, like a live append
-      val blind = removes.isEmpty &&
-        history(bdir).forall(h => h.op == "clone" || h.op == "append")
-      val v = commit(dir, if (blind) "publish" else "publish_rewrite", "",
-        base, mainSchema.json, adds, removes)
+    try {
       publishKv(dir, "branches", _ - name)
-      f.delete(new Path(bdir), true)
-      v
+      // leftover directory after a failed delete is inert once the
+      // registry entry is gone (nothing pins, nothing resolves it)
+      try f.delete(new Path(bdir), true) catch { case _: Exception => () }
     } catch {
-      case e: Throwable =>
-        movedBack.foreach { case (dst, src) => f.rename(dst, src) }
-        throw e
+      case e: Exception => throw new java.io.IOException(
+        s"loglake: branch '$name' PUBLISHED as version $v but its " +
+          s"registry entry could not be removed — run dropBranch(" +
+          s"\"$name\") to release the stale pin; do NOT read the " +
+          "branch, its files moved to main", e)
     }
+    v
   }
 
   /** CAS-publish a KV-set transform: each attempt re-reads the CURRENT
@@ -3619,29 +3671,17 @@ object LogLake {
     val state: Seq[AddFile] =
       if (history(dir).isEmpty) Seq.empty
       else {
-        val pinned = tags(dir).values.toSeq.distinct.sorted
-        // live BRANCHES pin like tags: any parent file a branch still
-        // references (clone-inherited external paths back into this
-        // dir) must survive — a published-later branch would otherwise
-        // read swept bytes. Branch-LOCAL files live under the branch's
-        // own directory and are never in the parent's sweep scope.
-        val parentBase = f.makeQualified(new Path(dir)).toUri.getPath
-        val branchPinned = branches(dir).keys.toSeq.sorted.flatMap { b =>
-          val bdir = branchDir(dir, b)
-          if (history(bdir).isEmpty) Nil
-          else activeState(bdir)._1.flatMap { a =>
-            def rel(p: String): Option[String] =
-              if (p.startsWith(s"$parentBase/"))
-                Some(p.stripPrefix(s"$parentBase/")) else None
-            rel(a.path).map(p =>
-              a.copy(path = p, dv = a.dv match {
-                case d if d.nonEmpty => rel(d).getOrElse("")
-                case _ => ""
-              }))
-          }
-        }
+        // live BRANCHES pin by their BASE VERSION, exactly like tags: a
+        // branch can only ever reference parent files from its base
+        // snapshot (rewrites on the branch produce branch-LOCAL files,
+        // outside the parent's sweep scope), so the base state is a
+        // superset of every parent file any branch state can reference
+        // — and the registry entry pins from the instant createBranch
+        // publishes it, before the clone even exists
+        val pinned = (tags(dir).values ++ branches(dir).values)
+          .toSeq.distinct.sorted
         (activeState(dir)._1 ++
-          pinned.flatMap(v => activeState(dir, Some(v))._1) ++ branchPinned)
+          pinned.flatMap(v => activeState(dir, Some(v))._1))
           .groupBy(a => (a.path, a.dv)).map(_._2.head).toSeq
       }
     val cutoff = System.currentTimeMillis() - olderThanMs
