@@ -171,6 +171,26 @@ class BranchSpec extends SparkTestBase {
     assert(spark.read.format("loglake").load(src).count() == 30)
   }
 
+  test("OPTIMIZE on a branch publishes as main compaction — rows identical, files consolidated") {
+    val dir = tmp("optpub")
+    LogLake.create(spark, dir, sample(1, 60).repartition(6)) // 6 small files
+    val filesBefore = LogLake.pruneFiles(dir, "k", null, null)._2
+    LogLake.createBranch(spark, dir, "maint")
+    // compact ON THE BRANCH: removes the clone-inherited parent files,
+    // adds branch-local consolidated ones
+    LogLake.optimize(spark, LogLake.branchDir(dir, "maint"), 1)
+    val v = LogLake.publishBranch(spark, dir, "maint")
+    assert(LogLake.history(dir).find(_.version == v).exists(_.op == "publish_rewrite"))
+    assert(readMain(dir).count() == 60)
+    assert(readMain(dir).agg(sum("k")).head().getLong(0) == (1 to 60).sum)
+    val filesAfter = LogLake.pruneFiles(dir, "k", null, null)._2
+    assert(filesAfter < filesBefore,
+      s"published compaction must consolidate: $filesBefore -> $filesAfter")
+    // the retired small files reclaim once nothing pins them
+    assert(LogLake.vacuum(dir, olderThanMs = -60000L).nonEmpty)
+    assert(readMain(dir).count() == 60)
+  }
+
   test("option(branch, name) addresses the branch head for read, write, and streaming") {
     val dir = tmp("opt")
     LogLake.create(spark, dir, sample(1, 10))
