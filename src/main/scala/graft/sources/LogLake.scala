@@ -3330,7 +3330,13 @@ object LogLake {
     * library running vacuum on the parent would not know the branch
     * registry — the same writer-feature hazard Iceberg refs have. */
   def branches(dir: String): Map[String, Long] =
-    readKv(dir, "branches").map { case (k, v) => k -> v.toLong }
+    // value is "<base>[:<nonce>]" — the nonce makes each creator's
+    // registry payload byte-unique, so the KV CAS read-back can
+    // arbitrate two concurrent creates of the SAME name at the SAME
+    // base (byte-identical payloads would otherwise both pass the
+    // read-back and both callers would claim the one clone directory)
+    readKv(dir, "branches").map { case (k, v) =>
+      k -> v.takeWhile(_ != ':').toLong }
 
   /** The branch's own table directory — every LogLake API and the
     * `loglake` format accept it like any table path. */
@@ -3355,7 +3361,15 @@ object LogLake {
     // base's retired files out from under the clone-in-progress. A
     // crash after this leaves a registry entry with no branch table —
     // inert (it pins like a tag) and released by dropBranch
-    publishKv(dir, "branches", _ + (name -> base.toString))
+    // create-if-absent INSIDE the registry CAS: the early require
+    // above is only a friendly fast path — two concurrent creates of
+    // the same name both pass it, and a last-writer-wins transform
+    // would hand both callers "success" over one clone directory
+    publishKv(dir, "branches", m => {
+      require(!m.contains(name),
+        s"loglake: branch '$name' already exists at $dir")
+      m + (name -> s"$base:${UUID.randomUUID()}")
+    })
     try {
       // audit row on main: the branch is visible in DESCRIBE HISTORY,
       // and the commit stamps the `branches` WRITER feature so a
@@ -3433,6 +3447,14 @@ object LogLake {
       f.mkdirs(dst.getParent)
       if (!f.rename(src, dst)) throw new java.io.IOException(
         s"loglake: publish could not move $src to $dst")
+      // rename PRESERVES the branch-side mtime; refresh it so the
+      // vacuum age guard protects the in-transit file exactly like a
+      // freshly staged write — an old-enough mtime would let a
+      // concurrent vacuum sweep the file before the commit lands
+      // (best-effort: a failure leaves the narrow pre-commit window,
+      // not a correctness change after the commit)
+      try f.setTimes(dst, System.currentTimeMillis(), -1L)
+      catch { case _: Exception => () }
       movedBack += ((dst, src))
       dstRel
     }
@@ -3646,7 +3668,7 @@ object LogLake {
     * whose live refs pin the keep-set) is exactly the corruption the
     * gate exists to stop. Reads stay open; only mutation refuses. */
   private def requireWriterSupported(dir: String): Unit = {
-    if (history(dir).isEmpty) return
+    if (currentVersion(dir) == 0L) return // name listing only — no parse
     val unknown = resolve(dir, None).writerFeatures -- SupportedWriterFeatures
     if (unknown.nonEmpty) throw new UnsupportedOperationException(
       s"loglake: the table at $dir requires writer feature(s) " +
@@ -4312,8 +4334,12 @@ object LogLake {
     // once, not per attempt: each evaluation is several small metadata
     // reads, real GETs on an object store under contention
     val ourFeatures = commitFeatures(dir, schemaJson, adds) ++ extraFeatures
-    val ourWriterFeatures = extraWriterFeatures ++
-      (if (branches(dir).nonEmpty) Set("branches") else Set.empty[String])
+    // writer features arrive EXPLICITLY (createBranch's audit commit
+    // stamps "branches") and then propagate monotonically via the
+    // parent manifest — re-deriving them from the branch registry here
+    // would add a KV GET to every commit of every table for a signal
+    // the parent already carries
+    val ourWriterFeatures = extraWriterFeatures
     var validated = readVersion
     var attempts = 0
     while (attempts < maxAttempts) {

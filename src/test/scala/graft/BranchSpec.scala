@@ -171,6 +171,30 @@ class BranchSpec extends SparkTestBase {
     assert(spark.read.format("loglake").load(src).count() == 30)
   }
 
+  test("concurrent same-name creates: exactly one wins, the rest fail loudly") {
+    val dir = tmp("dupname")
+    LogLake.create(spark, dir, sample(1, 10))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val results = (1 to 4).map(_ => pool.submit(
+      new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        override def call(): Either[Throwable, Long] =
+          try Right(LogLake.createBranch(spark, dir, "dup"))
+          catch { case e: Throwable => Left(e) }
+      })).map(_.get())
+    pool.shutdown()
+    val (failed, won) = results.partition(_.isLeft)
+    def detail: String = results.map {
+      case Right(v) => s"WON($v)"
+      case Left(e) => s"${e.getClass.getSimpleName}: ${e.getMessage}"
+    }.mkString("\n  ")
+    assert(won.size == 1,
+      s"exactly one concurrent create may win, got ${won.size}:\n  $detail")
+    assert(failed.forall(_.left.exists(
+      _.getMessage.contains("already exists"))), s"losers:\n  $detail")
+    assert(LogLake.branches(dir) == Map("dup" -> 1L))
+    assert(readBranch(dir, "dup").count() == 10, "the winner's clone is intact")
+  }
+
   test("OPTIMIZE on a branch publishes as main compaction — rows identical, files consolidated") {
     val dir = tmp("optpub")
     LogLake.create(spark, dir, sample(1, 60).repartition(6)) // 6 small files
