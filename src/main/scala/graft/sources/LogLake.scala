@@ -902,15 +902,21 @@ object LogLake {
       // rebaseDistance: how many winning commits this op was REBASED
       // over by the logical conflict rules — `version − readVersion −
       // 1`. 0 = committed exactly where it read (no contention); n > 0
-      // = n concurrent winners landed first and were each validated
-      // non-conflicting (or, for appends, simply composed with). The
-      // WAP audit surface: a published branch's row shows its base in
-      // readVersion and the interleaved-commit count here.
+      // = n concurrent winners landed first and were each VALIDATED
+      // non-conflicting. Only [[Serializable2PC]] ops run that
+      // validation, so only their rows carry a number — for blind
+      // appends, `branch` audit rows, and fast-forward `publish`
+      // commits the interleaved-commit count is not a validation
+      // signal and the column is NULL (they compose with anything by
+      // construction, never by a checked rebase). The WAP audit
+      // surface: a `publish_rewrite` row shows its base in
+      // readVersion and the validated winner count here.
       Row(v, ts, m.op, if (m.txnId.isEmpty) null else m.txnId, m.readVersion,
         m.adds.size.toLong, m.adds.map(live).sum,
         m.removes.size.toLong, removedEntries.map(live).sum,
         m.cdc.size.toLong,
-        math.max(0L, v - m.readVersion - 1L),
+        if (Serializable2PC(m.op)) math.max(0L, v - m.readVersion - 1L)
+        else null,
         (m.features ++ m.writerFeatures).toSeq.sorted)
     }
     val schema = StructType(Seq(
@@ -924,7 +930,7 @@ object LogLake {
       StructField("numRemovedFiles", LongType, nullable = false),
       StructField("numRemovedRows", LongType, nullable = false),
       StructField("numChangeFiles", LongType, nullable = false),
-      StructField("rebaseDistance", LongType, nullable = false),
+      StructField("rebaseDistance", LongType, nullable = true),
       StructField("tableFeatures", org.apache.spark.sql.types.ArrayType(
         StringType, containsNull = false), nullable = false)))
     import scala.jdk.CollectionConverters._
@@ -3404,6 +3410,13 @@ object LogLake {
     fs(dir).delete(new Path(branchDir(dir, name)), true)
   }
 
+  /** In-transit publish files older than this must get a fresh mtime
+    * (setTimes or copy) before the commit lands — younger ones are
+    * shielded by any sane vacuum retention (default 7 days, and a
+    * horizon under an hour is already unsafe for ordinary in-flight
+    * commits, whose staged files carry write-time mtimes). */
+  private val PublishMtimeSafetyMs: Long = 3600L * 1000
+
   /** Publish the branch's net changes onto main as one atomic commit
     * (fast-forward for append-only branches), then drop the branch.
     * Returns the new main version. See the class note on [[branches]]
@@ -3434,28 +3447,57 @@ object LogLake {
     // move branch-local adds into the parent's layout under fresh
     // names (bucket tags preserved); remember each move for rollback
     val movedBack = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
+    // files ADOPTED BY COPY (the setTimes-unsupported old-mtime path
+    // below): rollback just deletes the copy — the branch original
+    // never moved
+    val copied = scala.collection.mutable.ListBuffer.empty[Path]
     def adopt(rel: String, isDv: Boolean): String = {
       val src = new Path(bdir, rel)
       val name0 = src.getName
-      val dstRel =
+      def freshRel(): String =
         if (isDv) s"$DvDir/${UUID.randomUUID()}.dv"
         else name0 match {
           case BucketTagName(t) => s"$DataDir/${UUID.randomUUID()}_$t.parquet"
           case _ => s"$DataDir/${UUID.randomUUID()}.parquet"
         }
-      val dst = new Path(dir, dstRel)
+      var dstRel = freshRel()
+      var dst = new Path(dir, dstRel)
       f.mkdirs(dst.getParent)
       if (!f.rename(src, dst)) throw new java.io.IOException(
         s"loglake: publish could not move $src to $dst")
+      movedBack += ((dst, src))
       // rename PRESERVES the branch-side mtime; refresh it so the
       // vacuum age guard protects the in-transit file exactly like a
       // freshly staged write — an old-enough mtime would let a
-      // concurrent vacuum sweep the file before the commit lands
-      // (best-effort: a failure leaves the narrow pre-commit window,
-      // not a correctness change after the commit)
+      // concurrent vacuum sweep the file before the commit lands.
+      // On stores whose FS shim lacks setTimes, best-effort is ONLY
+      // acceptable for young files (not yet sweepable under any sane
+      // retention): a long-lived branch's old file would be
+      // vacuum-eligible the moment it lands in _data, so there the
+      // fallback is a byte COPY under a fresh name — file creation
+      // stamps a fresh mtime no setTimes needed — and the stale-mtime
+      // rename is undone
       try f.setTimes(dst, System.currentTimeMillis(), -1L)
-      catch { case _: Exception => () }
-      movedBack += ((dst, src))
+      catch {
+        case _: Exception =>
+          val age = System.currentTimeMillis() -
+            f.getFileStatus(dst).getModificationTime
+          if (age > PublishMtimeSafetyMs) {
+            if (!f.rename(dst, src)) throw new java.io.IOException(
+              s"loglake: publish could not refresh the age of $dst " +
+                "(setTimes unsupported) and could not move it back to " +
+                s"$src — recover the file manually before vacuum runs")
+            movedBack.remove(movedBack.length - 1)
+            dstRel = freshRel()
+            dst = new Path(dir, dstRel)
+            if (!org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst,
+                false, f.getConf)) throw new java.io.IOException(
+              s"loglake: publish could not copy $src to $dst (setTimes " +
+                "unsupported and the file is older than the in-transit " +
+                "safety window — a rename would be vacuum-eligible)")
+            copied += dst
+          }
+      }
       dstRel
     }
     val v =
@@ -3480,9 +3522,26 @@ object LogLake {
         // rollback is ONLY sound while nothing is committed: a failed
         // move or a snapshot conflict puts every file back and the
         // branch is untouched. Once the commit CAS wins, main OWNS the
-        // moved files — the cleanup below must never rename them back
+        // moved files — the cleanup below must never rename them back.
+        // Each rename-back is CHECKED: a file stuck on the main side is
+        // unreferenced there (vacuum-sweepable after the cutoff) while
+        // the branch manifest still points at the now-missing path —
+        // the operator must know which (dst, src) pairs to recover
+        // before vacuum reclaims the branch's only copy
         case e: Throwable =>
-          movedBack.foreach { case (dst, src) => f.rename(dst, src) }
+          copied.foreach(p => try f.delete(p, false)
+            catch { case _: Exception => () })
+          val stranded = movedBack.toList.flatMap { case (dst, src) =>
+            val ok = try f.rename(dst, src) catch { case _: Exception => false }
+            if (ok) Nil else List((dst, src))
+          }
+          if (stranded.nonEmpty) throw new java.io.IOException(
+            s"loglake: publish of branch '$name' failed AND " +
+              s"${stranded.size} staged file(s) could not be moved back " +
+              "to the branch — they sit UNREFERENCED in main's layout " +
+              "and will be vacuum-swept after the retention horizon; " +
+              "recover them (mv dst -> src) before running vacuum: " +
+              stranded.map { case (d, s) => s"$d -> $s" }.mkString("; "), e)
           throw e
       }
     try {
@@ -3690,22 +3749,20 @@ object LogLake {
     // version and the current version can legitimately hold the same
     // path under different DVs — dedup by path would keep only one DV
     // name and sweep the other, breaking `VERSION AS OF 'tag'` reads
+    // live BRANCHES pin by their BASE VERSION, exactly like tags: a
+    // branch can only ever reference parent files from its base
+    // snapshot (rewrites on the branch produce branch-LOCAL files,
+    // outside the parent's sweep scope), so the base state is a
+    // superset of every parent file any branch state can reference
+    // — and the registry entry pins from the instant createBranch
+    // publishes it, before the clone even exists
+    val pinned0 = (tags(dir).values ++ branches(dir).values)
+      .toSeq.distinct.sorted
     val state: Seq[AddFile] =
       if (history(dir).isEmpty) Seq.empty
-      else {
-        // live BRANCHES pin by their BASE VERSION, exactly like tags: a
-        // branch can only ever reference parent files from its base
-        // snapshot (rewrites on the branch produce branch-LOCAL files,
-        // outside the parent's sweep scope), so the base state is a
-        // superset of every parent file any branch state can reference
-        // — and the registry entry pins from the instant createBranch
-        // publishes it, before the clone even exists
-        val pinned = (tags(dir).values ++ branches(dir).values)
-          .toSeq.distinct.sorted
-        (activeState(dir)._1 ++
-          pinned.flatMap(v => activeState(dir, Some(v))._1))
-          .groupBy(a => (a.path, a.dv)).map(_._2.head).toSeq
-      }
+      else (activeState(dir)._1 ++
+        pinned0.flatMap(v => activeState(dir, Some(v))._1))
+        .groupBy(a => (a.path, a.dv)).map(_._2.head).toSeq
     val cutoff = System.currentTimeMillis() - olderThanMs
     def sweep(sub: String, active: Set[String]): Seq[(String, Path)] = {
       val d = new Path(dir, sub)
@@ -3740,10 +3797,34 @@ object LogLake {
           !n.startsWith(".") && !rootActive(n) && s.getModificationTime < cutoff
       }
       .map(s => s.getPath.getName -> s.getPath)
-    val all =
+    val all0 =
       sweep(DataDir, state.map(a => new Path(a.path).getName).toSet) ++
         sweep(DvDir, state.filter(_.dv.nonEmpty)
           .map(a => new Path(a.dv).getName).toSet) ++ cdcSwept ++ rootOrphans
+    // the registry read above and the victim computation are not
+    // atomic: a createBranch/tag pinned to an EXPLICIT OLDER version
+    // that registers after the read would be protected by neither
+    // `state` nor the sweeps. Re-read the refs now that the victim
+    // list exists and drop every victim a newly registered base still
+    // references — createBranch's registry-first ordering guarantees
+    // the entry is visible here before its clone reads a single file,
+    // so the two-sided handshake fully closes the window
+    val newPins = (tags(dir).values ++ branches(dir).values)
+      .toSeq.distinct.filterNot(pinned0.contains)
+    val all =
+      if (newPins.isEmpty) all0
+      else {
+        val keep = newPins.flatMap(v => activeState(dir, Some(v))._1)
+        val keepData = keep.map(a => new Path(a.path).getName).toSet
+        val keepDv = keep.filter(_.dv.nonEmpty)
+          .map(a => new Path(a.dv).getName).toSet
+        val keepRoot = keep.filterNot(_.path.contains("/")).map(_.path).toSet
+        all0.filterNot { case (rel, p) =>
+          (rel.startsWith(s"$DataDir/") && keepData(p.getName)) ||
+            (rel.startsWith(s"$DvDir/") && keepDv(p.getName)) ||
+            (!rel.contains("/") && keepRoot(rel))
+        }
+      }
     if (!dryRun) {
       if (spark == null || all.size < vacuumDistributedThreshold)
         all.foreach(p => f.delete(p._2, false))

@@ -250,7 +250,7 @@ final case class LogLakeHistoryCommand(target: String) extends LeafRunnableComma
     StructField("numRemovedFiles", LongType, nullable = false),
     StructField("numRemovedRows", LongType, nullable = false),
     StructField("numChangeFiles", LongType, nullable = false),
-    StructField("rebaseDistance", LongType, nullable = false),
+    StructField("rebaseDistance", LongType, nullable = true),
     StructField("tableFeatures", org.apache.spark.sql.types.ArrayType(
       StringType, containsNull = false), nullable = false))))
 

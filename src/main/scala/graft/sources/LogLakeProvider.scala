@@ -954,6 +954,20 @@ final class LogLakeSource(spark: SparkSession, dir: String,
         .withColumn("_commit_timestamp",
           lit(LogLake.commitTimestamp(dir, m.version))))
     }
+    // resuming a SPLIT commit needs that one version's manifest back;
+    // cleanupMetadata's floor is unaware of streaming checkpoints, so
+    // a long-stopped stream can find it swept — name the cause and the
+    // remedy instead of surfacing a bare NoSuchElementException
+    def splitManifest(v: Long): LogLake.Manifest = {
+      val ms = LogLake.manifestRange(dir, v - 1, v)
+      require(ms.nonEmpty,
+        s"loglake: cannot resume the checkpointed mid-version CDF " +
+          s"offset into version $v of $dir — its manifest is no longer " +
+          "in the log (most likely swept by metadata retention while " +
+          "the stream was stopped). Restart with a fresh checkpoint, " +
+          "or set startingVersion inside the retained span")
+      ms.head
+    }
     val df = start match {
       case None if initialSnapshot =>
         val (files, snapSchema) = LogLake.activeState(dir, Some(to))
@@ -967,7 +981,7 @@ final class LogLakeSource(spark: SparkSession, dir: String,
         val pieces = List.newBuilder[DataFrame]
         // (a) remainder of a split commit the last trigger stopped in
         if (fromI >= 0) {
-          val m = LogLake.manifestRange(dir, fromV - 1, fromV).head
+          val m = splitManifest(fromV)
           val hi = if (to == fromV && toI >= 0) toI else m.adds.size
           insertSlice(m, fromI, hi).foreach(pieces += _)
         }
@@ -986,7 +1000,7 @@ final class LogLakeSource(spark: SparkSession, dir: String,
         }
         // (c) leading files of the split commit this trigger ends in
         if (toI >= 0 && to != fromV) {
-          val m = LogLake.manifestRange(dir, to - 1, to).head
+          val m = splitManifest(to)
           insertSlice(m, 0, toI).foreach(pieces += _)
         }
         pieces.result() match {

@@ -313,16 +313,19 @@ class LogLakeCatalogSpec extends SparkTestBase {
       .filter(col("operation") === "delete")
       .select("numAddedFiles").as[Long].head() == 0L)
 
-    // rebase auditability: every row carries rebaseDistance
-    // (version − readVersion − 1; how many winners the logical
-    // conflict rules rebased this commit over) and the feature set in
-    // force at that version
+    // rebase auditability: VALIDATING (Serializable2PC) ops carry
+    // rebaseDistance (version − readVersion − 1; how many winners the
+    // logical conflict rules validated this commit over); blind ops
+    // (create/append) were never validated against anything, so their
+    // rows are NULL — the count would overstate the audit signal
     val audit = spark.sql(s"DESCRIBE HISTORY loglake.$db.h")
-      .select("version", "readVersion", "rebaseDistance")
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(audit.forall { case (v, rv, d) => d == math.max(0L, v - rv - 1L) })
-    assert(audit.forall(_._3 == 0L),
-      "an uncontended serial history must show zero rebase distance")
+      .select("version", "operation", "readVersion", "rebaseDistance")
+      .as[(Long, String, Long, Option[Long])].collect().toSeq
+    assert(audit.forall { case (v, op, rv, d) =>
+      if (op == "delete") d.contains(math.max(0L, v - rv - 1L))
+      else d.isEmpty })
+    assert(audit.collect { case (_, "delete", _, d) => d } == Seq(Some(0L)),
+      "an uncontended serial delete must show zero rebase distance")
     assert(spark.sql(s"DESCRIBE HISTORY loglake.$db.h")
       .filter(col("version") === 3L)
       .select("tableFeatures").as[Seq[String]].head()
