@@ -1691,6 +1691,126 @@ object Lake {
           min("doc_id").as("min_id"))
         .crossJoin(hits)
         .orderBy("lang")
+    },
+
+    // --- q148: BRANCH PUBLISH WITH ADDITIVE SCHEMA EVOLUTION (round
+    // 13; Iceberg branches carry schema through publish). A 'enrich'
+    // branch appends rows bearing a NEW nullable column (`prio`) —
+    // the ordinary append-time evolution, just on the branch head —
+    // while main takes an unrelated append of its own. Publish lands
+    // as ONE validated `publish_rewrite` commit: main gains the
+    // column, every pre-existing file NULL-fills it at read, the
+    // interleaved main append composes (the winner kept the schema
+    // the publish's decisions were made under), and zero data bytes
+    // move (file adoption is metadata renames). At 100 TB this is the
+    // WAP pipeline that stages a new feature column on a branch and
+    // promotes it atomically — no main rewrite, no read downtime.
+    // Oracle replays base ∪ main-append (prio NULL) ∪ branch rows.
+    Q(
+      "q148_loglake_branch_evolve",
+      s"""WITH t AS (
+         |  SELECT o_orderkey AS k, o_orderstatus AS st,
+         |         o_totalprice AS price, CAST(NULL AS VARCHAR) AS prio
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + 40000000000, 'M', o_totalprice,
+         |         CAST(NULL AS VARCHAR)
+         |  FROM orders WHERE o_orderkey % 13 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 50000000000, 'E', o_totalprice + 2.5,
+         |         o_orderpriority
+         |  FROM orders WHERE o_orderkey % 5 = 0
+         |)
+         |SELECT st, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(COUNT(prio) AS BIGINT) AS n_prio,
+         |       MAX(prio) AS max_prio, ${oSum("price")} AS total
+         |FROM t GROUP BY st ORDER BY st""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q148")
+      val ord = orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("price"), col("o_orderpriority"))
+      LogLake.create(s, dir, ord.drop("o_orderpriority"))
+      LogLake.createBranch(s, dir, "enrich")
+      // the branch append EVOLVES the schema: new nullable prio column
+      LogLake.append(s, LogLake.branchDir(dir, "enrich"),
+        ord.filter(col("k") % 5 === 0).select(
+          (col("k") + lit(50000000000L)).as("k"), lit("E").as("st"),
+          (col("price") + lit(2.5)).as("price"),
+          when(lit(true), col("o_orderpriority")).as("prio")))
+      // main moves on meanwhile — the evolved publish must compose
+      LogLake.append(s, dir,
+        ord.filter(col("k") % 13 === 0).select(
+          (col("k") + lit(40000000000L)).as("k"), lit("M").as("st"),
+          col("price")))
+      require(!s.read.format("loglake").load(dir).columns.contains("prio"),
+        "q148: the staged column leaked into main before publish")
+      val v = LogLake.publishBranch(s, dir, "enrich")
+      require(LogLake.history(dir).find(_.version == v)
+        .exists(_.op == "publish_rewrite"),
+        "q148: schema evolution must publish as a VALIDATED commit")
+      val lake = s.read.format("loglake").load(dir)
+      require(lake.columns.contains("prio"),
+        "q148: main must gain the published column")
+      lake.groupBy("st")
+        .agg(count(lit(1)).as("cnt"),
+          count(col("prio")).as("n_prio"),
+          max("prio").as("max_prio"),
+          dsum(col("price")).as("total"))
+        .orderBy("st")
+    },
+
+    // --- q149: PURE-SQL WAP through the branch ident (round 13;
+    // Iceberg's `db.t.branch_<name>` addressing). The whole
+    // write-audit-publish cycle runs in `spark.sql` ALONE: CREATE
+    // BRANCH, INSERT INTO the branch ident, a rewriting DELETE on the
+    // branch ident, audit SELECTs proving isolation, PUBLISH BRANCH —
+    // no DataFrame API anywhere. The branch ident resolves through the
+    // catalog to the branch's own table directory, so every DML
+    // lowering (insert/merge/update/delete) reuses the exact path-API
+    // commit primitives; nothing here is a second engine. At 100 TB
+    // the cycle's cost is the branch's own writes + one metadata
+    // publish commit. Oracle replays base-minus-deleted ∪ staged.
+    Q(
+      "q149_loglake_sql_branch",
+      s"""WITH t AS (
+         |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+         |  FROM orders WHERE o_orderkey % 3 <> 1
+         |  UNION ALL
+         |  SELECT o_orderkey + 60000000000, 'S', o_totalprice + 0.25
+         |  FROM orders WHERE o_orderkey % 9 = 0
+         |)
+         |SELECT st, CAST(COUNT(*) AS BIGINT) AS cnt, ${oSum("price")} AS total
+         |FROM t GROUP BY st ORDER BY st""".stripMargin
+    ) { (s, d) =>
+      val ns = "q149_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      val wh = s.conf.get("spark.sql.catalog.loglake.warehouse")
+      scratchDirs.add(new java.io.File(s"$wh/$ns"))
+      s.sql(s"CREATE NAMESPACE loglake.$ns")
+      s.sql(s"CREATE TABLE loglake.$ns.t (k BIGINT, st STRING, price DOUBLE)")
+      orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("price"))
+        .createOrReplaceTempView("q149_orders")
+      s.sql(s"INSERT INTO loglake.$ns.t SELECT k, st, price FROM q149_orders")
+      s.sql(s"ALTER TABLE loglake.$ns.t CREATE BRANCH staging")
+      // stage new rows and a rewrite ON THE BRANCH, in SQL
+      s.sql(s"INSERT INTO loglake.$ns.t.branch_staging " +
+        "SELECT k + 60000000000, 'S', price + 0.25 FROM q149_orders " +
+        "WHERE k % 9 = 0")
+      s.sql(s"DELETE FROM loglake.$ns.t.branch_staging WHERE k % 3 = 1")
+      // audit: isolation both ways, in SQL
+      val mainCnt = s.sql(s"SELECT COUNT(*) FROM loglake.$ns.t")
+        .head().getLong(0)
+      require(mainCnt == orders(s, d).count(),
+        "q149: staged branch work leaked into main before publish")
+      s.sql(s"ALTER TABLE loglake.$ns.t PUBLISH BRANCH staging")
+      s.sql(
+        s"""SELECT st, CAST(COUNT(*) AS BIGINT) AS cnt,
+           |       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total
+           |FROM loglake.$ns.t
+           |GROUP BY st ORDER BY st""".stripMargin)
     }
   )
 }

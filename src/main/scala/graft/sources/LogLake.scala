@@ -3330,11 +3330,15 @@ object LogLake {
     * `publish`/`publish_rewrite` row whose readVersion is the base —
     * the rebase distance is `published version − base − 1`.
     *
-    * Known limits (documented, loud where they bite): property /
-    * constraint / schema changes made ON the branch do not publish
-    * (publish refuses a diverged schema); an OLDER build of this
-    * library running vacuum on the parent would not know the branch
-    * registry — the same writer-feature hazard Iceberg refs have. */
+    * Schema across publish: ADDITIVE evolution carries through — a
+    * branch whose appends added nullable columns publishes them onto
+    * main (old main files NULL-fill, field metadata/physical names
+    * verbatim), always as a validated `publish_rewrite`. Known limits
+    * (documented, loud where they bite): property / constraint changes
+    * and non-additive schema changes (retype/drop/rename) made ON the
+    * branch do not publish; an OLDER build of this library running
+    * vacuum on the parent would not know the branch registry — the
+    * same writer-feature hazard Iceberg refs have. */
   def branches(dir: String): Map[String, Long] =
     // value is "<base>[:<nonce>]" — the nonce makes each creator's
     // registry payload byte-unique, so the KV CAS read-back can
@@ -3429,9 +3433,45 @@ object LogLake {
     val bdir = branchDir(dir, name)
     val (bFiles, bSchema) = activeState(bdir)
     val (_, mainSchema) = activeState(dir)
-    require(bSchema.json == mainSchema.json,
-      s"loglake: branch '$name' schema diverged from main — schema " +
-        "changes do not publish; recreate the branch after evolving main")
+    // ADDITIVE schema evolution publishes (Iceberg branches carry
+    // schema through publish): a branch whose appends evolved the
+    // schema with new NULLABLE columns hands them to main exactly like
+    // a live append-time evolution would — old main files NULL-fill.
+    // Field metadata rides VERBATIM (under column mapping the branch's
+    // evolution already assigned the physical name its data files were
+    // written with — regenerating it here would orphan those files).
+    // Anything else — retype, drop, rename, nullability change —
+    // still refuses: those rewrite meaning, not just shape.
+    val publishedSchemaJson =
+      if (bSchema.json == mainSchema.json) mainSchema.json
+      else {
+        val mByName = mainSchema.fields.map(f => f.name -> f).toMap
+        // drop/rename first: a branch-side rename activates column
+        // mapping, which also re-stamps metadata on untouched fields —
+        // the per-field equality below would otherwise misreport the
+        // divergence as a retype
+        val bNames = bSchema.fieldNames.toSet
+        val missing = mainSchema.fieldNames.filterNot(bNames.contains)
+        require(missing.isEmpty,
+          s"loglake: branch '$name' is missing main columns " +
+            s"${missing.mkString(", ")} — drop/rename does not publish; " +
+            "recreate the branch after evolving main")
+        bSchema.fields.foreach { f =>
+          mByName.get(f.name).foreach { m =>
+            require(m == f,
+              s"loglake: branch '$name' changed column ${f.name} " +
+                s"(${m.dataType.simpleString} -> ${f.dataType.simpleString})" +
+                " — only ADDING nullable columns publishes; recreate the " +
+                "branch after evolving main")
+          }
+        }
+        val added = bSchema.fields.filterNot(f => mByName.contains(f.name))
+        added.foreach(f => require(f.nullable,
+          s"loglake: branch '$name' added non-nullable column ${f.name} " +
+            "— old main files have no values for it"))
+        StructType(mainSchema.fields ++ added).json
+      }
+    val schemaEvolved = publishedSchemaJson != mainSchema.json
     val (v1Files, _) = activeState(bdir, Some(1L)) // the base snapshot
     val v1Keys = v1Files.iterator.map(a => (a.path, a.dv)).toSet
     val curKeys = bFiles.iterator.map(a => (a.path, a.dv)).toSet
@@ -3513,11 +3553,16 @@ object LogLake {
         // blind iff the branch never rewrote: every commit after the
         // clone is an append AND nothing was removed — then the adds'
         // content never depended on table state and the publish composes
-        // with any main winner, like a live append
-        val blind = removes.isEmpty &&
+        // with any main winner, like a live append. A publish CARRYING
+        // SCHEMA EVOLUTION is never blind: the new schema must validate
+        // against every interleaved winner (conflictReason's schema
+        // check makes any intervening commit a loud conflict — schema
+        // surgery composes with nothing, same posture as add_column)
+        val blind = removes.isEmpty && !schemaEvolved &&
           history(bdir).forall(h => h.op == "clone" || h.op == "append")
         commit(dir, if (blind) "publish" else "publish_rewrite", "",
-          base, mainSchema.json, adds, removes)
+          base, publishedSchemaJson, adds, removes,
+          readSchemaJson = mainSchema.json)
       } catch {
         // rollback is ONLY sound while nothing is committed: a failed
         // move or a snapshot conflict puts every file back and the
@@ -4368,9 +4413,15 @@ object LogLake {
     * CAS'd kv store and do not create versions; a property flipped
     * mid-flight is read at op START, same as Delta. */
   private def conflictReason(w: Manifest, ourOp: String,
-      ourRemoves: Set[String], ourSchemaJson: String): Option[String] = {
+      ourRemoves: Set[String], ourReadSchemaJson: String): Option[String] = {
     if (StrictOps(w.op)) Some(s"is a ${w.op}")
-    else if (w.schemaJson != ourSchemaJson) Some("changed the table schema")
+    // compare against the schema we READ, not the one we will commit:
+    // a winner that kept the schema our decisions were based on
+    // composes even when WE are the one evolving it (a branch publish
+    // carrying additive evolution); a winner that itself changed the
+    // schema — including another evolved publish — conflicts, because
+    // our decisions never saw its shape
+    else if (w.schemaJson != ourReadSchemaJson) Some("changed the table schema")
     else if (w.adds.isEmpty && w.removes.isEmpty)
       None // pure metadata row ("branch" audit commit) — serializes anywhere
     else if (w.removes.isEmpty &&
@@ -4406,10 +4457,16 @@ object LogLake {
       schemaJson: String, adds: Seq[AddFile], removes: Seq[String],
       cdc: Seq[String] = Nil, maxAttempts: Int = 20,
       extraFeatures: Set[String] = Set.empty,
-      extraWriterFeatures: Set[String] = Set.empty): Long = {
+      extraWriterFeatures: Set[String] = Set.empty,
+      readSchemaJson: String = null): Long = {
     val f = fs(dir)
     f.mkdirs(new Path(logPath(dir), "_tmp"))
     val ourRemoves = removes.toSet
+    // what the winners are validated against: the schema this op's
+    // decisions were MADE under — equal to the committed schema except
+    // for ops that themselves evolve it (additive branch publish)
+    val expectSchemaJson =
+      if (readSchemaJson == null) schemaJson else readSchemaJson
     // static within this commit (schema, adds, and the table's spec/
     // property metadata don't change across CAS retries) — computed
     // once, not per attempt: each evaluation is several small metadata
@@ -4441,7 +4498,7 @@ object LogLake {
         while (validated < cur) {
           val wv = validated + 1
           val w = readManifest(f, versionFile(dir, wv))
-          conflictReason(w, op, ourRemoves, schemaJson).foreach { reason =>
+          conflictReason(w, op, ourRemoves, expectSchemaJson).foreach { reason =>
             throw new java.io.IOException(
               s"loglake: $op read version $readVersion but version $wv $reason " +
                 s"— concurrent commit, snapshot conflict (retry the whole $op)")

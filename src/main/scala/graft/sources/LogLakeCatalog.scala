@@ -83,28 +83,53 @@ class LogLakeCatalog extends TableCatalog with SupportsNamespaces {
       .map(n => Identifier.of(namespace, n))
   }
 
-  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+  /** Iceberg's branch ident convention, SQL-drivable WAP:
+    * `loglake.ns.t.branch_<name>` addresses the WRITABLE BRANCH HEAD of
+    * `loglake.ns.t` — the parser hands it to us as namespace
+    * `[ns, t]`, name `branch_<name>`. The resolved table's `dir` IS
+    * the branch directory, so the ENTIRE SQL surface (SELECT incl.
+    * VERSION AS OF over branch-local versions, INSERT, MERGE, UPDATE,
+    * DELETE — all lowered through [[LogLakeSqlRule]] on `t.dir`) works
+    * against the branch with zero new DML plumbing. A real table at
+    * the literal path wins over the branch interpretation. */
+  private val BranchIdent = "branch_(.+)".r
+  private def branchTarget(ident: Identifier): Option[String] =
+    ident.name match {
+      case BranchIdent(b) if ident.namespace.nonEmpty =>
+        val parentDir = (warehouse +: ident.namespace.toSeq).mkString("/")
+        if (isTable(parentDir) && LogLake.branches(parentDir).contains(b))
+          Some(LogLake.branchDir(parentDir, b))
+        else None
+      case _ => None
+    }
 
-  override def loadTable(ident: Identifier): Table = {
+  /** The ident's table directory: the literal path, or the branch head
+    * it addresses. Loud when neither exists. */
+  private def resolveDir(ident: Identifier): String = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
-    LogLakeV2Table(dir, None, s"$catalogName.${ident.toString}")
+    if (isTable(dir)) dir
+    else branchTarget(ident).getOrElse(throw new NoSuchTableException(ident))
   }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tableDir(ident)) || branchTarget(ident).isDefined
+
+  override def loadTable(ident: Identifier): Table =
+    LogLakeV2Table(resolveDir(ident), None, s"$catalogName.${ident.toString}")
 
   /** `SELECT … VERSION AS OF n` — or `VERSION AS OF 'tag'` (a named
     * ref, Iceberg-style: any non-numeric argument resolves through the
-    * tag set). */
+    * tag set). On a branch ident the version space is the BRANCH's own
+    * log (v1 = the clone snapshot). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val dir = resolveDir(ident)
     val v = LogLake.resolveVersionRef(dir, version)
     LogLakeV2Table(dir, Some(v), s"$catalogName.${ident.toString}")
   }
 
   /** `SELECT … TIMESTAMP AS OF t` — `timestamp` arrives in microseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val dir = resolveDir(ident)
     LogLakeV2Table(dir, Some(LogLake.versionAtTimestamp(dir, timestamp / 1000L)),
       s"$catalogName.${ident.toString}")
   }
@@ -176,8 +201,7 @@ class LogLakeCatalog extends TableCatalog with SupportsNamespaces {
     * [[LogLake.addColumn]]): zero data rewritten at any table size,
     * rename/drop carried by column mapping. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val dir = resolveDir(ident) // branch idents alter the branch head
     def topLevel(fieldNames: Array[String], what: String): String = {
       require(fieldNames.length == 1,
         s"loglake: $what supports top-level columns only, got " +

@@ -258,20 +258,78 @@ class BranchSpec extends SparkTestBase {
     assert(LogLake.branches(dir).isEmpty)
   }
 
-  test("publish refuses a diverged schema; dropBranch discards staged work") {
-    val dir = tmp("guards")
+  test("additive branch schema publishes: main gains the column, old files NULL-fill") {
+    val dir = tmp("evolve")
     LogLake.create(spark, dir, sample(1, 10))
-    LogLake.createBranch(spark, dir, "s")
-    LogLake.addColumn(LogLake.branchDir(dir, "s"),
+    LogLake.createBranch(spark, dir, "stage")
+    // the branch's APPEND evolves the schema (new nullable column) —
+    // the ordinary append-time evolution path, just on the branch head
+    LogLake.append(spark, LogLake.branchDir(dir, "stage"),
+      (11 to 15).map(i => (i.toLong, s"v$i", s"t$i")).toDF("k", "v", "tag"))
+    assert(readMain(dir).columns.toSeq == Seq("k", "v"), "main not evolved yet")
+    val v = LogLake.publishBranch(spark, dir, "stage")
+    // schema evolution never publishes blind — it must validate
+    assert(LogLake.history(dir).find(_.version == v)
+      .exists(_.op == "publish_rewrite"))
+    val main = readMain(dir)
+    assert(main.columns.toSeq == Seq("k", "v", "tag"))
+    assert(main.count() == 15)
+    assert(main.filter($"k" <= 10L && $"tag".isNull).count() == 10,
+      "old main files must NULL-fill the published column")
+    assert(main.filter($"tag".isNotNull).count() == 5)
+    // a schema-only branch change (ALTER ADD COLUMN, no data) publishes too
+    LogLake.createBranch(spark, dir, "meta")
+    LogLake.addColumn(LogLake.branchDir(dir, "meta"),
       org.apache.spark.sql.types.StructField("extra",
         org.apache.spark.sql.types.IntegerType))
-    intercept[IllegalArgumentException] {
+    LogLake.publishBranch(spark, dir, "meta")
+    assert(readMain(dir).columns.toSeq == Seq("k", "v", "tag", "extra"))
+    assert(readMain(dir).filter($"extra".isNull).count() == 15)
+  }
+
+  test("additive publish under column mapping keeps the branch's physical name") {
+    val dir = tmp("evolve-mapped")
+    LogLake.create(spark, dir, sample(1, 8))
+    LogLake.renameColumn(spark, dir, "v", "label") // activates mapping
+    LogLake.createBranch(spark, dir, "stage")
+    LogLake.append(spark, LogLake.branchDir(dir, "stage"),
+      (9 to 12).map(i => (i.toLong, s"v$i", Option(i * 10L)))
+        .toDF("k", "label", "score"))
+    LogLake.publishBranch(spark, dir, "stage")
+    val main = readMain(dir)
+    assert(main.columns.toSeq == Seq("k", "label", "score"))
+    // the branch files were written under the branch-assigned PHYSICAL
+    // name; a regenerated one would read these rows back as NULL
+    assert(main.filter($"score".isNotNull).count() == 4)
+    assert(main.agg(sum("score")).head().getLong(0) == (9 to 12).map(_ * 10L).sum)
+    assert(main.filter($"k" <= 8L && $"score".isNull).count() == 8)
+  }
+
+  test("publish refuses retype/drop divergence; dropBranch discards staged work") {
+    val dir = tmp("guards")
+    LogLake.create(spark, dir,
+      (1 to 10).map(i => (i, s"v$i")).toDF("k", "v")) // k is INT here
+    // retype on the branch (widen k int->long) must NOT publish
+    LogLake.createBranch(spark, dir, "s")
+    LogLake.widenColumn(spark, LogLake.branchDir(dir, "s"), "k",
+      org.apache.spark.sql.types.LongType)
+    val e = intercept[IllegalArgumentException] {
       LogLake.publishBranch(spark, dir, "s")
     }
+    assert(e.getMessage.contains("changed column k"), e.getMessage)
     LogLake.dropBranch(dir, "s")
     assert(LogLake.branches(dir).isEmpty)
     assert(!new java.io.File(LogLake.branchDir(dir, "s")).exists)
     assert(readMain(dir).count() == 10)
+    // a branch that DROPPED a main column must not publish either
+    LogLake.createBranch(spark, dir, "d")
+    LogLake.renameColumn(spark, LogLake.branchDir(dir, "d"), "v", "w")
+    LogLake.dropColumn(spark, LogLake.branchDir(dir, "d"), "w")
+    val e2 = intercept[IllegalArgumentException] {
+      LogLake.publishBranch(spark, dir, "d")
+    }
+    assert(e2.getMessage.contains("missing main columns"), e2.getMessage)
+    LogLake.dropBranch(dir, "d")
     // name rules + duplicates are refused
     intercept[IllegalArgumentException] { LogLake.createBranch(spark, dir, "bad name") }
     LogLake.createBranch(spark, dir, "b1")

@@ -438,6 +438,44 @@ class LogLakeCatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM loglake.$db.w").as[Long].head() == 2L)
   }
 
+  test("pure-SQL WAP: branch_<name> ident drives INSERT/MERGE/DELETE/SELECT on the branch head") {
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.w (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO loglake.$db.w VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"ALTER TABLE loglake.$db.w CREATE BRANCH staging")
+    // WRITE: plain INSERT INTO the branch ident
+    spark.sql(s"INSERT INTO loglake.$db.w.branch_staging VALUES (4, 'd'), (5, 'e')")
+    // MERGE INTO the branch ident (clause lowering, same rule path)
+    spark.sql(
+      s"""MERGE INTO loglake.$db.w.branch_staging t
+         |USING (SELECT CAST(5 AS BIGINT) AS k, 'E' AS v
+         |       UNION ALL SELECT CAST(6 AS BIGINT), 'f') s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // DELETE FROM the branch ident
+    spark.sql(s"DELETE FROM loglake.$db.w.branch_staging WHERE k = 1")
+    // AUDIT in SQL: branch sees staged state, main is untouched
+    assert(spark.sql(
+      s"SELECT v FROM loglake.$db.w.branch_staging ORDER BY k")
+      .as[String].collect().toSeq == Seq("b", "c", "d", "E", "f"))
+    assert(spark.sql(s"SELECT count(*) FROM loglake.$db.w").as[Long].head() == 3L,
+      "main must not see staged rows")
+    // branch time travel: v1 = the clone snapshot
+    assert(spark.sql(
+      s"SELECT count(*) FROM loglake.$db.w.branch_staging VERSION AS OF 1")
+      .as[Long].head() == 3L)
+    // PUBLISH closes the cycle; the branch ident stops resolving
+    spark.sql(s"ALTER TABLE loglake.$db.w PUBLISH BRANCH staging")
+    assert(spark.sql(s"SELECT v FROM loglake.$db.w ORDER BY k")
+      .as[String].collect().toSeq == Seq("b", "c", "d", "E", "f"))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM loglake.$db.w.branch_staging").collect()
+    }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+  }
+
   test("CREATE TABLE ... NOT NULL is enforced on INSERT") {
     val db = freshDb()
     spark.sql(s"CREATE TABLE loglake.$db.n (k BIGINT NOT NULL, v STRING)")
