@@ -1,0 +1,180 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+
+import LogLake.{AddFile, Checkpoint, ColStats}
+
+/** PARQUET CHECKPOINT BODIES (VERDICT r12 #5 — Delta's parquet
+  * checkpoints): the checkpoint's FILE LIST as a columnar parquet file
+  * instead of one JSON document. The JSON manifest tail is untouched —
+  * commits stay human-readable, small, and tree-parsed; only the
+  * checkpoint (the 10⁷-entry accelerator) changes representation,
+  * opt-in per table via `loglake.checkpoint.format = parquet`.
+  *
+  * Why parquet here: column-chunked bodies mean object-store RANGED
+  * reads (a future stats-only consumer can fetch the `path`+`st`
+  * columns without the rest), dictionary+RLE+Snappy shrink the bytes
+  * well below the JSON rendering, and the format is readable by ANY
+  * engine — a debugging `read_parquet()` away. The header
+  * (version/schema/txns/features) rides the parquet FOOTER's key-value
+  * metadata on part 1, exactly where the JSON format carries it in the
+  * document head; parts 2..n carry only their file slice. Naming,
+  * part grouping, and the torn-group rule are IDENTICAL to the JSON
+  * layout (`chk-<v>[.p<i>-of-<n>].parquet`) — [[LogLake]] dispatches
+  * purely on the extension.
+  *
+  * The reader streams row groups straight into
+  * [[PackedAddFiles.GrowingBuilder]], so a 10⁷-file parquet checkpoint
+  * parses into compressed blocks without ever holding 10⁷ live
+  * objects — same heap posture as the JSON stream parser.
+  */
+private[graft] object CheckpointParquet {
+
+  /** One row per active file; pv/st as repeated groups (the example
+    * API's map rendering). Field names match the JSON encoding. */
+  private val Schema: MessageType = MessageTypeParser.parseMessageType(
+    """message loglake_checkpoint {
+      |  required binary path (UTF8);
+      |  required int64 rows;
+      |  required int64 bytes;
+      |  required binary dv (UTF8);
+      |  required int64 dvRows;
+      |  required int64 brid;
+      |  repeated group pv {
+      |    required binary k (UTF8);
+      |    required binary v (UTF8);
+      |  }
+      |  repeated group st {
+      |    required binary c (UTF8);
+      |    required binary t (UTF8);
+      |    required binary mn (UTF8);
+      |    required binary mx (UTF8);
+      |    required int64 nulls;
+      |  }
+      |}""".stripMargin)
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Footer metadata keys (part 1 carries the full header). */
+  private val KVersion = "loglake.version"
+  private val KSchema = "loglake.schema"
+  private val KTxns = "loglake.txns"
+  private val KFeatures = "loglake.features"
+  private val KWFeatures = "loglake.wfeatures"
+
+  def write(conf: Configuration, dest: Path, c: Checkpoint,
+      files: Iterator[AddFile], header: Boolean): Unit = {
+    val meta = new java.util.HashMap[String, String]()
+    meta.put(KVersion, c.version.toString)
+    if (header) {
+      meta.put(KSchema, c.schemaJson)
+      val tx = mapper.createObjectNode()
+      c.txns.toSeq.sortBy(_._1).foreach { case (k, v) => tx.put(k, v) }
+      meta.put(KTxns, mapper.writeValueAsString(tx))
+      if (c.features.nonEmpty)
+        meta.put(KFeatures, c.features.toSeq.sorted.mkString(","))
+      if (c.writerFeatures.nonEmpty)
+        meta.put(KWFeatures, c.writerFeatures.toSeq.sorted.mkString(","))
+    }
+    val writer = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(dest, conf))
+      .withConf(conf)
+      .withType(Schema)
+      .withExtraMetaData(meta)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new SimpleGroupFactory(Schema)
+    try files.foreach { a =>
+      val g = gf.newGroup()
+      g.add("path", a.path)
+      g.add("rows", a.rows)
+      g.add("bytes", a.bytes)
+      g.add("dv", a.dv)
+      g.add("dvRows", a.dvRows)
+      g.add("brid", a.baseRowId)
+      a.partitionValues.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val pg = g.addGroup("pv"); pg.add("k", k); pg.add("v", v)
+      }
+      a.stats.toSeq.sortBy(_._1).foreach { case (cname, s) =>
+        val sg = g.addGroup("st")
+        sg.add("c", cname); sg.add("t", s.tpe)
+        sg.add("mn", s.min); sg.add("mx", s.max)
+        sg.add("nulls", s.nulls)
+      }
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  def read(conf: Configuration, src: Path): Checkpoint = {
+    // header from the footer key-value metadata — one ranged read
+    val in = HadoopInputFile.fromPath(src, conf)
+    val kv = {
+      val r = ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
+    }
+    def opt(k: String): Option[String] = Option(kv.get(k))
+    val version = opt(KVersion).map(_.toLong).getOrElse(
+      throw new java.io.IOException(
+        s"loglake: parquet checkpoint $src has no version metadata"))
+    val schema = opt(KSchema).getOrElse("")
+    val txns: Map[String, Long] = opt(KTxns).map { j =>
+      val node = mapper.readTree(j)
+      val b = Map.newBuilder[String, Long]
+      node.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asLong())
+      b.result()
+    }.getOrElse(Map.empty)
+    def featSet(k: String): Set[String] =
+      opt(k).map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+    val files = new PackedAddFiles.GrowingBuilder
+    val reader: ParquetReader[Group] =
+      ParquetReader.builder(new GroupReadSupport(), src).withConf(conf).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val nPv = g.getFieldRepetitionCount("pv")
+        val pv =
+          if (nPv == 0) Map.empty[String, String]
+          else {
+            val b = Map.newBuilder[String, String]
+            var i = 0
+            while (i < nPv) {
+              val pg = g.getGroup("pv", i)
+              b += pg.getString("k", 0) -> pg.getString("v", 0)
+              i += 1
+            }
+            b.result()
+          }
+        val nSt = g.getFieldRepetitionCount("st")
+        val st =
+          if (nSt == 0) Map.empty[String, ColStats]
+          else {
+            val b = Map.newBuilder[String, ColStats]
+            var i = 0
+            while (i < nSt) {
+              val sg = g.getGroup("st", i)
+              b += sg.getString("c", 0) -> ColStats(sg.getString("t", 0),
+                sg.getString("mn", 0), sg.getString("mx", 0),
+                sg.getLong("nulls", 0))
+              i += 1
+            }
+            b.result()
+          }
+        files += AddFile(g.getString("path", 0), g.getLong("rows", 0), st,
+          g.getLong("bytes", 0), g.getString("dv", 0), g.getLong("dvRows", 0),
+          pv, g.getLong("brid", 0))
+        g = reader.read()
+      }
+    } finally reader.close()
+    Checkpoint(version, schema, files.result(), txns,
+      featSet(KFeatures), featSet(KWFeatures))
+  }
+}

@@ -242,10 +242,14 @@ object LogLake {
       .sortBy(_._1)
   }
 
-  /** Multi-part checkpoint piece: `chk-<v>.p<i>-of-<n>.json`. Part 1
-    * carries the header (schema/txns/features) plus its file slice;
-    * parts 2..n are file slices only. */
-  private val CheckpointPartName = """^chk-(\d{20})\.p(\d+)-of-(\d+)\.json$""".r
+  /** Multi-part checkpoint piece: `chk-<v>.p<i>-of-<n>.(json|parquet)`.
+    * Part 1 carries the header (schema/txns/features) plus its file
+    * slice; parts 2..n are file slices only. The BODY format is
+    * per-table (`loglake.checkpoint.format`, default json; see
+    * [[CheckpointParquet]]) — naming, grouping, and the torn-group
+    * rule are format-independent. */
+  private val CheckpointPartName =
+    """^chk-(\d{20})\.p(\d+)-of-(\d+)\.(json|parquet)$""".r
 
   /** COMPLETE checkpoints ascending: (version, ordered part paths). A
     * single-file checkpoint is one part; a multi-part group counts
@@ -259,10 +263,11 @@ object LogLake {
     if (!f.exists(lp)) return Seq.empty
     val files = f.listStatus(lp).toSeq.filter(_.isFile).map(_.getPath)
     val singles = files.flatMap(p =>
-      numbered("chk-", ".json")(p.getName).map(_ -> Seq(p)))
+      numbered("chk-", ".json")(p.getName)
+        .orElse(numbered("chk-", ".parquet")(p.getName)).map(_ -> Seq(p)))
     val groups = files.flatMap { p =>
       p.getName match {
-        case CheckpointPartName(v, i, n) => Some((v.toLong, i.toInt, n.toInt, p))
+        case CheckpointPartName(v, i, n, _) => Some((v.toLong, i.toInt, n.toInt, p))
         case _ => None
       }
     }.groupBy(_._1).flatMap { case (v, ps) =>
@@ -283,10 +288,12 @@ object LogLake {
     val lp = logPath(dir)
     if (!f.exists(lp)) return Seq.empty
     f.listStatus(lp).toSeq.filter(_.isFile).map(_.getPath).flatMap { p =>
-      numbered("chk-", ".json")(p.getName).map(_ -> p).orElse(p.getName match {
-        case CheckpointPartName(v, _, _) => Some(v.toLong -> p)
-        case _ => None
-      })
+      numbered("chk-", ".json")(p.getName)
+        .orElse(numbered("chk-", ".parquet")(p.getName))
+        .map(_ -> p).orElse(p.getName match {
+          case CheckpointPartName(v, _, _, _) => Some(v.toLong -> p)
+          case _ => None
+        })
     }.sortBy(_._1)
   }
 
@@ -453,13 +460,18 @@ object LogLake {
     snapshotAssembles.incrementAndGet()
     val chk = listCheckpoints(dir).filter(_._1 <= target).lastOption
       .map { case (_, parts) =>
-        def parseOne(p: Path): Checkpoint = {
-          val in = f.open(p)
-          try parseCheckpointStream(in)
-          catch { case e: Exception =>
-            throw new java.io.IOException(s"loglake: unreadable checkpoint $p", e) }
-          finally in.close()
-        }
+        def parseOne(p: Path): Checkpoint =
+          if (p.getName.endsWith(".parquet"))
+            try CheckpointParquet.read(f.getConf, p)
+            catch { case e: Exception =>
+              throw new java.io.IOException(s"loglake: unreadable checkpoint $p", e) }
+          else {
+            val in = f.open(p)
+            try parseCheckpointStream(in)
+            catch { case e: Exception =>
+              throw new java.io.IOException(s"loglake: unreadable checkpoint $p", e) }
+            finally in.close()
+          }
         if (parts.size == 1) parseOne(parts.head)
         else {
           // multi-part: parse the parts IN PARALLEL (each is its own
@@ -479,9 +491,10 @@ object LogLake {
               case e: java.util.concurrent.ExecutionException => throw e.getCause
             } finally pool.shutdown()
           val head = pieces.head // part 1 carries the header
+          // packed pieces glue at the block level — zero re-encode
           Checkpoint(head.version, head.schemaJson,
-            pieces.flatMap(_.files), head.txns, head.features,
-            head.writerFeatures)
+            PackedAddFiles.concat(pieces.map(_.files)), head.txns,
+            head.features, head.writerFeatures)
         }
       }
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -525,17 +538,33 @@ object LogLake {
         s"${unknown.toSeq.sorted.mkString(", ")} this reader does not " +
         s"support (supported: ${SupportedFeatures.toSeq.sorted.mkString(", ")}) " +
         "— upgrade the library; reading anyway could silently corrupt results")
-    val files: Seq[AddFile] = {
-      val out = Seq.newBuilder[AddFile]
-      chk.iterator.flatMap(_.files).foreach { a =>
-        if (!removedEver(a.path)) delta.remove(a.path) match {
-          case Some(updated) => out += updated // in-place update
-          case None => out += a
+    val files: Seq[AddFile] = chk.map(_.files) match {
+      // packed checkpoint state: block-level copy-on-write — the
+      // tail delta touches tail-many paths, so all but a handful of
+      // blocks carry over as their original compressed bytes (one
+      // decode sweep, no re-encode, no 10⁷-object graph)
+      case Some(p: PackedAddFiles) =>
+        if (delta.isEmpty && removedEver.isEmpty) p
+        else p.rewriteBlocks(
+          a => if (removedEver(a.path)) None
+            else delta.remove(a.path) match {
+              case Some(updated) => Some(updated) // in-place update
+              case None => Some(a)
+            },
+          // tail-added new paths and removed-then-re-added, in order
+          // (evaluated AFTER the sweep consumed the in-place updates)
+          delta.valuesIterator)
+      case chkFiles =>
+        val out = new PackedAddFiles.GrowingBuilder
+        chkFiles.getOrElse(Seq.empty).foreach { a =>
+          if (!removedEver(a.path)) delta.remove(a.path) match {
+            case Some(updated) => out += updated // in-place update
+            case None => out += a
+          }
         }
-      }
-      // tail-added new paths and removed-then-re-added paths, in order
-      delta.valuesIterator.foreach(out += _)
-      out.result()
+        // tail-added new paths and removed-then-re-added paths, in order
+        delta.valuesIterator.foreach(out += _)
+        out.result()
     }
     val out = Checkpoint(target, schemaJson, files,
       txns.toMap, features, writerFeatures)
@@ -4603,29 +4632,51 @@ object LogLake {
     try {
       val f = fs(dir)
       val c = resolve(dir, Some(v))
-      val partSize = tableProperties(dir)
-        .get("loglake.checkpoint.partSizeFiles")
+      val props = tableProperties(dir)
+      val partSize = props.get("loglake.checkpoint.partSizeFiles")
         .flatMap(_.toLongOption).getOrElse(1000000L)
-      def writeOne(piece: Checkpoint, name: String): Unit = {
+      // body format is per-table: json (default, human-readable) or
+      // parquet (columnar/ranged/Snappy — [[CheckpointParquet]])
+      val parquetBody =
+        props.get("loglake.checkpoint.format").contains("parquet")
+      val ext = if (parquetBody) "parquet" else "json"
+      def writeOne(piece: Checkpoint, filesIt: Iterator[AddFile],
+          name: String): Unit = {
         val tmp = new Path(logPath(dir), s"_tmp/c-${UUID.randomUUID()}")
-        val out = f.create(tmp, true)
-        try writeCheckpointStream(out, piece) finally out.close()
+        if (parquetBody)
+          CheckpointParquet.write(f.getConf, tmp, piece, filesIt,
+            header = piece.schemaJson.nonEmpty)
+        else {
+          val out = f.create(tmp, true)
+          try writeCheckpointStream(out, piece, filesIt) finally out.close()
+        }
         if (!f.rename(tmp, new Path(logPath(dir), name))) f.delete(tmp, false)
       }
-      if (partSize <= 0L || c.files.size <= partSize)
-        writeOne(c, f"chk-$v%020d.json")
+      val total = c.files.size
+      if (partSize <= 0L || total <= partSize)
+        writeOne(c, c.files.iterator, f"chk-$v%020d.$ext")
       else {
-        val slices = c.files.grouped(partSize.toInt).toVector
-        val n = slices.size
+        // slice by RANGE ITERATOR, never materialized: a packed state
+        // hands each writer a block-aligned cursor, so parallel part
+        // writes hold one decoded block per thread, not 10⁷ objects
+        val n = ((total + partSize - 1) / partSize).toInt
+        def slice(i: Int): Iterator[AddFile] = {
+          val from = (i.toLong * partSize).toInt
+          val until = math.min(total.toLong, (i + 1).toLong * partSize).toInt
+          c.files match {
+            case p: PackedAddFiles => p.rangeIterator(from, until)
+            case s => s.iterator.slice(from, until)
+          }
+        }
         val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(n, 8))
         try {
-          slices.zipWithIndex.map { case (slice, i) =>
+          (0 until n).map { i =>
             pool.submit(new Runnable {
               override def run(): Unit = writeOne(
-                if (i == 0) Checkpoint(c.version, c.schemaJson, slice,
+                if (i == 0) Checkpoint(c.version, c.schemaJson, Nil,
                   c.txns, c.features, c.writerFeatures)
-                else Checkpoint(c.version, "", slice, Map.empty, Set.empty),
-                f"chk-$v%020d.p${i + 1}-of-$n.json")
+                else Checkpoint(c.version, "", Nil, Map.empty, Set.empty),
+                slice(i), f"chk-$v%020d.p${i + 1}-of-$n.$ext")
             })
           }.foreach(_.get())
         } finally pool.shutdown()
@@ -4879,7 +4930,9 @@ object LogLake {
     val p = mapper.getFactory.createParser(in)
     var version = 0L
     var schema = ""
-    val files = scala.collection.mutable.ArrayBuffer[AddFile]()
+    // packs past the threshold: a 10⁷-file checkpoint parses into
+    // ~hundreds of MB of compressed blocks, never 10⁷ live objects
+    val files = new PackedAddFiles.GrowingBuilder
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
     var features = Set.empty[String]
     var writerFeatures = Set.empty[String]
@@ -4910,7 +4963,7 @@ object LogLake {
       }
     }
     p.close()
-    Checkpoint(version, schema, files.toSeq, txns.toMap, features,
+    Checkpoint(version, schema, files.result(), txns.toMap, features,
       writerFeatures)
   }
 
@@ -4965,7 +5018,9 @@ object LogLake {
   /** Token-streamed checkpoint render — byte-identical layout to the
     * tree renderer (field order pinned, stats sorted by column), so the
     * rename-replace idempotence argument in [[writeCheckpoint]] holds. */
-  private def writeCheckpointStream(out: java.io.OutputStream, c: Checkpoint): Unit = {
+  private def writeCheckpointStream(out: java.io.OutputStream, c: Checkpoint,
+      filesIt0: Iterator[AddFile] = null): Unit = {
+    val filesIt = if (filesIt0 == null) c.files.iterator else filesIt0
     val g = mapper.getFactory.createGenerator(out)
     g.writeStartObject()
     g.writeNumberField("version", c.version)
@@ -4981,7 +5036,7 @@ object LogLake {
       g.writeEndArray()
     }
     g.writeArrayFieldStart("files")
-    c.files.foreach { a =>
+    filesIt.foreach { a =>
       g.writeStartObject()
       g.writeStringField("path", a.path)
       g.writeNumberField("rows", a.rows)

@@ -128,6 +128,46 @@ object MetaProbe {
         makeMultiPart(dir, n, 1000, 1000000L))
       LogLake.clearSnapshotCache()
       t(s"activeState via $nParts-part chk")(LogLake.activeState(dir))
+      // ---- A/B: the SAME state through PARQUET checkpoint bodies
+      // (`loglake.checkpoint.format=parquet`, VERDICT r12 #5).
+      // Semantics are pinned identical by ParquetCheckpointSpec; what
+      // changes here is bytes on disk and driver parse cost.
+      val logFile = new java.io.File(dir, LogLake.LogDir)
+      def chkBytes: Long = logFile.listFiles()
+        .filter(_.getName.startsWith("chk-")).map(_.length).sum
+      def dropChk(): Unit = logFile.listFiles()
+        .filter(_.getName.startsWith("chk-")).foreach(_.delete())
+      val jsonBytes = chkBytes
+      def addFileIt(from: Long, to: Long): Iterator[LogLake.AddFile] =
+        Iterator.range(from, to + 1).map(i => LogLake.AddFile(
+          f"data/f-$i%016x.parquet", 1000,
+          Map("k" -> LogLake.ColStats("long", (i * 1000).toString,
+            (i * 1000 + 999).toString, 0)), 1048576L))
+      val conf = new org.apache.hadoop.conf.Configuration()
+      def writePq(name: String, from: Long, to: Long, header: Boolean): Unit =
+        graft.sources.CheckpointParquet.write(conf,
+          new org.apache.hadoop.fs.Path(logFile.toString, name),
+          LogLake.Checkpoint(1000, if (header) schemaJson else "", Nil,
+            Map.empty),
+          addFileIt(from, to), header)
+      dropChk()
+      t("craft parquet chk (single)")(
+        writePq(f"chk-${1000}%020d.parquet", 1L, n, header = true))
+      LogLake.clearSnapshotCache()
+      t("activeState via parquet chk")(LogLake.activeState(dir))
+      val pqBytes = chkBytes
+      dropChk()
+      val nPq = ((n + 999999L) / 1000000L).toInt
+      t(s"craft parquet chk ($nPq parts)")((1 to nPq).foreach { p =>
+        writePq(
+          if (nPq == 1) f"chk-${1000}%020d.parquet"
+          else f"chk-${1000}%020d.p$p-of-$nPq.parquet",
+          (p - 1).toLong * 1000000L + 1, math.min(n, p.toLong * 1000000L),
+          header = p == 1)
+      })
+      LogLake.clearSnapshotCache()
+      t(s"activeState via $nPq-part parquet chk")(LogLake.activeState(dir))
+      println(f"  ${"chk bytes json → parquet"}%-34s ${jsonBytes / 1048576}%5d MB → ${pqBytes / 1048576}%5d MB (${jsonBytes.toDouble / pqBytes}%.1f×)")
       // worst case: no checkpoint → full log replay (cache cleared so
       // the cold path is what's measured)
       val log = Paths.get(dir, LogLake.LogDir)
