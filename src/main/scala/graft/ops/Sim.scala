@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -1145,6 +1146,147 @@ object Sim {
           sum(when(col("rm").isNull, 0).otherwise(1)).cast("long").as("n_removed"),
           min(when(col("rm").isNull, col("vec_id"))).as("first_kept"))
         .orderBy("centroid_id")
+    },
+
+    // --- q150: IVF-PQ (Jégou et al. 2011, product quantization) — the
+    // MEMORY-BOUNDED ANN that closes the family: q82's in-cell scan
+    // still reads full vectors, which at 10⁹ × 64 floats is 256 GB of
+    // vector bytes; PQ stores each vector as M=8 CODE BYTES (one
+    // codebook index per 8-dim subvector) and scores cells ADC-style —
+    // a per-query lookup table of (subvector × codebook entry) dots,
+    // summed by code — so cell members cost 8 bytes each and the
+    // query-time math is table lookups, not float loops. Codebooks are
+    // deterministic (a fixed Ks=32 lowest-vec_id set — broadcast size
+    // independent of corpus size, q144's posture) and ALL
+    // scoring is the exact integer sdot kernel: encode argmin uses
+    // L2² = s·s + c·c − 2 s·c over scaled longs, the ADC score is a
+    // BIGINT sum of 8 scaled dots — DuckDB replays every bit. Plan
+    // shape at 100 TB: encode is one broadcast join (n × M × Ks rows,
+    // all map-side); the search is nprobe/ncells of the CODES table
+    // (8 B/vector), the LUT is probe-count × M × Ks — metadata-sized;
+    // the only shuffle edge is the cell equi-join, same as q82.
+    Q(
+      "q150_ivf_pq", {
+        val cosNC = s"${oDdot("n.embedding", "cent.ce")} / (n.nrm * cent.cn)"
+        val cosPC = s"${oDdot("p.embedding", "cent.ce")} / (p.nrm * cent.cn)"
+        def sd(a: String, b: String) = s"CAST(${oSdot(a, b)} AS BIGINT)"
+        s"""WITH n AS (
+           |  SELECT vec_id, embedding, ${oDnorm("embedding")} AS nrm FROM embeddings
+           |), cent AS (
+           |  SELECT vec_id AS c_id, embedding AS ce, ${oDnorm("embedding")} AS cn
+           |  FROM embeddings ORDER BY vec_id LIMIT 32
+           |), cb0 AS (
+           |  SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS code
+           |  FROM embeddings ORDER BY vec_id LIMIT 32
+           |), cb AS (
+           |  SELECT r.j, c.code, list_slice(c.embedding, 8*r.j+1, 8*r.j+8) AS cv
+           |  FROM cb0 c, range(0,8) r(j)
+           |), sub AS (
+           |  SELECT n.vec_id, r.j, list_slice(n.embedding, 8*r.j+1, 8*r.j+8) AS sv
+           |  FROM n, range(0,8) r(j)
+           |), codes AS (
+           |  SELECT vec_id, j, code FROM (
+           |    SELECT s.vec_id, s.j, cb.code,
+           |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+           |             ORDER BY ${sd("s.sv", "s.sv")} + ${sd("cb.cv", "cb.cv")}
+           |               - 2 * ${sd("s.sv", "cb.cv")}, cb.code) AS rnk
+           |    FROM sub s JOIN cb ON cb.j = s.j)
+           |  WHERE rnk = 1
+           |), assign AS (
+           |  SELECT vec_id, c_id FROM (
+           |    SELECT n.vec_id, cent.c_id,
+           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+           |             ORDER BY $cosNC DESC, cent.c_id) AS rnk
+           |    FROM n, cent WHERE n.nrm * cent.cn <> 0)
+           |  WHERE rnk = 1
+           |), probecells AS (
+           |  SELECT vec_id AS q_id, c_id FROM (
+           |    SELECT p.vec_id, cent.c_id,
+           |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+           |             ORDER BY $cosPC DESC, cent.c_id) AS rnk
+           |    FROM (SELECT * FROM n WHERE vec_id < 20) p, cent
+           |    WHERE p.nrm * cent.cn <> 0)
+           |  WHERE rnk <= 4
+           |), lut AS (
+           |  SELECT s.vec_id AS q_id, s.j, cb.code, ${sd("s.sv", "cb.cv")} AS pd
+           |  FROM (SELECT * FROM sub WHERE vec_id < 20) s JOIN cb ON cb.j = s.j
+           |), scored AS (
+           |  SELECT pc.q_id, a.vec_id AS neighbor_id, SUM(l.pd) AS adc
+           |  FROM probecells pc
+           |  JOIN assign a ON a.c_id = pc.c_id AND a.vec_id <> pc.q_id
+           |  JOIN codes c ON c.vec_id = a.vec_id
+           |  JOIN lut l ON l.q_id = pc.q_id AND l.j = c.j AND l.code = c.code
+           |  GROUP BY pc.q_id, a.vec_id
+           |)
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+           |       CAST(adc AS BIGINT) AS adc
+           |FROM (
+           |  SELECT q_id, neighbor_id, adc,
+           |         ROW_NUMBER() OVER (PARTITION BY q_id
+           |           ORDER BY adc DESC, neighbor_id) AS rnk
+           |  FROM scored)
+           |WHERE rnk <= 5
+           |ORDER BY q_id, rnk""".stripMargin
+      }
+    ) { (s, d) =>
+      val M = 8; val SUB = 8; val KS = 32
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val n = emb.withColumn("nrm", dnorm(col("embedding")))
+      val js = array((0 until M).map(j => lit(j)): _*)
+      def subv(e: Column, j: Column): Column = slice(e, j * SUB + 1, lit(SUB))
+      // PQ codebook: a FIXED k=32 deterministic set (lowest vec_ids,
+      // q144's posture) — broadcast size independent of corpus size
+      val cb = emb.orderBy("vec_id").limit(KS)
+        .withColumn("code", row_number().over(Window.orderBy("vec_id")))
+        .withColumn("j", explode(js))
+        .select(col("j"), col("code"), subv(col("embedding"), col("j")).as("cv"))
+      val sub = emb.withColumn("j", explode(js))
+        .select(col("vec_id"), col("j"), subv(col("embedding"), col("j")).as("sv"))
+      // ENCODE: argmin exact-integer L2² against the broadcast codebook
+      // — map-side only, the write-path cost of a PQ index
+      val wCode = Window.partitionBy("vec_id", "j").orderBy(col("dist"), col("code"))
+      val codes = sub.join(broadcast(cb), Seq("j"))
+        .withColumn("dist", sdot(col("sv"), col("sv")) + sdot(col("cv"), col("cv"))
+          - lit(2L) * sdot(col("sv"), col("cv")))
+        .withColumn("rnk", row_number().over(wCode))
+        .filter(col("rnk") === 1)
+        .select("vec_id", "j", "code")
+      // coarse centroids: the SAME fixed k=32 posture — n×k assignment
+      // cost and broadcast size independent of corpus size
+      val cent = n.orderBy("vec_id").limit(KS)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
+      val assign = n.crossJoin(broadcast(cent))
+        .filter(col("nrm") * col("cn") =!= 0) // zero-norm joins no cell
+        .withColumn("cos", ddot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("c_id"))
+      val probeCells = n.filter(col("vec_id") < 20).crossJoin(broadcast(cent))
+        .filter(col("nrm") * col("cn") =!= 0)
+        .withColumn("cos", ddot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") <= 4)
+        .select(col("vec_id").as("q_id"), col("c_id"))
+      // ADC lookup table: probe-count × M × Ks scaled dots — metadata-sized
+      val lut = sub.filter(col("vec_id") < 20)
+        .join(broadcast(cb), Seq("j"))
+        .select(col("vec_id").as("q_id"), col("j"), col("code"),
+          sdot(col("sv"), col("cv")).as("pd"))
+      val scored = probeCells
+        .join(assign.select(col("c_id"), col("vec_id").as("neighbor_id")), Seq("c_id"))
+        .filter(col("neighbor_id") =!= col("q_id"))
+        .join(codes.select(col("vec_id").as("neighbor_id"), col("j"), col("code")),
+          Seq("neighbor_id"))
+        .join(broadcast(lut), Seq("q_id", "j", "code"))
+        .groupBy("q_id", "neighbor_id")
+        .agg(sum("pd").as("adc"))
+      val wTop = Window.partitionBy("q_id").orderBy(col("adc").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk").cast("int").as("rnk"),
+          col("neighbor_id"), col("adc").cast("long").as("adc"))
+        .orderBy("q_id", "rnk")
     }
   )
 }

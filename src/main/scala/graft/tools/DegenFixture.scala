@@ -45,6 +45,9 @@ object DegenFixture {
     (0 until n).map(i => Words(((seed * 31 + i * 17) % Words.size).toInt.abs))
       .mkString(" ")
 
+  /** Exactly 32 code points — the string-stats truncation horizon. */
+  private val TruncPrefix32 = "shared-prefix-0123456789-abcdef!"
+
   def build(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     Files.createDirectories(Paths.get(outDir))
     CopyTables.foreach { t =>
@@ -74,7 +77,26 @@ object DegenFixture {
         doc(9L, "GIF89a pretender payload that is not an image at all"),
         Row(71L, synthText(71L, 24), null, null, synthText(71L, 24).length.toLong),
         doc(72L, synthText(72L, 30), lang = "ko", source = "srcSolo"), // one-row groups
-        doc(70L, synthText(70L, 1500), lang = "fr")    // very long doc
+        doc(70L, synthText(70L, 1500), lang = "fr"),   // very long doc
+        // ids 73..79 (round 13): adversarial STRING-STATS-TRUNCATION
+        // shapes — q147's bounded-stats table must stay skipping-sound
+        // on hostile text, cross-engine. A ≥32-cp SHARED PREFIX whose
+        // members differ only past the truncation horizon (their
+        // truncated MIN/MAX collide; only the strunc-tag refusal keeps
+        // metadata-only MIN/MAX honest), docs of exactly 32 and 33
+        // code points (the boundary where truncation starts), a
+        // surrogate PAIR straddling the horizon (truncation must not
+        // split it), and U+D7FF / U+E000 boundary text (prefixIncrement
+        // hops the surrogate gap exactly there).
+        doc(73L, TruncPrefix32),
+        doc(74L, TruncPrefix32 + "z"),
+        doc(75L, TruncPrefix32 + "alpha beyond the truncation horizon"),
+        doc(76L, TruncPrefix32 + "omega far past the stats boundary", lang = "pt"),
+        doc(77L, "0123456789012345678901234567890" +
+          "😀😀 surrogate pair at the horizon"),
+        doc(78L, "0123456789012345678901234567890\uD7FF tail beyond the gap hop"),
+        doc(79L, "0123456789012345678901234567890\uE000 just above the hop target",
+          lang = "pt")
       ) ++
       // ids 10..49: the giant near-dup cluster — same base, tiny suffix
       (10L to 49L).map(i => doc(i, s"$base variant v$i",

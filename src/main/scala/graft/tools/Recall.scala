@@ -19,11 +19,21 @@ object Recall {
 
   /** Mean recall@5 of the IVF multi-probe search against the exact
     * brute-force top-5. */
-  def ivfRecallAt5(spark: SparkSession, sfDir: String): Double = {
+  def ivfRecallAt5(spark: SparkSession, sfDir: String): Double =
+    recallAt5(spark, sfDir, "q82_ivf_search")
+
+  /** Mean recall@5 of the IVF-PQ (code-byte ADC) search against the
+    * exact brute-force top-5 — what 8-byte codes give up vs q82's
+    * exact in-cell floats. */
+  def ivfPqRecallAt5(spark: SparkSession, sfDir: String): Double =
+    recallAt5(spark, sfDir, "q150_ivf_pq")
+
+  private def recallAt5(spark: SparkSession, sfDir: String,
+      name: String): Double = {
     val exact = topSets(spark, sfDir, "q43_cosine_topk")
-    val ivf = topSets(spark, sfDir, "q82_ivf_search")
-    require(ivf.keySet == exact.keySet, "every probe must return results")
-    val recall = ivf.map { case (q, ns) => (exact(q) & ns).size / 5.0 }
+    val ann = topSets(spark, sfDir, name)
+    require(ann.keySet == exact.keySet, "every probe must return results")
+    val recall = ann.map { case (q, ns) => (exact(q) & ns).size / 5.0 }
     recall.sum / recall.size
   }
 }

@@ -10,7 +10,8 @@ object RecallProbe {
         .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
       val byQ = Recall.topSets(spark, sf, "q82_ivf_search")
       val r1 = byQ.count { case (q, ns) => ns.contains(top1(q)) } / byQ.size.toDouble
-      println(f"[recall] $sf ivf recall@5=$r5%.2f top1-in-5=$r1%.2f")
+      val pq5 = Recall.ivfPqRecallAt5(spark, sf)
+      println(f"[recall] $sf ivf recall@5=$r5%.2f top1-in-5=$r1%.2f pq recall@5=$pq5%.2f")
     }
     spark.stop()
   }
