@@ -1811,6 +1811,71 @@ object Lake {
            |       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total
            |FROM loglake.$ns.t
            |GROUP BY st ORDER BY st""".stripMargin)
+    },
+
+    // --- q151: PARQUET CHECKPOINT BODIES end-to-end (round 13;
+    // Delta's parquet checkpoints). The table sets
+    // `loglake.checkpoint.format = parquet` + a small part budget, 12
+    // commits cross the checkpoint interval, and the builder REQUIRES
+    // the resulting checkpoint to be a multi-part PARQUET group
+    // (structural, like q142's no-exchange check) before clearing the
+    // snapshot cache so the measured read COLD-RESOLVES through the
+    // columnar bodies: per-status aggregate over the full snapshot
+    // plus a narrow key-range leg whose file skipping runs off stats
+    // that round-tripped through parquet (the builder also requires
+    // the pruning really skipped). At 100 TB the checkpoint is the
+    // dominating metadata object an object store bills for — parquet
+    // bodies are ~10× smaller than JSON at identical resolve cost and
+    // column-chunked for ranged reads (BASELINE.md A/B). Oracle
+    // replays the same state declaratively.
+    Q(
+      "q151_loglake_parquet_chk",
+      s"""SELECT l.o_orderstatus, l.cnt, l.total, f.band_rows, f.band_total
+         |FROM (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |             ${oSum("o_totalprice")} AS total
+         |      FROM orders GROUP BY o_orderstatus) l
+         |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS band_rows,
+         |                   ${oSum("o_totalprice")} AS band_total
+         |            FROM orders WHERE o_orderkey BETWEEN 100 AND 199) f
+         |ORDER BY l.o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q151")
+      val ord = orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").persist()
+      // contiguous KEY-RANGE slices (12 equal-width bands over the
+      // actual key span — one metadata-sized max() to size them), so
+      // each file covers a narrow o_orderkey band and the range leg
+      // below can actually skip — %-residue slices would give every
+      // file near-global min/max and nothing to prune
+      val width = ord.agg(max("o_orderkey")).head().getLong(0) / 12L + 1L
+      def slice(i: Int) = ord.filter(
+        (col("o_orderkey") / lit(width)).cast("long") === i)
+      try {
+        LogLake.create(s, dir, slice(0), statsCols = Seq("o_orderkey"))
+        LogLake.setTableProperties(dir, Map(
+          "loglake.checkpoint.format" -> "parquet",
+          "loglake.checkpoint.partSizeFiles" -> "4"))
+        (1 to 11).foreach(i => LogLake.append(s, dir, slice(i)))
+      } finally ord.unpersist()
+      val parts = new java.io.File(dir, "_loglake").listFiles()
+        .filter(_.getName.matches("""chk-\d{20}\.p\d+-of-\d+\.parquet"""))
+      require(parts.length >= 2,
+        s"q151: expected a multi-part parquet checkpoint group, got " +
+          new java.io.File(dir, "_loglake").listFiles()
+            .map(_.getName).filter(_.startsWith("chk-")).mkString(","))
+      LogLake.clearSnapshotCache() // the read below cold-resolves the group
+      val (kept, total) = LogLake.pruneFiles(dir, "o_orderkey", 100L, 199L)
+      require(total >= 12 && kept.size < total,
+        s"q151: stats skipping must survive the parquet round-trip " +
+          s"(kept ${kept.size} of $total)")
+      val latest = LogLake.snapshot(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      val band = LogLake.snapshot(s, dir)
+        .filter(col("o_orderkey").between(100L, 199L))
+        .agg(count(lit(1)).as("band_rows"),
+          dsum(col("o_totalprice")).as("band_total"))
+      latest.crossJoin(band).orderBy("o_orderstatus")
     }
   )
 }

@@ -4687,7 +4687,14 @@ object LogLake {
       tableProperties(dir).get("loglake.logRetentionMs")
         .flatMap(_.toLongOption)
         .foreach(ms => cleanupMetadata(dir, olderThanMs = ms))
-    } catch { case _: Exception => () }
+    } catch { case e: Exception =>
+      // best-effort by design (the commit already won; a reader only
+      // loses the accelerator) — but silent loss of every future
+      // checkpoint is an operability hole, so name the failure
+      System.err.println(
+        s"loglake: checkpoint write at v$v failed (best-effort, " +
+          s"table still consistent): $e")
+    }
 
   // ----------------------------------------------------------- stats enc
 
