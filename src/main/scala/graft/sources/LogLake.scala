@@ -419,7 +419,7 @@ object LogLake {
         size > 8
     }
   /** Cache-miss count — observability hook for the cache spec. */
-  private[sources] val snapshotAssembles = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val snapshotAssembles = new java.util.concurrent.atomic.AtomicLong()
 
   /** Probe hook: force the next resolve to reassemble (tools/MetaProbe
     * measures the cold path explicitly). Never needed for correctness —
@@ -596,22 +596,186 @@ object LogLake {
     * matches NULL). */
   def pruneFiles(dir: String, column: String, lo: Any, hi: Any,
       asOf: Option[Long] = None): (Seq[AddFile], Int) = {
+    // opt-in distributed routing: at 10⁸-file scale the resolved state
+    // has no business on the driver at all — see planFilesDistributed
+    if (tableProperties(dir).get("loglake.planning.distributed")
+        .contains("true")) {
+      SparkSession.getActiveSession match {
+        case Some(s) =>
+          val (kept, total, schema) = distributedPrunePass(s, dir, asOf) {
+            (schema: StructType) =>
+              val phys = toPhys(schema, column)
+              (a: AddFile) => rangeKeep(a, phys, lo, hi)
+          }
+          return (kept, total.toInt)
+        case None => () // no session to run the job — driver path below
+      }
+    }
     val (files, schema) = activeState(dir, asOf)
     (rangeKept(files, toPhys(schema, column), lo, hi), files.size)
   }
 
+  /** DISTRIBUTED METADATA PLANNING (Delta's state-reconstruction-as-a-
+    * Spark-job posture): evaluate a file-level predicate over the
+    * target version's active set WITHOUT materializing that set on the
+    * driver. Checkpoint parts prune on EXECUTORS — one task per part,
+    * each streaming its part through the same codec the driver uses
+    * ([[CheckpointParquet]] / [[parseCheckpointStream]], packed blocks,
+    * so a task holds one decoded block at a time) — while the
+    * ≤[[CheckpointInterval]]-commit manifest TAIL applies as a
+    * broadcast-sized delta with exactly [[resolve]]'s ordering
+    * semantics (updated paths keep their checkpoint slot; removed or
+    * fresh paths enter at the end in tail order). The driver receives
+    * ONLY survivors: at 10⁸ files (a 1 PB table at 10 MB files) a
+    * selective predicate returns thousands of AddFiles where even the
+    * packed resolved state would hold ~1.4 GB — and the job's
+    * parallelism is the part count, so reconstruction cost rides the
+    * cluster, not the driver core.
+    *
+    * The reader feature gate applies unchanged: the target manifest's
+    * feature set (complete by monotonicity — every commit carries the
+    * full set) unions with the part headers' before anything returns;
+    * unknown features refuse the read exactly like [[resolve]].
+    *
+    * Falls back to the driver path when the table has no checkpoint
+    * yet (≤ [[CheckpointInterval]] commits — tail-sized by
+    * construction) or the snapshot cache already holds the resolved
+    * state (an in-memory filter beats any job).
+    *
+    * Returns (survivors, total active file count). */
+  def planFilesDistributed(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None)(keep: AddFile => Boolean)
+      : (Seq[AddFile], Long) = {
+    val (kept, total, _) =
+      distributedPrunePass(spark, dir, asOf)(_ => keep)
+    (kept, total)
+  }
+
+  /** Range form of [[planFilesDistributed]] — the distributed twin of
+    * [[pruneFiles]], same keep/prune contract. */
+  def pruneFilesDistributed(spark: SparkSession, dir: String,
+      column: String, lo: Any, hi: Any, asOf: Option[Long] = None)
+      : (Seq[AddFile], Long) = {
+    val (kept, total, _) = distributedPrunePass(spark, dir, asOf) {
+      (schema: StructType) =>
+        val phys = toPhys(schema, column)
+        (a: AddFile) => rangeKeep(a, phys, lo, hi)
+    }
+    (kept, total)
+  }
+
+  private def distributedPrunePass(spark: SparkSession, dir: String,
+      asOf: Option[Long])(mkKeep: StructType => AddFile => Boolean)
+      : (Seq[AddFile], Long, StructType) = {
+    val f = fs(dir)
+    val manifests = listManifests(dir)
+    require(manifests.nonEmpty, s"loglake: no table at $dir")
+    val last = manifests.last._1
+    val target = asOf.getOrElse(last)
+    require(manifests.exists(_._1 == target),
+      s"loglake: version $target does not exist at $dir " +
+        s"(log spans ${manifests.head._1}..$last)")
+    val targetPath = manifests.find(_._1 == target).get._2
+    // the target manifest is one tail-sized document and carries the
+    // FULL feature set (monotone) + current schema — gate and plan
+    // from it without touching the checkpoint body
+    val tm = readManifest(f, targetPath)
+    val schema = DataType.fromJson(tm.schemaJson).asInstanceOf[StructType]
+    val keep = mkKeep(schema)
+    def driverPath(): (Seq[AddFile], Long, StructType) = {
+      val files = resolve(dir, Some(target)).files
+      (files.filter(keep), files.size.toLong, schema)
+    }
+    // cache hit → in-memory filter beats a job
+    val ts = f.getFileStatus(targetPath)
+    val cached = snapshotCache.synchronized(Option(snapshotCache.get(
+      (dir, target, ts.getModificationTime, ts.getLen))))
+    if (cached.isDefined) return driverPath()
+    val chk = listCheckpoints(dir).filter(_._1 <= target).lastOption
+    chk match {
+      case None => driverPath() // tail-only table: ≤ interval commits
+      case Some((floor, parts)) =>
+        // tail delta on the driver — small by construction
+        val delta = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+        val removedEver = scala.collection.mutable.HashSet[String]()
+        var features = tm.features
+        manifests.filter { case (v, _) => v > floor && v <= target }
+          .foreach { case (_, p) =>
+            val m = readManifest(f, p)
+            m.removes.foreach { r => removedEver += r; delta.remove(r) }
+            m.adds.foreach(a => delta(a.path) = a)
+            features ++= m.features
+          }
+        val removedB = spark.sparkContext.broadcast(removedEver.toSet)
+        val deltaB = spark.sparkContext.broadcast(delta.toMap)
+        val partStrs = parts.map(_.toString)
+        val perPart = spark.sparkContext
+          .parallelize(partStrs, partStrs.size)
+          .map { pStr =>
+            val p = new Path(pStr)
+            val pf = p.getFileSystem(
+              new org.apache.hadoop.conf.Configuration())
+            val c =
+              if (pStr.endsWith(".parquet"))
+                CheckpointParquet.read(pf.getConf, p)
+              else {
+                val in = pf.open(p)
+                try parseCheckpointStream(in) finally in.close()
+              }
+            val removed = removedB.value
+            val d = deltaB.value
+            val survivors = Vector.newBuilder[AddFile]
+            val consumed = Set.newBuilder[String]
+            var active = 0L
+            c.files.foreach { a =>
+              if (!removed.contains(a.path)) {
+                val eff = d.get(a.path) match {
+                  case Some(updated) => consumed += a.path; updated
+                  case None => a
+                }
+                active += 1
+                if (keep(eff)) survivors += eff
+              }
+            }
+            (survivors.result(), active, consumed.result(),
+              c.features, c.writerFeatures)
+          }.collect()
+        val allFeatures = features ++ perPart.iterator.flatMap(_._4)
+        val unknown = allFeatures -- SupportedFeatures
+        if (unknown.nonEmpty) throw new UnsupportedOperationException(
+          s"loglake: the table at $dir requires feature(s) " +
+            s"${unknown.toSeq.sorted.mkString(", ")} this reader does " +
+            s"not support (supported: " +
+            s"${SupportedFeatures.toSeq.sorted.mkString(", ")}) " +
+            "— upgrade the library; reading anyway could silently " +
+            "corrupt results")
+        val consumed = perPart.iterator.flatMap(_._3).toSet
+        // tail-added fresh paths + removed-then-re-added, in tail order
+        val tailAdds = delta.valuesIterator
+          .filterNot(a => consumed.contains(a.path)).toVector
+        val survivors =
+          perPart.iterator.flatMap(_._1).toVector ++ tailAdds.filter(keep)
+        val total = perPart.iterator.map(_._2).sum + tailAdds.size
+        (survivors, total, schema)
+    }
+  }
+
+  /** The single-file kept/pruned rule [[rangeKept]] applies per file —
+    * factored so distributed tasks evaluate the IDENTICAL predicate. */
+  private def rangeKeep(a: AddFile, column: String, lo: Any, hi: Any)
+      : Boolean =
+    a.stats.get(column) match {
+      case None => true
+      case Some(s) if s.tpe == "null" => false
+      case Some(s) =>
+        val loOk = lo == null || cmp(s, renderValue(lo), s.max) <= 0
+        val hiOk = hi == null || cmp(s, s.min, renderValue(hi)) <= 0
+        loOk && hiOk
+    }
+
   private def rangeKept(files: Seq[AddFile], column: String,
       lo: Any, hi: Any): Seq[AddFile] =
-    files.filter { a =>
-      a.stats.get(column) match {
-        case None => true
-        case Some(s) if s.tpe == "null" => false
-        case Some(s) =>
-          val loOk = lo == null || cmp(s, renderValue(lo), s.max) <= 0
-          val hiOk = hi == null || cmp(s, s.min, renderValue(hi)) <= 0
-          loOk && hiOk
-      }
-    }
+    files.filter(rangeKeep(_, column, lo, hi))
 
   /** File-skipping under a conjunction of Catalyst predicates — the
     * decision [[LogLakeFileIndex.listFiles]] makes during PLANNING, so

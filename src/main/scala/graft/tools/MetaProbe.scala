@@ -128,6 +128,11 @@ object MetaProbe {
         makeMultiPart(dir, n, 1000, 1000000L))
       LogLake.clearSnapshotCache()
       t(s"activeState via $nParts-part chk")(LogLake.activeState(dir))
+      // distributed planning: parts prune on EXECUTORS, survivors only
+      // reach the driver — the 10⁸-file posture (state never assembles)
+      LogLake.clearSnapshotCache()
+      t(s"distributed prune via $nParts json parts")(println(
+        f"  ${"  kept"}%-34s ${LogLake.pruneFilesDistributed(spark, dir, "k", 0L, 5000000L)._1.size}%8d"))
       // ---- A/B: the SAME state through PARQUET checkpoint bodies
       // (`loglake.checkpoint.format=parquet`, VERDICT r12 #5).
       // Semantics are pinned identical by ParquetCheckpointSpec; what
@@ -167,6 +172,9 @@ object MetaProbe {
       })
       LogLake.clearSnapshotCache()
       t(s"activeState via $nPq-part parquet chk")(LogLake.activeState(dir))
+      LogLake.clearSnapshotCache()
+      t(s"distributed prune via $nPq parquet parts")(println(
+        f"  ${"  kept"}%-34s ${LogLake.pruneFilesDistributed(spark, dir, "k", 0L, 5000000L)._1.size}%8d"))
       println(f"  ${"chk bytes json → parquet"}%-34s ${jsonBytes / 1048576}%5d MB → ${pqBytes / 1048576}%5d MB (${jsonBytes.toDouble / pqBytes}%.1f×)")
       // worst case: no checkpoint → full log replay (cache cleared so
       // the cold path is what's measured)
