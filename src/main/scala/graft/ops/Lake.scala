@@ -1876,6 +1876,69 @@ object Lake {
         .agg(count(lit(1)).as("band_rows"),
           dsum(col("o_totalprice")).as("band_total"))
       latest.crossJoin(band).orderBy("o_orderstatus")
+    },
+
+    // --- q152: LAZY 10⁸-FILE READ PLAN (round 13; Delta's
+    // state-reconstruction-as-a-job). `loglake.planning.distributed`
+    // routes the format("loglake") read through LazyLogLakeFileIndex:
+    // construction reads checkpoint part FOOTERS + the ≤10-commit
+    // manifest tail — never the body — and every scan's file skipping
+    // runs as a Spark job over the parts, survivors-only to the
+    // driver. The builder REQUIRES the lazy index structurally, that
+    // the banded filter really skipped files through the job, and
+    // that NO snapshot was assembled end to end (the assemble counter
+    // is the proof). At 100 TB / 10⁸ files the eager resolved state
+    // is gigabytes of driver heap; this plan's driver cost is the
+    // survivor list of each query's own filters. Oracle replays the
+    // same state declaratively.
+    Q(
+      "q152_loglake_lazy_plan",
+      s"""SELECT l.o_orderstatus, l.cnt, l.total, f.band_rows, f.band_total
+         |FROM (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |             ${oSum("o_totalprice")} AS total
+         |      FROM orders GROUP BY o_orderstatus) l
+         |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS band_rows,
+         |                   ${oSum("o_totalprice")} AS band_total
+         |            FROM orders WHERE o_orderkey BETWEEN 300 AND 499) f
+         |ORDER BY l.o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q152")
+      val ord = orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").persist()
+      val width = ord.agg(max("o_orderkey")).head().getLong(0) / 12L + 1L
+      def slice(i: Int) = ord.filter(
+        (col("o_orderkey") / lit(width)).cast("long") === i)
+      try {
+        LogLake.create(s, dir, slice(0), statsCols = Seq("o_orderkey"))
+        LogLake.setTableProperties(dir, Map(
+          "loglake.checkpoint.format" -> "parquet",
+          "loglake.checkpoint.partSizeFiles" -> "4",
+          "loglake.planning.distributed" -> "true"))
+        (1 to 11).foreach(i => LogLake.append(s, dir, slice(i)))
+      } finally ord.unpersist()
+      LogLake.clearSnapshotCache() // nothing cached: the lazy gate is live
+      val assembles = LogLake.snapshotAssembles.get()
+      val full = s.read.format("loglake").load(dir)
+      def idx(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectFirst {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+            sc.relation.location
+        }.get
+      require(idx(full).isInstanceOf[graft.sources.LazyLogLakeFileIndex],
+        s"q152: expected the lazy index, got ${idx(full).getClass.getSimpleName}")
+      val latest = full.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      val banded = s.read.format("loglake").load(dir)
+        .filter(col("o_orderkey").between(300L, 499L))
+      banded.count() // execute once: the job-backed skipping runs now
+      val li = idx(banded).asInstanceOf[graft.sources.LazyLogLakeFileIndex]
+      require(li.lastScanFiles >= 0 && li.planJobs >= 1,
+        "q152: the banded scan must plan through the distributed job")
+      require(LogLake.snapshotAssembles.get() == assembles,
+        "q152: the lazy plan must never assemble table state")
+      val band = banded.agg(count(lit(1)).as("band_rows"),
+        dsum(col("o_totalprice")).as("band_total"))
+      latest.crossJoin(band).orderBy("o_orderstatus")
     }
   )
 }

@@ -69,6 +69,29 @@ private[graft] object CheckpointParquet {
   private val KTxns = "loglake.txns"
   private val KFeatures = "loglake.features"
   private val KWFeatures = "loglake.wfeatures"
+  /** Per-part slice aggregates (every part carries its OWN slice's),
+    * so planning surfaces — sizeInBytes estimates, DV routing — read
+    * one footer instead of the body ([[LazyLogLakeFileIndex]]). */
+  private val KAggFiles = "loglake.part.files"
+  private val KAggBytes = "loglake.part.bytes"
+  private val KAggRows = "loglake.part.rows"
+  private val KAggDvs = "loglake.part.dvs"
+
+  /** (fileCount, sumBytes where known, sumRows, dvCount) for one part,
+    * from its footer alone — None for parts written before the
+    * aggregates existed. */
+  final case class PartAgg(files: Long, bytes: Long, rows: Long, dvs: Long)
+
+  def readAggregates(conf: Configuration, src: Path): Option[PartAgg] = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
+    val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
+    for {
+      f <- Option(kv.get(KAggFiles)).map(_.toLong)
+      b <- Option(kv.get(KAggBytes)).map(_.toLong)
+      rw <- Option(kv.get(KAggRows)).map(_.toLong)
+      d <- Option(kv.get(KAggDvs)).map(_.toLong)
+    } yield PartAgg(f, b, rw, d)
+  }
 
   def write(conf: Configuration, dest: Path, c: Checkpoint,
       files: Iterator[AddFile], header: Boolean): Unit = {
@@ -84,15 +107,17 @@ private[graft] object CheckpointParquet {
       if (c.writerFeatures.nonEmpty)
         meta.put(KWFeatures, c.writerFeatures.toSeq.sorted.mkString(","))
     }
-    val writer = ExampleParquetWriter.builder(
-        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(dest, conf))
+    val ws = new AggGroupWriteSupport(Schema, meta)
+    val writer = new AggBuilder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(dest, conf), ws)
       .withConf(conf)
-      .withType(Schema)
-      .withExtraMetaData(meta)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
     val gf = new SimpleGroupFactory(Schema)
     try files.foreach { a =>
+      ws.aFiles += 1; ws.aRows += a.rows
+      if (a.bytes > 0) ws.aBytes += a.bytes
+      if (a.dv.nonEmpty) ws.aDvs += 1
       val g = gf.newGroup()
       g.add("path", a.path)
       g.add("rows", a.rows)
@@ -111,6 +136,40 @@ private[graft] object CheckpointParquet {
       }
       writer.write(g)
     } finally writer.close()
+  }
+
+  /** Group write support whose `finalizeWrite` stamps the slice
+    * aggregates accumulated DURING the stream into the footer — the
+    * builder-time metadata can't know them for an iterator-fed part. */
+  private final class AggGroupWriteSupport(schema: MessageType,
+      base: java.util.Map[String, String])
+      extends org.apache.parquet.hadoop.api.WriteSupport[Group] {
+    var aFiles = 0L; var aBytes = 0L; var aRows = 0L; var aDvs = 0L
+    private var gw: org.apache.parquet.example.data.GroupWriter = _
+    override def init(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport.WriteContext =
+      new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(schema, base)
+    override def prepareForWrite(
+        rc: org.apache.parquet.io.api.RecordConsumer): Unit =
+      gw = new org.apache.parquet.example.data.GroupWriter(rc, schema)
+    override def write(g: Group): Unit = gw.write(g)
+    override def finalizeWrite()
+        : org.apache.parquet.hadoop.api.WriteSupport.FinalizedWriteContext = {
+      val m = new java.util.HashMap[String, String]()
+      m.put(KAggFiles, aFiles.toString)
+      m.put(KAggBytes, aBytes.toString)
+      m.put(KAggRows, aRows.toString)
+      m.put(KAggDvs, aDvs.toString)
+      new org.apache.parquet.hadoop.api.WriteSupport.FinalizedWriteContext(m)
+    }
+  }
+
+  private final class AggBuilder(out: org.apache.parquet.io.OutputFile,
+      ws: AggGroupWriteSupport)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[Group, AggBuilder](out) {
+    override def self(): AggBuilder = this
+    override def getWriteSupport(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[Group] = ws
   }
 
   def read(conf: Configuration, src: Path): Checkpoint = {

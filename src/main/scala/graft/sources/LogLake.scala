@@ -706,40 +706,8 @@ object LogLake {
             m.adds.foreach(a => delta(a.path) = a)
             features ++= m.features
           }
-        val removedB = spark.sparkContext.broadcast(removedEver.toSet)
-        val deltaB = spark.sparkContext.broadcast(delta.toMap)
-        val partStrs = parts.map(_.toString)
-        val perPart = spark.sparkContext
-          .parallelize(partStrs, partStrs.size)
-          .map { pStr =>
-            val p = new Path(pStr)
-            val pf = p.getFileSystem(
-              new org.apache.hadoop.conf.Configuration())
-            val c =
-              if (pStr.endsWith(".parquet"))
-                CheckpointParquet.read(pf.getConf, p)
-              else {
-                val in = pf.open(p)
-                try parseCheckpointStream(in) finally in.close()
-              }
-            val removed = removedB.value
-            val d = deltaB.value
-            val survivors = Vector.newBuilder[AddFile]
-            val consumed = Set.newBuilder[String]
-            var active = 0L
-            c.files.foreach { a =>
-              if (!removed.contains(a.path)) {
-                val eff = d.get(a.path) match {
-                  case Some(updated) => consumed += a.path; updated
-                  case None => a
-                }
-                active += 1
-                if (keep(eff)) survivors += eff
-              }
-            }
-            (survivors.result(), active, consumed.result(),
-              c.features, c.writerFeatures)
-          }.collect()
+        val perPart = partPruneJob(spark, parts.map(_.toString),
+          removedEver.toSet, delta.toMap, keep)
         val allFeatures = features ++ perPart.iterator.flatMap(_._4)
         val unknown = allFeatures -- SupportedFeatures
         if (unknown.nonEmpty) throw new UnsupportedOperationException(
@@ -758,6 +726,125 @@ object LogLake {
         val total = perPart.iterator.map(_._2).sum + tailAdds.size
         (survivors, total, schema)
     }
+  }
+
+  /** The executor fan-out both distributed consumers share
+    * ([[planFilesDistributed]] and [[LazyLogLakeFileIndex.listFiles]]):
+    * one task per checkpoint part, each streaming its part through the
+    * same codec the driver uses and applying the broadcast tail delta
+    * with [[resolve]]'s exact semantics. Per part: (survivors, active
+    * count, delta keys consumed as in-place updates, features,
+    * writerFeatures). */
+  private[sources] def partPruneJob(spark: SparkSession,
+      partStrs: Seq[String], removed: Set[String],
+      delta: Map[String, AddFile], keep: AddFile => Boolean)
+      : Array[(Vector[AddFile], Long, Set[String], Set[String], Set[String])] = {
+    val removedB = spark.sparkContext.broadcast(removed)
+    val deltaB = spark.sparkContext.broadcast(delta)
+    spark.sparkContext
+      .parallelize(partStrs, partStrs.size)
+      .map { pStr =>
+        val p = new Path(pStr)
+        val pf = p.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        val c =
+          if (pStr.endsWith(".parquet"))
+            CheckpointParquet.read(pf.getConf, p)
+          else {
+            val in = pf.open(p)
+            try parseCheckpointStream(in) finally in.close()
+          }
+        val rm = removedB.value
+        val d = deltaB.value
+        val survivors = Vector.newBuilder[AddFile]
+        val consumed = Set.newBuilder[String]
+        var active = 0L
+        c.files.foreach { a =>
+          if (!rm.contains(a.path)) {
+            val eff = d.get(a.path) match {
+              case Some(updated) => consumed += a.path; updated
+              case None => a
+            }
+            active += 1
+            if (keep(eff)) survivors += eff
+          }
+        }
+        (survivors.result(), active, consumed.result(),
+          c.features, c.writerFeatures)
+      }.collect()
+  }
+
+  /** Everything a [[LazyLogLakeFileIndex]] needs, gathered WITHOUT
+    * assembling table state: the checkpoint part paths, the tail
+    * delta, and footer-aggregate planning numbers. Some(_) only when
+    * the lazy path is provably safe for the native scan:
+    * `loglake.planning.distributed = true`, an all-parquet checkpoint
+    * at-or-below the target whose every part carries aggregate
+    * footers, ZERO deletion vectors anywhere (part footers + tail —
+    * the native scan cannot mask DV rows), no partition columns or
+    * bucket spec (those planners group the full list; they keep the
+    * eager index), no divergent column mapping, and no snapshot-cache
+    * hit (cached state makes the eager index free). Anything else →
+    * None → the caller builds the eager index, behavior unchanged. */
+  private[sources] final case class LazyPlan(version: Long,
+      schema: StructType, parts: Seq[String], removedEver: Set[String],
+      delta: Seq[(String, AddFile)], sumBytes: Long, fileCountUpper: Long)
+
+  private[sources] def lazyPlanInfo(dir: String, target: Long)
+      : Option[LazyPlan] = {
+    if (!tableProperties(dir).get("loglake.planning.distributed")
+        .contains("true")) return None
+    if (partitionColumns(dir).nonEmpty || bucketSpec(dir).nonEmpty)
+      return None
+    val f = fs(dir)
+    val manifests = listManifests(dir)
+    val targetPath = manifests.find(_._1 == target) match {
+      case Some((_, p)) => p
+      case None => return None // let the eager path raise its error
+    }
+    val ts = f.getFileStatus(targetPath)
+    val cached = snapshotCache.synchronized(snapshotCache.containsKey(
+      (dir, target, ts.getModificationTime, ts.getLen)))
+    if (cached) return None
+    val (floor, parts) = listCheckpoints(dir)
+      .filter(_._1 <= target).lastOption match {
+      case Some(c) => c
+      case None => return None // tail-only table: eager is tail-sized
+    }
+    if (!parts.forall(_.getName.endsWith(".parquet"))) return None
+    val aggs = parts.map(p => CheckpointParquet.readAggregates(f.getConf, p))
+    if (aggs.exists(_.isEmpty)) return None // pre-aggregate parts
+    if (aggs.exists(_.exists(_.dvs > 0))) return None // MoR window: eager
+    val tm = readManifest(f, targetPath)
+    val schema = DataType.fromJson(tm.schemaJson).asInstanceOf[StructType]
+    if (isDivergent(schema)) return None
+    // the reader feature gate, from the target manifest's complete
+    // (monotone) set — same refusal resolve would issue
+    val unknown = tm.features -- SupportedFeatures
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"loglake: the table at $dir requires feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} this reader does not " +
+        s"support (supported: " +
+        s"${SupportedFeatures.toSeq.sorted.mkString(", ")}) " +
+        "— upgrade the library; reading anyway could silently corrupt " +
+        "results")
+    val delta = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val removedEver = scala.collection.mutable.HashSet[String]()
+    manifests.filter { case (v, _) => v > floor && v <= target }
+      .foreach { case (_, p) =>
+        val m = readManifest(f, p)
+        m.removes.foreach { r => removedEver += r; delta.remove(r) }
+        m.adds.foreach(a => delta(a.path) = a)
+      }
+    if (delta.valuesIterator.exists(_.dv.nonEmpty)) return None // MoR tail
+    // planning size: part sums + tail adds. Removed files are NOT
+    // subtracted (their bytes would need a state lookup) — an upper
+    // bound is the safe direction for broadcast decisions
+    val sumBytes = aggs.flatten.map(_.bytes).sum +
+      delta.valuesIterator.map(a => math.max(0L, a.bytes)).sum
+    Some(LazyPlan(target, schema, parts.map(_.toString),
+      removedEver.toSet, delta.toSeq,
+      sumBytes, aggs.flatten.map(_.files).sum + delta.size))
   }
 
   /** The single-file kept/pruned rule [[rangeKept]] applies per file —
@@ -789,19 +876,60 @@ object LogLake {
     * contributes nothing and the file is kept. Strict bounds are
     * treated as inclusive (at worst one boundary-value file survives
     * that could have been skipped — never the reverse). */
+  /** A rendered stats constraint — extracted from Catalyst filters on
+    * the DRIVER (expressions never ship), then evaluated per file
+    * anywhere: driver lists or executor tasks
+    * ([[LazyLogLakeFileIndex]]'s distributed listFiles). */
+  private[sources] sealed trait StatC extends Serializable
+  private[sources] final case class AtLeastC(col: String, v: String) extends StatC
+  private[sources] final case class AtMostC(col: String, v: String) extends StatC
+  private[sources] final case class NeedsNullC(col: String) extends StatC
+  private[sources] final case class NeedsValueC(col: String) extends StatC
+
+  /** The kept/pruned rule for one file under a constraint conjunction —
+    * the body [[pruneByPredicates]] always had, factored so distributed
+    * tasks evaluate the IDENTICAL predicate. */
+  private[sources] def constraintsKeep(cs: Seq[StatC], a: AddFile): Boolean =
+    cs.forall {
+      case AtLeastC(c, v) => a.stats.get(c).forall(s =>
+        s.tpe != "null" && cmp(s, v, s.max) <= 0)
+      case AtMostC(c, v) => a.stats.get(c).forall(s =>
+        s.tpe != "null" && cmp(s, s.min, v) <= 0)
+      case NeedsNullC(c) => a.stats.get(c).forall(_.nulls > 0)
+      case NeedsValueC(c) => a.stats.get(c).forall(_.tpe != "null")
+    }
+
   private[sources] def pruneByPredicates(files: Seq[AddFile],
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[AddFile] = {
+    val cs = statConstraints(filters,
+      name => files.iterator.flatMap(_.stats.get(name))
+        .find(_.tpe != "null").map(s => ColStats(s.tpe, "", "", 0)))
+    if (cs.isEmpty) files
+    else files.filter(constraintsKeep(cs, _))
+  }
+
+  /** Extract the sound constraint conjunction from pushed filters.
+    * `fileTag` supplies the comparison tag for IN-list envelopes from
+    * the file population when one is at hand; when it yields nothing
+    * the tag derives from the literal itself (the same [[typedRender]]
+    * that renders the value — orderings agree by construction). */
+  private[sources] def statConstraints(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      fileTag: String => Option[ColStats]): Seq[StatC] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
 
-    sealed trait C
-    final case class AtLeast(col: String, v: String) extends C  // column >= v required
-    final case class AtMost(col: String, v: String) extends C   // column <= v required
-    final case class NeedsNull(col: String) extends C
-    final case class NeedsValue(col: String) extends C
+    type C = StatC
+    def AtLeast(col: String, v: String): C = AtLeastC(col, v)
+    def AtMost(col: String, v: String): C = AtMostC(col, v)
+    def NeedsNull(col: String): C = NeedsNullC(col)
+    def NeedsValue(col: String): C = NeedsValueC(col)
 
     def lit(l: ce.Literal): Option[String] =
       Option(convertToScala(l.value, l.dataType)).map(renderValue)
+    def litTag(l: ce.Literal): Option[ColStats] =
+      Option(convertToScala(l.value, l.dataType)).map(typedRender)
+        .collect { case (t, _) if t != "null" => ColStats(t, "", "", 0) }
 
     def constraints(e: ce.Expression): Seq[C] = e match {
       case ce.And(l, r) => constraints(l) ++ constraints(r)
@@ -833,8 +961,8 @@ object LogLake {
         else {
           // sound relaxation to the list's [min, max] envelope — the
           // stats can't check membership, only range intersection
-          val tag = files.iterator.flatMap(_.stats.get(a.name))
-            .find(_.tpe != "null").map(s => ColStats(s.tpe, "", "", 0))
+          val tag = fileTag(a.name)
+            .orElse(litTag(vs.head.asInstanceOf[ce.Literal]))
           tag match {
             case Some(t) =>
               val lo = rendered.reduce((x, y) => if (cmp(t, x, y) <= 0) x else y)
@@ -848,18 +976,7 @@ object LogLake {
       case _ => Nil
     }
 
-    val cs = filters.flatMap(constraints)
-    if (cs.isEmpty) files
-    else files.filter { a =>
-      cs.forall {
-        case AtLeast(c, v) => a.stats.get(c).forall(s =>
-          s.tpe != "null" && cmp(s, v, s.max) <= 0)
-        case AtMost(c, v) => a.stats.get(c).forall(s =>
-          s.tpe != "null" && cmp(s, s.min, v) <= 0)
-        case NeedsNull(c) => a.stats.get(c).forall(_.nulls > 0)
-        case NeedsValue(c) => a.stats.get(c).forall(_.tpe != "null")
-      }
-    }
+    filters.flatMap(constraints)
   }
 
   /** V1 pushed filter → the Catalyst shape [[pruneByPredicates]]

@@ -239,6 +239,18 @@ object LogLakeProvider {
   def relation(spark: SparkSession, dir: String,
       asOf: Option[Long]): BaseRelation = {
     val v = asOf.getOrElse(LogLake.currentVersion(dir))
+    // the 10⁸-file posture: when the table opts into distributed
+    // planning and the snapshot is provably safe for it (all-parquet
+    // checkpoint with aggregate footers, zero DVs, unpartitioned,
+    // unbucketed — see [[LogLake.lazyPlanInfo]]), the read plans
+    // through [[LazyLogLakeFileIndex]] WITHOUT ever assembling state
+    // on the driver; skipping runs as a job over the parts
+    LogLake.lazyPlanInfo(dir, v).foreach { plan =>
+      val index = new LazyLogLakeFileIndex(spark, dir, plan)
+      return HadoopFsRelation(index, partitionSchema = StructType(Nil),
+        dataSchema = plan.schema, bucketSpec = None,
+        fileFormat = new ParquetFileFormat(), options = Map.empty)(spark)
+    }
     val (files, schema) = LogLake.activeState(dir, Some(v))
     if (files.exists(_.dv.nonEmpty) || LogLake.isDivergent(schema))
       new LogLakeDvRelation(spark, dir, Some(v), LogLake.cleanSchema(schema))
@@ -570,6 +582,71 @@ final class LogLakeFileIndex(spark: SparkSession, dir: String,
     activeFiles.map(a => LogLake.resolvedPath(dir, a.path)).toArray
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = activeFiles.map(sizeOf).sum
+}
+
+/** The 10⁸-file read plan: a FileIndex that NEVER assembles table
+  * state on the driver. Construction touches only tail-sized metadata
+  * (checkpoint part paths + aggregate footers + the ≤10-commit tail —
+  * [[LogLake.lazyPlanInfo]] proved the snapshot safe); every
+  * `listFiles` runs file skipping as a SPARK JOB over the checkpoint
+  * parts ([[LogLake.partPruneJob]], one task per part, the tail as a
+  * broadcast delta), so the driver's working set is the SURVIVOR list
+  * for this query's filters — thousands of entries where the resolved
+  * state would be gigabytes. `sizeInBytes` is the footer-aggregate sum
+  * plus tail adds: an upper bound (removed files' bytes would need a
+  * state lookup), which is the safe direction for broadcast planning.
+  * Partitioned/bucketed/DV-bearing/column-mapped snapshots never reach
+  * this class — they keep [[LogLakeFileIndex]]'s exact machinery. */
+final class LazyLogLakeFileIndex(spark: SparkSession, dir: String,
+    plan: LogLake.LazyPlan) extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(new Path(dir))
+  override def partitionSchema: StructType = StructType(Nil)
+  def tableSchema: StructType = plan.schema
+
+  /** Files the LAST planned scan admitted — spec observability,
+    * mirroring [[LogLakeFileIndex.lastScanFiles]]. */
+  @volatile var lastScanFiles: Int = -1
+  /** How many listFiles calls ran as jobs — spec observability. */
+  @volatile var planJobs: Int = 0
+
+  private def survivors(dataFilters: Seq[Expression]): Seq[LogLake.AddFile] = {
+    // constraints extract on the driver (expressions don't ship); the
+    // rendered conjunction is tiny and serializable
+    val cs = LogLake.statConstraints(dataFilters, _ => None)
+    val keep: LogLake.AddFile => Boolean =
+      if (cs.isEmpty) _ => true
+      else a => LogLake.constraintsKeep(cs, a)
+    val perPart = LogLake.partPruneJob(spark, plan.parts,
+      plan.removedEver, plan.delta.toMap, keep)
+    planJobs += 1
+    val consumed = perPart.iterator.flatMap(_._3).toSet
+    val tailAdds = plan.delta.iterator
+      .filterNot { case (p, _) => consumed.contains(p) }
+      .map(_._2).filter(keep)
+    perPart.iterator.flatMap(_._1).toVector ++ tailAdds
+  }
+
+  private def status(a: LogLake.AddFile): FileStatus = {
+    require(a.bytes >= 0L,
+      s"loglake: active file ${a.path} predates per-file byte " +
+        "accounting — the lazy index cannot size it; disable " +
+        "loglake.planning.distributed for this table")
+    new FileStatus(a.bytes, false, 1, 0L, 0L,
+      new Path(LogLake.resolvedPath(dir, a.path)))
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = survivors(dataFilters)
+    lastScanFiles = kept.size
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(status).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    survivors(Nil).map(a => LogLake.resolvedPath(dir, a.path)).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = math.max(1L, plan.sumBytes)
 }
 
 /** V1 streaming source over the commit log: offset = version, batch =

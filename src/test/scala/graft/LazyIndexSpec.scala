@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.sources.{LazyLogLakeFileIndex, LogLake, LogLakeFileIndex}
+
+/** THE 10⁸-FILE READ PLAN ([[LazyLogLakeFileIndex]]): with
+  * `loglake.planning.distributed = true` and a parquet-body checkpoint,
+  * `spark.read.format("loglake")` plans WITHOUT assembling table state
+  * — construction reads part footers + the manifest tail, and file
+  * skipping runs as a Spark job per scan. Pinned here: identical
+  * answers to the eager index, real skipping (lastScanFiles), zero
+  * snapshot assembly, and every safety guard that routes back to the
+  * eager index (DVs, partition columns, json bodies, no checkpoint,
+  * cache hit). */
+class LazyIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"lllazy-$name").toString + "/t"
+
+  private def build(props: Map[String, String] = Map.empty): String = {
+    val dir = tmp("t")
+    LogLake.createEmpty(dir, Seq((1L, "x")).toDF("k", "v").schema)
+    LogLake.setTableProperties(dir, props ++ Map(
+      "loglake.checkpoint.format" -> "parquet",
+      "loglake.checkpoint.partSizeFiles" -> "4",
+      "loglake.planning.distributed" -> "true"))
+    (0 until 12).foreach(i =>
+      LogLake.append(spark, dir,
+        Seq((i * 100L, s"a$i"), (i * 100L + 50L, s"b$i")).toDF("k", "v")
+          .repartition(1)))
+    // a tail on top of the checkpoint: COW rewrite + fresh add
+    LogLake.delete(spark, dir, col("k") === 150L)
+    LogLake.append(spark, dir, Seq((2000L, "t1")).toDF("k", "v"))
+    dir
+  }
+
+  private def index(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s.relation.location
+    }.get
+
+  test("lazy read == eager read, skipping works, state never assembles") {
+    val dir = build()
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    val df = spark.read.format("loglake").load(dir)
+    val idx = index(df)
+    assert(idx.isInstanceOf[LazyLogLakeFileIndex],
+      s"expected the lazy index, got ${idx.getClass.getSimpleName}")
+    val lazyIdx = idx.asInstanceOf[LazyLogLakeFileIndex]
+    assert(lazyIdx.sizeInBytes > 0L)
+    // full scan answer
+    assert(df.count() == 24L) // 25 rows, one deleted
+    assert(df.agg(sum("k")).head().getLong(0) ==
+      (0 until 12).map(i => i * 100L + i * 100L + 50L).sum - 150L + 2000L)
+    // a narrow filter plans through the job and SKIPS files
+    val narrow = spark.read.format("loglake").load(dir)
+      .filter(col("k").between(300L, 360L))
+    assert(narrow.count() == 2L)
+    val lidx = index(narrow).asInstanceOf[LazyLogLakeFileIndex]
+    assert(lidx.lastScanFiles < 6 && lidx.planJobs >= 1,
+      s"expected skipping via the job, scanned ${lidx.lastScanFiles}")
+    // through it all: not one snapshot assembled
+    assert(LogLake.snapshotAssembles.get() == before,
+      "the lazy path must never assemble table state")
+    // and the eager path (property off) agrees exactly
+    LogLake.setTableProperties(dir,
+      Map("loglake.planning.distributed" -> "false"))
+    val eager = spark.read.format("loglake").load(dir)
+    assert(index(eager).isInstanceOf[LogLakeFileIndex])
+    assert(eager.orderBy("k").collect().toSeq ==
+      spark.read.format("loglake").load(dir).orderBy("k").collect().toSeq)
+  }
+
+  test("safety guards route back to the eager index") {
+    // active DVs → the native scan can't mask rows → never lazy
+    val dvDir = build()
+    LogLake.delete(spark, dvDir, col("k") === 450L, mor = true)
+    LogLake.clearSnapshotCache()
+    // (DV tables leave format("loglake") for the MoR relation — the
+    // probe here is simply that the read stays correct)
+    assert(spark.read.format("loglake").load(dvDir).count() == 23L)
+    // json checkpoint bodies → no aggregate footers → eager
+    val jsonDir = tmp("json")
+    LogLake.createEmpty(jsonDir, Seq((1L, "x")).toDF("k", "v").schema)
+    LogLake.setTableProperties(jsonDir,
+      Map("loglake.planning.distributed" -> "true"))
+    (0 until 12).foreach(i =>
+      LogLake.append(spark, jsonDir, Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(1)))
+    LogLake.clearSnapshotCache()
+    val jdf = spark.read.format("loglake").load(jsonDir)
+    assert(index(jdf).isInstanceOf[LogLakeFileIndex])
+    assert(jdf.count() == 12L)
+    // no checkpoint yet → eager
+    val youngDir = tmp("young")
+    LogLake.createEmpty(youngDir, Seq((1L, "x")).toDF("k", "v").schema)
+    LogLake.setTableProperties(youngDir, Map(
+      "loglake.checkpoint.format" -> "parquet",
+      "loglake.planning.distributed" -> "true"))
+    (0 until 3).foreach(i =>
+      LogLake.append(spark, youngDir, Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    LogLake.clearSnapshotCache()
+    assert(index(spark.read.format("loglake").load(youngDir))
+      .isInstanceOf[LogLakeFileIndex])
+  }
+}
