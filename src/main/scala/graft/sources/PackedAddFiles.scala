@@ -69,9 +69,11 @@ final class PackedAddFiles private[sources] (
       val mid = (lo + hi + 1) >>> 1
       if (starts(mid) <= i) lo = mid else hi = mid - 1
     }
+    // c may be NULL (not just stale) after Java deserialization — the
+    // @transient field skips its initializer on the read side
     val c = cache
     val entries =
-      if (c._1 == lo && c._2 != null) c._2
+      if (c != null && c._1 == lo && c._2 != null) c._2
       else { val e = decodeBlock(lo); cache = (lo, e); e }
     entries(i - starts(lo))
   }
