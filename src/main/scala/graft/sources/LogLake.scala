@@ -741,7 +741,7 @@ object LogLake {
       : Array[(Vector[AddFile], Long, Set[String], Set[String], Set[String])] = {
     val removedB = spark.sparkContext.broadcast(removed)
     val deltaB = spark.sparkContext.broadcast(delta)
-    spark.sparkContext
+    try spark.sparkContext
       .parallelize(partStrs, partStrs.size)
       .map { pStr =>
         val p = new Path(pStr)
@@ -772,6 +772,13 @@ object LogLake {
         (survivors.result(), active, consumed.result(),
           c.features, c.writerFeatures)
       }.collect()
+    finally {
+      // planning-time broadcasts would otherwise linger until GC-driven
+      // cleanup; a long-lived session planning many scans should not
+      // accumulate them
+      removedB.unpersist(false)
+      deltaB.unpersist(false)
+    }
   }
 
   /** Everything a [[LazyLogLakeFileIndex]] needs, gathered WITHOUT
