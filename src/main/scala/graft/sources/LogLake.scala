@@ -748,11 +748,23 @@ object LogLake {
         val pf = p.getFileSystem(
           new org.apache.hadoop.conf.Configuration())
         val c =
-          if (pStr.endsWith(".parquet"))
-            CheckpointParquet.read(pf.getConf, p)
-          else {
-            val in = pf.open(p)
-            try parseCheckpointStream(in) finally in.close()
+          try {
+            if (pStr.endsWith(".parquet"))
+              CheckpointParquet.read(pf.getConf, p)
+            else {
+              val in = pf.open(p)
+              try parseCheckpointStream(in) finally in.close()
+            }
+          } catch { case e: Exception =>
+            // a plan pinned long ago can outlive its checkpoint group
+            // (metadata retention sweeps superseded groups) — name the
+            // likely cause and the remedy, not just the read error
+            throw new java.io.IOException(
+              s"loglake: distributed planning could not read checkpoint " +
+                s"part $p — if the file is missing, metadata retention " +
+                "likely swept a superseded checkpoint group out from " +
+                "under a long-pinned plan; re-plan the read (reload the " +
+                "DataFrame) to pick up the current group", e)
           }
         val rm = removedB.value
         val d = deltaB.value

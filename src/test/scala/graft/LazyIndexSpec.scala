@@ -77,6 +77,22 @@ class LazyIndexSpec extends SparkTestBase {
       spark.read.format("loglake").load(dir).orderBy("k").collect().toSeq)
   }
 
+  test("time travel plans lazily too, against the pinned version's tail") {
+    val dir = build()
+    LogLake.append(spark, dir, Seq((9999L, "late")).toDF("k", "v"))
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    // v14 = createEmpty(v1) + 12 appends (v2..v13) + the COW delete of
+    // k=150; the later commits (t1, late) are beyond the pinned target
+    val v14 = spark.read.format("loglake").option("versionAsOf", "14")
+      .load(dir)
+    assert(index(v14).isInstanceOf[LazyLogLakeFileIndex])
+    assert(v14.count() == 23L)
+    assert(!v14.filter(col("k") === 150L || col("k") === 2000L ||
+      col("k") === 9999L).head(1).nonEmpty)
+    assert(LogLake.snapshotAssembles.get() == before)
+  }
+
   test("safety guards route back to the eager index") {
     // active DVs → the native scan can't mask rows → never lazy
     val dvDir = build()
