@@ -172,8 +172,13 @@ private[graft] object CheckpointParquet {
         : org.apache.parquet.hadoop.api.WriteSupport[Group] = ws
   }
 
-  def read(conf: Configuration, src: Path): Checkpoint = {
-    // header from the footer key-value metadata — one ranged read
+  /** Header fields from the FOOTER alone — (version, schemaJson, txns,
+    * features, writerFeatures). One ranged read; parts 2..n (no
+    * header) return empties for everything but the version. The
+    * distributed checkpoint WRITER derives the next generation's
+    * header from here without touching the previous body. */
+  def readHeader(conf: Configuration, src: Path)
+      : (Long, String, Map[String, Long], Set[String], Set[String]) = {
     val in = HadoopInputFile.fromPath(src, conf)
     val kv = {
       val r = ParquetFileReader.open(in)
@@ -192,6 +197,12 @@ private[graft] object CheckpointParquet {
     }.getOrElse(Map.empty)
     def featSet(k: String): Set[String] =
       opt(k).map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    (version, schema, txns, featSet(KFeatures), featSet(KWFeatures))
+  }
+
+  def read(conf: Configuration, src: Path): Checkpoint = {
+    val (version, schema, txns, features, writerFeatures) =
+      readHeader(conf, src)
 
     val files = new PackedAddFiles.GrowingBuilder
     val reader: ParquetReader[Group] =
@@ -234,6 +245,6 @@ private[graft] object CheckpointParquet {
       }
     } finally reader.close()
     Checkpoint(version, schema, files.result(), txns,
-      featSet(KFeatures), featSet(KWFeatures))
+      features, writerFeatures)
   }
 }

@@ -420,6 +420,9 @@ object LogLake {
     }
   /** Cache-miss count — observability hook for the cache spec. */
   private[graft] val snapshotAssembles = new java.util.concurrent.atomic.AtomicLong()
+  /** Checkpoints written by the distributed (executor-side) writer —
+    * observability hook for the spec that proves the path engaged. */
+  private[graft] val distributedCheckpointWrites = new java.util.concurrent.atomic.AtomicLong()
 
   /** Probe hook: force the next resolve to reassemble (tools/MetaProbe
     * measures the cold path explicitly). Never needed for correctness —
@@ -4928,10 +4931,15 @@ object LogLake {
     * header. A reader uses the group only when all n parts exist, so
     * partial visibility mid-write or mid-sweep degrades to the
     * previous checkpoint, never to a torn state. */
+  /** Probe hook ([[graft.tools.BigMetaProbe]]): force a checkpoint at
+    * `v` outside the commit cadence, through the same best-effort path
+    * commits take (distributed when the table opted in). */
+  private[graft] def forceCheckpoint(dir: String, v: Long): Unit =
+    writeCheckpoint(dir, v)
+
   private def writeCheckpoint(dir: String, v: Long): Unit =
     try {
       val f = fs(dir)
-      val c = resolve(dir, Some(v))
       val props = tableProperties(dir)
       val partSize = props.get("loglake.checkpoint.partSizeFiles")
         .flatMap(_.toLongOption).getOrElse(1000000L)
@@ -4939,6 +4947,18 @@ object LogLake {
       // parquet (columnar/ranged/Snappy — [[CheckpointParquet]])
       val parquetBody =
         props.get("loglake.checkpoint.format").contains("parquet")
+      // the distributed-planning posture extends to the WRITE side:
+      // derive the new checkpoint from the previous one on executors
+      // (no resolve, no state on the driver); false = driver path below
+      if (parquetBody &&
+          props.get("loglake.planning.distributed").contains("true") &&
+          writeCheckpointDistributed(dir, v,
+            if (partSize <= 0L) 1000000L else partSize)) {
+        props.get("loglake.logRetentionMs").flatMap(_.toLongOption)
+          .foreach(ms => cleanupMetadata(dir, olderThanMs = ms))
+        return
+      }
+      val c = resolve(dir, Some(v))
       val ext = if (parquetBody) "parquet" else "json"
       def writeOne(piece: Checkpoint, filesIt: Iterator[AddFile],
           name: String): Unit = {
@@ -4995,6 +5015,138 @@ object LogLake {
         s"loglake: checkpoint write at v$v failed (best-effort, " +
           s"table still consistent): $e")
     }
+
+  /** CHECKPOINT WRITE AS A JOB (Delta's checkpoint-job posture — the
+    * write-side twin of [[partPruneJob]]): the new checkpoint derives
+    * from the PREVIOUS one on EXECUTORS. Each task reads a GROUP of
+    * old parquet parts in order (groups greedy-packed by footer
+    * fileCount so the part layout doesn't fragment across
+    * generations), applies the ≤[[CheckpointInterval]]-commit tail as
+    * a broadcast delta with [[resolve]]'s exact ordering semantics,
+    * and writes ONE new part straight into place (a failed job leaves
+    * a torn group readers already ignore and retention sweeps); the
+    * driver writes only the final part — the tail's fresh adds. The
+    * header (schema/txns/features) derives from the previous part-1
+    * FOOTER plus the tail manifests: at no point does table state
+    * exist anywhere — executor heap is one part's stream, driver heap
+    * is the tail. At 10⁸ files this moves checkpoint maintenance
+    * (minutes of single-node encode) onto the cluster as one wave of
+    * part-sized tasks.
+    *
+    * Preconditions (false → caller takes the driver path): an active
+    * SparkSession, a previous all-parquet checkpoint with aggregate
+    * footers at version < v. */
+  private def writeCheckpointDistributed(dir: String, v: Long,
+      partSize: Long): Boolean = {
+    val spark = SparkSession.getActiveSession.getOrElse(return false)
+    val f = fs(dir)
+    val (prevV, prevParts) = listCheckpoints(dir)
+      .filter(_._1 < v).lastOption.getOrElse(return false)
+    if (!prevParts.forall(_.getName.endsWith(".parquet"))) return false
+    val aggs = prevParts.map(p =>
+      CheckpointParquet.readAggregates(f.getConf, p).getOrElse(return false))
+    val (hv, _, prevTxns, _, _) =
+      CheckpointParquet.readHeader(f.getConf, prevParts.head)
+    if (hv != prevV) return false // foreign layout — don't guess
+    // tail delta + header accumulation, exactly resolve's semantics
+    val manifests = listManifests(dir)
+    if (!manifests.exists(_._1 == v)) return false
+    val delta = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val removedEver = scala.collection.mutable.HashSet[String]()
+    val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
+    txns ++= prevTxns
+    var schemaJson = ""
+    var features = Set.empty[String]
+    var writerFeatures = Set.empty[String]
+    manifests.filter { case (mv, _) => mv > prevV && mv <= v }
+      .foreach { case (_, p) =>
+        val m = readManifest(f, p)
+        m.removes.foreach { r => removedEver += r; delta.remove(r) }
+        m.adds.foreach(a => delta(a.path) = a)
+        if (m.txnId.nonEmpty) txns(m.txnId) = m.version
+        schemaJson = m.schemaJson
+        features ++= m.features
+        writerFeatures ++= m.writerFeatures
+      }
+    if (schemaJson.isEmpty) return false // no tail manifest read schema
+    // greedy-pack old parts into ≤ partSize groups (by OLD counts —
+    // survivors only shrink), so slivers re-merge every generation
+    val groups = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+    var cur = Vector.empty[String]; var curN = 0L
+    prevParts.zip(aggs).foreach { case (p, a) =>
+      if (cur.nonEmpty && curN + a.files > partSize) {
+        groups += cur; cur = Vector.empty; curN = 0L
+      }
+      cur :+= p.toString; curN += a.files
+    }
+    if (cur.nonEmpty) groups += cur
+    val nNew = groups.size + 1 // + the driver's tail-adds part
+    val logDirStr = logPath(dir).toString
+    val txnsMap = txns.toMap
+    val schemaJ = schemaJson
+    val feats = features; val wfeats = writerFeatures
+    // on ANY failure, sweep the parts already renamed into place: a
+    // torn group is sound (readers skip it) but leaving it would also
+    // tear a DIFFERENT-n retry at the same version (the completeness
+    // check refuses mixed part counts), losing the accelerator for
+    // good until retention sweeps
+    def sweepPartial(): Unit = (1 to nNew).foreach { i =>
+      val p = new Path(logPath(dir), f"chk-$v%020d.p$i-of-$nNew.parquet")
+      try f.delete(p, false) catch { case _: Exception => () }
+    }
+    val removedB = spark.sparkContext.broadcast(removedEver.toSet)
+    val deltaB = spark.sparkContext.broadcast(delta.toMap)
+    val consumed =
+      try spark.sparkContext
+        .parallelize(groups.toSeq.zipWithIndex, groups.size)
+        .map { case (grp, gi) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val lfs = new Path(logDirStr).getFileSystem(conf)
+          val rm = removedB.value
+          val d = deltaB.value
+          val seen = Set.newBuilder[String]
+          val it = grp.iterator.flatMap { pStr =>
+            CheckpointParquet.read(conf, new Path(pStr)).files.iterator
+          }.flatMap { a =>
+            if (rm.contains(a.path)) None
+            else d.get(a.path) match {
+              case Some(updated) => seen += a.path; Some(updated)
+              case None => Some(a)
+            }
+          }
+          val tmp = new Path(logDirStr, s"_tmp/c-${UUID.randomUUID()}")
+          CheckpointParquet.write(conf, tmp,
+            Checkpoint(v, if (gi == 0) schemaJ else "", Nil,
+              if (gi == 0) txnsMap else Map.empty,
+              if (gi == 0) feats else Set.empty,
+              if (gi == 0) wfeats else Set.empty),
+            it, header = gi == 0)
+          val dst = new Path(logDirStr, f"chk-$v%020d.p${gi + 1}-of-$nNew.parquet")
+          if (!lfs.rename(tmp, dst)) {
+            lfs.delete(tmp, false)
+            throw new java.io.IOException(
+              s"loglake: distributed checkpoint could not publish $dst")
+          }
+          seen.result()
+        }.collect().iterator.flatten.toSet
+      catch { case e: Throwable => sweepPartial(); throw e }
+      finally { removedB.unpersist(false); deltaB.unpersist(false) }
+    // the tail part: fresh adds + removed-then-re-added, in tail order
+    try {
+      val tailAdds = delta.valuesIterator
+        .filterNot(a => consumed.contains(a.path)).toVector
+      val tmp = new Path(logPath(dir), s"_tmp/c-${UUID.randomUUID()}")
+      CheckpointParquet.write(f.getConf, tmp,
+        Checkpoint(v, "", Nil, Map.empty, Set.empty, Set.empty),
+        tailAdds.iterator, header = false)
+      val dst = new Path(logPath(dir), f"chk-$v%020d.p$nNew-of-$nNew.parquet")
+      if (!f.rename(tmp, dst)) {
+        f.delete(tmp, false); sweepPartial(); return false
+      }
+      distributedCheckpointWrites.incrementAndGet()
+      true
+    } catch { case e: Throwable => sweepPartial(); throw e }
+  }
 
   // ----------------------------------------------------------- stats enc
 

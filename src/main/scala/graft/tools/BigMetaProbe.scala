@@ -93,8 +93,10 @@ object BigMetaProbe {
           s""""adds":[$adds],"removes":[]}"""
         Files.write(log.resolve(f"$v%020d.json"), json.getBytes("UTF-8"))
       }
-      LogLake.setTableProperties(dir,
-        Map("loglake.planning.distributed" -> "true"))
+      LogLake.setTableProperties(dir, Map(
+        "loglake.planning.distributed" -> "true",
+        "loglake.checkpoint.format" -> "parquet",
+        "loglake.checkpoint.partSizeFiles" -> "1000000"))
       val m0 = usedMb()
       // the skipping job: selective predicate, survivors-only driver
       LogLake.clearSnapshotCache()
@@ -132,6 +134,17 @@ object BigMetaProbe {
       val m1 = usedMb()
       println(f"  ${"driver heap across planning"}%-42s ${m1 - m0}%8d MB")
       println(f"  ${"snapshot assembles"}%-42s ${0}%8d")
+      // checkpoint MAINTENANCE as a job: derive the next generation
+      // (v+2's state = v's checkpoint + the 2-commit tail) on
+      // executors — the write-side twin, still zero driver state
+      val wrotes = LogLake.distributedCheckpointWrites.get()
+      t("distributed checkpoint write (next gen)")(
+        LogLake.forceCheckpoint(dir, chkV + 2))
+      require(LogLake.distributedCheckpointWrites.get() > wrotes,
+        "the distributed checkpoint writer must have engaged")
+      require(LogLake.snapshotAssembles.get() == assembles,
+        "the distributed checkpoint write must not assemble state")
+      println(f"  ${"driver heap after chk write"}%-42s ${usedMb() - m0}%8d MB")
       ()
     }
     spark.stop()
