@@ -4,7 +4,8 @@ object RecallProbe {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.builder("local[8]", 8).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val r5 = Recall.ivfRecallAt5(spark, sf)
       val top1 = SparkEntry.queries("q43_cosine_topk")(spark, sf).collect()
         .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
