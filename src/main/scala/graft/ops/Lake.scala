@@ -1939,6 +1939,74 @@ object Lake {
       val band = banded.agg(count(lit(1)).as("band_rows"),
         dsum(col("o_totalprice")).as("band_total"))
       latest.crossJoin(band).orderBy("o_orderstatus")
+    },
+
+    // --- q153: LAZY PLAN OVER THE CANONICAL 100 TB LAYOUT (round 14)
+    // — an identity-PARTITIONED table under distributed planning. The
+    // read plans through LazyLogLakeFileIndex with a REAL
+    // partitionSchema: partition predicates admit against the
+    // snapshot's DISTINCT-TUPLE set (one metadata-sized job; exact
+    // evaluation on the driver over tuples, never files), the skipping
+    // job prunes by tuple membership, and — the star-join payoff —
+    // Spark's PartitionPruning rule still plants a DynamicPruningSubquery
+    // on the fact scan, so the dim filter's surviving keys prune fact
+    // partitions at runtime through the reused broadcast. The builder
+    // REQUIRES the lazy index, the planted DPP filter, and ZERO
+    // snapshot assembles end to end. At 10⁸ files the driver holds
+    // tuples (~10³) and survivors, never table state.
+    Q(
+      "q153_loglake_lazy_partitioned_dpp",
+      s"""WITH dim(o_orderstatus, cls) AS (
+         |  VALUES ('F', 'keep'), ('O', 'drop'), ('P', 'keep')
+         |)
+         |SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o.o_totalprice")} AS total
+         |FROM orders o JOIN dim d ON o.o_orderstatus = d.o_orderstatus
+         |WHERE d.cls = 'keep'
+         |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val dir = freshDir("q153")
+      val ord = orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").persist()
+      val width = ord.agg(max("o_orderkey")).head().getLong(0) / 12L + 1L
+      def slice(i: Int) = ord.filter(
+        (col("o_orderkey") / lit(width)).cast("long") === i)
+      try {
+        LogLake.create(s, dir, slice(0), partitionBy = Seq("o_orderstatus"),
+          statsCols = Seq("o_orderkey"))
+        LogLake.setTableProperties(dir, Map(
+          "loglake.checkpoint.format" -> "parquet",
+          "loglake.checkpoint.partSizeFiles" -> "4",
+          "loglake.planning.distributed" -> "true"))
+        (1 to 11).foreach(i => LogLake.append(s, dir, slice(i)))
+      } finally ord.unpersist()
+      val dimDir = freshDir("q153dim")
+      Seq(("F", "keep"), ("O", "drop"), ("P", "keep"))
+        .toDF("o_orderstatus", "cls").write.parquet(dimDir)
+      LogLake.clearSnapshotCache() // nothing cached: the lazy gate is live
+      val assembles = LogLake.snapshotAssembles.get()
+      val fact = s.read.format("loglake").load(dir)
+      val idx = fact.queryExecution.executedPlan.collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.relation.location
+      }.get
+      require(idx.isInstanceOf[graft.sources.LazyLogLakeFileIndex],
+        s"q153: expected the lazy index, got ${idx.getClass.getSimpleName}")
+      require(idx.partitionSchema.fieldNames.sameElements(Array("o_orderstatus")),
+        "q153: the lazy index must surface the real partitionSchema")
+      val q = fact.join(broadcast(s.read.parquet(dimDir)), Seq("o_orderstatus"))
+        .filter(col("cls") === "keep")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+      require(q.queryExecution.optimizedPlan.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))),
+        s"q153: no dynamic pruning filter planted:\n${q.queryExecution.optimizedPlan}")
+      q.count() // execute once: DPP admission + the skipping job run now
+      require(LogLake.snapshotAssembles.get() == assembles,
+        "q153: the partitioned lazy plan must never assemble table state")
+      q
     }
   )
 }

@@ -803,21 +803,28 @@ object LogLake {
     * `loglake.planning.distributed = true`, an all-parquet checkpoint
     * at-or-below the target whose every part carries aggregate
     * footers, ZERO deletion vectors anywhere (part footers + tail —
-    * the native scan cannot mask DV rows), no partition columns or
-    * bucket spec (those planners group the full list; they keep the
-    * eager index), no divergent column mapping, and no snapshot-cache
-    * hit (cached state makes the eager index free). Anything else →
-    * None → the caller builds the eager index, behavior unchanged. */
+    * the native scan cannot mask DV rows), no bucket spec (the bucket
+    * planner groups the full list; it keeps the eager index), no
+    * divergent column mapping, and no snapshot-cache hit (cached state
+    * makes the eager index free). Identity-PARTITIONED tables are
+    * eligible (round 14 — the canonical 100 TB layout): `partCols`
+    * carries the physical spec, the per-file tuples ride the
+    * checkpoint parts, and [[LazyLogLakeFileIndex]] evaluates
+    * partition predicates exactly over the DISTINCT-TUPLE set (a
+    * metadata-sized job result) before any file list forms. Anything
+    * else → None → the caller builds the eager index, behavior
+    * unchanged. */
   private[sources] final case class LazyPlan(version: Long,
       schema: StructType, parts: Seq[String], removedEver: Set[String],
-      delta: Seq[(String, AddFile)], sumBytes: Long, fileCountUpper: Long)
+      delta: Seq[(String, AddFile)], sumBytes: Long, fileCountUpper: Long,
+      partCols: Seq[String] = Nil)
 
   private[sources] def lazyPlanInfo(dir: String, target: Long)
       : Option[LazyPlan] = {
     if (!tableProperties(dir).get("loglake.planning.distributed")
         .contains("true")) return None
-    if (partitionColumns(dir).nonEmpty || bucketSpec(dir).nonEmpty)
-      return None
+    if (bucketSpec(dir).nonEmpty) return None
+    val partCols = partitionColumns(dir)
     val f = fs(dir)
     val manifests = listManifests(dir)
     val targetPath = manifests.find(_._1 == target) match {
@@ -840,6 +847,10 @@ object LogLake {
     val tm = readManifest(f, targetPath)
     val schema = DataType.fromJson(tm.schemaJson).asInstanceOf[StructType]
     if (isDivergent(schema)) return None
+    // a partition column absent from the declared schema (foreign
+    // manifest) would leave the lazy index unable to type its tuple —
+    // the eager index already degrades to flat listing for that shape
+    if (!partCols.forall(c => schema.fieldNames.contains(c))) return None
     // the reader feature gate, from the target manifest's complete
     // (monotone) set — same refusal resolve would issue
     val unknown = tm.features -- SupportedFeatures
@@ -859,6 +870,10 @@ object LogLake {
         m.adds.foreach(a => delta(a.path) = a)
       }
     if (delta.valuesIterator.exists(_.dv.nonEmpty)) return None // MoR tail
+    // a tail add missing a tuple value (hand-built manifest) would
+    // force a fabricated partition row — keep the eager machinery
+    if (partCols.nonEmpty && delta.valuesIterator.exists(a =>
+        !partCols.forall(a.partitionValues.contains))) return None
     // planning size: part sums + tail adds. Removed files are NOT
     // subtracted (their bytes would need a state lookup) — an upper
     // bound is the safe direction for broadcast decisions
@@ -866,7 +881,49 @@ object LogLake {
       delta.valuesIterator.map(a => math.max(0L, a.bytes)).sum
     Some(LazyPlan(target, schema, parts.map(_.toString),
       removedEver.toSet, delta.toSeq,
-      sumBytes, aggs.flatten.map(_.files).sum + delta.size))
+      sumBytes, aggs.flatten.map(_.files).sum + delta.size, partCols))
+  }
+
+  /** The distinct partition tuples of the target snapshot, as a Spark
+    * job over the checkpoint parts — the metadata-sized answer the
+    * lazy index needs to evaluate partition predicates EXACTLY (DPP
+    * subqueries included) without ever listing files on the driver: at
+    * 10⁸ files a date-partitioned decade is ~3,650 tuples. Each task
+    * streams its part (one decoded block resident), applies the
+    * broadcast removed-set, and emits its part's distinct tuples; tail
+    * adds fold in on the driver (delta in-place updates cannot change
+    * a file's tuple — partition values are immutable per path). A file
+    * missing a tuple value is a foreign/hand-built manifest: fail
+    * loudly with the remedy, never misread. */
+  private[sources] def partitionTuplesJob(spark: SparkSession,
+      plan: LazyPlan): Set[Seq[String]] = {
+    val phys = plan.partCols
+    val removedB = spark.sparkContext.broadcast(plan.removedEver)
+    val fromParts =
+      try spark.sparkContext
+        .parallelize(plan.parts, plan.parts.size)
+        .map { pStr =>
+          val p = new Path(pStr)
+          val pf = p.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          val c = CheckpointParquet.read(pf.getConf, p)
+          val rm = removedB.value
+          val out = scala.collection.mutable.HashSet[Seq[String]]()
+          c.files.foreach { a =>
+            if (!rm.contains(a.path)) {
+              require(phys.forall(a.partitionValues.contains),
+                s"loglake: active file ${a.path} carries no partition " +
+                  s"tuple for spec ${phys.mkString(",")} — a foreign or " +
+                  "hand-built manifest; disable " +
+                  "loglake.planning.distributed for this table")
+              out += phys.map(a.partitionValues)
+            }
+          }
+          out.toSet
+        }.reduce(_ ++ _)
+      finally removedB.unpersist(false)
+    fromParts ++ plan.delta.iterator.map(_._2)
+      .map(a => phys.map(a.partitionValues)).toSet
   }
 
   /** The single-file kept/pruned rule [[rangeKept]] applies per file —

@@ -247,7 +247,11 @@ object LogLakeProvider {
     // on the driver; skipping runs as a job over the parts
     LogLake.lazyPlanInfo(dir, v).foreach { plan =>
       val index = new LazyLogLakeFileIndex(spark, dir, plan)
-      return HadoopFsRelation(index, partitionSchema = StructType(Nil),
+      // partitioned snapshots surface their real partitionSchema (the
+      // overlapped-column merge keeps the declared order; values come
+      // from the PartitionDirectory rows) — DPP eligibility survives
+      // the lazy plan
+      return HadoopFsRelation(index, partitionSchema = index.partitionSchema,
         dataSchema = plan.schema, bucketSpec = None,
         fileFormat = new ParquetFileFormat(), options = Map.empty)(spark)
     }
@@ -438,6 +442,48 @@ final class LogLakeDvRelation(protected val spark: SparkSession,
   }
 }
 
+/** The typed partition-tuple machinery BOTH FileIndexes share, so the
+  * eager and lazy paths admit partitions under the IDENTICAL cast and
+  * predicate semantics (the lazy path merely evaluates over the
+  * distinct-tuple set instead of the full file list). */
+private[sources] object PartitionTuples {
+  /** Rendered tuple ([[LogLake.NullPartitionValue]] marks NULL) →
+    * typed InternalRow through the declared fields — the same
+    * string→type cast the manifest's grouped counts are oracle-proven
+    * on. */
+  def typedRow(partFields: Seq[StructField], tuple: Seq[String],
+      zone: Option[String]): InternalRow =
+    InternalRow.fromSeq(tuple.zip(partFields).map { case (s, f) =>
+      if (s == LogLake.NullPartitionValue) null
+      else Cast(Literal(UTF8String.fromString(s), StringType),
+        f.dataType, zone).eval(InternalRow.empty)
+    })
+
+  /** Exact partition-predicate admission over (row, payload) groups.
+    * Partition predicates must be applied EXACTLY here —
+    * FileSourceStrategy drops them from the post-scan filter — and
+    * this interpreted evaluation also covers the DYNAMIC pruning
+    * filters (DPP subqueries, materialized by the time execution calls
+    * listFiles). An unresolvable reference is a loud error, never a
+    * silent keep. */
+  def admit[A](spark: SparkSession, partFields: Seq[StructField],
+      partitionFilters: Seq[Expression], groups: Seq[(InternalRow, A)])
+      : Seq[(InternalRow, A)] =
+    if (partitionFilters.isEmpty) groups else {
+      val resolver = spark.sessionState.conf.resolver
+      val bound = partitionFilters.reduce(And).transform {
+        case a: AttributeReference =>
+          val i = partFields.indexWhere(f => resolver(f.name, a.name))
+          require(i >= 0,
+            s"loglake: partition filter references non-partition column ${a.name}")
+          BoundReference(i, partFields(i).dataType, nullable = true)
+      }
+      val pred = Predicate.createInterpreted(bound)
+      pred.initialize(0)
+      groups.filter { case (row, _) => pred.eval(row) }
+    }
+}
+
 /** Manifest-driven [[FileIndex]]: the file list comes from the commit
   * log resolved ONCE at construction (snapshot isolation — concurrent
   * commits never shift this reader), and `listFiles` applies
@@ -542,33 +588,13 @@ final class LogLakeFileIndex(spark: SparkSession, dir: String,
       val phys = LogLake.partitionColumns(dir)
       val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
       // one directory per live partition tuple, typed through the
-      // declared fields (the same string→type cast the manifest's
-      // grouped counts are oracle-proven on)
+      // declared fields
       val groups = activeFiles.groupBy(a => phys.map(a.partitionValues))
         .toSeq.map { case (tuple, fs) =>
-          val vals = tuple.zip(partFields).map { case (s, f) =>
-            if (s == LogLake.NullPartitionValue) null
-            else Cast(Literal(UTF8String.fromString(s), StringType),
-              f.dataType, zone).eval(InternalRow.empty)
-          }
-          (InternalRow.fromSeq(vals), fs)
+          (PartitionTuples.typedRow(partFields, tuple, zone), fs)
         }
-      // static partition predicates must be applied EXACTLY here —
-      // FileSourceStrategy drops them from the post-scan filter. An
-      // unresolvable reference is a loud error, never a silent keep.
-      val admitted = if (partitionFilters.isEmpty) groups else {
-        val resolver = spark.sessionState.conf.resolver
-        val bound = partitionFilters.reduce(And).transform {
-          case a: AttributeReference =>
-            val i = partFields.indexWhere(f => resolver(f.name, a.name))
-            require(i >= 0,
-              s"loglake: partition filter references non-partition column ${a.name}")
-            BoundReference(i, partFields(i).dataType, nullable = true)
-        }
-        val pred = Predicate.createInterpreted(bound)
-        pred.initialize(0)
-        groups.filter { case (row, _) => pred.eval(row) }
-      }
+      val admitted =
+        PartitionTuples.admit(spark, partFields, partitionFilters, groups)
       val dirs = admitted.flatMap { case (row, fs) =>
         val kept = LogLake.pruneByPredicates(fs, dataFilters)
         if (kept.isEmpty) None else Some(PartitionDirectory(row, statuses(kept)))
@@ -595,13 +621,30 @@ final class LogLakeFileIndex(spark: SparkSession, dir: String,
   * state would be gigabytes. `sizeInBytes` is the footer-aggregate sum
   * plus tail adds: an upper bound (removed files' bytes would need a
   * state lookup), which is the safe direction for broadcast planning.
-  * Partitioned/bucketed/DV-bearing/column-mapped snapshots never reach
-  * this class — they keep [[LogLakeFileIndex]]'s exact machinery. */
+  *
+  * Identity-PARTITIONED snapshots (round 14) surface their real
+  * `partitionSchema` — the property that keeps DYNAMIC PARTITION
+  * PRUNING alive through the lazy plan — and evaluate partition
+  * predicates EXACTLY without ever listing files on the driver: one
+  * job returns the snapshot's DISTINCT tuples (metadata-sized — a
+  * date-partitioned decade is ~3,650), the driver admits tuples under
+  * [[PartitionTuples.admit]] (the same interpreted evaluation the
+  * eager index uses, DPP subqueries included), and the skipping job
+  * then prunes by admitted-tuple membership alongside the stats
+  * constraints — so a partition-selective query's survivor list is
+  * already partition-pruned when it reaches the driver.
+  * Bucketed/DV-bearing/column-mapped snapshots never reach this class
+  * — they keep [[LogLakeFileIndex]]'s exact machinery. */
 final class LazyLogLakeFileIndex(spark: SparkSession, dir: String,
     plan: LogLake.LazyPlan) extends FileIndex {
 
+  private val partFields: Seq[StructField] = {
+    val byName = plan.schema.fields.map(f => f.name -> f).toMap
+    plan.partCols.flatMap(byName.get) // all present: lazyPlanInfo gated
+  }
+
   override def rootPaths: Seq[Path] = Seq(new Path(dir))
-  override def partitionSchema: StructType = StructType(Nil)
+  override def partitionSchema: StructType = StructType(partFields)
   def tableSchema: StructType = plan.schema
 
   /** Files the LAST planned scan admitted — spec observability,
@@ -610,13 +653,21 @@ final class LazyLogLakeFileIndex(spark: SparkSession, dir: String,
   /** How many listFiles calls ran as jobs — spec observability. */
   @volatile var planJobs: Int = 0
 
-  private def survivors(dataFilters: Seq[Expression]): Seq[LogLake.AddFile] = {
+  private def survivors(dataFilters: Seq[Expression],
+      admitted: Option[Set[Seq[String]]] = None): Seq[LogLake.AddFile] = {
     // constraints extract on the driver (expressions don't ship); the
-    // rendered conjunction is tiny and serializable
+    // rendered conjunction and the admitted-tuple set are both tiny
+    // and serializable
     val cs = LogLake.statConstraints(dataFilters, _ => None)
-    val keep: LogLake.AddFile => Boolean =
+    val phys = plan.partCols
+    val base: LogLake.AddFile => Boolean =
       if (cs.isEmpty) _ => true
       else a => LogLake.constraintsKeep(cs, a)
+    val keep: LogLake.AddFile => Boolean = admitted match {
+      case None => base
+      case Some(t) => a =>
+        t.contains(phys.map(a.partitionValues)) && base(a)
+    }
     val perPart = LogLake.partPruneJob(spark, plan.parts,
       plan.removedEver, plan.delta.toMap, keep)
     planJobs += 1
@@ -638,9 +689,41 @@ final class LazyLogLakeFileIndex(spark: SparkSession, dir: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = survivors(dataFilters)
-    lastScanFiles = kept.size
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(status).toArray))
+    if (partFields.isEmpty) {
+      val kept = survivors(dataFilters)
+      lastScanFiles = kept.size
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(status).toArray))
+    } else {
+      val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+      // exact admission over the DISTINCT-TUPLE set (one metadata-
+      // sized job), so the file-skipping job below ships an admitted-
+      // membership predicate and a partition-selective query's
+      // survivors arrive already pruned
+      val admitted: Option[Set[Seq[String]]] =
+        if (partitionFilters.isEmpty) None
+        else {
+          val tuples = LogLake.partitionTuplesJob(spark, plan).toSeq
+          planJobs += 1
+          val rows = tuples.map(t =>
+            (PartitionTuples.typedRow(partFields, t, zone), t))
+          Some(PartitionTuples
+            .admit(spark, partFields, partitionFilters, rows)
+            .map(_._2).toSet)
+        }
+      val kept = survivors(dataFilters, admitted)
+      lastScanFiles = kept.size
+      kept.groupBy { a =>
+        require(plan.partCols.forall(a.partitionValues.contains),
+          s"loglake: active file ${a.path} carries no partition tuple " +
+            s"for spec ${plan.partCols.mkString(",")} — a foreign or " +
+            "hand-built manifest; disable loglake.planning.distributed " +
+            "for this table")
+        plan.partCols.map(a.partitionValues)
+      }.toSeq.map { case (tuple, fs) =>
+        PartitionDirectory(PartitionTuples.typedRow(partFields, tuple, zone),
+          fs.map(status).toArray)
+      }
+    }
   }
 
   override def inputFiles: Array[String] =

@@ -125,4 +125,90 @@ class LazyIndexSpec extends SparkTestBase {
     assert(index(spark.read.format("loglake").load(youngDir))
       .isInstanceOf[LogLakeFileIndex])
   }
+
+  /** One partitioned lazy table for the three partition cases below:
+    * statuses A/B/C + a NULL partition + an escape-hostile value, a
+    * parquet checkpoint under the first 13 commits, and a tail holding
+    * a metadata-only partition DELETE (drops status=B) plus a fresh
+    * append. */
+  private def buildPartitioned(): String = {
+    val dir = tmp("part")
+    val weird = "x=1/y 2%"
+    def batch(i: Int) = Seq(
+      (i * 10L, "A", s"a$i"), (i * 10L + 1L, "C", s"c$i")
+    ).toDF("k", "status", "v")
+    LogLake.create(spark, dir,
+      Seq((1L, "A", "s"), (2L, "B", "s"), (3L, null, "s"), (4L, weird, "s"))
+        .toDF("k", "status", "v"),
+      partitionBy = Seq("status"))
+    LogLake.setTableProperties(dir, Map(
+      "loglake.checkpoint.format" -> "parquet",
+      "loglake.checkpoint.partSizeFiles" -> "4",
+      "loglake.planning.distributed" -> "true"))
+    (0 until 11).foreach(i => LogLake.append(spark, dir, batch(i)))
+    // tail: metadata-only partition delete + an append
+    LogLake.delete(spark, dir, col("status") === "B")
+    LogLake.append(spark, dir, Seq((999L, "A", "tail")).toDF("k", "status", "v"))
+    dir
+  }
+
+  test("partitioned tables plan lazily: real partitionSchema, exact tuple admission, eager parity") {
+    val dir = buildPartitioned()
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    val df = spark.read.format("loglake").load(dir)
+    val li = index(df)
+    assert(li.isInstanceOf[LazyLogLakeFileIndex],
+      s"expected the lazy index, got ${li.getClass.getSimpleName}")
+    assert(li.partitionSchema.fieldNames.toSeq == Seq("status"))
+    // full read: the B partition is gone (metadata-only tail delete)
+    assert(df.count() == 26L) // 4 seed - 1 B + 22 appends + 1 tail
+    // a partition-selective read admits tuples exactly and prunes in
+    // the job: only the A files scan
+    val aOnly = spark.read.format("loglake").load(dir)
+      .filter(col("status") === "A")
+    assert(aOnly.count() == 13L) // seed A + 11 appends + tail
+    val lidx = index(aOnly).asInstanceOf[LazyLogLakeFileIndex]
+    assert(lidx.planJobs >= 2, // tuple admission + file skipping
+      s"expected tuple + prune jobs, ran ${lidx.planJobs}")
+    assert(lidx.lastScanFiles == 13,
+      s"expected the 13 status=A files, scanned ${lidx.lastScanFiles}")
+    // NULL partitions admit only via IS NULL; the weird value's path
+    // escaping round-trips through tuples
+    assert(spark.read.format("loglake").load(dir)
+      .filter(col("status").isNull).count() == 1L)
+    assert(spark.read.format("loglake").load(dir)
+      .filter(col("status") === "x=1/y 2%").select("k").head().getLong(0) == 4L)
+    // through it all: not one snapshot assembled
+    assert(LogLake.snapshotAssembles.get() == before,
+      "the partitioned lazy path must never assemble table state")
+    // eager parity, bit for bit
+    LogLake.setTableProperties(dir,
+      Map("loglake.planning.distributed" -> "false"))
+    LogLake.clearSnapshotCache()
+    val eager = spark.read.format("loglake").load(dir)
+    assert(index(eager).isInstanceOf[LogLakeFileIndex])
+    assert(eager.orderBy("k").collect().toSeq ==
+      df.orderBy("k").collect().toSeq)
+  }
+
+  test("dynamic partition pruning survives the lazy plan") {
+    val dir = buildPartitioned()
+    val dimDir = tmp("dim")
+    Seq(("A", "keep"), ("C", "drop")).toDF("status", "cls")
+      .write.parquet(dimDir)
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    val fact = spark.read.format("loglake").load(dir)
+    assert(index(fact).isInstanceOf[LazyLogLakeFileIndex])
+    val q = fact.join(broadcast(spark.read.parquet(dimDir)), Seq("status"))
+      .filter(col("cls") === "keep")
+      .agg(count(lit(1)).as("n"), sum("k").as("s"))
+    assert(q.queryExecution.optimizedPlan.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))),
+      s"no DPP filter planted:\n${q.queryExecution.optimizedPlan}")
+    val r = q.head()
+    assert(r.getLong(0) == 13L)
+    assert(LogLake.snapshotAssembles.get() == before)
+  }
 }
