@@ -2007,6 +2007,71 @@ object Lake {
       require(LogLake.snapshotAssembles.get() == assembles,
         "q153: the partitioned lazy plan must never assemble table state")
       q
+    },
+
+    // --- q154: THE MERGE-ON-READ WINDOW UNDER DISTRIBUTED PLANNING
+    // (round 14). A MoR DELETE drops a deletion-vector sidecar onto a
+    // 12-commit parquet-checkpoint table with
+    // loglake.planning.distributed=true; the read must NOT fall back
+    // to eager state assembly: it plans through LogLakeLazyDvRelation
+    // — file skipping as a job over the checkpoint parts, survivors
+    // carrying their DV names into the masking plan. The builder
+    // REQUIRES the lazy DV relation, job-backed skipping on a banded
+    // filter, and ZERO snapshot assembles; deleted rows must not
+    // resurrect. The oracle replays the surviving state declaratively.
+    Q(
+      "q154_loglake_lazy_dv",
+      s"""SELECT l.o_orderstatus, l.cnt, l.total, f.band_rows, f.band_total
+         |FROM (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |             ${oSum("o_totalprice")} AS total
+         |      FROM orders WHERE o_orderkey % 97 <> 0
+         |      GROUP BY o_orderstatus) l
+         |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS band_rows,
+         |                   ${oSum("o_totalprice")} AS band_total
+         |            FROM orders
+         |            WHERE o_orderkey BETWEEN 300 AND 499
+         |              AND o_orderkey % 97 <> 0) f
+         |ORDER BY l.o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q154")
+      val ord = orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").persist()
+      val width = ord.agg(max("o_orderkey")).head().getLong(0) / 12L + 1L
+      def slice(i: Int) = ord.filter(
+        (col("o_orderkey") / lit(width)).cast("long") === i)
+      try {
+        LogLake.create(s, dir, slice(0), statsCols = Seq("o_orderkey"))
+        LogLake.setTableProperties(dir, Map(
+          "loglake.checkpoint.format" -> "parquet",
+          "loglake.checkpoint.partSizeFiles" -> "4",
+          "loglake.planning.distributed" -> "true"))
+        (1 to 11).foreach(i => LogLake.append(s, dir, slice(i)))
+      } finally ord.unpersist()
+      // the MoR window: sidecars only, no data file rewritten
+      LogLake.delete(s, dir, col("o_orderkey") % 97 === 0, mor = true)
+      LogLake.clearSnapshotCache()
+      val assembles = LogLake.snapshotAssembles.get()
+      def relOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collectFirst {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation
+        }.get
+      val full = s.read.format("loglake").load(dir)
+      require(relOf(full).isInstanceOf[graft.sources.LogLakeLazyDvRelation],
+        s"q154: expected the lazy DV relation, got ${relOf(full).getClass.getSimpleName}")
+      val latest = full.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      val banded = s.read.format("loglake").load(dir)
+        .filter(col("o_orderkey").between(300L, 499L))
+      banded.count() // execute once: the job-backed skipping runs now
+      val rel = relOf(banded).asInstanceOf[graft.sources.LogLakeLazyDvRelation]
+      require(rel.planJobs >= 1,
+        "q154: the banded scan must plan through the distributed job")
+      require(LogLake.snapshotAssembles.get() == assembles,
+        "q154: the MoR window must never assemble table state")
+      val band = banded.agg(count(lit(1)).as("band_rows"),
+        dsum(col("o_totalprice")).as("band_total"))
+      latest.crossJoin(band).orderBy("o_orderstatus")
     }
   )
 }

@@ -819,8 +819,13 @@ object LogLake {
       delta: Seq[(String, AddFile)], sumBytes: Long, fileCountUpper: Long,
       partCols: Seq[String] = Nil)
 
-  private[sources] def lazyPlanInfo(dir: String, target: Long)
-      : Option[LazyPlan] = {
+  /** `allowDvs = true` is the MERGE-ON-READ WINDOW variant (round 14,
+    * for [[LogLakeLazyDvRelation]]): deletion vectors and partition
+    * tuples stop being refusals, because the consumer masks DV rows in
+    * its frame-backed plan rather than handing files to the native
+    * scan. The native-scan caller keeps the strict gate. */
+  private[sources] def lazyPlanInfo(dir: String, target: Long,
+      allowDvs: Boolean = false): Option[LazyPlan] = {
     if (!tableProperties(dir).get("loglake.planning.distributed")
         .contains("true")) return None
     if (bucketSpec(dir).nonEmpty) return None
@@ -843,14 +848,18 @@ object LogLake {
     if (!parts.forall(_.getName.endsWith(".parquet"))) return None
     val aggs = parts.map(p => CheckpointParquet.readAggregates(f.getConf, p))
     if (aggs.exists(_.isEmpty)) return None // pre-aggregate parts
-    if (aggs.exists(_.exists(_.dvs > 0))) return None // MoR window: eager
+    if (!allowDvs && aggs.exists(_.exists(_.dvs > 0)))
+      return None // MoR window: the native scan cannot mask DV rows
     val tm = readManifest(f, targetPath)
     val schema = DataType.fromJson(tm.schemaJson).asInstanceOf[StructType]
     if (isDivergent(schema)) return None
     // a partition column absent from the declared schema (foreign
     // manifest) would leave the lazy index unable to type its tuple —
-    // the eager index already degrades to flat listing for that shape
-    if (!partCols.forall(c => schema.fieldNames.contains(c))) return None
+    // the eager index already degrades to flat listing for that shape.
+    // (The DV variant never serves tuples — columns come from the data
+    // files — so the check doesn't apply.)
+    if (!allowDvs && !partCols.forall(c => schema.fieldNames.contains(c)))
+      return None
     // the reader feature gate, from the target manifest's complete
     // (monotone) set — same refusal resolve would issue
     val unknown = tm.features -- SupportedFeatures
@@ -869,10 +878,11 @@ object LogLake {
         m.removes.foreach { r => removedEver += r; delta.remove(r) }
         m.adds.foreach(a => delta(a.path) = a)
       }
-    if (delta.valuesIterator.exists(_.dv.nonEmpty)) return None // MoR tail
+    if (!allowDvs && delta.valuesIterator.exists(_.dv.nonEmpty))
+      return None // MoR tail
     // a tail add missing a tuple value (hand-built manifest) would
     // force a fabricated partition row — keep the eager machinery
-    if (partCols.nonEmpty && delta.valuesIterator.exists(a =>
+    if (!allowDvs && partCols.nonEmpty && delta.valuesIterator.exists(a =>
         !partCols.forall(a.partitionValues.contains))) return None
     // planning size: part sums + tail adds. Removed files are NOT
     // subtracted (their bytes would need a state lookup) — an upper
@@ -882,6 +892,24 @@ object LogLake {
     Some(LazyPlan(target, schema, parts.map(_.toString),
       removedEver.toSet, delta.toSeq,
       sumBytes, aggs.flatten.map(_.files).sum + delta.size, partCols))
+  }
+
+  /** Survivors of `keep` over a [[LazyPlan]]'s snapshot, plus the
+    * total active count — the one fan-out both lazy consumers share
+    * ([[LazyLogLakeFileIndex.listFiles]] and
+    * [[LogLakeLazyDvRelation]]'s frame scoping): checkpoint parts
+    * prune on executors via [[partPruneJob]], the tail delta merges
+    * with [[resolve]]'s ordering semantics on the driver. */
+  private[sources] def planSurvivors(spark: SparkSession, plan: LazyPlan,
+      keep: AddFile => Boolean): (Seq[AddFile], Long) = {
+    val perPart = partPruneJob(spark, plan.parts,
+      plan.removedEver, plan.delta.toMap, keep)
+    val consumed = perPart.iterator.flatMap(_._3).toSet
+    val tailAdds = plan.delta.iterator
+      .filterNot { case (p, _) => consumed.contains(p) }
+      .map(_._2).toVector
+    (perPart.iterator.flatMap(_._1).toVector ++ tailAdds.filter(keep),
+      perPart.iterator.map(_._2).sum + tailAdds.size)
   }
 
   /** The distinct partition tuples of the target snapshot, as a Spark

@@ -255,6 +255,14 @@ object LogLakeProvider {
         dataSchema = plan.schema, bucketSpec = None,
         fileFormat = new ParquetFileFormat(), options = Map.empty)(spark)
     }
+    // the MERGE-ON-READ WINDOW under distributed planning: DVs active
+    // (or another native-scan refusal that masking tolerates), but the
+    // table still must not assemble state — the frame-backed relation
+    // scopes every scan through the same checkpoint-part job and masks
+    // DV rows in its plan
+    LogLake.lazyPlanInfo(dir, v, allowDvs = true).foreach { plan =>
+      return new LogLakeLazyDvRelation(spark, dir, plan)
+    }
     val (files, schema) = LogLake.activeState(dir, Some(v))
     if (files.exists(_.dv.nonEmpty) || LogLake.isDivergent(schema))
       new LogLakeDvRelation(spark, dir, Some(v), LogLake.cleanSchema(schema))
@@ -439,6 +447,52 @@ final class LogLakeDvRelation(protected val spark: SparkSession,
   def metaState: (Seq[LogLake.AddFile], StructType, Seq[String]) = {
     val (files, schema) = LogLake.activeState(dir, asOf)
     (files, schema, LogLake.partitionColumns(dir))
+  }
+}
+
+/** The MERGE-ON-READ WINDOW at 10⁸ files (round 14): a DV-bearing
+  * snapshot under `loglake.planning.distributed` no longer knocks the
+  * table back to eager state assembly. Construction touches only
+  * tail-sized metadata ([[LogLake.lazyPlanInfo]] with `allowDvs` — the
+  * target manifest's schema, checkpoint part paths, footer
+  * aggregates); every scan runs file skipping as a Spark job over the
+  * checkpoint parts and hands the SURVIVORS — deletion-vector sidecar
+  * names and cardinalities riding each AddFile — to
+  * [[LogLake.readAdds]]'s masking plan (native parquet scan,
+  * executor-side DV sidecar reads, positions anti-joined). Stats
+  * describe PHYSICAL rows, a superset of live rows, so skipping stays
+  * sound under masking. The driver's working set is each query's
+  * survivor list; one stray MoR delete between OPTIMIZE runs costs the
+  * masking join, never a gigabyte state assembly. Metadata-only
+  * aggregate rules don't match this relation — by design, the same
+  * posture as [[LazyLogLakeFileIndex]]: those rules' currency is the
+  * full file list, which is exactly what this plan refuses to hold. */
+final class LogLakeLazyDvRelation(protected val spark: SparkSession,
+    dir: String, plan: LogLake.LazyPlan)
+    extends BaseRelation with FrameBackedScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = LogLake.cleanSchema(plan.schema)
+  // footer-aggregate upper bound — the safe direction for planning
+  override def sizeInBytes: Long = math.max(1L, plan.sumBytes)
+
+  /** Files the LAST scan admitted after stats skipping (spec hook). */
+  @volatile var lastScanFiles: Int = -1
+  /** How many scans planned through the distributed job (spec hook). */
+  @volatile var planJobs: Int = 0
+
+  protected def frame(): DataFrame = frameFor(Array.empty)
+
+  override protected def frameFor(
+      filters: Array[org.apache.spark.sql.sources.Filter]): DataFrame = {
+    val exprs = filters.toSeq.flatMap(LogLake.v1PruneExpr(plan.schema, _))
+    val cs = LogLake.statConstraints(exprs, _ => None)
+    val keep: LogLake.AddFile => Boolean =
+      if (cs.isEmpty) _ => true
+      else a => LogLake.constraintsKeep(cs, a)
+    val (kept, _) = LogLake.planSurvivors(spark, plan, keep)
+    planJobs += 1
+    lastScanFiles = kept.size
+    LogLake.readAdds(spark, dir, plan.schema, kept)
   }
 }
 
@@ -668,14 +722,9 @@ final class LazyLogLakeFileIndex(spark: SparkSession, dir: String,
       case Some(t) => a =>
         t.contains(phys.map(a.partitionValues)) && base(a)
     }
-    val perPart = LogLake.partPruneJob(spark, plan.parts,
-      plan.removedEver, plan.delta.toMap, keep)
+    val (kept, _) = LogLake.planSurvivors(spark, plan, keep)
     planJobs += 1
-    val consumed = perPart.iterator.flatMap(_._3).toSet
-    val tailAdds = plan.delta.iterator
-      .filterNot { case (p, _) => consumed.contains(p) }
-      .map(_._2).filter(keep)
-    perPart.iterator.flatMap(_._1).toVector ++ tailAdds
+    kept
   }
 
   private def status(a: LogLake.AddFile): FileStatus = {

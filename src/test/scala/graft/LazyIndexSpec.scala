@@ -94,12 +94,13 @@ class LazyIndexSpec extends SparkTestBase {
   }
 
   test("safety guards route back to the eager index") {
-    // active DVs → the native scan can't mask rows → never lazy
+    // active DVs → the native scan can't mask rows → never the lazy
+    // FileIndex (under distributed planning they take the job-scoped
+    // MoR relation — the dedicated test below; the probe here is
+    // simply that the read stays correct)
     val dvDir = build()
     LogLake.delete(spark, dvDir, col("k") === 450L, mor = true)
     LogLake.clearSnapshotCache()
-    // (DV tables leave format("loglake") for the MoR relation — the
-    // probe here is simply that the read stays correct)
     assert(spark.read.format("loglake").load(dvDir).count() == 23L)
     // json checkpoint bodies → no aggregate footers → eager
     val jsonDir = tmp("json")
@@ -190,6 +191,51 @@ class LazyIndexSpec extends SparkTestBase {
     assert(index(eager).isInstanceOf[LogLakeFileIndex])
     assert(eager.orderBy("k").collect().toSeq ==
       df.orderBy("k").collect().toSeq)
+  }
+
+  test("a MoR window keeps the distributed plan: DV survivors mask in the frame-backed relation") {
+    val dir = build()
+    // tail DV: delta in-place update on a checkpoint-resident file
+    LogLake.delete(spark, dir, col("k") === 450L, mor = true)
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    def relOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation
+      }.get
+    val df = spark.read.format("loglake").load(dir)
+    assert(relOf(df).isInstanceOf[graft.sources.LogLakeLazyDvRelation],
+      s"expected the lazy DV relation, got ${relOf(df).getClass.getSimpleName}")
+    assert(df.count() == 23L) // 24 before, one masked by the DV
+    assert(df.filter(col("k") === 450L).count() == 0L,
+      "the DV-masked row must not resurrect")
+    // stats skipping still scopes the masked plan through the job
+    val narrow = spark.read.format("loglake").load(dir)
+      .filter(col("k").between(300L, 360L))
+    assert(narrow.count() == 2L)
+    val rel = relOf(narrow).asInstanceOf[graft.sources.LogLakeLazyDvRelation]
+    assert(rel.planJobs >= 1 && rel.lastScanFiles < 6,
+      s"expected job-backed skipping, scanned ${rel.lastScanFiles} in ${rel.planJobs} jobs")
+    assert(LogLake.snapshotAssembles.get() == before,
+      "a MoR window must not knock the table back to eager assembly")
+    // checkpoint-resident DVs too: roll a fresh checkpoint PAST the
+    // MoR delete, so the sidecar rides a part body, not the tail
+    (0 until 10).foreach(i =>
+      LogLake.append(spark, dir, Seq((5000L + i, s"x$i")).toDF("k", "v")))
+    LogLake.clearSnapshotCache()
+    val before2 = LogLake.snapshotAssembles.get()
+    val df2 = spark.read.format("loglake").load(dir)
+    assert(relOf(df2).isInstanceOf[graft.sources.LogLakeLazyDvRelation])
+    assert(df2.count() == 33L)
+    assert(df2.filter(col("k") === 450L).count() == 0L)
+    assert(LogLake.snapshotAssembles.get() == before2)
+    // eager parity, bit for bit
+    LogLake.setTableProperties(dir,
+      Map("loglake.planning.distributed" -> "false"))
+    LogLake.clearSnapshotCache()
+    assert(spark.read.format("loglake").load(dir).orderBy("k").collect().toSeq ==
+      df2.orderBy("k").collect().toSeq)
   }
 
   test("dynamic partition pruning survives the lazy plan") {
