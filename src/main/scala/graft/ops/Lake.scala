@@ -2072,6 +2072,61 @@ object Lake {
       val band = banded.agg(count(lit(1)).as("band_rows"),
         dsum(col("o_totalprice")).as("band_total"))
       latest.crossJoin(band).orderBy("o_orderstatus")
+    },
+
+    // --- q155: DISTRIBUTED WRITE-PATH DISCOVERY (round 14). MERGE,
+    // UPDATE and DELETE against a loglake.planning.distributed
+    // parquet-checkpoint table discover their candidate and touched
+    // files through the checkpoint-part prune (key-envelope / stats
+    // constraints evaluated on executors) — the builder pins the
+    // snapshot-assemble counter flat across all three mutations, so a
+    // selective upsert against a 10⁸-file table provably never
+    // materializes table state on the driver. The oracle replays the
+    // same mutations declaratively: keys ≡ 0 (mod 131) upserted to
+    // 10× price, keys ≡ 0 (mod 173) deleted, keys in [1000, 1099]
+    // get status 'X'.
+    Q(
+      "q155_loglake_distributed_write",
+      s"""WITH state AS (
+         |  SELECT o_orderkey,
+         |         CASE WHEN o_orderkey BETWEEN 1000 AND 1099 THEN 'X'
+         |              ELSE o_orderstatus END AS o_orderstatus,
+         |         CASE WHEN o_orderkey % 131 = 0 THEN o_totalprice * 10
+         |              ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 173 <> 0
+         |)
+         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total
+         |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q155")
+      val ord = orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").persist()
+      val width = ord.agg(max("o_orderkey")).head().getLong(0) / 12L + 1L
+      def slice(i: Int) = ord.filter(
+        (col("o_orderkey") / lit(width)).cast("long") === i)
+      val upserts = ord.filter(col("o_orderkey") % 131 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 10)
+      try {
+        LogLake.create(s, dir, slice(0), statsCols = Seq("o_orderkey"))
+        LogLake.setTableProperties(dir, Map(
+          "loglake.checkpoint.format" -> "parquet",
+          "loglake.checkpoint.partSizeFiles" -> "4",
+          "loglake.planning.distributed" -> "true"))
+        (1 to 11).foreach(i => LogLake.append(s, dir, slice(i)))
+        LogLake.clearSnapshotCache()
+        val assembles = LogLake.snapshotAssembles.get()
+        LogLake.merge(s, dir, upserts, keyCols = Seq("o_orderkey"))
+        LogLake.delete(s, dir, col("o_orderkey") % 173 === 0)
+        LogLake.update(s, dir, col("o_orderkey").between(1000L, 1099L),
+          Map("o_orderstatus" -> lit("X")))
+        require(LogLake.snapshotAssembles.get() == assembles,
+          "q155: distributed write discovery must never assemble table state")
+      } finally ord.unpersist()
+      s.read.format("loglake").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
     }
   )
 }

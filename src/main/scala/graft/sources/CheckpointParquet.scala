@@ -200,6 +200,40 @@ private[graft] object CheckpointParquet {
     (version, schema, txns, featSet(KFeatures), featSet(KWFeatures))
   }
 
+  private def decode(g: Group): AddFile = {
+    val nPv = g.getFieldRepetitionCount("pv")
+    val pv =
+      if (nPv == 0) Map.empty[String, String]
+      else {
+        val b = Map.newBuilder[String, String]
+        var i = 0
+        while (i < nPv) {
+          val pg = g.getGroup("pv", i)
+          b += pg.getString("k", 0) -> pg.getString("v", 0)
+          i += 1
+        }
+        b.result()
+      }
+    val nSt = g.getFieldRepetitionCount("st")
+    val st =
+      if (nSt == 0) Map.empty[String, ColStats]
+      else {
+        val b = Map.newBuilder[String, ColStats]
+        var i = 0
+        while (i < nSt) {
+          val sg = g.getGroup("st", i)
+          b += sg.getString("c", 0) -> ColStats(sg.getString("t", 0),
+            sg.getString("mn", 0), sg.getString("mx", 0),
+            sg.getLong("nulls", 0))
+          i += 1
+        }
+        b.result()
+      }
+    AddFile(g.getString("path", 0), g.getLong("rows", 0), st,
+      g.getLong("bytes", 0), g.getString("dv", 0), g.getLong("dvRows", 0),
+      pv, g.getLong("brid", 0))
+  }
+
   def read(conf: Configuration, src: Path): Checkpoint = {
     val (version, schema, txns, features, writerFeatures) =
       readHeader(conf, src)
@@ -210,41 +244,20 @@ private[graft] object CheckpointParquet {
     try {
       var g = reader.read()
       while (g != null) {
-        val nPv = g.getFieldRepetitionCount("pv")
-        val pv =
-          if (nPv == 0) Map.empty[String, String]
-          else {
-            val b = Map.newBuilder[String, String]
-            var i = 0
-            while (i < nPv) {
-              val pg = g.getGroup("pv", i)
-              b += pg.getString("k", 0) -> pg.getString("v", 0)
-              i += 1
-            }
-            b.result()
-          }
-        val nSt = g.getFieldRepetitionCount("st")
-        val st =
-          if (nSt == 0) Map.empty[String, ColStats]
-          else {
-            val b = Map.newBuilder[String, ColStats]
-            var i = 0
-            while (i < nSt) {
-              val sg = g.getGroup("st", i)
-              b += sg.getString("c", 0) -> ColStats(sg.getString("t", 0),
-                sg.getString("mn", 0), sg.getString("mx", 0),
-                sg.getLong("nulls", 0))
-              i += 1
-            }
-            b.result()
-          }
-        files += AddFile(g.getString("path", 0), g.getLong("rows", 0), st,
-          g.getLong("bytes", 0), g.getString("dv", 0), g.getLong("dvRows", 0),
-          pv, g.getLong("brid", 0))
+        files += decode(g)
         g = reader.read()
       }
     } finally reader.close()
     Checkpoint(version, schema, files.result(), txns,
       features, writerFeatures)
+  }
+
+  /** The part's FIRST AddFile alone — a stats-shape sample for write
+    * paths that need the table's stats-column policy (which columns
+    * carry min/max) without reading any body beyond one record. */
+  def readFirst(conf: Configuration, src: Path): Option[AddFile] = {
+    val reader: ParquetReader[Group] =
+      ParquetReader.builder(new GroupReadSupport(), src).withConf(conf).build()
+    try Option(reader.read()).map(decode) finally reader.close()
   }
 }

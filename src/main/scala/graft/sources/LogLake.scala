@@ -581,6 +581,23 @@ object LogLake {
     (r.files, DataType.fromJson(r.schemaJson).asInstanceOf[StructType])
   }
 
+  /** The declared schema at `asOf` (default: latest) from the target
+    * MANIFEST alone — every commit carries the full current schema, so
+    * schema-only consumers (write validation, DDL preconditions) never
+    * pay a state assembly for it. At 10⁸ files this is the difference
+    * between a tail-sized read and gigabytes of resolve per write. */
+  def declaredSchema(dir: String, asOf: Option[Long] = None): StructType = {
+    val f = fs(dir)
+    val manifests = listManifests(dir)
+    require(manifests.nonEmpty, s"loglake: no table at $dir")
+    val target = asOf.getOrElse(manifests.last._1)
+    val p = manifests.find(_._1 == target).getOrElse(throw
+      new IllegalArgumentException(
+        s"loglake: version $target does not exist at $dir " +
+          s"(log spans ${manifests.head._1}..${manifests.last._1})"))._2
+    DataType.fromJson(readManifest(f, p).schemaJson).asInstanceOf[StructType]
+  }
+
   // ---------------------------------------------------------------- read
 
   /** Snapshot read, optionally time-travelling to an older version.
@@ -910,6 +927,103 @@ object LogLake {
       .map(_._2).toVector
     (perPart.iterator.flatMap(_._1).toVector ++ tailAdds.filter(keep),
       perPart.iterator.map(_._2).sum + tailAdds.size)
+  }
+
+  /** WRITE-PATH DISCOVERY (round 14): how MERGE/UPDATE/DELETE find the
+    * files they touch. Under `loglake.planning.distributed` (and a
+    * snapshot shape [[lazyPlanInfo]]-with-DVs supports) the schema
+    * comes from the target manifest and candidate files come from
+    * [[planSurvivors]] — the driver holds each op's own candidates,
+    * never resolved table state, so a selective upsert against a
+    * 10⁸-file table rides the cluster end to end. Without the opt-in,
+    * the eagerly resolved state serves the same queries (and the new
+    * stats-constraint candidate prune applies THERE TOO — an eager
+    * DELETE/UPDATE/MERGE now skips files by manifest stats before its
+    * discovery scan, Delta's merge file-pruning). */
+  private final class Discovery(spark: SparkSession, dir: String,
+      readV: Long) {
+    val plan: Option[LazyPlan] =
+      if (readV == 0L) None
+      else lazyPlanInfo(dir, readV, allowDvs = true)
+    lazy val eager: (Seq[AddFile], StructType) =
+      if (readV > 0L) activeState(dir, Some(readV)) else (Seq.empty, null)
+    val schema: StructType = plan.map(_.schema).getOrElse(eager._2)
+    /** Every active file. Ops that inherently touch the whole table
+      * (unconditional NOT MATCHED BY SOURCE) pay survivor volume —
+      * they rewrite that volume anyway — but never resolve cost. */
+    def allFiles: Seq[AddFile] = plan match {
+      case Some(p) => planSurvivors(spark, p, _ => true)._1
+      case None => eager._1
+    }
+    /** Files admitted by a sound constraint conjunction — distributed
+      * under the opt-in, an in-memory filter otherwise. */
+    def candidates(cs: Seq[StatC]): Seq[AddFile] = plan match {
+      case Some(p) =>
+        if (cs.isEmpty) allFiles
+        else planSurvivors(spark, p, a => constraintsKeep(cs, a))._1
+      case None =>
+        if (cs.isEmpty) eager._1 else eager._1.filter(constraintsKeep(cs, _))
+    }
+  }
+
+  /** Sound key-envelope constraints for merge's candidate prune: a
+    * file whose key-column stats exclude the source keys' [min, max]
+    * envelope cannot hold a match. SQL equality never matches NULL, so
+    * null keys are ignored — and a key column with NO non-null value
+    * (or an empty source) proves no file matches at all: None. One
+    * metadata-sized aggregate over the distinct keys. */
+  private def keyEnvelope(keys: DataFrame, keyCols: Seq[String],
+      schema: StructType): Option[Seq[StatC]] = {
+    import org.apache.spark.sql.types._
+    // envelope only over types whose rendering matches the stats'
+    // ([[typedRender]]) — a nested/exotic key contributes no constraint
+    // (and must not reach min/max, which rejects non-orderable types)
+    def eligible(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | DateType | TimestampType |
+           BooleanType => true
+      case _ => false
+    }
+    val envCols = keyCols.filter(c =>
+      keys.schema.fields.exists(f => f.name == c && eligible(f.dataType)))
+    if (envCols.isEmpty) return Some(Nil)
+    val aggs = envCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+    val r = keys.agg(aggs.head, aggs.tail: _*).head()
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    val cs = Seq.newBuilder[StatC]
+    var provablyEmpty = false
+    envCols.foreach { c =>
+      val lo = r.getAs[Any](s"__lo_$c")
+      val hi = r.getAs[Any](s"__hi_$c")
+      if (lo == null || hi == null) provablyEmpty = true
+      else {
+        val phys = byName.get(c).map(physName).getOrElse(c)
+        cs += AtLeastC(phys, renderValue(lo))
+        cs += AtMostC(phys, renderValue(hi))
+      }
+    }
+    if (provablyEmpty) None else Some(cs.result())
+  }
+
+  /** Extract sound stats constraints from an UNRESOLVED mutation
+    * condition (DELETE/UPDATE `Column`s): single-part attribute
+    * references resolve case-insensitively against the declared schema
+    * to their PHYSICAL names (stats are keyed physically), then the
+    * read path's [[statConstraints]] does the rest. Anything it cannot
+    * prove contributes nothing — the file is kept and the row-level
+    * filter decides. */
+  private def conditionConstraints(schema: StructType,
+      condition: Column): Seq[StatC] = {
+    val resolved = GraftBridge.catalystExpression(condition).transform {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.size == 1 =>
+        schema.fields.find(_.name.equalsIgnoreCase(u.nameParts.head)) match {
+          case Some(fl) => org.apache.spark.sql.catalyst.expressions
+            .AttributeReference(physName(fl), fl.dataType, fl.nullable)()
+          case None => u
+        }
+    }
+    statConstraints(Seq(resolved), _ => None)
   }
 
   /** The distinct partition tuples of the target snapshot, as a Spark
@@ -2114,7 +2228,14 @@ object LogLake {
     val readV = currentVersion(dir)
     require(readV > 0L, s"loglake: no table at $dir — replaceWhere " +
       "overwrites an existing region; use create for a new table")
-    val (files, schema) = activeState(dir, Some(readV))
+    val disc = new Discovery(spark, dir, readV)
+    val schema = disc.schema
+    // the replaced-region classifier discovers its candidates through
+    // the stats-constraint prune — distributed under the planning
+    // opt-in, so a one-partition backfill against a 10⁸-file table
+    // never resolves state on the driver
+    lazy val candidates =
+      disc.candidates(conditionConstraints(schema, condition))
     // the same pre-pass as write(): GENERATED columns absent from the
     // incoming frame are computed, identity columns assigned (carried
     // values rejected) — a partial overwrite honors the table's column
@@ -2132,7 +2253,7 @@ object LogLake {
     val aligned = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val miss = !coalesce(condition, lit(false))
     val newAdds = writeData(spark, dir, aligned,
-      inheritedStats(files, statsCols, aligned.schema, schema), physMap(schema))
+      inheritedStats(candidates, statsCols, aligned.schema, schema), physMap(schema))
     val offending = readAdds(spark, dir, schema, newAdds)
       .filter(miss).limit(1).collect()
     if (offending.nonEmpty) {
@@ -2144,7 +2265,7 @@ object LogLake {
           s"region, e.g. ${offending.head} — nothing committed")
     }
     val (survivorAdds, removes, cdc) =
-      partitionOnlyMatches(spark, dir, files, schema, condition) match {
+      partitionOnlyMatches(spark, dir, candidates, schema, condition) match {
         // the partition metadata-only path stays change-file-free (it
         // would read the dropped volume, defeating the zero-IO region
         // swap — same rule as partition DELETE); its feed keeps the
@@ -2152,7 +2273,7 @@ object LogLake {
         case Some(matched) =>
           (Seq.empty[AddFile], matched.map(_.path), Seq.empty[String])
         case None =>
-          val touched = touchedFiles(spark, dir, files, schema, condition)
+          val touched = touchedFiles(spark, dir, candidates, schema, condition)
           if (touched.isEmpty)
             // no removes → the feed's pure-append fast path already
             // labels the region's new rows as inserts exactly
@@ -2174,7 +2295,7 @@ object LogLake {
             // survivors keep their row ids under tracking (materialized)
             val kept = trackedRead(spark, dir, schema, touched).filter(miss)
             (writeData(spark, dir, kept,
-              inheritedStats(files, statsCols, schema, schema),
+              inheritedStats(candidates, statsCols, schema, schema),
               physMap(schema)), touched.map(_.path), cdcFiles)
           }
       }
@@ -2263,8 +2384,30 @@ object LogLake {
     val readV = currentVersion(dir)
     if (op == "create") require(readV == 0L,
       s"loglake: cannot create — table already exists at $dir (version $readV)")
-    val (priorFiles, priorSchema): (Seq[AddFile], StructType) =
-      if (readV > 0L) activeState(dir, Some(readV)) else (Seq.empty, null)
+    // under the distributed-planning opt-in an APPEND — the hottest
+    // write at 10⁸ files — touches only manifest-tail metadata: schema
+    // from the target manifest, stats-column inheritance from the tail
+    // adds (or one sampled checkpoint record when the tail adds
+    // nothing); only OVERWRITE assembles its remove list, and it does
+    // so through the distributed prune, never resolve
+    val disc = new Discovery(spark, dir, readV)
+    val (priorFiles, priorSchema, statsBasis)
+        : (Seq[AddFile], StructType, Seq[AddFile]) =
+      if (readV == 0L) (Seq.empty, null, Seq.empty)
+      else disc.plan match {
+        case Some(p) =>
+          val basis =
+            if (p.delta.nonEmpty) p.delta.map(_._2)
+            else p.parts.headOption.flatMap(pp =>
+              CheckpointParquet.readFirst(fs(dir).getConf, new Path(pp))).toSeq
+          val prior =
+            if (op == "overwrite") planSurvivors(spark, p, _ => true)._1
+            else Seq.empty
+          (prior, p.schema, basis)
+        case None =>
+          val (f0, s0) = disc.eager
+          (f0, s0, f0)
+      }
     // GENERATED columns absent from the incoming frame are computed
     // here (Delta's GENERATED ALWAYS AS); frames that DO carry them
     // are validated by the staged-file pass instead
@@ -2283,7 +2426,7 @@ object LogLake {
     val removes =
       if (op == "overwrite") priorFiles.map(_.path) else Nil
     val adds = writeData(spark, dir, df,
-      inheritedStats(priorFiles, statsCols, df.schema, tableSchema),
+      inheritedStats(statsBasis, statsCols, df.schema, tableSchema),
       physMap(tableSchema))
     // an append that stages no ROWS commits nothing (zero-row parts an
     // eager writer opened are swept) — this is what lets the streaming
@@ -2351,14 +2494,27 @@ object LogLake {
       case None =>
     }
     val readV = currentVersion(dir)
-    val (files, schema) = activeState(dir, Some(readV))
+    val disc = new Discovery(spark, dir, readV)
+    val schema = disc.schema
     require(schema.fieldNames.sorted.sameElements(source.schema.fieldNames.sorted),
       s"loglake: merge source columns ${source.columns.mkString(",")} must match " +
         s"table columns ${schema.fieldNames.mkString(",")}")
     val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val keys = src.select(keyCols.map(col).toIndexedSeq: _*).distinct()
 
-    val candidates = bucketPruneForKeys(spark, dir, files, schema, keys, keyCols)
+    // candidate prune BEFORE the discovery scan: the source keys'
+    // min/max envelope skips files by manifest stats (Delta's merge
+    // file-pruning) — distributed under the planning opt-in, in-memory
+    // otherwise — and bucketed layouts additionally bound candidates
+    // to the keys' buckets
+    val candidates = keyEnvelope(keys, keyCols, schema) match {
+      case None => Nil // no non-null source key: nothing can match
+      case Some(cs) => disc.plan match {
+        case Some(_) => disc.candidates(cs)
+        case None => bucketPruneForKeys(spark, dir, disc.eager._1, schema,
+          keys, keyCols).filter(constraintsKeep(cs, _))
+      }
+    }
     val touchedNames: Set[String] =
       if (candidates.isEmpty) Set.empty
       else {
@@ -2370,7 +2526,10 @@ object LogLake {
           .select("__file").distinct().collect()
           .map(r => new Path(r.getString(0)).getName).toSet
       }
-    val touched = files.filter(a => touchedNames(new Path(a.path).getName))
+    val touched = candidates.filter(a => touchedNames(new Path(a.path).getName))
+    // stats-column inheritance reads the candidate population — under
+    // distributed discovery the full prior list never materializes
+    val statsBasis = candidates
 
     // write-time CDC (Delta's _change_data design): a MERGE is the one
     // commit whose changes the read-side diff cannot label exactly —
@@ -2428,7 +2587,7 @@ object LogLake {
           carried.unionByName(srcW.select(carried.columns.toIndexedSeq.map(col): _*))
       }
       val adds = writeData(spark, dir, rewritten,
-        inheritedStats(files, statsCols, src.schema, schema), physMap(schema))
+        inheritedStats(statsBasis, statsCols, src.schema, schema), physMap(schema))
       val cdc: Seq[String] = tgtOpt match {
         case Some(tgt) if cdfEnabled(dir) =>
           // labels: matched target rows are pre-images (one per row,
@@ -2520,7 +2679,8 @@ object LogLake {
       case None =>
     }
     val readV = currentVersion(dir)
-    val (files, schema) = activeState(dir, Some(readV))
+    val disc = new Discovery(spark, dir, readV)
+    val schema = disc.schema
     require(keyCols.forall(schema.fieldNames.contains),
       s"loglake: merge keys ${keyCols.mkString(",")} must be table columns")
     require(keyCols.forall(source.columns.contains),
@@ -2533,27 +2693,34 @@ object LogLake {
 
     val src = source
     val keys = src.select(keyCols.map(col).toIndexedSeq: _*).distinct()
-    // files containing a matching key — the [[merge]] pruning scan,
-    // bucket-bounded first when the layout allows
-    val keyTouchedNames: Set[String] =
-      if (files.isEmpty || (matchedCls.isEmpty && insertCls.isEmpty && nmbsCls.isEmpty))
-        Set.empty
-      else {
-        val candidates = bucketPruneForKeys(spark, dir, files, schema, keys, keyCols)
-        if (candidates.isEmpty) Set.empty
-        else {
-          val tgt = scanLogical(spark, schema,
-            candidates.map(a => resolvedPath(dir, a.path)),
-            Seq(col("_metadata.file_path") -> "__file"))
-            .select(keyCols.map(col) :+ col("__file"): _*)
-          tgt.join(keys, keyCols, "leftsemi")
-            .select("__file").distinct().collect()
-            .map(r => new Path(r.getString(0)).getName).toSet
+    // files containing a matching key — [[merge]]'s candidate prune
+    // (key envelope, distributed under the opt-in; bucket-bounded on
+    // the eager path when the layout allows), then the discovery scan
+    val keyCandidates: Seq[AddFile] =
+      if (matchedCls.isEmpty && insertCls.isEmpty && nmbsCls.isEmpty) Nil
+      else keyEnvelope(keys, keyCols, schema) match {
+        case None => Nil // no non-null source key: nothing can match
+        case Some(cs) => disc.plan match {
+          case Some(_) => disc.candidates(cs)
+          case None => bucketPruneForKeys(spark, dir, disc.eager._1, schema,
+            keys, keyCols).filter(constraintsKeep(cs, _))
         }
+      }
+    val keyTouchedNames: Set[String] =
+      if (keyCandidates.isEmpty) Set.empty
+      else {
+        val tgt = scanLogical(spark, schema,
+          keyCandidates.map(a => resolvedPath(dir, a.path)),
+          Seq(col("_metadata.file_path") -> "__file"))
+          .select(keyCols.map(col) :+ col("__file"): _*)
+        tgt.join(keys, keyCols, "leftsemi")
+          .select("__file").distinct().collect()
+          .map(r => new Path(r.getString(0)).getName).toSet
       }
     // NOT MATCHED BY SOURCE reaches rows no source key selects, so its
     // file scope is the clause conditions' (target-column) disjunction
-    // — an unconditional clause means every file
+    // — an unconditional clause means every file (inherent to its
+    // semantics: it rewrites that volume anyway)
     val nmbsTouched: Seq[AddFile] =
       if (nmbsCls.isEmpty) Nil
       else {
@@ -2561,12 +2728,17 @@ object LogLake {
           case NotMatchedBySourceUpdate(c, _) => c
           case NotMatchedBySourceDelete(c) => c
         }
-        if (conds.exists(_.isEmpty)) files
-        else touchedFiles(spark, dir, files, schema,
-          conds.flatten.map(stripTargetPrefix).reduce(_ || _))
+        if (conds.exists(_.isEmpty)) disc.allFiles
+        else {
+          val disj = conds.flatten.map(stripTargetPrefix).reduce(_ || _)
+          touchedFiles(spark, dir,
+            disc.candidates(conditionConstraints(schema, disj)), schema, disj)
+        }
       }
-    val keyTouched = files.filter(a => keyTouchedNames(new Path(a.path).getName))
+    val keyTouched = keyCandidates.filter(a =>
+      keyTouchedNames(new Path(a.path).getName))
     val touched = (keyTouched ++ nmbsTouched).distinctBy(_.path)
+    val statsBasis = (keyCandidates ++ nmbsTouched).distinctBy(_.path)
 
     val tracking = rowTrackingEnabled(dir)
     val cdf = cdfEnabled(dir)
@@ -2652,7 +2824,7 @@ object LogLake {
             plain.filter(col("__fresh")).drop("__fresh").drop(RowIdCol)))
 
       val adds = writeData(spark, dir, rewritten,
-        inheritedStats(files, statsCols, schema, schema), physMap(schema))
+        inheritedStats(statsBasis, statsCols, schema, schema), physMap(schema))
       if (touched.isEmpty && adds.forall(_.rows == 0L)) {
         // nothing claimed anything — no commit (sweep the empty parts)
         val fsys = fs(dir)
@@ -2735,20 +2907,27 @@ object LogLake {
       case None =>
     }
     val readV = currentVersion(dir)
-    val (files, schema) = activeState(dir, Some(readV))
+    val disc = new Discovery(spark, dir, readV)
+    val schema = disc.schema
+    // candidate prune by manifest stats BEFORE any scan — identity
+    // partition columns carry exact min=max stats, so a file outside
+    // the candidate set provably holds no matching row (sound for the
+    // metadata-only path below too); distributed under the planning
+    // opt-in, so the driver never resolves table state
+    val candidates = disc.candidates(conditionConstraints(schema, condition))
     // partition fast path: a predicate over partition columns only is
     // CONSTANT within each file (identity partitioning — one tuple per
     // file), so matching files drop whole, metadata-only: zero data
     // read, zero data written, at any table size. The Delta
     // partition-DELETE contract.
-    partitionOnlyMatches(spark, dir, files, schema, condition) match {
+    partitionOnlyMatches(spark, dir, candidates, schema, condition) match {
       case Some(matched) =>
         if (matched.isEmpty) return readV
         return commit(dir, "delete", txnId, readV, schema.json, Nil,
           matched.map(_.path))
       case None =>
     }
-    val touched = touchedFiles(spark, dir, files, schema, condition)
+    val touched = touchedFiles(spark, dir, candidates, schema, condition)
     if (touched.isEmpty) return readV // nothing matches — no commit
     // write-time CDC (property-gated, like merge): record the deleted
     // rows as change files so the feed never re-reads the rewritten /
@@ -2780,7 +2959,7 @@ object LogLake {
     val kept = trackedRead(spark, dir, schema, touched)
       .filter(!coalesce(condition, lit(false))) // NULL-condition rows survive, as in SQL DELETE
     val adds = writeData(spark, dir, kept,
-      inheritedStats(files, statsCols, schema, schema), physMap(schema))
+      inheritedStats(candidates, statsCols, schema, schema), physMap(schema))
     commit(dir, "delete", txnId, readV, schema.json, adds, touched.map(_.path), cdc)
   }
 
@@ -2806,11 +2985,15 @@ object LogLake {
       case None =>
     }
     val readV = currentVersion(dir)
-    val (files, schema) = activeState(dir, Some(readV))
+    val disc = new Discovery(spark, dir, readV)
+    val schema = disc.schema
     set.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"loglake: update sets unknown column $c (table has " +
         s"${schema.fieldNames.mkString(", ")})"))
-    val touched = touchedFiles(spark, dir, files, schema, condition)
+    // stats-constraint candidate prune before the discovery scan —
+    // distributed under the planning opt-in (see [[delete]])
+    val candidates = disc.candidates(conditionConstraints(schema, condition))
+    val touched = touchedFiles(spark, dir, candidates, schema, condition)
     if (touched.isEmpty) return readV
     val hit = coalesce(condition, lit(false))
     // GENERATED columns not explicitly SET regenerate AFTER the user
@@ -2854,7 +3037,7 @@ object LogLake {
           set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
         }): _*))
       val newAdds = writeData(spark, dir, updated,
-        inheritedStats(files, statsCols, schema, schema), physMap(schema))
+        inheritedStats(candidates, statsCols, schema, schema), physMap(schema))
       val (dvAdds, removes) = attachDvs(spark, dir, schema, touched, hit)
       return commit(dir, "update", txnId, readV, schema.json,
         dvAdds ++ newAdds, removes, cdc)
@@ -2870,7 +3053,7 @@ object LogLake {
     val rewritten = regen(trackedRead(spark, dir, schema, touched)
       .select(passId(projected): _*))
     val adds = writeData(spark, dir, rewritten,
-      inheritedStats(files, statsCols, schema, schema), physMap(schema))
+      inheritedStats(candidates, statsCols, schema, schema), physMap(schema))
     commit(dir, "update", txnId, readV, schema.json, adds, touched.map(_.path), cdc)
   }
 
@@ -2960,7 +3143,7 @@ object LogLake {
       case None =>
     }
     val readV = currentVersion(dir)
-    val (_, schema0) = activeState(dir, Some(readV))
+    val schema0 = declaredSchema(dir, Some(readV))
     require(schema0.fieldNames.exists(_.equalsIgnoreCase(oldName)),
       s"loglake: cannot rename $oldName — table has " +
         s"${schema0.fieldNames.mkString(", ")}")
@@ -2987,7 +3170,7 @@ object LogLake {
       case None =>
     }
     val readV = currentVersion(dir)
-    val (_, schema0) = activeState(dir, Some(readV))
+    val schema0 = declaredSchema(dir, Some(readV))
     require(schema0.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"loglake: cannot drop $name — table has " +
         s"${schema0.fieldNames.mkString(", ")}")
@@ -3019,7 +3202,7 @@ object LogLake {
       case None =>
     }
     val readV = currentVersion(dir)
-    val (_, schema0) = activeState(dir, Some(readV))
+    val schema0 = declaredSchema(dir, Some(readV))
     require(!schema0.fieldNames.exists(_.equalsIgnoreCase(field.name)),
       s"loglake: cannot add ${field.name} — column exists")
     require(field.nullable,
@@ -3081,7 +3264,7 @@ object LogLake {
       case None =>
     }
     val readV = currentVersion(dir)
-    val (_, schema0) = activeState(dir, Some(readV))
+    val schema0 = declaredSchema(dir, Some(readV))
     val f = schema0.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
       throw new IllegalArgumentException(
         s"loglake: cannot widen $name — table has " +
@@ -3406,7 +3589,7 @@ object LogLake {
     * constraints use). */
   def setGeneratedColumn(spark: SparkSession, dir: String,
       column: String, exprSql: String): Unit = {
-    val schema = activeState(dir)._2
+    val schema = declaredSchema(dir)
     require(schema.fieldNames.contains(column),
       s"loglake: cannot generate unknown column $column (table has " +
         s"${schema.fieldNames.mkString(", ")})")
@@ -3452,7 +3635,7 @@ object LogLake {
 
   def setIdentityColumn(dir: String, column: String, start: Long = 1L,
       step: Long = 1L): Unit = {
-    val schema = activeState(dir)._2
+    val schema = declaredSchema(dir)
     require(schema.fieldNames.contains(column),
       s"loglake: cannot make unknown column $column an identity column")
     require(schema(column).dataType == LongType,
@@ -3802,7 +3985,7 @@ object LogLake {
       // and the commit stamps the `branches` WRITER feature so a
       // branch-unaware build refuses to write to or vacuum the parent
       // while the branch lives
-      commit(dir, "branch", "", base, activeState(dir)._2.json, Nil, Nil,
+      commit(dir, "branch", "", base, declaredSchema(dir).json, Nil, Nil,
         extraWriterFeatures = Set("branches"))
       val bdir = branchDir(dir, name)
       // a crashed earlier attempt may have left an orphan clone; clear it
@@ -4677,7 +4860,7 @@ object LogLake {
     // every later write the committed schema governs — an incoming
     // frame's own (usually all-nullable) flags don't weaken the table.
     val tableNow =
-      if (currentVersion(dir) > 0L) activeState(dir)._2 else stagedSchema
+      if (currentVersion(dir) > 0L) declaredSchema(dir) else stagedSchema
     val logicalSet = logicalCols.toSet
     val notNull = tableNow.fields.toSeq
       .filterNot(_.nullable).map(_.name).filter(logicalSet)

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.LogLake
+
+/** WRITE-PATH DISCOVERY AS A JOB (round 14): with
+  * `loglake.planning.distributed = true` and a parquet-body checkpoint,
+  * MERGE / mergeClauses / UPDATE / DELETE discover their candidate and
+  * touched files through the checkpoint-part prune — the
+  * snapshot-assemble counter stays flat through every mutation, and the
+  * committed results match the eager path bit for bit. Also pinned:
+  * the schema-only write validation (finishStaged, DDL preconditions)
+  * reads the manifest, never resolved state. */
+class DistributedWriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"llwrite-$name").toString + "/t"
+
+  /** 12-commit table (checkpoint at v10), k in [0, 1200) step 50. */
+  private def build(distributed: Boolean): String = {
+    val dir = tmp(if (distributed) "dist" else "eager")
+    LogLake.createEmpty(dir, Seq((1L, "x")).toDF("k", "v").schema)
+    LogLake.setTableProperties(dir, Map(
+      "loglake.checkpoint.format" -> "parquet",
+      "loglake.checkpoint.partSizeFiles" -> "4",
+      "loglake.planning.distributed" -> distributed.toString))
+    (0 until 12).foreach(i =>
+      LogLake.append(spark, dir,
+        Seq((i * 100L, s"a$i"), (i * 100L + 50L, s"b$i")).toDF("k", "v")
+          .repartition(1)))
+    dir
+  }
+
+  private def rows(dir: String): Seq[(Long, String)] = {
+    LogLake.clearSnapshotCache()
+    LogLake.snapshot(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+  }
+
+  test("merge discovers touched files without assembling state; eager parity") {
+    val d = build(distributed = true)
+    val e = build(distributed = false)
+    val src = Seq((150L, "upd"), (9999L, "ins")).toDF("k", "v")
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    LogLake.merge(spark, d, src, keyCols = Seq("k"))
+    assert(LogLake.snapshotAssembles.get() == before,
+      "distributed merge discovery must not assemble table state")
+    LogLake.merge(spark, e, src, keyCols = Seq("k"))
+    assert(rows(d) == rows(e))
+    // the upsert really landed
+    assert(rows(d).count(_._2 == "upd") == 1 && rows(d).contains((9999L, "ins")))
+  }
+
+  test("mergeClauses (incl. conditional NMBS) stays distributed; eager parity") {
+    import LogLake.MergeClause._
+    val d = build(distributed = true)
+    val e = build(distributed = false)
+    val src = Seq((250L, "u"), (7777L, "i")).toDF("k", "v")
+    val clauses = Seq(
+      MatchedUpdate(None, Map("v" -> col("source.v"))),
+      NotMatchedInsert(None, Map("k" -> col("source.k"), "v" -> col("source.v"))),
+      // conditional NMBS: constraint-pruned candidate discovery
+      NotMatchedBySourceUpdate(Some(col("target.k") === 1100L),
+        Map("v" -> lit("aged"))))
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    LogLake.mergeClauses(spark, d, src, Seq("k"), clauses)
+    assert(LogLake.snapshotAssembles.get() == before,
+      "distributed mergeClauses discovery must not assemble table state")
+    LogLake.mergeClauses(spark, e, src, Seq("k"), clauses)
+    assert(rows(d) == rows(e))
+    assert(rows(d).contains((1100L, "aged")) && rows(d).contains((7777L, "i")))
+  }
+
+  test("update and delete (cow + mor) discover candidates as a job; eager parity") {
+    val d = build(distributed = true)
+    val e = build(distributed = false)
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    LogLake.update(spark, d, col("k") === 350L, Map("v" -> lit("u350")))
+    LogLake.delete(spark, d, col("k").between(500L, 560L))
+    LogLake.delete(spark, d, col("k") === 750L, mor = true)
+    assert(LogLake.snapshotAssembles.get() == before,
+      "distributed update/delete discovery must not assemble table state")
+    LogLake.update(spark, e, col("k") === 350L, Map("v" -> lit("u350")))
+    LogLake.delete(spark, e, col("k").between(500L, 560L))
+    LogLake.delete(spark, e, col("k") === 750L, mor = true)
+    assert(rows(d) == rows(e))
+    assert(rows(d).contains((350L, "u350")) &&
+      !rows(d).exists(r => r._1 == 500L || r._1 == 550L || r._1 == 750L))
+  }
+
+  test("partition-predicate DELETE stays metadata-only AND unassembled under the opt-in") {
+    val dir = tmp("pdel")
+    LogLake.create(spark, dir,
+      Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "B")).toDF("k", "s"),
+      partitionBy = Seq("s"))
+    LogLake.setTableProperties(dir, Map(
+      "loglake.checkpoint.format" -> "parquet",
+      "loglake.checkpoint.partSizeFiles" -> "4",
+      "loglake.planning.distributed" -> "true"))
+    (0 until 11).foreach(i =>
+      LogLake.append(spark, dir,
+        Seq((100L + i, "A"), (200L + i, "B")).toDF("k", "s")))
+    val beforePaths = LogLake.activeState(dir)._1.map(_.path).toSet
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    val deleted = LogLake.delete(spark, dir, col("s") === "B")
+    assert(deleted > 0L)
+    assert(LogLake.snapshotAssembles.get() == before,
+      "partition delete under the opt-in must not assemble table state")
+    val after = LogLake.activeState(dir)._1
+    assert(after.forall(a => beforePaths.contains(a.path)),
+      "metadata-only: no file rewritten")
+    assert(after.forall(_.partitionValues("s") != "B"))
+    assert(LogLake.snapshot(spark, dir).filter(col("s") === "B").count() == 0L)
+  }
+
+  test("replaceWhere classifies and rewrites its region without assembling state") {
+    val d = build(distributed = true)
+    val e = build(distributed = false)
+    val repl = Seq((500L, "r0"), (520L, "r1")).toDF("k", "v")
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    LogLake.overwriteWhere(spark, d, repl, col("k").between(500L, 599L))
+    assert(LogLake.snapshotAssembles.get() == before,
+      "distributed replaceWhere must not assemble table state")
+    LogLake.overwriteWhere(spark, e, repl, col("k").between(500L, 599L))
+    assert(rows(d) == rows(e))
+    assert(rows(d).contains((500L, "r0")) && rows(d).contains((520L, "r1")) &&
+      !rows(d).exists(_._1 == 550L))
+    // a row outside the region still fails loudly, nothing committed
+    val vBefore = LogLake.currentVersion(d)
+    intercept[IllegalArgumentException] {
+      LogLake.overwriteWhere(spark, d,
+        Seq((9L, "out")).toDF("k", "v"), col("k").between(500L, 599L))
+    }
+    assert(LogLake.currentVersion(d) == vBefore)
+  }
+
+  test("schema-only write validation reads the manifest, not resolved state") {
+    val dir = build(distributed = true)
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    // append validates NOT NULL/generated invariants against the table
+    // schema — that lookup must be manifest-sized
+    LogLake.append(spark, dir, Seq((424242L, "app")).toDF("k", "v"))
+    assert(LogLake.snapshotAssembles.get() == before,
+      "append's schema validation must not assemble table state")
+    assert(LogLake.declaredSchema(dir).fieldNames.toSeq == Seq("k", "v"))
+  }
+}
