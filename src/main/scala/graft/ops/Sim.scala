@@ -1148,144 +1148,198 @@ object Sim {
         .orderBy("centroid_id")
     },
 
-    // --- q150: IVF-PQ (Jégou et al. 2011, product quantization) — the
-    // MEMORY-BOUNDED ANN that closes the family: q82's in-cell scan
-    // still reads full vectors, which at 10⁹ × 64 floats is 256 GB of
-    // vector bytes; PQ stores each vector as M=8 CODE BYTES (one
-    // codebook index per 8-dim subvector) and scores cells ADC-style —
-    // a per-query lookup table of (subvector × codebook entry) dots,
-    // summed by code — so cell members cost 8 bytes each and the
-    // query-time math is table lookups, not float loops. Codebooks are
-    // deterministic (a fixed Ks=32 lowest-vec_id set — broadcast size
-    // independent of corpus size, q144's posture) and ALL
-    // scoring is the exact integer sdot kernel: encode argmin uses
-    // L2² = s·s + c·c − 2 s·c over scaled longs, the ADC score is a
-    // BIGINT sum of 8 scaled dots — DuckDB replays every bit. Plan
-    // shape at 100 TB: encode is one broadcast join (n × M × Ks rows,
-    // all map-side); the search is nprobe/ncells of the CODES table
+    // --- q150: IVF-PQ with RESIDUAL ENCODING (IVFADC proper — Jégou
+    // et al. 2011) — the MEMORY-BOUNDED ANN that closes the family:
+    // q82's in-cell scan still reads full vectors, which at 10⁹ × 64
+    // floats is 256 GB of vector bytes; PQ stores each vector as M=8
+    // CODE BYTES and scores cells ADC-style. Round 14 upgrades the
+    // encoding from raw subvectors to RESIDUALS over the NORMALIZED
+    // integer space: every vector maps to NX = ⌊xᵢ/‖x‖·10⁶⌋ (exact
+    // BIGINTs, so integer dots over it rank by cosine — the ground
+    // truth q43 uses), the residual R = NX − NC(cell) is an exact
+    // integer difference against the assigned coarse centroid, and
+    // codes quantize R per 8-dim subvector against a deterministic
+    // residual codebook (fixed Ks=32 lowest-vec_id residuals — one
+    // metadata-sized broadcast at any corpus size, q144's posture).
+    // Query-time ADC reconstructs q·x̂ = q·c + Σⱼ LUT[j, codeⱼ] —
+    // the coarse term rides the probe list, the fine term is 8 table
+    // lookups per candidate — and EVERYTHING is exact-integer
+    // arithmetic, so DuckDB replays every bit. Residuals cluster far
+    // tighter than raw vectors (that is Jégou's point), which is what
+    // lets 8 bytes/vector hold recall as corpora cluster. Plan shape
+    // at 100 TB: encode is one broadcast join (n × M × Ks rows, all
+    // map-side); the search is nprobe/ncells of the CODES table
     // (8 B/vector), the LUT is probe-count × M × Ks — metadata-sized;
     // the only shuffle edge is the cell equi-join, same as q82.
     Q(
       "q150_ivf_pq", {
-        val cosNC = s"${oDdot("n.embedding", "cent.ce")} / (n.nrm * cent.cn)"
-        val cosPC = s"${oDdot("p.embedding", "cent.ce")} / (p.nrm * cent.cn)"
-        def sd(a: String, b: String) = s"CAST(${oSdot(a, b)} AS BIGINT)"
-        s"""WITH n AS (
-           |  SELECT vec_id, embedding, ${oDnorm("embedding")} AS nrm FROM embeddings
+        // exact-integer helpers over normalized BIGINT lists
+        def ld(a: String, b: String) =
+          s"CAST(list_sum(list_transform(range(1, len($a)+1), " +
+            s"i -> ($a)[i] * ($b)[i])) AS BIGINT)"
+        s"""WITH nz AS (
+           |  SELECT vec_id, embedding, ${oDnorm("embedding")} AS nrm
+           |  FROM embeddings WHERE ${oDnorm("embedding")} <> 0
+           |), n AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000) AS BIGINT)) AS nx
+           |  FROM nz
            |), cent AS (
-           |  SELECT vec_id AS c_id, embedding AS ce, ${oDnorm("embedding")} AS cn
-           |  FROM embeddings ORDER BY vec_id LIMIT 32
-           |), cb0 AS (
-           |  SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS code
-           |  FROM embeddings ORDER BY vec_id LIMIT 32
+           |  SELECT vec_id AS c_id, nx AS nc FROM n ORDER BY vec_id LIMIT 32
+           |), assign AS (
+           |  SELECT vec_id, c_id, nx, nc FROM (
+           |    SELECT n.vec_id, cent.c_id, n.nx, cent.nc,
+           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+           |             ORDER BY ${ld("n.nx", "cent.nc")} DESC, cent.c_id) AS rnk
+           |    FROM n, cent)
+           |  WHERE rnk = 1
+           |), res AS (
+           |  SELECT vec_id, c_id,
+           |         list_transform(range(1, len(nx)+1), i -> nx[i] - nc[i]) AS r
+           |  FROM assign
            |), cb AS (
-           |  SELECT r.j, c.code, list_slice(c.embedding, 8*r.j+1, 8*r.j+8) AS cv
-           |  FROM cb0 c, range(0,8) r(j)
+           |  SELECT rj.j, c.code, list_slice(c.r, 8*rj.j+1, 8*rj.j+8) AS cv
+           |  FROM (SELECT r, ROW_NUMBER() OVER (ORDER BY vec_id) AS code
+           |        FROM res ORDER BY vec_id LIMIT 32) c, range(0,8) rj(j)
            |), sub AS (
-           |  SELECT n.vec_id, r.j, list_slice(n.embedding, 8*r.j+1, 8*r.j+8) AS sv
-           |  FROM n, range(0,8) r(j)
+           |  SELECT res.vec_id, rj.j, list_slice(res.r, 8*rj.j+1, 8*rj.j+8) AS sv
+           |  FROM res, range(0,8) rj(j)
            |), codes AS (
            |  SELECT vec_id, j, code FROM (
            |    SELECT s.vec_id, s.j, cb.code,
            |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
-           |             ORDER BY ${sd("s.sv", "s.sv")} + ${sd("cb.cv", "cb.cv")}
-           |               - 2 * ${sd("s.sv", "cb.cv")}, cb.code) AS rnk
+           |             ORDER BY ${ld("s.sv", "s.sv")} + ${ld("cb.cv", "cb.cv")}
+           |               - 2 * ${ld("s.sv", "cb.cv")}, cb.code) AS rnk
            |    FROM sub s JOIN cb ON cb.j = s.j)
            |  WHERE rnk = 1
-           |), assign AS (
-           |  SELECT vec_id, c_id FROM (
-           |    SELECT n.vec_id, cent.c_id,
-           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-           |             ORDER BY $cosNC DESC, cent.c_id) AS rnk
-           |    FROM n, cent WHERE n.nrm * cent.cn <> 0)
-           |  WHERE rnk = 1
            |), probecells AS (
-           |  SELECT vec_id AS q_id, c_id FROM (
-           |    SELECT p.vec_id, cent.c_id,
+           |  SELECT q_id, c_id, base FROM (
+           |    SELECT p.vec_id AS q_id, cent.c_id,
+           |           ${ld("p.nx", "cent.nc")} AS base,
            |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
-           |             ORDER BY $cosPC DESC, cent.c_id) AS rnk
-           |    FROM (SELECT * FROM n WHERE vec_id < 20) p, cent
-           |    WHERE p.nrm * cent.cn <> 0)
-           |  WHERE rnk <= 4
+           |             ORDER BY ${ld("p.nx", "cent.nc")} DESC, cent.c_id) AS rnk
+           |    FROM (SELECT * FROM n WHERE vec_id < 20) p, cent)
+           |  WHERE rnk <= 8
            |), lut AS (
-           |  SELECT s.vec_id AS q_id, s.j, cb.code, ${sd("s.sv", "cb.cv")} AS pd
-           |  FROM (SELECT * FROM sub WHERE vec_id < 20) s JOIN cb ON cb.j = s.j
+           |  SELECT q.vec_id AS q_id, rj.j, cb.code,
+           |         ${ld("list_slice(q.nx, 8*rj.j+1, 8*rj.j+8)", "cb.cv")} AS pd
+           |  FROM (SELECT * FROM n WHERE vec_id < 20) q, range(0,8) rj(j)
+           |  JOIN cb ON cb.j = rj.j
            |), scored AS (
-           |  SELECT pc.q_id, a.vec_id AS neighbor_id, SUM(l.pd) AS adc
+           |  SELECT pc.q_id, a.vec_id AS neighbor_id,
+           |         pc.base + SUM(l.pd) AS adc
            |  FROM probecells pc
            |  JOIN assign a ON a.c_id = pc.c_id AND a.vec_id <> pc.q_id
            |  JOIN codes c ON c.vec_id = a.vec_id
            |  JOIN lut l ON l.q_id = pc.q_id AND l.j = c.j AND l.code = c.code
-           |  GROUP BY pc.q_id, a.vec_id
+           |  GROUP BY pc.q_id, a.vec_id, pc.base
+           |), shortlist AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    SELECT q_id, neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q_id
+           |             ORDER BY adc DESC, neighbor_id) AS rnk
+           |    FROM scored)
+           |  WHERE rnk <= 40
+           |), reranked AS (
+           |  SELECT s.q_id, s.neighbor_id, ${ld("q.nx", "x.nx")} AS ip
+           |  FROM shortlist s
+           |  JOIN n q ON q.vec_id = s.q_id
+           |  JOIN n x ON x.vec_id = s.neighbor_id
            |)
            |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
-           |       CAST(adc AS BIGINT) AS adc
+           |       CAST(ip AS BIGINT) AS ip
            |FROM (
-           |  SELECT q_id, neighbor_id, adc,
+           |  SELECT q_id, neighbor_id, ip,
            |         ROW_NUMBER() OVER (PARTITION BY q_id
-           |           ORDER BY adc DESC, neighbor_id) AS rnk
-           |  FROM scored)
+           |           ORDER BY ip DESC, neighbor_id) AS rnk
+           |  FROM reranked)
            |WHERE rnk <= 5
            |ORDER BY q_id, rnk""".stripMargin
       }
     ) { (s, d) =>
       val M = 8; val SUB = 8; val KS = 32
+      // exact-integer dot over pre-scaled BIGINT arrays — the HOF twin
+      // of the oracle's list_sum(list_transform(...)) kernel
+      def ldot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
       val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // normalized integer space: cosine(q, x) · 10¹² ≈ NX(q)·NX(x)
       val n = emb.withColumn("nrm", dnorm(col("embedding")))
+        .filter(col("nrm") =!= 0) // zero-norm: unindexable, unqueryable
+        .withColumn("nx", transform(col("embedding"),
+          v => floor(v.cast("double") / col("nrm") * lit(1e6)).cast("long")))
+        .select("vec_id", "nx")
+      // coarse centroids: a FIXED k=32 deterministic set (lowest
+      // vec_ids, q144's posture) — broadcast size independent of corpus
+      val cent = n.orderBy("vec_id").limit(KS)
+        .select(col("vec_id").as("c_id"), col("nx").as("nc"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ip").desc, col("c_id"))
+      val assign = n.crossJoin(broadcast(cent))
+        .withColumn("ip", ldot(col("nx"), col("nc")))
+        .withColumn("rnk", row_number().over(wAssign))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("c_id"),
+          zip_with(col("nx"), col("nc"), (a, b) => a - b).as("r"))
       val js = array((0 until M).map(j => lit(j)): _*)
       def subv(e: Column, j: Column): Column = slice(e, j * SUB + 1, lit(SUB))
-      // PQ codebook: a FIXED k=32 deterministic set (lowest vec_ids,
-      // q144's posture) — broadcast size independent of corpus size
-      val cb = emb.orderBy("vec_id").limit(KS)
+      // RESIDUAL codebook: the lowest-32 vectors' residuals — exact
+      // integers, deterministic, metadata-sized broadcast
+      val cb = assign.orderBy("vec_id").limit(KS)
         .withColumn("code", row_number().over(Window.orderBy("vec_id")))
         .withColumn("j", explode(js))
-        .select(col("j"), col("code"), subv(col("embedding"), col("j")).as("cv"))
-      val sub = emb.withColumn("j", explode(js))
-        .select(col("vec_id"), col("j"), subv(col("embedding"), col("j")).as("sv"))
-      // ENCODE: argmin exact-integer L2² against the broadcast codebook
-      // — map-side only, the write-path cost of a PQ index
+        .select(col("j"), col("code"), subv(col("r"), col("j")).as("cv"))
+      val sub = assign.withColumn("j", explode(js))
+        .select(col("vec_id"), col("j"), subv(col("r"), col("j")).as("sv"))
+      // ENCODE: argmin exact-integer L2² of the residual against the
+      // broadcast codebook — map-side only, the write-path cost
       val wCode = Window.partitionBy("vec_id", "j").orderBy(col("dist"), col("code"))
       val codes = sub.join(broadcast(cb), Seq("j"))
-        .withColumn("dist", sdot(col("sv"), col("sv")) + sdot(col("cv"), col("cv"))
-          - lit(2L) * sdot(col("sv"), col("cv")))
+        .withColumn("dist", ldot(col("sv"), col("sv")) + ldot(col("cv"), col("cv"))
+          - lit(2L) * ldot(col("sv"), col("cv")))
         .withColumn("rnk", row_number().over(wCode))
         .filter(col("rnk") === 1)
         .select("vec_id", "j", "code")
-      // coarse centroids: the SAME fixed k=32 posture — n×k assignment
-      // cost and broadcast size independent of corpus size
-      val cent = n.orderBy("vec_id").limit(KS)
-        .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
-      val assign = n.crossJoin(broadcast(cent))
-        .filter(col("nrm") * col("cn") =!= 0) // zero-norm joins no cell
-        .withColumn("cos", ddot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
-        .withColumn("rnk", row_number().over(wAssign))
-        .filter(col("rnk") === 1)
-        .select(col("vec_id"), col("c_id"))
+      // probes: top-4 cells per query, carrying the COARSE term q·c
       val probeCells = n.filter(col("vec_id") < 20).crossJoin(broadcast(cent))
-        .filter(col("nrm") * col("cn") =!= 0)
-        .withColumn("cos", ddot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+        .withColumn("ip", ldot(col("nx"), col("nc")))
         .withColumn("rnk", row_number().over(wAssign))
-        .filter(col("rnk") <= 4)
-        .select(col("vec_id").as("q_id"), col("c_id"))
-      // ADC lookup table: probe-count × M × Ks scaled dots — metadata-sized
-      val lut = sub.filter(col("vec_id") < 20)
+        .filter(col("rnk") <= 8)
+        .select(col("vec_id").as("q_id"), col("c_id"), col("ip").as("base"))
+      // ADC lookup table: probe-count × M × Ks integer dots of QUERY
+      // subvectors against residual codewords — metadata-sized
+      val lut = n.filter(col("vec_id") < 20).withColumn("j", explode(js))
+        .select(col("vec_id").as("q_id"), col("j"),
+          subv(col("nx"), col("j")).as("qv"))
         .join(broadcast(cb), Seq("j"))
-        .select(col("vec_id").as("q_id"), col("j"), col("code"),
-          sdot(col("sv"), col("cv")).as("pd"))
+        .select(col("q_id"), col("j"), col("code"),
+          ldot(col("qv"), col("cv")).as("pd"))
+      // ADC score = q·c + Σⱼ LUT[j, codeⱼ] ≈ q·x̂ — shortlists from
+      // 8-byte codes alone
       val scored = probeCells
         .join(assign.select(col("c_id"), col("vec_id").as("neighbor_id")), Seq("c_id"))
         .filter(col("neighbor_id") =!= col("q_id"))
         .join(codes.select(col("vec_id").as("neighbor_id"), col("j"), col("code")),
           Seq("neighbor_id"))
         .join(broadcast(lut), Seq("q_id", "j", "code"))
-        .groupBy("q_id", "neighbor_id")
-        .agg(sum("pd").as("adc"))
-      val wTop = Window.partitionBy("q_id").orderBy(col("adc").desc, col("neighbor_id"))
-      scored.withColumn("rnk", row_number().over(wTop))
+        .groupBy("q_id", "neighbor_id", "base")
+        .agg((col("base") + sum("pd")).as("adc"))
+      // IVFADC+R (Jégou et al. 2011 §V): the ADC top-R shortlist
+      // re-ranks by the EXACT integer dot — R=40 full-vector reads per
+      // query, bounded I/O, while cell members still cost 8 bytes each
+      val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("neighbor_id"))
+      val shortlist = scored.withColumn("rnk", row_number().over(wAdc))
+        .filter(col("rnk") <= 40)
+        .select("q_id", "neighbor_id")
+      val reranked = shortlist
+        .join(n.select(col("vec_id").as("q_id"), col("nx").as("nq")), Seq("q_id"))
+        .join(n.select(col("vec_id").as("neighbor_id"), col("nx").as("nn")),
+          Seq("neighbor_id"))
+        .select(col("q_id"), col("neighbor_id"), ldot(col("nq"), col("nn")).as("ip"))
+      val wTop = Window.partitionBy("q_id").orderBy(col("ip").desc, col("neighbor_id"))
+      reranked.withColumn("rnk", row_number().over(wTop))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("rnk").cast("int").as("rnk"),
-          col("neighbor_id"), col("adc").cast("long").as("adc"))
+          col("neighbor_id"), col("ip").cast("long").as("ip"))
         .orderBy("q_id", "rnk")
     }
   )
