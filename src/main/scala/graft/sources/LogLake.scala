@@ -5218,10 +5218,15 @@ object LogLake {
       // the distributed-planning posture extends to the WRITE side:
       // derive the new checkpoint from the previous one on executors
       // (no resolve, no state on the driver); false = driver path below
+      // generation 2+: derive from the previous checkpoint; generation
+      // 1 (no usable previous checkpoint): bootstrap from the manifest
+      // log itself — both as jobs, state never on the driver
       if (parquetBody &&
           props.get("loglake.planning.distributed").contains("true") &&
-          writeCheckpointDistributed(dir, v,
-            if (partSize <= 0L) 1000000L else partSize)) {
+          (writeCheckpointDistributed(dir, v,
+            if (partSize <= 0L) 1000000L else partSize) ||
+           writeCheckpointBootstrap(dir, v,
+             if (partSize <= 0L) 1000000L else partSize))) {
         props.get("loglake.logRetentionMs").flatMap(_.toLongOption)
           .foreach(ms => cleanupMetadata(dir, olderThanMs = ms))
         return
@@ -5411,6 +5416,176 @@ object LogLake {
       if (!f.rename(tmp, dst)) {
         f.delete(tmp, false); sweepPartial(); return false
       }
+      distributedCheckpointWrites.incrementAndGet()
+      true
+    } catch { case e: Throwable => sweepPartial(); throw e }
+  }
+
+  /** FIRST CHECKPOINT GENERATION AS A JOB (round 14): when no previous
+    * parquet checkpoint exists, [[writeCheckpointDistributed]] cannot
+    * run — and a 10⁸-file table's generation 1 used to pay the driver
+    * path (resolve + single-node encode, ~107 s measured at 10⁸).
+    * This derives generation 1 from the MANIFEST LOG ITSELF on
+    * executors, with resolve's exact ordering semantics re-expressed
+    * as a dataflow:
+    *
+    *  - manifests group into contiguous segments (one parse task
+    *    each); every add/remove becomes an action keyed by path with a
+    *    total-order sequence (version, index-within-manifest);
+    *  - per path, an associative fold keeps (last remove seq, the adds
+    *    still alive); a path is active iff an add follows its last
+    *    remove, its VALUE is the latest such add, and its POSITION is
+    *    the earliest such add — precisely the LinkedHashMap order the
+    *    driver replay produces (updates keep their slot, re-adds enter
+    *    at their re-insertion point);
+    *  - active files range-sort by position into n parts, each task
+    *    streaming its part straight into place; header metadata
+    *    (schema / txns / features) comes from per-segment summaries
+    *    merged in segment order on the driver — commit-count-sized,
+    *    never file-count-sized.
+    *
+    * Preconditions (false → driver path): an active session, a parquet
+    * body, NO usable previous parquet checkpoint, and an UNCLEANED log
+    * (manifest 1 present — a swept log cannot replay from scratch).
+    * Same failure posture as the distributed writer: any error sweeps
+    * the parts already renamed so a different-n retry never tears. */
+  private def writeCheckpointBootstrap(dir: String, v: Long,
+      partSize: Long): Boolean = {
+    val spark = SparkSession.getActiveSession.getOrElse(return false)
+    val f = fs(dir)
+    val manifests = listManifests(dir).filter(_._1 <= v)
+    if (manifests.isEmpty || manifests.head._1 != 1L) return false
+    if (!manifests.exists(_._1 == v)) return false
+    // contiguous segments, ~even by manifest byte size (the only
+    // add-count proxy that needs no parse)
+    val sized = manifests.map { case (mv, p) =>
+      (mv, p.toString, f.getFileStatus(p).getLen) }
+    val targetBytes = math.max(1L, sized.map(_._3).sum / 32L)
+    val segments = scala.collection.mutable.ArrayBuffer[Vector[(Long, String)]]()
+    var cur = Vector.empty[(Long, String)]; var curB = 0L
+    sized.foreach { case (mv, p, len) =>
+      if (cur.nonEmpty && curB + len > targetBytes) {
+        segments += cur; cur = Vector.empty; curB = 0L
+      }
+      cur :+= (mv -> p); curB += len
+    }
+    if (cur.nonEmpty) segments += cur
+    val sc = spark.sparkContext
+    // pass 1: segment summaries (txns / features / schema), merged in
+    // segment order — commit-count-sized
+    val summaries = sc.parallelize(segments.toSeq.zipWithIndex, segments.size)
+      .map { case (seg, si) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val lfs = new Path(seg.head._2).getFileSystem(conf)
+        val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
+        var schemaJson = ""
+        var features = Set.empty[String]
+        var writerFeatures = Set.empty[String]
+        seg.foreach { case (_, pStr) =>
+          val m = readManifest(lfs, new Path(pStr))
+          if (m.txnId.nonEmpty) txns(m.txnId) = m.version
+          schemaJson = m.schemaJson
+          features ++= m.features
+          writerFeatures ++= m.writerFeatures
+        }
+        (si, txns.toSeq, schemaJson, features, writerFeatures)
+      }.collect().sortBy(_._1)
+    val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var schemaJson = ""
+    var features = Set.empty[String]
+    var writerFeatures = Set.empty[String]
+    summaries.foreach { case (_, t, sj, fe, wf) =>
+      t.foreach { case (k, ver) => txns(k) = ver }
+      if (sj.nonEmpty) schemaJson = sj
+      features ++= fe; writerFeatures ++= wf
+    }
+    if (schemaJson.isEmpty) return false
+    // pass 2: actions → per-path fold → active files with positions
+    val actions = sc.parallelize(segments.toSeq, segments.size)
+      .flatMap { seg =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val lfs = new Path(seg.head._2).getFileSystem(conf)
+        seg.iterator.flatMap { case (mv, pStr) =>
+          val m = readManifest(lfs, new Path(pStr))
+          m.removes.iterator.zipWithIndex.map { case (r, i) =>
+            (r, (mv, -1L - i, None: Option[AddFile])) } ++
+            m.adds.iterator.zipWithIndex.map { case (a, i) =>
+              (a.path, (mv, i.toLong, Some(a))) }
+        }
+      }
+    // per-path state: (lastRemoveSeq, adds still possibly alive).
+    // Within one version removes sort before adds (negative index) —
+    // a remove+re-add in the same commit keeps the re-add, matching
+    // the replay (removes apply first in [[resolve]]'s fold).
+    type Seqn = (Long, Long)
+    val ord = implicitly[Ordering[Seqn]]
+    def newer(a: Seqn, b: Seqn): Seqn = if (ord.gteq(a, b)) a else b
+    val folded = actions.aggregateByKey(
+      ((0L, Long.MinValue): Seqn, Vector.empty[(Seqn, AddFile)]))(
+      { case ((lastRm, adds), (mv, idx, af)) =>
+        val s = (mv, idx)
+        af match {
+          case None =>
+            val rm = newer(lastRm, s)
+            (rm, adds.filter(t => ord.gt(t._1, rm)))
+          case Some(a) =>
+            if (ord.gt(s, lastRm)) (lastRm, adds :+ ((s, a))) else (lastRm, adds)
+        }
+      },
+      { case ((rm1, a1), (rm2, a2)) =>
+        val rm = newer(rm1, rm2)
+        (rm, (a1 ++ a2).filter(t => ord.gt(t._1, rm)).sortBy(_._1))
+      })
+    val active = folded.flatMap { case (_, (_, adds)) =>
+      if (adds.isEmpty) None
+      else {
+        val sorted = adds.sortBy(_._1)
+        Some((sorted.head._1, sorted.last._2)) // (position, latest value)
+      }
+    }
+    val total = active.count()
+    val nNew = math.max(1L, (total + partSize - 1) / partSize).toInt
+    val logDirStr = logPath(dir).toString
+    def sweepPartial(): Unit = (1 to nNew).foreach { i =>
+      val p = new Path(logPath(dir), f"chk-$v%020d.p$i-of-$nNew.parquet")
+      try f.delete(p, false) catch { case _: Exception => () }
+    }
+    val txnsMap = txns.toMap
+    val schemaJ = schemaJson
+    val feats = features; val wfeats = writerFeatures
+    try {
+      // exact part layout: global rank → part index (RangePartitioner
+      // could yield FEWER partitions on sparse samples, tearing the
+      // i-of-n group); ranks come from the sorted order, so the
+      // concatenated parts ARE the replay order
+      val byRank = active.sortByKey(ascending = true)
+        .zipWithIndex().map { case ((_, a), i) => (i, a) }
+      val exact = new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nNew
+        override def getPartition(key: Any): Int =
+          (key.asInstanceOf[Long] / partSize).toInt
+      }
+      byRank.repartitionAndSortWithinPartitions(exact)
+        .foreachPartition { it =>
+          val pi = org.apache.spark.TaskContext.getPartitionId()
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val lfs = new Path(logDirStr).getFileSystem(conf)
+          val tmp = new Path(logDirStr, s"_tmp/c-${UUID.randomUUID()}")
+          CheckpointParquet.write(conf, tmp,
+            Checkpoint(v, if (pi == 0) schemaJ else "", Nil,
+              if (pi == 0) txnsMap else Map.empty,
+              if (pi == 0) feats else Set.empty,
+              if (pi == 0) wfeats else Set.empty),
+            it.map(_._2), header = pi == 0)
+          val dst = new Path(logDirStr,
+            if (nNew == 1) f"chk-$v%020d.parquet"
+            else f"chk-$v%020d.p${pi + 1}-of-$nNew.parquet")
+          if (!lfs.rename(tmp, dst)) {
+            lfs.delete(tmp, false)
+            throw new java.io.IOException(
+              s"loglake: bootstrap checkpoint could not publish $dst")
+          }
+        }
       distributedCheckpointWrites.incrementAndGet()
       true
     } catch { case e: Throwable => sweepPartial(); throw e }

@@ -83,4 +83,59 @@ class DistributedCheckpointSpec extends SparkTestBase {
       .option("versionAsOf", "15").load(dir).orderBy("k", "v").collect().toSeq
     assert(at15(dd) == at15(jd))
   }
+
+  test("generation 1 bootstraps from the manifest log as a job") {
+    // NO previous checkpoint exists at v10 — the bootstrap path must
+    // engage (counter), and the group must replay resolve's exact
+    // semantics: a COW delete (removed paths gone), a RESTORE (the
+    // removed path RE-ADDED — re-insertion ordering), in-window
+    // updates, and an idempotent txn in the header
+    val before = LogLake.distributedCheckpointWrites.get()
+    val dir = tmp("boot")
+    LogLake.createEmpty(dir, Seq((1L, "x")).toDF("k", "v").schema)
+    LogLake.setTableProperties(dir, Map(
+      "loglake.checkpoint.format" -> "parquet",
+      "loglake.checkpoint.partSizeFiles" -> "4",
+      "loglake.planning.distributed" -> "true"))
+    (0 until 5).foreach(i =>
+      LogLake.append(spark, dir,
+        Seq((i * 100L, s"a$i"), (i * 100L + 50L, s"b$i")).toDF("k", "v")
+          .repartition(1)))                                  // v2..v6
+    LogLake.delete(spark, dir, col("k") === 200L)            // v7: COW
+    LogLake.restore(spark, dir, 6L)                          // v8: re-adds v7's removed path
+    LogLake.append(spark, dir, Seq((900L, "t")).toDF("k", "v"),
+      txnId = "job-boot:epoch-1")                            // v9
+    LogLake.append(spark, dir, Seq((950L, "z")).toDF("k", "v")) // v10 → checkpoint
+    assert(LogLake.distributedCheckpointWrites.get() == before + 1,
+      "generation 1 must bootstrap as a job")
+    val chk = new java.io.File(dir, "_loglake").listFiles()
+      .map(_.getName).filter(n => n.startsWith("chk-") && n.contains("10"))
+    assert(chk.nonEmpty, "a v10 checkpoint group must exist")
+    // cold resolve THROUGH the bootstrapped group
+    LogLake.clearSnapshotCache()
+    val df = spark.read.format("loglake").load(dir)
+    assert(df.count() == 12L) // 10 appended + t + z; restore undid the delete
+    assert(df.filter(col("k") === 200L).count() == 1L,
+      "the restored (re-added) file must be live through the bootstrap group")
+    // the txn map rode the header: a replayed epoch no-ops
+    LogLake.append(spark, dir, Seq((900L, "t")).toDF("k", "v"),
+      txnId = "job-boot:epoch-1")
+    LogLake.clearSnapshotCache()
+    assert(spark.read.format("loglake").load(dir).count() == 12L)
+    // generation 2 derives FROM the bootstrapped group on executors
+    (0 until 10).foreach(i =>
+      LogLake.append(spark, dir, Seq((5000L + i, s"g$i")).toDF("k", "v")))
+    assert(LogLake.distributedCheckpointWrites.get() == before + 2,
+      "generation 2 must derive from the bootstrapped group as a job")
+    LogLake.clearSnapshotCache()
+    assert(spark.read.format("loglake").load(dir).count() == 22L)
+    // file ORDER through the bootstrap equals the driver replay's:
+    // resolve at v10 via the checkpoint vs via manifests alone (v9
+    // predates the group, so its resolve is a pure manifest replay,
+    // and v10 = v9 + one append — same prefix order)
+    val viaChk = LogLake.activeState(dir, Some(10L))._1.map(_.path)
+    val viaLog = LogLake.activeState(dir, Some(9L))._1.map(_.path)
+    assert(viaChk.dropRight(1) == viaLog,
+      "bootstrap part order must equal the manifest replay order")
+  }
 }
