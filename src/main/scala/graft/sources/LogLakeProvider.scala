@@ -144,7 +144,7 @@ class LogLakeProvider extends RelationProvider with CreatableRelationProvider
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "loglake: the stream schema comes from the table's commit log — do not set one")
-    val table = LogLake.cleanSchema(LogLake.activeState(dir(parameters))._2)
+    val table = LogLake.cleanSchema(LogLake.declaredSchema(dir(parameters)))
     (shortName(),
       if (parameters.get("readChangeFeed").exists(_.toBoolean))
         LogLakeSource.withCdfColumns(table)
@@ -874,7 +874,7 @@ final class LogLakeSource(spark: SparkSession, dir: String,
   // no TOCTOU between the two metadata reads).
   private val frozenV: Long = LogLake.currentVersion(dir)
   private val mappedSchema: StructType =
-    LogLake.activeState(dir, Some(frozenV))._2
+    LogLake.declaredSchema(dir, Some(frozenV))
   private val tableSchema: StructType = LogLake.cleanSchema(mappedSchema)
   override val schema: StructType =
     if (readChangeFeed) LogLakeSource.withCdfColumns(tableSchema)
@@ -1069,8 +1069,16 @@ final class LogLakeSource(spark: SparkSession, dir: String,
         // (checkpoint-stable: a restart replays the identical snapshot).
         // Active deletion vectors are honored, not refused — the
         // post-MERGE stream restart is the first thing a real user hits
-        // (Delta serves it the same way).
-        val (files, snapSchema) = LogLake.activeState(dir, Some(to))
+        // (Delta serves it the same way). Under the distributed-
+        // planning opt-in the snapshot's file list assembles as a JOB
+        // over the checkpoint parts (round 14) — the one previously
+        // remaining data-independent driver resolve on the read side.
+        val (files, snapSchema) =
+          LogLake.lazyPlanInfo(dir, to, allowDvs = true) match {
+            case Some(p) =>
+              (LogLake.planSurvivors(spark, p, _ => true)._1, p.schema)
+            case None => LogLake.activeState(dir, Some(to))
+          }
         requireNoNewColumns(snapSchema, to)
         val live = files.filter(_.rows != 0L)
         if (live.forall(_.dv.isEmpty)) live.map(a => LogLake.resolvedPath(dir, a.path))
@@ -1179,7 +1187,12 @@ final class LogLakeSource(spark: SparkSession, dir: String,
     }
     val df = start match {
       case None if initialSnapshot =>
-        val (files, snapSchema) = LogLake.activeState(dir, Some(to))
+        val (files, snapSchema) =
+          LogLake.lazyPlanInfo(dir, to, allowDvs = true) match {
+            case Some(p) =>
+              (LogLake.planSurvivors(spark, p, _ => true)._1, p.schema)
+            case None => LogLake.activeState(dir, Some(to))
+          }
         requireNoNewColumns(snapSchema, to)
         LogLake.readAdds(spark, dir, mappedSchema, files.filter(_.rows != 0L))
           .withColumn("_change_type", lit("insert"))

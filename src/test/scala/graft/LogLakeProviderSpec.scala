@@ -192,6 +192,33 @@ class LogLakeProviderSpec extends SparkTestBase {
       Seq(1L -> "a", 3L -> "C2", 4L -> "d", 5L -> "e"))
   }
 
+  test("initialSnapshot plans its first batch as a job under distributed planning — zero assembles") {
+    val in = tmp("lazysnap-in"); val out = tmp("lazysnap-out")
+    val chk = tmp("lazysnap-chk")
+    LogLake.createEmpty(in, kv(1L -> "x").schema)
+    LogLake.setTableProperties(in, Map(
+      "loglake.checkpoint.format" -> "parquet",
+      "loglake.checkpoint.partSizeFiles" -> "4",
+      "loglake.planning.distributed" -> "true"))
+    (0 until 11).foreach(i => LogLake.append(spark, in, kv(i.toLong -> s"v$i")))
+    // one MoR delete: the snapshot-seeded batch must stay job-planned
+    // THROUGH the DV window (allowDvs), masking the dead row
+    LogLake.delete(spark, in, col("k") === 3L, mor = true)
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    val q = spark.readStream.format("loglake")
+      .option("initialSnapshot", "true").load(in)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(LogLake.snapshotAssembles.get() == before,
+      "the initialSnapshot batch must not assemble table state")
+    assert(sortedRows(spark.read.parquet(out)) ==
+      (0 until 11).filter(_ != 3).map(i => i.toLong -> s"v$i"),
+      "the snapshot batch must carry the DV-masked state exactly")
+  }
+
   test("the DV fallback relation prunes columns and pushes filters, not TableScan-everything") {
     val in = tmp("dvp-in")
     spark.range(0, 1000).select(col("id").as("k"),
