@@ -301,6 +301,45 @@ object LogLake {
     parseManifest(WireLog.readSmallFile(f, p).getOrElse(
       throw new java.io.IOException(s"loglake: unreadable manifest $p")))
 
+  /** Metadata-only manifest SKIM: txnId / schema / feature sets from
+    * the token stream, the adds and removes arrays skipped without
+    * materializing a single AddFile — the bootstrap's summary pass
+    * over a fat log reads commit metadata, never state. */
+  private def manifestMetaSkim(f: FileSystem, p: Path)
+      : (String, String, Set[String], Set[String], Long) = {
+    import com.fasterxml.jackson.core.JsonToken._
+    val in = f.open(p)
+    try {
+      val jp = mapper.getFactory
+        .createParser(in: java.io.InputStream)
+      var txnId = ""; var schema = ""
+      var feats = Set.empty[String]; var wfeats = Set.empty[String]
+      var addCount = 0L
+      require(jp.nextToken() == START_OBJECT,
+        s"loglake: manifest $p is not a JSON object")
+      while (jp.nextToken() != END_OBJECT) {
+        val name = jp.currentName()
+        jp.nextToken()
+        name match {
+          case "txnId" => txnId = jp.getText
+          case "schema" => schema = jp.getText
+          case "features" =>
+            while (jp.nextToken() != END_ARRAY) feats += jp.getText
+          case "wfeatures" =>
+            while (jp.nextToken() != END_ARRAY) wfeats += jp.getText
+          case "adds" =>
+            // count entries while skipping their bodies — the upper
+            // bound the bootstrap sizes its part layout from
+            while (jp.nextToken() != END_ARRAY) {
+              addCount += 1; jp.skipChildren()
+            }
+          case _ => jp.skipChildren() // arrays/objects skip; scalars no-op
+        }
+      }
+      (txnId, schema, feats, wfeats, addCount)
+    } finally in.close()
+  }
+
   /** All committed manifests, ascending by version (full parse — the
     * audit/history API; the read path uses checkpoints + tails). */
   def history(dir: String): Seq[Manifest] = {
@@ -5472,7 +5511,9 @@ object LogLake {
     if (cur.nonEmpty) segments += cur
     val sc = spark.sparkContext
     // pass 1: segment summaries (txns / features / schema), merged in
-    // segment order — commit-count-sized
+    // segment order — commit-count-sized, and a token SKIM (the adds
+    // arrays stream past unmaterialized — this pass reads metadata,
+    // not state)
     val summaries = sc.parallelize(segments.toSeq.zipWithIndex, segments.size)
       .map { case (seg, si) =>
         val conf = new org.apache.hadoop.conf.Configuration()
@@ -5481,70 +5522,71 @@ object LogLake {
         var schemaJson = ""
         var features = Set.empty[String]
         var writerFeatures = Set.empty[String]
-        seg.foreach { case (_, pStr) =>
-          val m = readManifest(lfs, new Path(pStr))
-          if (m.txnId.nonEmpty) txns(m.txnId) = m.version
-          schemaJson = m.schemaJson
-          features ++= m.features
-          writerFeatures ++= m.writerFeatures
+        var addCount = 0L
+        seg.foreach { case (mv, pStr) =>
+          val (txnId, sj, fe, wf, n) = manifestMetaSkim(lfs, new Path(pStr))
+          if (txnId.nonEmpty) txns(txnId) = mv
+          if (sj.nonEmpty) schemaJson = sj
+          features ++= fe
+          writerFeatures ++= wf
+          addCount += n
         }
-        (si, txns.toSeq, schemaJson, features, writerFeatures)
+        (si, txns.toSeq, schemaJson, features, writerFeatures, addCount)
       }.collect().sortBy(_._1)
     val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
     var schemaJson = ""
     var features = Set.empty[String]
     var writerFeatures = Set.empty[String]
-    summaries.foreach { case (_, t, sj, fe, wf) =>
+    var addsUpper = 0L
+    summaries.foreach { case (_, t, sj, fe, wf, n) =>
       t.foreach { case (k, ver) => txns(k) = ver }
       if (sj.nonEmpty) schemaJson = sj
       features ++= fe; writerFeatures ++= wf
+      addsUpper += n
     }
     if (schemaJson.isEmpty) return false
-    // pass 2: actions → per-path fold → active files with positions
-    val actions = sc.parallelize(segments.toSeq, segments.size)
+    // pass 2: actions → per-path fold → active files with positions —
+    // as a DATAFRAME (Tungsten-shuffled string payloads; a Java-
+    // serialized AddFile RDD measured ~10× slower at 10⁶ files). Each
+    // action is (path, seq struct(mv, idx), add-JSON | null-for-remove);
+    // removes carry idx < 0 so they order BEFORE the same commit's adds,
+    // matching the replay.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct, max, min, max_by, when}
+    val acts = sc.parallelize(segments.toSeq, segments.size)
       .flatMap { seg =>
         val conf = new org.apache.hadoop.conf.Configuration()
         val lfs = new Path(seg.head._2).getFileSystem(conf)
         seg.iterator.flatMap { case (mv, pStr) =>
           val m = readManifest(lfs, new Path(pStr))
           m.removes.iterator.zipWithIndex.map { case (r, i) =>
-            (r, (mv, -1L - i, None: Option[AddFile])) } ++
+            (r, mv, -1L - i, null: String) } ++
             m.adds.iterator.zipWithIndex.map { case (a, i) =>
-              (a.path, (mv, i.toLong, Some(a))) }
+              (a.path, mv, i.toLong, renderAddJson(a)) }
         }
-      }
-    // per-path state: (lastRemoveSeq, adds still possibly alive).
-    // Within one version removes sort before adds (negative index) —
-    // a remove+re-add in the same commit keeps the re-add, matching
-    // the replay (removes apply first in [[resolve]]'s fold).
-    type Seqn = (Long, Long)
-    val ord = implicitly[Ordering[Seqn]]
-    def newer(a: Seqn, b: Seqn): Seqn = if (ord.gteq(a, b)) a else b
-    val folded = actions.aggregateByKey(
-      ((0L, Long.MinValue): Seqn, Vector.empty[(Seqn, AddFile)]))(
-      { case ((lastRm, adds), (mv, idx, af)) =>
-        val s = (mv, idx)
-        af match {
-          case None =>
-            val rm = newer(lastRm, s)
-            (rm, adds.filter(t => ord.gt(t._1, rm)))
-          case Some(a) =>
-            if (ord.gt(s, lastRm)) (lastRm, adds :+ ((s, a))) else (lastRm, adds)
-        }
-      },
-      { case ((rm1, a1), (rm2, a2)) =>
-        val rm = newer(rm1, rm2)
-        (rm, (a1 ++ a2).filter(t => ord.gt(t._1, rm)).sortBy(_._1))
-      })
-    val active = folded.flatMap { case (_, (_, adds)) =>
-      if (adds.isEmpty) None
-      else {
-        val sorted = adds.sortBy(_._1)
-        Some((sorted.head._1, sorted.last._2)) // (position, latest value)
-      }
-    }
-    val total = active.count()
-    val nNew = math.max(1L, (total + partSize - 1) / partSize).toInt
+      }.toDF("path", "mv", "idx", "add")
+    // last remove per path joins back against the adds (AQE turns the
+    // remove side — tiny in any append-mostly log — into a broadcast,
+    // so the adds are shuffled exactly once, by the final groupBy);
+    // adds after the last remove survive; the survivor's VALUE is the
+    // latest add, its POSITION the earliest — the LinkedHashMap replay
+    // order exactly
+    val seqc = struct(col("mv"), col("idx"))
+    val removes = acts.filter(col("add").isNull)
+      .groupBy("path").agg(max(seqc).as("rm"))
+    val alive = acts.filter(col("add").isNotNull)
+      .join(removes, Seq("path"), "left")
+      .filter(col("rm").isNull || seqc > col("rm"))
+    val active = alive.groupBy("path").agg(
+      min(seqc).as("pos"), max_by(col("add"), seqc).as("add"))
+      // the range layout below evaluates its input twice (boundary
+      // sampling + the shuffle itself) — persist so the parse/join/agg
+      // graph runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // part count from the SKIMMED add count: an upper bound (updates /
+    // re-adds and removed files over-count), which only makes parts
+    // smaller than partSize — the safe direction, with no count() job
+    val nNew = math.max(1L, (addsUpper + partSize - 1) / partSize).toInt
     val logDirStr = logPath(dir).toString
     def sweepPartial(): Unit = (1 to nNew).foreach { i =>
       val p = new Path(logPath(dir), f"chk-$v%020d.p$i-of-$nNew.parquet")
@@ -5554,18 +5596,18 @@ object LogLake {
     val schemaJ = schemaJson
     val feats = features; val wfeats = writerFeatures
     try {
-      // exact part layout: global rank → part index (RangePartitioner
-      // could yield FEWER partitions on sparse samples, tearing the
-      // i-of-n group); ranks come from the sorted order, so the
-      // concatenated parts ARE the replay order
-      val byRank = active.sortByKey(ascending = true)
-        .zipWithIndex().map { case ((_, a), i) => (i, a) }
-      val exact = new org.apache.spark.Partitioner {
-        override def numPartitions: Int = nNew
-        override def getPartition(key: Any): Int =
-          (key.asInstanceOf[Long] / partSize).toInt
-      }
-      byRank.repartitionAndSortWithinPartitions(exact)
+      // one RANGE shuffle lays the parts out in replay order:
+      // repartitionByRange always creates exactly nNew partitions
+      // (possibly empty — an empty part file is valid), so the i-of-n
+      // group can never tear; partition i's rows sort by position and
+      // the ascending ranges make the concatenated parts THE replay
+      // order. (The rank-exact alternative costs two more full passes
+      // — orderBy + zipWithIndex — for part-size evenness nothing
+      // needs.)
+      val parts = active.repartitionByRange(nNew, col("pos"))
+        .sortWithinPartitions(col("pos"))
+        .select(col("add")).as[String].rdd
+      parts
         .foreachPartition { it =>
           val pi = org.apache.spark.TaskContext.getPartitionId()
           val conf = new org.apache.hadoop.conf.Configuration()
@@ -5576,7 +5618,7 @@ object LogLake {
               if (pi == 0) txnsMap else Map.empty,
               if (pi == 0) feats else Set.empty,
               if (pi == 0) wfeats else Set.empty),
-            it.map(_._2), header = pi == 0)
+            it.map(parseAddJson), header = pi == 0)
           val dst = new Path(logDirStr,
             if (nNew == 1) f"chk-$v%020d.parquet"
             else f"chk-$v%020d.p${pi + 1}-of-$nNew.parquet")
@@ -5589,6 +5631,7 @@ object LogLake {
       distributedCheckpointWrites.incrementAndGet()
       true
     } catch { case e: Throwable => sweepPartial(); throw e }
+    finally active.unpersist(false)
   }
 
   // ----------------------------------------------------------- stats enc
@@ -5728,27 +5771,44 @@ object LogLake {
 
   // ------------------------------------------------------------ json enc
 
+  private def renderAddInto(
+      o: com.fasterxml.jackson.databind.node.ObjectNode, a: AddFile): Unit = {
+    o.put("path", a.path)
+    o.put("rows", a.rows)
+    o.put("bytes", a.bytes)
+    if (a.dv.nonEmpty) { o.put("dv", a.dv); o.put("dvRows", a.dvRows) }
+    if (a.baseRowId != NoRowIds) o.put("brid", a.baseRowId)
+    if (a.partitionValues.nonEmpty) {
+      val pv = o.putObject("pv")
+      a.partitionValues.toSeq.sortBy(_._1).foreach { case (k, v) => pv.put(k, v) }
+    }
+    val st = o.putObject("stats")
+    a.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
+      val so = st.putObject(c)
+      so.put("t", s.tpe); so.put("min", s.min); so.put("max", s.max)
+      so.put("nulls", s.nulls)
+    }
+  }
+
   private def renderAdds(root: com.fasterxml.jackson.databind.node.ObjectNode,
       field: String, files: Seq[AddFile]): Unit = {
     val adds = root.putArray(field)
-    files.foreach { a =>
-      val o = adds.addObject()
-      o.put("path", a.path)
-      o.put("rows", a.rows)
-      o.put("bytes", a.bytes)
-      if (a.dv.nonEmpty) { o.put("dv", a.dv); o.put("dvRows", a.dvRows) }
-      if (a.baseRowId != NoRowIds) o.put("brid", a.baseRowId)
-      if (a.partitionValues.nonEmpty) {
-        val pv = o.putObject("pv")
-        a.partitionValues.toSeq.sortBy(_._1).foreach { case (k, v) => pv.put(k, v) }
-      }
-      val st = o.putObject("stats")
-      a.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
-        val so = st.putObject(c)
-        so.put("t", s.tpe); so.put("min", s.min); so.put("max", s.max)
-        so.put("nulls", s.nulls)
-      }
-    }
+    files.foreach(a => renderAddInto(adds.addObject(), a))
+  }
+
+  /** One AddFile ↔ its JSON object — the SHUFFLE codec for jobs that
+    * move AddFiles between stages ([[writeCheckpointBootstrap]]):
+    * Tungsten string columns beat Java-serialized case classes with
+    * maps by an order of magnitude. Same field encoding as manifests. */
+  private[sources] def renderAddJson(a: AddFile): String = {
+    val o = mapper.createObjectNode()
+    renderAddInto(o, a)
+    mapper.writeValueAsString(o)
+  }
+
+  private[sources] def parseAddJson(s: String): AddFile = {
+    val p = mapper.getFactory.createParser(s)
+    try { p.nextToken(); parseAddStream(p) } finally p.close()
   }
 
   private def parseAdds(n: com.fasterxml.jackson.databind.JsonNode,

@@ -707,6 +707,18 @@ final class LazyLogLakeFileIndex(spark: SparkSession, dir: String,
   /** How many listFiles calls ran as jobs — spec observability. */
   @volatile var planJobs: Int = 0
 
+  /** The snapshot's distinct partition tuples, typed — SNAPSHOT-
+    * STATIC, so one job serves every listFiles of this plan (Spark
+    * re-lists on each scan; re-running a full part pass per scan would
+    * double the partitioned plan's cost for nothing). */
+  private lazy val cachedTuples: Seq[Seq[String]] = {
+    val t = LogLake.partitionTuplesJob(spark, plan).toSeq
+    planJobs += 1
+    t
+  }
+  private def tupleRows(zone: Option[String]): Seq[(InternalRow, Seq[String])] =
+    cachedTuples.map(t => (PartitionTuples.typedRow(partFields, t, zone), t))
+
   private def survivors(dataFilters: Seq[Expression],
       admitted: Option[Set[Seq[String]]] = None): Seq[LogLake.AddFile] = {
     // constraints extract on the driver (expressions don't ship); the
@@ -751,10 +763,7 @@ final class LazyLogLakeFileIndex(spark: SparkSession, dir: String,
       val admitted: Option[Set[Seq[String]]] =
         if (partitionFilters.isEmpty) None
         else {
-          val tuples = LogLake.partitionTuplesJob(spark, plan).toSeq
-          planJobs += 1
-          val rows = tuples.map(t =>
-            (PartitionTuples.typedRow(partFields, t, zone), t))
+          val rows = tupleRows(zone)
           Some(PartitionTuples
             .admit(spark, partFields, partitionFilters, rows)
             .map(_._2).toSet)

@@ -29,16 +29,30 @@ object BigMetaProbe {
     org.apache.spark.sql.types.StructField("k",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("p",
       org.apache.spark.sql.types.StringType))).json
+
+  /** 1000 identity partitions — the canonical large-table layout. */
+  private val NPart = 1000L
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-  private def addIt(from: Long, to: Long): Iterator[LogLake.AddFile] =
-    Iterator.range(from, to + 1).map(i => LogLake.AddFile(
-      f"data/f-$i%016x.parquet", 1000,
-      Map("k" -> LogLake.ColStats("long", (i * 1000).toString,
-        (i * 1000 + 999).toString, 0)), 1048576L))
+  private def addIt(n: Long, from: Long, to: Long): Iterator[LogLake.AddFile] = {
+    val perPart = math.max(1L, n / NPart)
+    Iterator.range(from, to + 1).map { i =>
+      val p = ((i - 1) / perPart).toString
+      LogLake.AddFile(
+        f"data/f-$i%016x.parquet", 1000,
+        Map(
+          "k" -> LogLake.ColStats("long", (i * 1000).toString,
+            (i * 1000 + 999).toString, 0),
+          // identity partition stats, exactly as the engine records
+          "p" -> LogLake.ColStats("string", p, p, 0)),
+        1048576L, partitionValues = Map("p" -> p))
+    }
+  }
 
   private def t[A](tag: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
@@ -76,7 +90,7 @@ object BigMetaProbe {
                 else f"chk-$chkV%020d.p$p-of-$nParts.parquet"),
               LogLake.Checkpoint(chkV, if (p == 1) schemaJson else "",
                 Nil, Map.empty),
-              addIt((p - 1).toLong * 1000000L + 1,
+              addIt(n, (p - 1).toLong * 1000000L + 1,
                 math.min(n, p.toLong * 1000000L)),
               header = p == 1)
           })
@@ -87,7 +101,9 @@ object BigMetaProbe {
       (chkV to chkV + 2).foreach { v =>
         val adds = if (v == chkV) "" else
           s"""{"path":"data/t-$v.parquet","rows":1000,"bytes":1048576,""" +
-            s""""stats":{"k":{"t":"long","min":"0","max":"999","nulls":0}}}"""
+            s""""pv":{"p":"0"},""" +
+            s""""stats":{"k":{"t":"long","min":"0","max":"999","nulls":0},""" +
+            s""""p":{"t":"string","min":"0","max":"0","nulls":0}}}"""
         val json = s"""{"version":$v,"op":"${if (v == chkV) "create" else "append"}",""" +
           s""""txnId":"","readVersion":${v - 1},"schema":"${esc(schemaJson)}",""" +
           s""""adds":[$adds],"removes":[]}"""
@@ -97,6 +113,8 @@ object BigMetaProbe {
         "loglake.planning.distributed" -> "true",
         "loglake.checkpoint.format" -> "parquet",
         "loglake.checkpoint.partSizeFiles" -> "1000000"))
+      // identity partition spec — the canonical 100 TB layout
+      Files.write(log.resolve("partition.json"), "[\"p\"]".getBytes("UTF-8"))
       val m0 = usedMb()
       // the skipping job: selective predicate, survivors-only driver
       LogLake.clearSnapshotCache()
@@ -145,6 +163,53 @@ object BigMetaProbe {
       require(LogLake.snapshotAssembles.get() == assembles,
         "the distributed checkpoint write must not assemble state")
       println(f"  ${"driver heap after chk write"}%-42s ${usedMb() - m0}%8d MB")
+
+      // ---- round 14: the PARTITIONED lazy plan + distributed WRITE
+      // discovery at the same scale ----
+      import org.apache.spark.sql.functions.{col, lit}
+      // partition-selective read: the tuple-admission job + the
+      // skipping job, survivors = one partition's files
+      LogLake.clearSnapshotCache()
+      val a14 = LogLake.snapshotAssembles.get()
+      t("partitioned lazy plan: p = '7' (tuple job + prune job)") {
+        val df = spark.read.format("loglake").load(dir)
+          .filter(col("p") === "7")
+        df.queryExecution.executedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.listFiles(
+              Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(
+                org.apache.spark.sql.catalyst.expressions.AttributeReference(
+                  "p", org.apache.spark.sql.types.StringType)(),
+                org.apache.spark.sql.catalyst.expressions.Literal(
+                  org.apache.spark.unsafe.types.UTF8String.fromString("7"),
+                  org.apache.spark.sql.types.StringType))), Nil)
+        }.foreach(dirs =>
+          println(f"  ${"  planned files (one partition)"}%-42s ${dirs.map(_.files.length).sum}%8d"))
+      }
+      require(LogLake.snapshotAssembles.get() == a14,
+        "the partitioned lazy plan must not assemble state")
+      println(f"  ${"driver heap after partitioned plan"}%-42s ${usedMb() - m0}%8d MB")
+      // metadata-only partition DELETE: candidates via the stats job,
+      // classification over candidates, whole files drop — zero data
+      // read or written at any table size
+      t("partition DELETE p = '3' (metadata-only, distributed discovery)") {
+        LogLake.delete(spark, dir, col("p") === "3")
+      }
+      require(LogLake.snapshotAssembles.get() == a14,
+        "distributed partition-delete discovery must not assemble state")
+      println(f"  ${"driver heap after partition delete"}%-42s ${usedMb() - m0}%8d MB")
+      // MERGE discovery: the source keys' envelope prunes candidates
+      // as a job — a disjoint upsert proves no file can match without
+      // the driver ever seeing the file list
+      t("merge discovery, disjoint key envelope (insert-only)") {
+        import spark.implicits._
+        LogLake.merge(spark, dir,
+          Seq((Long.MaxValue - 1L, "ins", "zz")).toDF("k", "v", "p"),
+          keyCols = Seq("k"))
+      }
+      require(LogLake.snapshotAssembles.get() == a14,
+        "distributed merge discovery must not assemble state")
+      println(f"  ${"driver heap after merge discovery"}%-42s ${usedMb() - m0}%8d MB")
       ()
     }
     spark.stop()
