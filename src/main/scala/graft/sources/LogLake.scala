@@ -1051,15 +1051,36 @@ object LogLake {
     * read path's [[statConstraints]] does the rest. Anything it cannot
     * prove contributes nothing — the file is kept and the row-level
     * filter decides. */
-  private def conditionConstraints(schema: StructType,
+  private[sources] def conditionConstraints(schema: StructType,
       condition: Column): Seq[StatC] = {
-    val resolved = GraftBridge.catalystExpression(condition).transform {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    // a Column's tree is UNRESOLVED — comparisons arrive as
+    // UnresolvedFunction("=", …) etc., which [[statConstraints]]'
+    // typed patterns cannot see. Translate the conjunction-relevant
+    // function names to their resolved shapes bottom-up (anything
+    // unknown stays as-is and proves nothing — the file is kept).
+    val resolved = GraftBridge.catalystExpression(condition).transformUp {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
           if u.nameParts.size == 1 =>
         schema.fields.find(_.name.equalsIgnoreCase(u.nameParts.head)) match {
-          case Some(fl) => org.apache.spark.sql.catalyst.expressions
-            .AttributeReference(physName(fl), fl.dataType, fl.nullable)()
+          case Some(fl) => ce.AttributeReference(
+            physName(fl), fl.dataType, fl.nullable)()
           case None => u
+        }
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.size == 1 =>
+        val as = f.arguments
+        (f.nameParts.head.toLowerCase(java.util.Locale.ROOT), as) match {
+          case ("=", Seq(a, b)) => ce.EqualTo(a, b)
+          case (">", Seq(a, b)) => ce.GreaterThan(a, b)
+          case (">=", Seq(a, b)) => ce.GreaterThanOrEqual(a, b)
+          case ("<", Seq(a, b)) => ce.LessThan(a, b)
+          case ("<=", Seq(a, b)) => ce.LessThanOrEqual(a, b)
+          case ("and", Seq(a, b)) => ce.And(a, b)
+          case ("in", a +: vs) if vs.nonEmpty => ce.In(a, vs)
+          case ("isnull", Seq(a)) => ce.IsNull(a)
+          case ("isnotnull", Seq(a)) => ce.IsNotNull(a)
+          case _ => f
         }
     }
     statConstraints(Seq(resolved), _ => None)
@@ -2502,7 +2523,16 @@ object LogLake {
     val small = props.getOrElse("loglake.autoCompact.smallFileBytes",
       (16L * 1024 * 1024).toString).toLong
     val minN = props.getOrElse("loglake.autoCompact.minNumFiles", "8").toInt
-    val smalls = activeState(dir)._1.filter(a => a.bytes >= 0L && a.bytes < small)
+    // the trigger check discovers small files through the distributed
+    // prune under the opt-in — an autoCompact table at 10⁸ files pays
+    // a job per append, never a driver resolve
+    val readV = currentVersion(dir)
+    val smalls = (new Discovery(spark, dir, readV)).plan match {
+      case Some(p) =>
+        planSurvivors(spark, p, a => a.bytes >= 0L && a.bytes < small)._1
+      case None =>
+        activeState(dir)._1.filter(a => a.bytes >= 0L && a.bytes < small)
+    }
     if (smalls.size < minN) return
     val target = math.max(1,
       math.ceil(smalls.map(_.bytes).sum.toDouble / (128L * 1024 * 1024)).toInt)
@@ -3431,21 +3461,36 @@ object LogLake {
       case None =>
     }
     val readV = currentVersion(dir)
-    val (active0, schema) = activeState(dir, Some(readV))
+    val disc = new Discovery(spark, dir, readV)
+    val schema = disc.schema
     // OPTIMIZE WHERE scopes maintenance to a partition region (Delta's
     // rule: partition predicates only — the point is to bound the
     // rewrite to named partitions, and only a partition predicate maps
-    // exactly onto whole files from the manifest alone)
+    // exactly onto whole files from the manifest alone). Under the
+    // distributed opt-in the region candidates come from the stats job
+    // (identity partition stats make that complete), and the
+    // INCREMENTAL form's small-file/DV discovery rides the same job —
+    // steady-state maintenance cost tracks its own rewrite set, never
+    // table size, on the driver too.
     val active = where match {
-      case None => active0
+      case None => disc.plan match {
+        case Some(p) if onlySmallerThan > 0L =>
+          // unknown size (pre-`bytes` manifests) counts as small —
+          // compacting a legacy file is always safe; DV'd files join
+          // so pending deletes materialize
+          planSurvivors(spark, p,
+            a => a.bytes < onlySmallerThan || a.dv.nonEmpty)._1
+        case _ => disc.allFiles // full rewrite: it holds what it rewrites
+      }
       case Some(cond) =>
-        partitionOnlyMatches(spark, dir, active0, schema, cond).getOrElse(
-          throw new IllegalArgumentException(
+        partitionOnlyMatches(spark, dir,
+          disc.candidates(conditionConstraints(schema, cond)), schema, cond)
+          .getOrElse(throw new IllegalArgumentException(
             "loglake: OPTIMIZE ... WHERE supports predicates over " +
               "partition columns only"))
     }
-    // unknown size (pre-`bytes` manifests) counts as small — compacting
-    // a legacy file is always safe, skipping it silently is not
+    // (the distributed incremental path pre-filtered in the job; the
+    // eager/WHERE paths filter here)
     val files =
       if (onlySmallerThan <= 0L) active
       else active.filter(a => a.bytes < onlySmallerThan || a.dv.nonEmpty)

@@ -143,6 +143,48 @@ class DistributedWriteSpec extends SparkTestBase {
     assert(LogLake.currentVersion(d) == vBefore)
   }
 
+  test("incremental OPTIMIZE and the autoCompact trigger discover via the job") {
+    val d = build(distributed = true)
+    val e = build(distributed = false)
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    // every file in these fixtures is tiny — incremental OPTIMIZE
+    // discovers them all through the job and compacts
+    LogLake.optimize(spark, d, numFiles = 2,
+      onlySmallerThan = 16L * 1024 * 1024)
+    assert(LogLake.snapshotAssembles.get() == before,
+      "distributed incremental OPTIMIZE must not assemble table state")
+    LogLake.optimize(spark, e, numFiles = 2,
+      onlySmallerThan = 16L * 1024 * 1024)
+    assert(rows(d) == rows(e))
+    assert(LogLake.activeState(d)._1.size <= 2)
+    // OPTIMIZE WHERE over a partitioned distributed table: the region
+    // classifier rides candidates from the stats job
+    val pd = tmp("ow")
+    LogLake.create(spark, pd,
+      Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "B")).toDF("k", "s"),
+      partitionBy = Seq("s"))
+    LogLake.setTableProperties(pd, Map(
+      "loglake.checkpoint.format" -> "parquet",
+      "loglake.checkpoint.partSizeFiles" -> "4",
+      "loglake.planning.distributed" -> "true"))
+    (0 until 11).foreach(i =>
+      LogLake.append(spark, pd, Seq((10L + i, "A"), (50L + i, "B")).toDF("k", "s")))
+    val beforeB = LogLake.activeState(pd)._1
+      .filter(_.partitionValues("s") == "B").map(_.path).toSet
+    LogLake.clearSnapshotCache()
+    val b2 = LogLake.snapshotAssembles.get()
+    LogLake.optimize(spark, pd, numFiles = 1,
+      where = Some(col("s") === "A"))
+    assert(LogLake.snapshotAssembles.get() == b2,
+      "distributed OPTIMIZE WHERE must not assemble table state")
+    val after = LogLake.activeState(pd)._1
+    assert(after.filter(_.partitionValues("s") == "B").map(_.path).toSet ==
+      beforeB, "files outside the WHERE region must be untouched")
+    assert(after.count(_.partitionValues("s") == "A") == 1,
+      "the A region must have compacted to one file")
+  }
+
   test("schema-only write validation reads the manifest, not resolved state") {
     val dir = build(distributed = true)
     LogLake.clearSnapshotCache()
