@@ -4456,8 +4456,13 @@ object LogLake {
     * whose live refs pin the keep-set) is exactly the corruption the
     * gate exists to stop. Reads stay open; only mutation refuses. */
   private def requireWriterSupported(dir: String): Unit = {
-    if (currentVersion(dir) == 0L) return // name listing only — no parse
-    val unknown = resolve(dir, None).writerFeatures -- SupportedWriterFeatures
+    val cur = currentVersion(dir)
+    if (cur == 0L) return // name listing only — no parse
+    // the manifest carries the COMPLETE writer-feature set (monotone
+    // propagation through commit's parentWf union) — one tail-sized
+    // read, never a state resolve
+    val unknown = readManifest(fs(dir), versionFile(dir, cur))
+      .writerFeatures -- SupportedWriterFeatures
     if (unknown.nonEmpty) throw new UnsupportedOperationException(
       s"loglake: the table at $dir requires writer feature(s) " +
         s"${unknown.toSeq.sorted.mkString(", ")} this build does not " +
@@ -4488,7 +4493,7 @@ object LogLake {
     val pinned0 = (tags(dir).values ++ branches(dir).values)
       .toSeq.distinct.sorted
     val state: Seq[AddFile] =
-      if (history(dir).isEmpty) Seq.empty
+      if (currentVersion(dir) == 0L) Seq.empty
       else (activeState(dir)._1 ++
         pinned0.flatMap(v => activeState(dir, Some(v))._1))
         .groupBy(a => (a.path, a.dv)).map(_._2.head).toSeq
@@ -5676,7 +5681,9 @@ object LogLake {
       distributedCheckpointWrites.incrementAndGet()
       true
     } catch { case e: Throwable => sweepPartial(); throw e }
-    finally active.unpersist(false)
+    // blocking: in local mode the persisted fold shares the JVM with
+    // the "driver" — release it before any caller measures heap
+    finally active.unpersist(blocking = true)
   }
 
   // ----------------------------------------------------------- stats enc

@@ -41,7 +41,11 @@ object BootstrapProbe {
   private def craft(dir: String, n: Long, distributed: Boolean): Long = {
     val log = Paths.get(dir, LogLake.LogDir)
     Files.createDirectories(log)
-    val k = math.max(1L, math.min(40L, n / 250000L))
+    // 250k adds per commit at every scale — capping the commit count
+    // instead produced 2.5e6-add (≈500 MB JSON) manifests at 1e8 whose
+    // DOM parse OOMs ANY reader; real logs at that size have more,
+    // smaller commits
+    val k = math.max(1L, n / 250000L)
     val per = n / k
     def addJson(i: Long): String =
       f"""{"path":"data/f-$i%016x.parquet","rows":1000,"bytes":1048576,""" +
@@ -110,14 +114,24 @@ object BootstrapProbe {
       t("generation 1 on the DRIVER (resolve + encode)")(
         LogLake.forceCheckpoint(dd, k))
       println(f"  ${"driver heap across driver path"}%-46s ${usedMb() - m1}%8d MB")
-      // -- equivalence: both groups resolve to the same active set
+      // -- equivalence: both groups resolve to the same active set in
+      // the same ORDER (an order-sensitive rolling hash over the packed
+      // state's iterator — two 10⁸-element path vectors would not fit)
       LogLake.clearSnapshotCache()
       t("cold resolve through both groups") {
-        val a = LogLake.activeState(dj, Some(k))._1
-        val b = LogLake.activeState(dd, Some(k))._1
-        require(a.map(_.path) == b.map(_.path),
+        def sig(dir: String): (Long, Long) = {
+          var h = 1125899906842597L; var cnt = 0L
+          LogLake.activeState(dir, Some(k))._1.foreach { a =>
+            h = h * 31L + a.path.hashCode; cnt += 1
+          }
+          (h, cnt)
+        }
+        val (ha, na) = sig(dj)
+        LogLake.clearSnapshotCache()
+        val (hb, nb) = sig(dd)
+        require(ha == hb && na == nb,
           "bootstrap order/content must equal the driver replay's")
-        println(f"  ${"  active files"}%-46s ${a.size}%8d")
+        println(f"  ${"  active files"}%-46s $na%8d")
       }
       ()
     }
