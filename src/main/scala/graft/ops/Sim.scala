@@ -1299,7 +1299,8 @@ object Sim {
         .withColumn("rnk", row_number().over(wCode))
         .filter(col("rnk") === 1)
         .select("vec_id", "j", "code")
-      // probes: top-4 cells per query, carrying the COARSE term q·c
+      // probes: top-8 cells per query (double q82's nprobe — ADC
+      // candidates cost 8 bytes each), carrying the COARSE term q·c
       val probeCells = n.filter(col("vec_id") < 20).crossJoin(broadcast(cent))
         .withColumn("ip", ldot(col("nx"), col("nc")))
         .withColumn("rnk", row_number().over(wAssign))

@@ -981,11 +981,10 @@ object LogLake {
     * discovery scan, Delta's merge file-pruning). */
   private final class Discovery(spark: SparkSession, dir: String,
       readV: Long) {
-    val plan: Option[LazyPlan] =
-      if (readV == 0L) None
-      else lazyPlanInfo(dir, readV, allowDvs = true)
-    lazy val eager: (Seq[AddFile], StructType) =
-      if (readV > 0L) activeState(dir, Some(readV)) else (Seq.empty, null)
+    // the classic no-table error, not a late NPE from a null schema
+    require(readV > 0L, s"loglake: no table at $dir")
+    val plan: Option[LazyPlan] = lazyPlanInfo(dir, readV, allowDvs = true)
+    lazy val eager: (Seq[AddFile], StructType) = activeState(dir, Some(readV))
     val schema: StructType = plan.map(_.schema).getOrElse(eager._2)
     /** Every active file. Ops that inherently touch the whole table
       * (unconditional NOT MATCHED BY SOURCE) pay survivor volume —
@@ -1005,6 +1004,31 @@ object LogLake {
     }
   }
 
+  /** Same comparison class under [[typedRender]]/[[cmp]] — the
+    * soundness precondition for pruning with a literal whose type is
+    * not the column's: within one class, fixed-point rendering and
+    * the coerced row-level comparison order values identically
+    * (integrals widen, string collation is UTF-8 on both sides);
+    * ACROSS classes the rendered orderings can disagree with the
+    * analyzer's coercion (a string "9" > "100" but 9 < 100 as
+    * longs), and a wrong prune silently skips matching rows. */
+  private def sameCmpClass(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def cls(t: DataType): Int = t match {
+      case ByteType | ShortType | IntegerType | LongType => 1
+      case FloatType | DoubleType => 2
+      case _: DecimalType => 3
+      case StringType => 4
+      case DateType => 5
+      case TimestampType => 6
+      case BooleanType => 7
+      case _ => -1
+    }
+    val ca = cls(a)
+    ca > 0 && ca == cls(b)
+  }
+
   /** Sound key-envelope constraints for merge's candidate prune: a
     * file whose key-column stats exclude the source keys' [min, max]
     * envelope cannot hold a match. SQL equality never matches NULL, so
@@ -1022,8 +1046,16 @@ object LogLake {
            BooleanType => true
       case _ => false
     }
+    // the envelope is computed under the SOURCE column's ordering but
+    // evaluated against the TABLE column's stats — sound only within
+    // one comparison class (a string source key against a long table
+    // column would prune under the wrong order and a merge would
+    // silently insert a duplicate); cross-class keys contribute no
+    // constraint, like bucketPruneForKeys' lossless-cast guard
+    val tableByName = schema.fields.map(f => f.name -> f.dataType).toMap
     val envCols = keyCols.filter(c =>
-      keys.schema.fields.exists(f => f.name == c && eligible(f.dataType)))
+      keys.schema.fields.exists(f => f.name == c && eligible(f.dataType) &&
+        tableByName.get(c).exists(t => sameCmpClass(f.dataType, t))))
     if (envCols.isEmpty) return Some(Nil)
     val aggs = envCols.flatMap(c =>
       Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
@@ -1069,15 +1101,30 @@ object LogLake {
         }
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.nameParts.size == 1 =>
+        // translate a comparison only when the literal shares the
+        // column's comparison class — these literals are UN-COERCED
+        // (no analyzer ran), and a cross-class prune orders values
+        // differently from the execution-time coerced filter, silently
+        // skipping matching rows (e.g. isin("9", "100") on a long
+        // column: lexicographic envelope ["100", "9"] evaluated
+        // numerically is the contradictory range [100, 9])
+        def cls(a: ce.Expression, b: ce.Expression): Boolean = (a, b) match {
+          case (ar: ce.AttributeReference, l: ce.Literal) =>
+            sameCmpClass(ar.dataType, l.dataType)
+          case (l: ce.Literal, ar: ce.AttributeReference) =>
+            sameCmpClass(ar.dataType, l.dataType)
+          case _ => false
+        }
         val as = f.arguments
         (f.nameParts.head.toLowerCase(java.util.Locale.ROOT), as) match {
-          case ("=", Seq(a, b)) => ce.EqualTo(a, b)
-          case (">", Seq(a, b)) => ce.GreaterThan(a, b)
-          case (">=", Seq(a, b)) => ce.GreaterThanOrEqual(a, b)
-          case ("<", Seq(a, b)) => ce.LessThan(a, b)
-          case ("<=", Seq(a, b)) => ce.LessThanOrEqual(a, b)
+          case ("=", Seq(a, b)) if cls(a, b) => ce.EqualTo(a, b)
+          case (">", Seq(a, b)) if cls(a, b) => ce.GreaterThan(a, b)
+          case (">=", Seq(a, b)) if cls(a, b) => ce.GreaterThanOrEqual(a, b)
+          case ("<", Seq(a, b)) if cls(a, b) => ce.LessThan(a, b)
+          case ("<=", Seq(a, b)) if cls(a, b) => ce.LessThanOrEqual(a, b)
           case ("and", Seq(a, b)) => ce.And(a, b)
-          case ("in", a +: vs) if vs.nonEmpty => ce.In(a, vs)
+          case ("in", a +: vs) if vs.nonEmpty && vs.forall(v => cls(a, v)) =>
+            ce.In(a, vs)
           case ("isnull", Seq(a)) => ce.IsNull(a)
           case ("isnotnull", Seq(a)) => ce.IsNotNull(a)
           case _ => f
@@ -2450,16 +2497,21 @@ object LogLake {
     // adds (or one sampled checkpoint record when the tail adds
     // nothing); only OVERWRITE assembles its remove list, and it does
     // so through the distributed prune, never resolve
-    val disc = new Discovery(spark, dir, readV)
+    lazy val disc = new Discovery(spark, dir, readV) // readV>0 paths only
     val (priorFiles, priorSchema, statsBasis)
         : (Seq[AddFile], StructType, Seq[AddFile]) =
       if (readV == 0L) (Seq.empty, null, Seq.empty)
       else disc.plan match {
         case Some(p) =>
-          val basis =
-            if (p.delta.nonEmpty) p.delta.map(_._2)
-            else p.parts.headOption.flatMap(pp =>
-              CheckpointParquet.readFirst(fs(dir).getConf, new Path(pp))).toSeq
+          // stats-column inheritance basis: the tail adds PLUS the
+          // first record of EVERY checkpoint part (part-count-sized —
+          // one ranged read each). Tail-only sampling could miss a
+          // column the steady state records; one legacy record must
+          // not silently narrow the policy either, so the union is
+          // deliberately broad (inheritedStats unions stats keys)
+          val conf = fs(dir).getConf
+          val basis = p.delta.map(_._2) ++
+            p.parts.flatMap(pp => CheckpointParquet.readFirst(conf, new Path(pp)))
           val prior =
             if (op == "overwrite") planSurvivors(spark, p, _ => true)._1
             else Seq.empty
@@ -2569,7 +2621,14 @@ object LogLake {
       s"loglake: merge source columns ${source.columns.mkString(",")} must match " +
         s"table columns ${schema.fieldNames.mkString(",")}")
     val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // persisted: the key set feeds the envelope aggregate, the
+    // discovery semi-join, and the rewrite joins — ONE evaluation of
+    // the source's key projection serves all three (and pins the
+    // envelope to the same evaluation the joins see, which is what
+    // keeps the prune sound if the caller's source is not
+    // deterministic)
     val keys = src.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate prune BEFORE the discovery scan: the source keys'
     // min/max envelope skips files by manifest stats (Delta's merge
@@ -2677,7 +2736,10 @@ object LogLake {
       }
       commit(dir, "merge", txnId, readV, schema.json,
         assignBaseRowIds(dir, adds), touched.map(_.path), cdc)
-    } finally if (reused) tgtOpt.foreach(_.unpersist())
+    } finally {
+      if (reused) tgtOpt.foreach(_.unpersist())
+      keys.unpersist(false)
+    }
   }
 
   /** One WHEN clause of a general MERGE ([[mergeClauses]]). Conditions
@@ -2761,7 +2823,9 @@ object LogLake {
       case c: NotMatchedBySourceUpdate => c; case c: NotMatchedBySourceDelete => c }
 
     val src = source
+    // persisted for the same reasons as [[merge]]'s key set
     val keys = src.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // files containing a matching key — [[merge]]'s candidate prune
     // (key envelope, distributed under the opt-in; bucket-bounded on
     // the eager path when the layout allows), then the discovery scan
@@ -2948,7 +3012,10 @@ object LogLake {
         }
       commit(dir, "merge", txnId, readV, schema.json,
         assignBaseRowIds(dir, adds), touched.map(_.path), cdc)
-    } finally if (reused) tgtRead.foreach(_.unpersist())
+    } finally {
+      if (reused) tgtRead.foreach(_.unpersist())
+      keys.unpersist(false)
+    }
   }
 
   /** `target.<col>` references → bare `<col>`, for evaluating a
@@ -3384,7 +3451,7 @@ object LogLake {
       files: Seq[AddFile], schema: StructType,
       condition: Column): Option[Seq[AddFile]] = {
     val partPhys = partitionColumns(dir)
-    if (partPhys.isEmpty || files.isEmpty) return None
+    if (partPhys.isEmpty) return None
     val byPhys = schema.fields.map(f => physName(f) -> f).toMap
     val partFields = partPhys.flatMap(byPhys.get)
     if (partFields.size != partPhys.size) return None
@@ -3399,6 +3466,12 @@ object LogLake {
     if (refs.isEmpty ||
       !refs.forall(r => partNames(r.toLowerCase(java.util.Locale.ROOT))))
       return None
+    // classification first, emptiness second: a partition-only
+    // predicate over an EMPTY candidate set (the stats prune proved
+    // the region empty) is a valid no-op region — callers that throw
+    // on None (OPTIMIZE WHERE) must not misdiagnose it as a
+    // non-partition predicate
+    if (files.isEmpty) return Some(Nil)
     if (!files.forall(a => partPhys.forall(a.partitionValues.contains)))
       return None
     import scala.jdk.CollectionConverters._
@@ -5629,14 +5702,20 @@ object LogLake {
       .filter(col("rm").isNull || seqc > col("rm"))
     val active = alive.groupBy("path").agg(
       min(seqc).as("pos"), max_by(col("add"), seqc).as("add"))
-      // the range layout below evaluates its input twice (boundary
-      // sampling + the shuffle itself) — persist so the parse/join/agg
-      // graph runs once
+      // the layout below evaluates its input again (count + the rank
+      // shuffle) — persist so the parse/join/agg graph runs once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // part count from the SKIMMED add count: an upper bound (updates /
-    // re-adds and removed files over-count), which only makes parts
-    // smaller than partSize — the safe direction, with no count() job
-    val nNew = math.max(1L, (addsUpper + partSize - 1) / partSize).toInt
+    // EXACT active count (cheap — cached) sizes the part layout; the
+    // skimmed add count is only a sanity ceiling. The count must be
+    // exact because the part count is baked into the i-of-n names: an
+    // over-count with too few written parts is a PERMANENTLY torn
+    // group (readers skip it, and every retry at this version tears
+    // the same way).
+    val total = active.count()
+    val nNew = math.max(1L, (total + partSize - 1) / partSize).toInt
+    require(total <= addsUpper,
+      s"loglake: bootstrap fold produced $total active files from " +
+        s"$addsUpper adds — corrupt manifest log at $dir")
     val logDirStr = logPath(dir).toString
     def sweepPartial(): Unit = (1 to nNew).foreach { i =>
       val p = new Path(logPath(dir), f"chk-$v%020d.p$i-of-$nNew.parquet")
@@ -5646,18 +5725,22 @@ object LogLake {
     val schemaJ = schemaJson
     val feats = features; val wfeats = writerFeatures
     try {
-      // one RANGE shuffle lays the parts out in replay order:
-      // repartitionByRange always creates exactly nNew partitions
-      // (possibly empty — an empty part file is valid), so the i-of-n
-      // group can never tear; partition i's rows sort by position and
-      // the ascending ranges make the concatenated parts THE replay
-      // order. (The rank-exact alternative costs two more full passes
-      // — orderBy + zipWithIndex — for part-size evenness nothing
-      // needs.)
-      val parts = active.repartitionByRange(nNew, col("pos"))
-        .sortWithinPartitions(col("pos"))
+      // exact part layout via GLOBAL RANKS: an explicit Partitioner
+      // guarantees exactly nNew partitions (RangePartitioner yields
+      // min(n, distinctBoundaries+1) — fewer partitions than the
+      // baked-in i-of-n names is a permanently torn group); ranks come
+      // from the sorted order, so the concatenated parts ARE the
+      // replay order. The extra pass reads the persisted fold.
+      val byRank = active.orderBy(col("pos"))
         .select(col("add")).as[String].rdd
-      parts
+        .zipWithIndex().map(_.swap)
+      val exact = new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nNew
+        override def getPartition(key: Any): Int =
+          (key.asInstanceOf[Long] / partSize).toInt
+      }
+      byRank.repartitionAndSortWithinPartitions(exact)
+        .map(_._2)
         .foreachPartition { it =>
           val pi = org.apache.spark.TaskContext.getPartitionId()
           val conf = new org.apache.hadoop.conf.Configuration()
@@ -5669,6 +5752,8 @@ object LogLake {
               if (pi == 0) feats else Set.empty,
               if (pi == 0) wfeats else Set.empty),
             it.map(parseAddJson), header = pi == 0)
+          // (an empty partition writes a valid empty part — the
+          // completeness rule needs every i-of-n present, not rows)
           val dst = new Path(logDirStr,
             if (nNew == 1) f"chk-$v%020d.parquet"
             else f"chk-$v%020d.p${pi + 1}-of-$nNew.parquet")

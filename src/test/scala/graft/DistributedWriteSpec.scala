@@ -185,6 +185,64 @@ class DistributedWriteSpec extends SparkTestBase {
       "the A region must have compacted to one file")
   }
 
+  test("review pins: cross-typed merge keys, empty WHERE region, no-table error") {
+    // a STRING-typed source key against the long k column must not
+    // let the envelope prune the matching file — the merge must
+    // UPDATE, never insert a duplicate (Spark coerces "150" to 150
+    // in the join; the lexicographic envelope would disagree)
+    val d = build(distributed = true)
+    LogLake.merge(spark, d,
+      Seq(("150", "upd-str")).toDF("k", "v"), keyCols = Seq("k"))
+    assert(rows(d).count(_._1 == 150L) == 1,
+      "cross-typed merge key must update in place, not duplicate")
+    assert(rows(d).contains((150L, "upd-str")))
+    // OPTIMIZE WHERE over a partition region that matches nothing is
+    // a NO-OP, not a misdiagnosed "partition columns only" error
+    val pd = tmp("emptyregion")
+    LogLake.create(spark, pd, Seq((1L, "A")).toDF("k", "s"),
+      partitionBy = Seq("s"))
+    LogLake.setTableProperties(pd,
+      Map("loglake.planning.distributed" -> "true"))
+    val v = LogLake.currentVersion(pd)
+    assert(LogLake.optimize(spark, pd, 1,
+      where = Some(col("s") === "nope")) == v)
+    // mutations against a nonexistent table fail with the classic
+    // error, not an NPE
+    val e = intercept[IllegalArgumentException] {
+      LogLake.delete(spark, tmp("missing"), col("k") === 1L)
+    }
+    assert(e.getMessage.contains("no table at"))
+  }
+
+  test("a churned log bootstraps a COMPLETE first checkpoint (exact part count)") {
+    // compaction before the first checkpoint makes the historical add
+    // count far exceed the active count — the part layout must size
+    // from the EXACT active count or the i-of-n group tears forever
+    val dir = tmp("churn")
+    LogLake.createEmpty(dir, Seq((1L, "x")).toDF("k", "v").schema)
+    LogLake.setTableProperties(dir, Map(
+      "loglake.checkpoint.format" -> "parquet",
+      "loglake.checkpoint.partSizeFiles" -> "4",
+      "loglake.planning.distributed" -> "true"))
+    (0 until 6).foreach(i =>
+      LogLake.append(spark, dir, Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(1)))                       // v2..v7: 6 files
+    LogLake.optimize(spark, dir, numFiles = 1)  // v8: 6 -> 1 file
+    LogLake.append(spark, dir, Seq((100L, "a")).toDF("k", "v")) // v9
+    LogLake.append(spark, dir, Seq((200L, "b")).toDF("k", "v")) // v10 -> chk
+    val chk = new java.io.File(dir, "_loglake").listFiles()
+      .map(_.getName).filter(_.startsWith("chk-"))
+    assert(chk.nonEmpty, "the churned log must still checkpoint at v10")
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    // the lazy index resolves THROUGH the group — a torn group would
+    // route eager (assembles) or lose rows
+    val df = spark.read.format("loglake").load(dir)
+    assert(df.count() == 8L)
+    assert(LogLake.snapshotAssembles.get() == before,
+      "a complete bootstrap group must serve the lazy plan")
+  }
+
   test("schema-only write validation reads the manifest, not resolved state") {
     val dir = build(distributed = true)
     LogLake.clearSnapshotCache()

@@ -41,6 +41,22 @@ class ConditionConstraintsSpec extends graft.SparkTestBase {
     assert(cs(col("unknown_col") === 1L).isEmpty)
   }
 
+  test("cross-class literals are opaque; same-class widenings extract") {
+    // un-coerced literals: a cross-class prune orders values
+    // differently from the execution-time coerced filter — e.g.
+    // isin("9", "100") on a long column would make the lexicographic
+    // envelope ["100", "9"], numerically the contradictory [100, 9],
+    // pruning the file that holds k=100
+    assert(cs(col("k").isin("9", "100")).isEmpty)
+    assert(cs(col("k") === "5").isEmpty)   // string literal, long col
+    assert(cs(col("p") === 3).isEmpty)     // int literal, string col
+    assert(cs(col("k") === 5.5).isEmpty)   // double literal, long col
+    // integral widening is the SAME comparison class — still extracts
+    assert(cs(col("k") === 5) == Seq(AtLeastC("k", "5"), AtMostC("k", "5")))
+    assert(cs(col("k").isin(9, 100)) ==
+      Seq(AtLeastC("k", "9"), AtMostC("k", "100")))
+  }
+
   test("the prune is actually selective through a distributed delete") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("condsel").toString + "/t"
