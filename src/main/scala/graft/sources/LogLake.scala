@@ -1002,6 +1002,23 @@ object LogLake {
       case None =>
         if (cs.isEmpty) eager._1 else eager._1.filter(constraintsKeep(cs, _))
     }
+    /** Broad stats-column inheritance basis, INDEPENDENT of any
+      * candidate prune: the manifest-tail adds plus the first record
+      * of every checkpoint part under the lazy plan (part-count-sized
+      * — one ranged read each), the full prior file list otherwise.
+      * A pruned candidate set must never be the basis — an insert-only
+      * merge whose prune empties (keys outside every file's envelope,
+      * the common append-style upsert) would inherit Nil and silently
+      * turn default file skipping off for the newly committed files,
+      * violating [[inheritedStats]]' contract. Same sampling rule as
+      * the append path in [[write]]. */
+    lazy val statsBasis: Seq[AddFile] = plan match {
+      case Some(p) =>
+        val conf = fs(dir).getConf
+        p.delta.map(_._2) ++
+          p.parts.flatMap(pp => CheckpointParquet.readFirst(conf, new Path(pp)))
+      case None => eager._1
+    }
   }
 
   /** Same comparison class under [[typedRender]]/[[cmp]] — the
@@ -2360,7 +2377,8 @@ object LogLake {
     val aligned = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val miss = !coalesce(condition, lit(false))
     val newAdds = writeData(spark, dir, aligned,
-      inheritedStats(candidates, statsCols, aligned.schema, schema), physMap(schema))
+      inheritedStats(disc.statsBasis, statsCols, aligned.schema, schema),
+      physMap(schema))
     val offending = readAdds(spark, dir, schema, newAdds)
       .filter(miss).limit(1).collect()
     if (offending.nonEmpty) {
@@ -2402,7 +2420,7 @@ object LogLake {
             // survivors keep their row ids under tracking (materialized)
             val kept = trackedRead(spark, dir, schema, touched).filter(miss)
             (writeData(spark, dir, kept,
-              inheritedStats(candidates, statsCols, schema, schema),
+              inheritedStats(disc.statsBasis, statsCols, schema, schema),
               physMap(schema)), touched.map(_.path), cdcFiles)
           }
       }
@@ -2655,9 +2673,11 @@ object LogLake {
           .map(r => new Path(r.getString(0)).getName).toSet
       }
     val touched = candidates.filter(a => touchedNames(new Path(a.path).getName))
-    // stats-column inheritance reads the candidate population — under
-    // distributed discovery the full prior list never materializes
-    val statsBasis = candidates
+    // stats-column inheritance reads the BROAD basis (manifest tail +
+    // one sampled record per checkpoint part), never the pruned
+    // candidates — an insert-only merge whose envelope prune empties
+    // must not silently disable default file skipping
+    val statsBasis = disc.statsBasis
 
     // write-time CDC (Delta's _change_data design): a MERGE is the one
     // commit whose changes the read-side diff cannot label exactly —
@@ -2871,7 +2891,8 @@ object LogLake {
     val keyTouched = keyCandidates.filter(a =>
       keyTouchedNames(new Path(a.path).getName))
     val touched = (keyTouched ++ nmbsTouched).distinctBy(_.path)
-    val statsBasis = (keyCandidates ++ nmbsTouched).distinctBy(_.path)
+    // broad basis, not the pruned candidates — see [[Discovery.statsBasis]]
+    val statsBasis = disc.statsBasis
 
     val tracking = rowTrackingEnabled(dir)
     val cdf = cdfEnabled(dir)
@@ -3095,7 +3116,7 @@ object LogLake {
     val kept = trackedRead(spark, dir, schema, touched)
       .filter(!coalesce(condition, lit(false))) // NULL-condition rows survive, as in SQL DELETE
     val adds = writeData(spark, dir, kept,
-      inheritedStats(candidates, statsCols, schema, schema), physMap(schema))
+      inheritedStats(disc.statsBasis, statsCols, schema, schema), physMap(schema))
     commit(dir, "delete", txnId, readV, schema.json, adds, touched.map(_.path), cdc)
   }
 
@@ -3173,7 +3194,7 @@ object LogLake {
           set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
         }): _*))
       val newAdds = writeData(spark, dir, updated,
-        inheritedStats(candidates, statsCols, schema, schema), physMap(schema))
+        inheritedStats(disc.statsBasis, statsCols, schema, schema), physMap(schema))
       val (dvAdds, removes) = attachDvs(spark, dir, schema, touched, hit)
       return commit(dir, "update", txnId, readV, schema.json,
         dvAdds ++ newAdds, removes, cdc)
@@ -3189,7 +3210,7 @@ object LogLake {
     val rewritten = regen(trackedRead(spark, dir, schema, touched)
       .select(passId(projected): _*))
     val adds = writeData(spark, dir, rewritten,
-      inheritedStats(candidates, statsCols, schema, schema), physMap(schema))
+      inheritedStats(disc.statsBasis, statsCols, schema, schema), physMap(schema))
     commit(dir, "update", txnId, readV, schema.json, adds, touched.map(_.path), cdc)
   }
 
@@ -5717,9 +5738,19 @@ object LogLake {
       s"loglake: bootstrap fold produced $total active files from " +
         s"$addsUpper adds — corrupt manifest log at $dir")
     val logDirStr = logPath(dir).toString
-    def sweepPartial(): Unit = (1 to nNew).foreach { i =>
-      val p = new Path(logPath(dir), f"chk-$v%020d.p$i-of-$nNew.parquet")
-      try f.delete(p, false) catch { case _: Exception => () }
+    // mirror the publish-side naming branch below: nNew == 1 publishes
+    // the UNSUFFIXED single-part name, so a failed retry after a
+    // task-attempt rename must sweep that name too or a different-n
+    // retry at this version stays torn for good
+    def sweepPartial(): Unit = {
+      if (nNew == 1) {
+        val p0 = new Path(logPath(dir), f"chk-$v%020d.parquet")
+        try f.delete(p0, false) catch { case _: Exception => () }
+      }
+      (1 to nNew).foreach { i =>
+        val p = new Path(logPath(dir), f"chk-$v%020d.p$i-of-$nNew.parquet")
+        try f.delete(p, false) catch { case _: Exception => () }
+      }
     }
     val txnsMap = txns.toMap
     val schemaJ = schemaJson

@@ -514,12 +514,14 @@ private[sources] object PartitionTuples {
     })
 
   /** Exact partition-predicate admission over (row, payload) groups.
-    * Partition predicates must be applied EXACTLY here —
-    * FileSourceStrategy drops them from the post-scan filter — and
-    * this interpreted evaluation also covers the DYNAMIC pruning
-    * filters (DPP subqueries, materialized by the time execution calls
-    * listFiles). An unresolvable reference is a loud error, never a
-    * silent keep. */
+    * STATIC partition predicates must be applied EXACTLY here —
+    * FileSourceStrategy drops them from the post-scan filter. DYNAMIC
+    * pruning filters never reach admit: FileSourceScanExec strips them
+    * before calling listFiles and evaluates them itself over the
+    * returned PartitionDirectory rows (dynamicallySelectedPartitions)
+    * — DPP works because listFiles returns one directory per tuple,
+    * not because admit sees the subquery. An unresolvable reference is
+    * a loud error, never a silent keep. */
   def admit[A](spark: SparkSession, partFields: Seq[StructField],
       partitionFilters: Seq[Expression], groups: Seq[(InternalRow, A)])
       : Seq[(InternalRow, A)] =
@@ -683,7 +685,8 @@ final class LogLakeFileIndex(spark: SparkSession, dir: String,
   * job returns the snapshot's DISTINCT tuples (metadata-sized — a
   * date-partitioned decade is ~3,650), the driver admits tuples under
   * [[PartitionTuples.admit]] (the same interpreted evaluation the
-  * eager index uses, DPP subqueries included), and the skipping job
+  * eager index uses; DPP filters are evaluated by FileSourceScanExec
+  * itself over the per-tuple directories), and the skipping job
   * then prunes by admitted-tuple membership alongside the stats
   * constraints — so a partition-selective query's survivor list is
   * already partition-pruned when it reaches the driver.

@@ -254,4 +254,47 @@ class DistributedWriteSpec extends SparkTestBase {
       "append's schema validation must not assemble table state")
     assert(LogLake.declaredSchema(dir).fieldNames.toSeq == Seq("k", "v"))
   }
+
+  test("insert-only merge past every envelope still inherits stats columns") {
+    // ADVICE r14: the inheritance basis must NOT be the pruned
+    // candidate set — an append-style upsert whose keys sit outside
+    // every file's envelope empties the prune, and a Nil basis would
+    // commit the new files with NO data-column stats, silently turning
+    // file skipping off. Pinning config: default collection DISABLED
+    // (dataSkippingNumIndexedCols=0) with an explicit stats policy on
+    // k established by the appends — the narrowed basis cannot hide
+    // behind the first-32 default. Both paths, plus the fresh-region
+    // replaceWhere shape.
+    for (distributed <- Seq(true, false)) {
+      val dir = tmp(if (distributed) "sbdist" else "sbeager")
+      LogLake.createEmpty(dir, Seq((1L, "x")).toDF("k", "v").schema)
+      LogLake.setTableProperties(dir, Map(
+        "loglake.checkpoint.format" -> "parquet",
+        "loglake.checkpoint.partSizeFiles" -> "4",
+        "loglake.dataSkippingNumIndexedCols" -> "0",
+        "loglake.planning.distributed" -> distributed.toString))
+      (0 until 12).foreach(i =>
+        LogLake.append(spark, dir,
+          Seq((i * 100L, s"a$i"), (i * 100L + 50L, s"b$i")).toDF("k", "v")
+            .repartition(1), statsCols = Seq("k")))
+      def newStats(mutate: => Unit): Seq[Map[String, _]] = {
+        LogLake.clearSnapshotCache()
+        val beforePaths = LogLake.activeState(dir)._1.map(_.path).toSet
+        mutate
+        LogLake.clearSnapshotCache()
+        LogLake.activeState(dir)._1.filterNot(a => beforePaths(a.path))
+          .map(_.stats)
+      }
+      // keys far outside [0, 1200): candidate prune provably empties
+      val ins = newStats(LogLake.merge(spark, dir,
+        Seq((900000L, "i1"), (900001L, "i2")).toDF("k", "v"), Seq("k")))
+      assert(ins.nonEmpty && ins.forall(_.contains("k")),
+        s"insert-only merge files must carry inherited k stats, got $ins")
+      // fresh-region backfill: no existing file matches the predicate
+      val bf = newStats(LogLake.overwriteWhere(spark, dir,
+        Seq((500000L, "bf")).toDF("k", "v"), col("k") >= 500000L && col("k") < 600000L))
+      assert(bf.nonEmpty && bf.forall(_.contains("k")),
+        s"fresh-region replaceWhere files must carry inherited k stats, got $bf")
+    }
+  }
 }
