@@ -4674,6 +4674,159 @@ object LogLake {
     all.map(_._1)
   }
 
+  /** The (kind, name) keep rows one active file contributes to
+    * [[vacuumJob]]'s anti-join: its data-file NAME (the listing is
+    * name-keyed within `data/`), its DV sidecar name when present, and
+    * its root-relative path for CONVERTed originals that live beside
+    * `_loglake/`. Mirrors [[vacuum]]'s three keep-sets exactly. */
+  private def keepNamesOf(a: AddFile): Seq[(String, String)] = {
+    val b = Seq.newBuilder[(String, String)]
+    b += (("data", new Path(a.path).getName))
+    if (a.dv.nonEmpty) b += (("dv", new Path(a.dv).getName))
+    if (!a.path.contains("/")) b += (("root", a.path))
+    b.result()
+  }
+
+  /** FULLY-DISTRIBUTED VACUUM (round 15): the same reclamation contract
+    * as [[vacuum]] with the last file-count-sized driver structures
+    * gone. [[vacuum]] distributes only the per-file DELETES — its
+    * keep-SET (current ∪ tagged ∪ branch-base files) and the
+    * listing→diff are driver collections, gigabytes of path strings at
+    * 10⁸ files. Here everything is a dataflow:
+    *
+    *  - KEEP-SET as a job: for the current version and every
+    *    tag/branch-base pin, one task per checkpoint part streams the
+    *    part through [[CheckpointParquet]] (one decoded block
+    *    resident), applies the broadcast tail delta with [[resolve]]'s
+    *    semantics, and emits (kind, name) keep rows; the ≤10-commit
+    *    tail ships from the driver. A version the lazy plan cannot
+    *    serve (no checkpoint yet / cache hit / json bodies) falls back
+    *    to its driver-resolved state — tail-sized or already resident
+    *    by construction. Duplicate keep rows are harmless: the keep
+    *    side of an anti-join dedups by semantics.
+    *  - LISTING as a job: `data/`, `dv/`, the CDC dir and the table
+    *    root each list on an executor through `listStatusIterator` —
+    *    entries stream through the shuffle, the full directory never
+    *    materializes anywhere.
+    *  - VICTIMS = listing − keep-set: an anti-join on (kind, name),
+    *    age-gated by `olderThanMs` exactly like [[vacuum]] (CDC files
+    *    age out with no keep side — every one belongs to exactly one
+    *    historical commit). The victim set stays a dataset end to end;
+    *    the same tasks' partitions feed the delete, so the driver
+    *    never holds a single victim path.
+    *
+    * The tag/branch registry re-read that closes [[vacuum]]'s
+    * concurrent-createBranch window happens AFTER the victim set
+    * materializes: any base version pinned since the first read
+    * contributes a second keep-set job and a second anti-join before
+    * anything deletes.
+    *
+    * Returns the VICTIM COUNT (not the paths — returning 10⁶ names
+    * would rebuild the driver structure this exists to remove; use
+    * `dryRun` + the count, or [[vacuum]] below its scale, when names
+    * are wanted). */
+  def vacuumJob(spark: SparkSession, dir: String,
+      olderThanMs: Long = 7L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): Long = {
+    requireWriterSupported(dir)
+    if (currentVersion(dir) == 0L) return 0L
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val broadcasts =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.broadcast.Broadcast[_]]
+    def keepRows(v: Long): org.apache.spark.rdd.RDD[(String, String)] = {
+      def local(files: Seq[AddFile]) =
+        sc.parallelize(files.flatMap(keepNamesOf), 1)
+      lazyPlanInfo(dir, v, allowDvs = true) match {
+        case Some(p) =>
+          val removedB = sc.broadcast(p.removedEver); broadcasts += removedB
+          val deltaB = sc.broadcast(p.delta.toMap); broadcasts += deltaB
+          val partRows = sc.parallelize(p.parts, p.parts.size).flatMap { pStr =>
+            val path = new Path(pStr)
+            val c = CheckpointParquet.read(
+              new org.apache.hadoop.conf.Configuration(), path)
+            val rm = removedB.value; val d = deltaB.value
+            c.files.iterator.filterNot(a => rm.contains(a.path))
+              .map(a => d.getOrElse(a.path, a)).flatMap(keepNamesOf)
+          }
+          // tail adds may duplicate in-place-updated checkpoint paths —
+          // the anti-join's keep side is a set by semantics
+          partRows ++ local(p.delta.map(_._2))
+        case None => local(activeState(dir, Some(v))._1)
+      }
+    }
+    val pinned0 = (tags(dir).values ++ branches(dir).values).toSeq.distinct
+    val versions = (currentVersion(dir) +: pinned0).distinct
+    val keepDf = versions.map(keepRows).reduce(_ ++ _).toDF("kind", "name")
+    val dirStr = dir
+    val listRdd = sc.parallelize(Seq(DataDir, DvDir, CdcDir, ""), 4)
+      .flatMap { sub =>
+        val base =
+          if (sub.isEmpty) new Path(dirStr) else new Path(dirStr, sub)
+        val lfs = base.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        if (!lfs.exists(base)) Iterator.empty
+        else {
+          val it = lfs.listStatusIterator(base)
+          val raw = new Iterator[org.apache.hadoop.fs.FileStatus] {
+            override def hasNext: Boolean = it.hasNext
+            override def next(): org.apache.hadoop.fs.FileStatus = it.next()
+          }
+          raw.filter(_.isFile).flatMap { s =>
+            val n = s.getPath.getName
+            val mt = s.getModificationTime
+            sub match {
+              case "" =>
+                // CONVERTed originals beside _loglake/ — skip markers
+                if (n.endsWith(".parquet") && !n.startsWith("_") &&
+                    !n.startsWith("."))
+                  Iterator(("root", n, mt, n))
+                else Iterator.empty
+              case DataDir => Iterator(("data", n, mt, s"$DataDir/$n"))
+              case DvDir => Iterator(("dv", n, mt, s"$DvDir/$n"))
+              case _ => Iterator(("cdc", n, mt, s"$CdcDir/$n"))
+            }
+          }
+        }
+      }
+    val victims0 = listRdd.toDF("kind", "name", "mtime", "rel")
+      .filter(col("mtime") < cutoff)
+      .join(keepDf, Seq("kind", "name"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val n0 = victims0.count()
+      // registry re-read: a branch/tag pinned to an explicit OLDER
+      // version that registered after the first read is protected by
+      // a second keep-set job before anything deletes (createBranch's
+      // registry-first ordering makes the entry visible here)
+      val pins2 = (tags(dir).values ++ branches(dir).values)
+        .toSeq.distinct.filterNot(versions.contains)
+      val victims =
+        if (pins2.isEmpty) victims0
+        else victims0.join(
+          pins2.map(keepRows).reduce(_ ++ _).toDF("kind", "name"),
+          Seq("kind", "name"), "left_anti")
+      val count = if (pins2.isEmpty) n0 else victims.count()
+      if (!dryRun)
+        victims.select("rel").as[String].foreachPartition {
+          (it: Iterator[String]) =>
+            var cached: FileSystem = null
+            it.foreach { rel =>
+              val p = new Path(new Path(dirStr), rel)
+              if (cached == null)
+                cached = p.getFileSystem(
+                  new org.apache.hadoop.conf.Configuration())
+              cached.delete(p, false)
+            }
+        }
+      count
+    } finally {
+      victims0.unpersist(false)
+      broadcasts.foreach(_.unpersist(false))
+    }
+  }
+
   /** METADATA RETENTION (Delta's `delta.logRetentionDuration`): delete
     * manifests and checkpoints STRICTLY BELOW a retention floor — the
     * newest checkpoint whose commit time is under the horizon. The log
