@@ -2127,6 +2127,84 @@ object Lake {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // --- q156: BUCKETED TABLES UNDER THE LAZY PLAN (round 15). The
+    // q142 shuffle-free-join contract and the q152 never-assemble
+    // contract compose: a hash-bucketed fact with
+    // loglake.planning.distributed=true and a parquet checkpoint plans
+    // through LazyLogLakeFileIndex (bucket ids ride the file names the
+    // skipping job returns; the relation hands the planner the same
+    // BucketSpec the eager index does), so a per-customer aggregate
+    // and its join back to the fact run with ZERO exchange below the
+    // join — while the driver never materializes table state. The
+    // builder REQUIRES the lazy index on every fact scan, a
+    // sort-merge join with no shuffle under it, a job-backed plan, and
+    // a flat snapshot-assemble counter. At 100 TB this is the
+    // recurring fact⋈fact/fact⋈dim co-location win surviving the
+    // 10⁸-file metadata posture. Oracle = the same self-join
+    // declaratively (bucketing is pure layout).
+    Q(
+      "q156_loglake_lazy_bucketed",
+      s"""WITH per_cust AS (
+         |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cust_orders
+         |  FROM orders GROUP BY o_custkey
+         |)
+         |SELECT p.cust_orders, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       ${oSum("o.o_totalprice")} AS total
+         |FROM orders o JOIN per_cust p ON o.o_custkey = p.o_custkey
+         |GROUP BY p.cust_orders ORDER BY p.cust_orders""".stripMargin
+    ) { (s, d) =>
+      val s2 = graft.Sessions.derived(s,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      val dir = freshDir("q156")
+      val ord = orders(s2, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice").persist()
+      val width = ord.agg(max("o_orderkey")).head().getLong(0) / 12L + 1L
+      def slice(i: Int) = ord.filter(
+        (col("o_orderkey") / lit(width)).cast("long") === i)
+      try {
+        LogLake.create(s2, dir, slice(0), statsCols = Seq("o_orderkey"),
+          bucketBy = Seq("o_custkey"), numBuckets = 8)
+        LogLake.setTableProperties(dir, Map(
+          "loglake.checkpoint.format" -> "parquet",
+          "loglake.checkpoint.partSizeFiles" -> "32",
+          "loglake.planning.distributed" -> "true"))
+        (1 to 11).foreach(i => LogLake.append(s2, dir, slice(i)))
+      } finally ord.unpersist()
+      LogLake.clearSnapshotCache() // nothing cached: the lazy gate is live
+      val assembles = LogLake.snapshotAssembles.get()
+      val fact = s2.read.format("loglake").load(dir)
+      val perCust = s2.read.format("loglake").load(dir)
+        .groupBy("o_custkey").agg(count(lit(1)).as("cust_orders"))
+      val joined = fact.join(perCust, "o_custkey")
+      val q = joined.groupBy("cust_orders")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("cust_orders")
+      val locs = q.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.relation.location
+      }
+      require(locs.nonEmpty &&
+        locs.forall(_.isInstanceOf[graft.sources.LazyLogLakeFileIndex]),
+        s"q156: every fact scan must take the lazy index, got " +
+          locs.map(_.getClass.getSimpleName).mkString(", "))
+      val smj = q.queryExecution.executedPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.getOrElse(throw new IllegalStateException(
+        s"q156: expected a sort-merge join:\n${q.queryExecution.executedPlan}"))
+      require(smj.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.isEmpty,
+        s"q156: the bucketed lazy join must not shuffle either side:\n$smj")
+      q.count() // execute once: the listFiles jobs run now
+      require(locs.exists(
+        _.asInstanceOf[graft.sources.LazyLogLakeFileIndex].planJobs >= 1),
+        "q156: the bucketed scan must plan through the distributed job")
+      require(LogLake.snapshotAssembles.get() == assembles,
+        "q156: the bucketed lazy plan must never assemble table state")
+      q
     }
   )
 }

@@ -462,6 +462,10 @@ object LogLake {
   /** Checkpoints written by the distributed (executor-side) writer —
     * observability hook for the spec that proves the path engaged. */
   private[graft] val distributedCheckpointWrites = new java.util.concurrent.atomic.AtomicLong()
+  /** Distributed skipping/listing jobs run by [[partPruneJob]] (every
+    * lazy consumer shares that fan-out) — process-wide, surfaced with
+    * the other counters through DESCRIBE DETAIL. */
+  private[graft] val planJobsTotal = new java.util.concurrent.atomic.AtomicLong()
 
   /** Probe hook: force the next resolve to reassemble (tools/MetaProbe
     * measures the cold path explicitly). Never needed for correctness —
@@ -798,6 +802,7 @@ object LogLake {
       partStrs: Seq[String], removed: Set[String],
       delta: Map[String, AddFile], keep: AddFile => Boolean)
       : Array[(Vector[AddFile], Long, Set[String], Set[String], Set[String])] = {
+    planJobsTotal.incrementAndGet()
     val removedB = spark.sparkContext.broadcast(removed)
     val deltaB = spark.sparkContext.broadcast(delta)
     try spark.sparkContext
@@ -881,41 +886,72 @@ object LogLake {
     * its frame-backed plan rather than handing files to the native
     * scan. The native-scan caller keeps the strict gate. */
   private[sources] def lazyPlanInfo(dir: String, target: Long,
-      allowDvs: Boolean = false): Option[LazyPlan] = {
+      allowDvs: Boolean = false): Option[LazyPlan] =
+    lazyPlanEx(dir, target, allowDvs).toOption
+
+  /** [[lazyPlanInfo]] with the REFUSAL REASON (round 15): `Left` names
+    * why this snapshot routes to the eager index — surfaced through
+    * `DESCRIBE DETAIL`'s `lazyPlan` column so an operator running a
+    * 10⁸-file table can SEE that a query would plan lazily vs fall
+    * back, without reading code. */
+  private[sources] def lazyPlanEx(dir: String, target: Long,
+      allowDvs: Boolean = false): Either[String, LazyPlan] = {
     if (!tableProperties(dir).get("loglake.planning.distributed")
-        .contains("true")) return None
-    if (bucketSpec(dir).nonEmpty) return None
+        .contains("true"))
+      return Left("loglake.planning.distributed is not set")
+    // BUCKETED tables are eligible (round 15): bucket ids ride the
+    // file NAMES the skipping job already returns, and the spec is
+    // table metadata — the relation hands the planner the same
+    // BucketSpec the eager index does, so a bucketed 10⁸-file fact
+    // keeps its shuffle-free joins AND the lazy plan. The eager path's
+    // defensive allBucketTagged scan has no lazy equivalent; an
+    // untagged file (impossible for spec-created tables — the write
+    // gate conforms every path) fails the bucketed scan LOUDLY
+    // (Spark's invalid-bucket-file error), never silently mis-groups.
     val partCols = partitionColumns(dir)
     val f = fs(dir)
     val manifests = listManifests(dir)
     val targetPath = manifests.find(_._1 == target) match {
       case Some((_, p)) => p
-      case None => return None // let the eager path raise its error
+      case None => // let the eager path raise its error
+        return Left(s"version $target is not in the log")
     }
     val ts = f.getFileStatus(targetPath)
     val cached = snapshotCache.synchronized(snapshotCache.containsKey(
       (dir, target, ts.getModificationTime, ts.getLen)))
-    if (cached) return None
+    if (cached)
+      return Left("snapshot cache already holds this version (eager is free)")
     val (floor, parts) = listCheckpoints(dir)
       .filter(_._1 <= target).lastOption match {
       case Some(c) => c
-      case None => return None // tail-only table: eager is tail-sized
+      case None =>
+        return Left("no checkpoint at or below the version " +
+          "(tail-only table: eager resolve is tail-sized)")
     }
-    if (!parts.forall(_.getName.endsWith(".parquet"))) return None
+    if (!parts.forall(_.getName.endsWith(".parquet")))
+      return Left("checkpoint body is json — set " +
+        "loglake.checkpoint.format=parquet (or leave it unset under " +
+        "distributed planning: the next checkpoint auto-migrates)")
     val aggs = parts.map(p => CheckpointParquet.readAggregates(f.getConf, p))
-    if (aggs.exists(_.isEmpty)) return None // pre-aggregate parts
+    if (aggs.exists(_.isEmpty))
+      return Left("checkpoint parts predate aggregate footers — " +
+        "the next checkpoint rewrite adds them")
     if (!allowDvs && aggs.exists(_.exists(_.dvs > 0)))
-      return None // MoR window: the native scan cannot mask DV rows
+      return Left("deletion vectors active (reads serve through the " +
+        "lazy merge-on-read relation; OPTIMIZE purges the vectors)")
     val tm = readManifest(f, targetPath)
     val schema = DataType.fromJson(tm.schemaJson).asInstanceOf[StructType]
-    if (isDivergent(schema)) return None
+    if (isDivergent(schema))
+      return Left("column mapping diverges (renamed/dropped columns " +
+        "keep the eager index's exact machinery)")
     // a partition column absent from the declared schema (foreign
     // manifest) would leave the lazy index unable to type its tuple —
     // the eager index already degrades to flat listing for that shape.
     // (The DV variant never serves tuples — columns come from the data
     // files — so the check doesn't apply.)
     if (!allowDvs && !partCols.forall(c => schema.fieldNames.contains(c)))
-      return None
+      return Left("a partition column is missing from the declared " +
+        "schema (foreign manifest)")
     // the reader feature gate, from the target manifest's complete
     // (monotone) set — same refusal resolve would issue
     val unknown = tm.features -- SupportedFeatures
@@ -935,17 +971,20 @@ object LogLake {
         m.adds.foreach(a => delta(a.path) = a)
       }
     if (!allowDvs && delta.valuesIterator.exists(_.dv.nonEmpty))
-      return None // MoR tail
+      return Left("deletion vectors in the manifest tail (reads serve " +
+        "through the lazy merge-on-read relation)")
     // a tail add missing a tuple value (hand-built manifest) would
     // force a fabricated partition row — keep the eager machinery
     if (!allowDvs && partCols.nonEmpty && delta.valuesIterator.exists(a =>
-        !partCols.forall(a.partitionValues.contains))) return None
+        !partCols.forall(a.partitionValues.contains)))
+      return Left("a tail add is missing a partition tuple value " +
+        "(foreign manifest)")
     // planning size: part sums + tail adds. Removed files are NOT
     // subtracted (their bytes would need a state lookup) — an upper
     // bound is the safe direction for broadcast decisions
     val sumBytes = aggs.flatten.map(_.bytes).sum +
       delta.valuesIterator.map(a => math.max(0L, a.bytes)).sum
-    Some(LazyPlan(target, schema, parts.map(_.toString),
+    Right(LazyPlan(target, schema, parts.map(_.toString),
       removedEver.toSet, delta.toSeq,
       sumBytes, aggs.flatten.map(_.files).sum + delta.size, partCols))
   }
@@ -1001,6 +1040,16 @@ object LogLake {
         else planSurvivors(spark, p, a => constraintsKeep(cs, a))._1
       case None =>
         if (cs.isEmpty) eager._1 else eager._1.filter(constraintsKeep(cs, _))
+    }
+    /** [[candidates]] with an additional per-file admission — bucket-id
+      * pruning composed into the skipping job on the distributed path
+      * (the extra keep rides the same task closure), a plain filter on
+      * the eager one. */
+    def candidatesWhere(cs: Seq[StatC], extra: AddFile => Boolean)
+        : Seq[AddFile] = plan match {
+      case Some(p) =>
+        planSurvivors(spark, p, a => constraintsKeep(cs, a) && extra(a))._1
+      case None => eager._1.filter(a => constraintsKeep(cs, a) && extra(a))
     }
     /** Broad stats-column inheritance basis, INDEPENDENT of any
       * candidate prune: the manifest-tail adds plus the first record
@@ -1599,6 +1648,15 @@ object LogLake {
   def detailDf(spark: SparkSession, dir: String): DataFrame = {
     val v = currentVersion(dir)
     require(v > 0L, s"loglake: no table at $dir")
+    // the distributed-planning diagnosis MUST precede the resolve below
+    // (which would otherwise populate the snapshot cache and turn every
+    // answer into "cache holds this version") — this is the column an
+    // operator of a 10⁸-file table reads to see whether queries plan
+    // lazily or fall back eager, without reading code
+    val lazyDiag = lazyPlanEx(dir, v) match {
+      case Right(_) => "eligible"
+      case Left(reason) => reason
+    }
     val resolved = resolve(dir, Some(v))
     val files = resolved.files
     val schema = DataType.fromJson(resolved.schemaJson).asInstanceOf[StructType]
@@ -1617,7 +1675,14 @@ object LogLake {
       buckets.map(_.n.toLong).getOrElse(0L),
       // the resolve above already carries the monotone feature set —
       // no second manifest read
-      resolved.features.toSeq.sorted)
+      resolved.features.toSeq.sorted,
+      lazyDiag,
+      // process-wide observability counters (not per-table): how many
+      // snapshots this JVM assembled on the driver, how many
+      // distributed skipping/listing jobs ran, and how many
+      // checkpoints the executor-side writer produced
+      snapshotAssembles.get(), planJobsTotal.get(),
+      distributedCheckpointWrites.get())
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(Seq(row).asJava, DetailSchema)
   }
@@ -1635,7 +1700,11 @@ object LogLake {
     StructField("properties", MapType(StringType, StringType), nullable = false),
     StructField("clusteringColumns", ArrayType(StringType), nullable = false),
     StructField("numBuckets", LongType, nullable = false),
-    StructField("tableFeatures", ArrayType(StringType), nullable = false)))
+    StructField("tableFeatures", ArrayType(StringType), nullable = false),
+    StructField("lazyPlan", StringType, nullable = false),
+    StructField("snapshotAssembles", LongType, nullable = false),
+    StructField("planJobs", LongType, nullable = false),
+    StructField("distributedCheckpointWrites", LongType, nullable = false)))
 
   /** Partition inventory — `SHOW PARTITIONS` as data: one row per live
     * partition tuple with file/live-row/byte counts, straight from the
@@ -2095,14 +2164,34 @@ object LogLake {
     * exactly. Falls through untouched (full candidate set) when the
     * table isn't bucketed, the bucket columns aren't all merge keys,
     * or any file lacks a parseable tag. */
-  private def bucketPruneForKeys(spark: SparkSession, dir: String,
+  private def bucketPruneForKeys(dir: String,
       files: Seq[AddFile], schema: StructType, keys: DataFrame,
-      keyCols: Seq[String]): Seq[AddFile] = {
-    val bs = bucketSpec(dir).getOrElse(return files)
+      keyCols: Seq[String]): Seq[AddFile] =
+    keyBucketIds(dir, schema, keys, keyCols) match {
+      case Some(ids) => files.filter(bucketIdKeep(ids))
+      case None => files
+    }
+
+  /** Per-file bucket admission against a key-id set: a TAGGED file
+    * keeps only if its id is in the set; an untagged file is always
+    * KEPT (pruning it would need a layout proof nobody has) — so the
+    * keep is individually sound without a global tag scan, which is
+    * what lets it ride the distributed skipping job. */
+  private def bucketIdKeep(ids: Set[Int])(a: AddFile): Boolean =
+    new Path(a.path).getName match {
+      case BucketTagName(t) => ids(t.toInt)
+      case _ => true
+    }
+
+  /** The source keys' bucket-id set (≤ n values, one tiny distinct
+    * aggregate), when the spec makes key-bucket pruning SOUND — None
+    * otherwise (callers keep the full candidate set). */
+  private def keyBucketIds(dir: String, schema: StructType,
+      keys: DataFrame, keyCols: Seq[String]): Option[Set[Int]] = {
+    val bs = bucketSpec(dir).getOrElse(return None)
     val byPhys = schema.fields.iterator.map(f => physName(f) -> f).toMap
-    val bucketFields = bs.cols.map(p => byPhys.getOrElse(p, return files))
-    if (!bucketFields.forall(f => keyCols.contains(f.name))) return files
-    if (!allBucketTagged(files)) return files
+    val bucketFields = bs.cols.map(p => byPhys.getOrElse(p, return None))
+    if (!bucketFields.forall(f => keyCols.contains(f.name))) return None
     // prune only when the source key's type LOSSLESSLY casts to the
     // table's bucket column type: the semi-join the prune feeds compares
     // under Spark's coerced COMMON type, so for e.g. a DoubleType source
@@ -2131,20 +2220,16 @@ object LogLake {
     }
     if (!bucketFields.forall(f =>
       srcTypes.get(f.name).exists(st => lossless(st, f.dataType))))
-      return files
+      return None
     // hash the TABLE-TYPED values: the write side bucketed table-typed
     // rows, and murmur3 is width-sensitive — a LongType table merged
     // from an IntegerType source (names match, types coerce later)
     // would otherwise hash into the wrong buckets and silently miss
     // every existing match
     val typedKeys = bucketFields.map(f => col(f.name).cast(f.dataType))
-    val ids = keys
+    Some(keys
       .select(pmod(hash(typedKeys: _*), lit(bs.n)).as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSet // bounded by n
-    files.filter(a => new Path(a.path).getName match {
-      case BucketTagName(t) => ids(t.toInt)
-      case _ => true
-    })
+      .distinct().collect().map(_.getInt(0)).toSet) // bounded by n
   }
 
   /** Unescape one Hive partition-path component (`%XX` sequences — the
@@ -2656,8 +2741,15 @@ object LogLake {
     val candidates = keyEnvelope(keys, keyCols, schema) match {
       case None => Nil // no non-null source key: nothing can match
       case Some(cs) => disc.plan match {
-        case Some(_) => disc.candidates(cs)
-        case None => bucketPruneForKeys(spark, dir, disc.eager._1, schema,
+        case Some(_) =>
+          // bucketed layouts bound candidates to the keys' buckets on
+          // the DISTRIBUTED path too (round 15) — the id set rides the
+          // skipping-job closure
+          keyBucketIds(dir, schema, keys, keyCols) match {
+            case Some(ids) => disc.candidatesWhere(cs, bucketIdKeep(ids))
+            case None => disc.candidates(cs)
+          }
+        case None => bucketPruneForKeys(dir, disc.eager._1, schema,
           keys, keyCols).filter(constraintsKeep(cs, _))
       }
     }
@@ -2848,14 +2940,18 @@ object LogLake {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // files containing a matching key — [[merge]]'s candidate prune
     // (key envelope, distributed under the opt-in; bucket-bounded on
-    // the eager path when the layout allows), then the discovery scan
+    // BOTH paths when the layout allows), then the discovery scan
     val keyCandidates: Seq[AddFile] =
       if (matchedCls.isEmpty && insertCls.isEmpty && nmbsCls.isEmpty) Nil
       else keyEnvelope(keys, keyCols, schema) match {
         case None => Nil // no non-null source key: nothing can match
         case Some(cs) => disc.plan match {
-          case Some(_) => disc.candidates(cs)
-          case None => bucketPruneForKeys(spark, dir, disc.eager._1, schema,
+          case Some(_) =>
+            keyBucketIds(dir, schema, keys, keyCols) match {
+              case Some(ids) => disc.candidatesWhere(cs, bucketIdKeep(ids))
+              case None => disc.candidates(cs)
+            }
+          case None => bucketPruneForKeys(dir, disc.eager._1, schema,
             keys, keyCols).filter(constraintsKeep(cs, _))
         }
       }
@@ -5547,10 +5643,18 @@ object LogLake {
       val props = tableProperties(dir)
       val partSize = props.get("loglake.checkpoint.partSizeFiles")
         .flatMap(_.toLongOption).getOrElse(1000000L)
-      // body format is per-table: json (default, human-readable) or
-      // parquet (columnar/ranged/Snappy — [[CheckpointParquet]])
-      val parquetBody =
-        props.get("loglake.checkpoint.format").contains("parquet")
+      // body format is per-table: json (human-readable) or parquet
+      // (columnar/ranged/Snappy — [[CheckpointParquet]]). An EXPLICIT
+      // format wins; with none set, a table under
+      // `loglake.planning.distributed` defaults to PARQUET (round 15):
+      // the lazy plan needs parquet parts with aggregate footers, so a
+      // pre-parquet table that opts into distributed planning
+      // AUTO-MIGRATES at its next checkpoint instead of staying eager
+      // until someone also discovers the format property.
+      val parquetBody = props.get("loglake.checkpoint.format") match {
+        case Some(fmt) => fmt.trim.equalsIgnoreCase("parquet")
+        case None => props.get("loglake.planning.distributed").contains("true")
+      }
       // the distributed-planning posture extends to the WRITE side:
       // derive the new checkpoint from the previous one on executors
       // (no resolve, no state on the driver); false = driver path below
@@ -5796,6 +5900,17 @@ object LogLake {
     // add-count proxy that needs no parse)
     val sized = manifests.map { case (mv, p) =>
       (mv, p.toString, f.getFileStatus(p).getLen) }
+    // AUTO-SELECT (round 15): below a manifest-byte-sum threshold the
+    // DRIVER replay is measured cheaper than the job (10⁷ files:
+    // 44–81 s replay at 139 MB heap vs 96–103 s job, BASELINE.md) —
+    // route to it by returning false; above the threshold the replay
+    // grows toward its 10⁸-file OOM and the job is the only safe
+    // path. The property keeps the override both ways: 0 forces the
+    // job, Long.MaxValue forces the replay.
+    val jobMinBytes = tableProperties(dir)
+      .get("loglake.checkpoint.bootstrapJobMinManifestBytes")
+      .flatMap(_.toLongOption).getOrElse(4L << 30)
+    if (sized.map(_._3).sum < jobMinBytes) return false
     val targetBytes = math.max(1L, sized.map(_._3).sum / 32L)
     val segments = scala.collection.mutable.ArrayBuffer[Vector[(Long, String)]]()
     var cur = Vector.empty[(Long, String)]; var curB = 0L

@@ -251,8 +251,17 @@ object LogLakeProvider {
       // overlapped-column merge keeps the declared order; values come
       // from the PartitionDirectory rows) — DPP eligibility survives
       // the lazy plan
+      // BUCKETED snapshots (round 15) hand the planner the same
+      // BucketSpec the eager index does: ids ride the file names the
+      // skipping job returns, so shuffle-free joins/aggs and bucket
+      // pruning survive the lazy plan too. A SORTED spec's
+      // outputOrdering check pays one listFiles job at planning (Spark
+      // groups files per bucket to prove ≤1-file-per-bucket) — still
+      // never an assembled state.
+      val buckets = LogLake.bucketSpec(dir)
+        .map(bs => BucketSpec(bs.n, bs.cols, bs.sortCols))
       return HadoopFsRelation(index, partitionSchema = index.partitionSchema,
-        dataSchema = plan.schema, bucketSpec = None,
+        dataSchema = plan.schema, bucketSpec = buckets,
         fileFormat = new ParquetFileFormat(), options = Map.empty)(spark)
     }
     // the MERGE-ON-READ WINDOW under distributed planning: DVs active

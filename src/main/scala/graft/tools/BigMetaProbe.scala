@@ -210,6 +210,32 @@ object BigMetaProbe {
       require(LogLake.snapshotAssembles.get() == a14,
         "distributed merge discovery must not assemble state")
       println(f"  ${"driver heap after merge discovery"}%-42s ${usedMb() - m0}%8d MB")
+
+      // ---- round 15: VACUUM as a dataflow at the same scale ----
+      // the synthetic state's paths exist only in metadata, so the
+      // LISTING side is crafted: 10k orphan files in data/. The
+      // expensive side is real either way — the keep-set job streams
+      // all n AddFile names from the checkpoint parts through the
+      // anti-join without the driver ever holding one.
+      t("craft 10k orphan files") {
+        val dd = Paths.get(dir, "data")
+        Files.createDirectories(dd)
+        (1 to 10000).foreach(i =>
+          Files.write(dd.resolve(f"orph-$i%05d.parquet"),
+            Array.emptyByteArray))
+      }
+      Thread.sleep(1500) // orphan mtimes must fall below the cutoff
+      LogLake.clearSnapshotCache()
+      val a15 = LogLake.snapshotAssembles.get()
+      var swept = 0L
+      t("vacuumJob (keep-set job + listing job + anti-join + delete)") {
+        swept = LogLake.vacuumJob(spark, dir, olderThanMs = 0L)
+      }
+      require(swept >= 10000L, s"expected the 10k orphans swept, got $swept")
+      require(LogLake.snapshotAssembles.get() == a15,
+        "distributed vacuum must not assemble state")
+      println(f"  ${"  swept"}%-42s $swept%8d")
+      println(f"  ${"driver heap after vacuumJob"}%-42s ${usedMb() - m0}%8d MB")
       ()
     }
     spark.stop()

@@ -93,9 +93,12 @@ object BootstrapProbe {
     spark.sparkContext.setLogLevel("WARN")
     scales.foreach { n =>
       println(s"== $n files, manifest-log-only (no prior checkpoint)")
-      // -- bootstrap-as-a-job
+      // -- bootstrap-as-a-job (forced past the round-15 auto-select —
+      // this A/B measures the two paths at the same scale)
       val dj = Files.createTempDirectory(s"boot-$n-job").toString + "/t"
       val k = t("craft manifest log")(craft(dj, n, distributed = true))
+      LogLake.setTableProperties(dj, Map(
+        "loglake.checkpoint.bootstrapJobMinManifestBytes" -> "0"))
       val m0 = usedMb()
       LogLake.clearSnapshotCache()
       val assembles = LogLake.snapshotAssembles.get()
@@ -133,6 +136,22 @@ object BootstrapProbe {
           "bootstrap order/content must equal the driver replay's")
         println(f"  ${"  active files"}%-46s $na%8d")
       }
+      // -- the round-15 AUTO-SELECT under the default byte threshold:
+      // which path does an untouched distributed table actually take?
+      val da = Files.createTempDirectory(s"boot-$n-auto").toString + "/t"
+      t("craft auto-select twin")(craft(da, n, distributed = true))
+      val manifestMb = {
+        val log = new java.io.File(da, LogLake.LogDir)
+        log.listFiles().filter(_.getName.endsWith(".json")).map(_.length).sum /
+          (1024 * 1024)
+      }
+      LogLake.clearSnapshotCache()
+      val w0 = LogLake.distributedCheckpointWrites.get()
+      t("generation 1 under AUTO-SELECT")(LogLake.forceCheckpoint(da, k))
+      val chose =
+        if (LogLake.distributedCheckpointWrites.get() > w0) "the JOB"
+        else "the DRIVER replay"
+      println(f"  ${s"auto-select ($manifestMb MB manifests) chose"}%-46s $chose")
       ()
     }
     spark.stop()

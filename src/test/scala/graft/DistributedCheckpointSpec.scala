@@ -96,6 +96,9 @@ class DistributedCheckpointSpec extends SparkTestBase {
     LogLake.setTableProperties(dir, Map(
       "loglake.checkpoint.format" -> "parquet",
       "loglake.checkpoint.partSizeFiles" -> "4",
+      // force the bootstrap JOB at toy scale (auto-select would route
+      // this fixture to the driver replay)
+      "loglake.checkpoint.bootstrapJobMinManifestBytes" -> "0",
       "loglake.planning.distributed" -> "true"))
     (0 until 5).foreach(i =>
       LogLake.append(spark, dir,
@@ -137,5 +140,37 @@ class DistributedCheckpointSpec extends SparkTestBase {
     val viaLog = LogLake.activeState(dir, Some(9L))._1.map(_.path)
     assert(viaChk.dropRight(1) == viaLog,
       "bootstrap part order must equal the manifest replay order")
+  }
+
+  test("bootstrap auto-select: a small manifest log takes the driver replay") {
+    // under the DEFAULT loglake.checkpoint.bootstrapJobMinManifestBytes
+    // threshold a toy log must pick the cheaper driver replay (the job
+    // pays ~2x where the replay still fits, BASELINE.md) — and the
+    // replay's parquet group must serve the lazy plan identically
+    val before = LogLake.distributedCheckpointWrites.get()
+    val dir = tmp("autosel")
+    LogLake.createEmpty(dir, Seq((1L, "x")).toDF("k", "v").schema)
+    LogLake.setTableProperties(dir, Map(
+      "loglake.checkpoint.format" -> "parquet",
+      "loglake.checkpoint.partSizeFiles" -> "4",
+      "loglake.planning.distributed" -> "true"))
+    (0 until 11).foreach(i =>
+      LogLake.append(spark, dir, Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(1)))                        // v2..v12, chk at v10
+    assert(LogLake.distributedCheckpointWrites.get() == before,
+      "below the byte threshold the driver replay must be chosen")
+    assert(new java.io.File(dir, "_loglake").listFiles()
+      .exists(_.getName.matches("""chk-0*10\.p\d+-of-\d+\.parquet""")),
+      "the replay must still write the parquet group")
+    LogLake.clearSnapshotCache()
+    val assembles = LogLake.snapshotAssembles.get()
+    val df = spark.read.format("loglake").load(dir)
+    assert(df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location
+    }.get.isInstanceOf[graft.sources.LazyLogLakeFileIndex],
+      "the replay-written group must still unlock the lazy plan")
+    assert(df.count() == 11L)
+    assert(LogLake.snapshotAssembles.get() == assembles)
   }
 }

@@ -223,6 +223,9 @@ class DistributedWriteSpec extends SparkTestBase {
     LogLake.setTableProperties(dir, Map(
       "loglake.checkpoint.format" -> "parquet",
       "loglake.checkpoint.partSizeFiles" -> "4",
+      // force the bootstrap JOB at toy scale (auto-select would route
+      // this fixture to the driver replay)
+      "loglake.checkpoint.bootstrapJobMinManifestBytes" -> "0",
       "loglake.planning.distributed" -> "true"))
     (0 until 6).foreach(i =>
       LogLake.append(spark, dir, Seq((i.toLong, s"v$i")).toDF("k", "v")
@@ -253,6 +256,37 @@ class DistributedWriteSpec extends SparkTestBase {
     assert(LogLake.snapshotAssembles.get() == before,
       "append's schema validation must not assemble table state")
     assert(LogLake.declaredSchema(dir).fieldNames.toSeq == Seq("k", "v"))
+  }
+
+  test("DESCRIBE DETAIL surfaces the lazy-plan diagnosis and counters") {
+    // eligible table: distributed + parquet checkpoint
+    val d = build(distributed = true)
+    LogLake.clearSnapshotCache()
+    val row = LogLake.detailDf(spark, d).head()
+    assert(row.getAs[String]("lazyPlan") == "eligible",
+      s"got '${row.getAs[String]("lazyPlan")}'")
+    assert(row.getAs[Long]("snapshotAssembles") >= 0L &&
+      row.getAs[Long]("planJobs") >= 0L &&
+      row.getAs[Long]("distributedCheckpointWrites") >= 0L)
+    // property off: the reason names it
+    val e = build(distributed = false)
+    LogLake.clearSnapshotCache()
+    assert(LogLake.detailDf(spark, e).head().getAs[String]("lazyPlan")
+      .contains("loglake.planning.distributed"))
+    // explicit json bodies: the reason names the format
+    val j = tmp("jdiag")
+    LogLake.createEmpty(j, Seq((1L, "x")).toDF("k", "v").schema)
+    LogLake.setTableProperties(j, Map(
+      "loglake.checkpoint.format" -> "json",
+      "loglake.planning.distributed" -> "true"))
+    (0 until 12).foreach(i =>
+      LogLake.append(spark, j, Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    LogLake.clearSnapshotCache()
+    assert(LogLake.detailDf(spark, j).head().getAs[String]("lazyPlan")
+      .contains("json"))
+    // the SQL surface shows the same columns
+    val sqlRow = spark.sql(s"DESCRIBE DETAIL '$d'").head()
+    assert(sqlRow.schema.fieldNames.contains("lazyPlan"))
   }
 
   test("insert-only merge past every envelope still inherits stats columns") {

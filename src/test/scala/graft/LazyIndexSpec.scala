@@ -102,11 +102,12 @@ class LazyIndexSpec extends SparkTestBase {
     LogLake.delete(spark, dvDir, col("k") === 450L, mor = true)
     LogLake.clearSnapshotCache()
     assert(spark.read.format("loglake").load(dvDir).count() == 23L)
-    // json checkpoint bodies → no aggregate footers → eager
+    // EXPLICIT json checkpoint bodies → no aggregate footers → eager
     val jsonDir = tmp("json")
     LogLake.createEmpty(jsonDir, Seq((1L, "x")).toDF("k", "v").schema)
-    LogLake.setTableProperties(jsonDir,
-      Map("loglake.planning.distributed" -> "true"))
+    LogLake.setTableProperties(jsonDir, Map(
+      "loglake.checkpoint.format" -> "json",
+      "loglake.planning.distributed" -> "true"))
     (0 until 12).foreach(i =>
       LogLake.append(spark, jsonDir, Seq((i.toLong, s"v$i")).toDF("k", "v")
         .repartition(1)))
@@ -255,6 +256,120 @@ class LazyIndexSpec extends SparkTestBase {
       s"no DPP filter planted:\n${q.queryExecution.optimizedPlan}")
     val r = q.head()
     assert(r.getLong(0) == 13L)
+    assert(LogLake.snapshotAssembles.get() == before)
+  }
+
+  /** Bucketed distributed table: create-time spec, then enough appends
+    * for a parquet checkpoint. 4 buckets on k; rows k = 1..n. */
+  private def buildBucketed(n: Int): String = {
+    val dir = tmp("bkt")
+    LogLake.create(spark, dir,
+      (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      bucketBy = Seq("k"), numBuckets = 4)
+    LogLake.setTableProperties(dir, Map(
+      "loglake.checkpoint.format" -> "parquet",
+      "loglake.checkpoint.partSizeFiles" -> "16",
+      "loglake.planning.distributed" -> "true"))
+    var next = 41
+    while (next <= n) {
+      val hi = math.min(next + 39, n)
+      LogLake.append(spark, dir,
+        (next to hi).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+      next = hi + 1
+    }
+    dir
+  }
+
+  test("bucketed tables plan lazily: no-exchange join, eager parity, flat counter") {
+    val l = buildBucketed(520)
+    val r = buildBucketed(520)
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    val lf = spark.read.format("loglake").load(l)
+    assert(index(lf).isInstanceOf[LazyLogLakeFileIndex],
+      s"bucketed + distributed must take the lazy index, got " +
+        index(lf).getClass.getSimpleName)
+    // the q142-class pin: co-located SMJ with NO shuffle exchange,
+    // riding the lazy index's listFiles job
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val j = lf.join(spark.read.format("loglake").load(r)
+        .select(col("k"), col("v").as("w")), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed lazy join must not shuffle:\n$plan")
+      assert(j.count() == 520L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+    assert(LogLake.snapshotAssembles.get() == before,
+      "the bucketed lazy plan must never assemble table state")
+    // eager parity, bit for bit
+    LogLake.setTableProperties(l,
+      Map("loglake.planning.distributed" -> "false"))
+    LogLake.clearSnapshotCache()
+    val eager = spark.read.format("loglake").load(l)
+    assert(index(eager).isInstanceOf[LogLakeFileIndex])
+    assert(eager.orderBy("k").collect().toSeq ==
+      lf.orderBy("k").collect().toSeq)
+  }
+
+  test("bucketed distributed MERGE bounds discovery to the keys' buckets") {
+    val dir = buildBucketed(520)
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    // one updated key + one insert outside every envelope: candidate
+    // discovery rides the skipping job with the bucket-id keep
+    LogLake.merge(spark, dir,
+      Seq((7L, "upd"), (99999L, "ins")).toDF("k", "v"), Seq("k"))
+    assert(LogLake.snapshotAssembles.get() == before,
+      "bucketed distributed merge discovery must not assemble state")
+    LogLake.clearSnapshotCache()
+    val after = LogLake.snapshot(spark, dir)
+    assert(after.filter(col("v") === "upd").count() == 1L)
+    assert(after.filter(col("k") === 99999L).count() == 1L)
+    assert(after.count() == 521L)
+    // the merge's rewrite kept every file tagged (layout preserved)
+    assert(LogLake.allBucketTagged(LogLake.activeState(dir)._1))
+  }
+
+  test("a pre-parquet table auto-migrates at its next checkpoint and goes lazy") {
+    // simulate a pre-round-13 table: json checkpoint bodies on disk,
+    // NO format property — flipping on distributed planning alone must
+    // unlock the lazy plan at the next checkpoint (round 15: the body
+    // format defaults to parquet under the distributed posture)
+    val dir = tmp("mig")
+    LogLake.createEmpty(dir, Seq((1L, "x")).toDF("k", "v").schema)
+    (0 until 11).foreach(i => // v2..v12 — a JSON checkpoint at v10
+      LogLake.append(spark, dir, Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(1)))
+    assert(new java.io.File(dir, "_loglake").listFiles()
+      .exists(_.getName == f"chk-${10L}%020d.json"),
+      "fixture must hold a pre-migration json checkpoint")
+    LogLake.setTableProperties(dir,
+      Map("loglake.planning.distributed" -> "true"))
+    // before the next checkpoint: still eager (json body, no footers)
+    LogLake.clearSnapshotCache()
+    assert(index(spark.read.format("loglake").load(dir))
+      .isInstanceOf[LogLakeFileIndex])
+    // commits up to the next checkpoint cadence (v20)
+    (11 until 19).foreach(i =>
+      LogLake.append(spark, dir, Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(1)))
+    assert(new java.io.File(dir, "_loglake").listFiles()
+      .exists(_.getName == f"chk-${20L}%020d.parquet"),
+      "the first post-upgrade checkpoint must be parquet")
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    val df = spark.read.format("loglake").load(dir)
+    assert(index(df).isInstanceOf[LazyLogLakeFileIndex],
+      "the parquet checkpoint must unlock the lazy plan")
+    assert(df.count() == 19L)
     assert(LogLake.snapshotAssembles.get() == before)
   }
 }
