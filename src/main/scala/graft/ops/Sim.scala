@@ -1184,8 +1184,17 @@ object Sim {
            |  SELECT vec_id, list_transform(embedding,
            |    v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000) AS BIGINT)) AS nx
            |  FROM nz
+           |), ncl AS (
+           |  SELECT GREATEST(MIN(CAST(1 AS BIGINT) << i.i), 32) AS k
+           |  FROM range(0, 31) i(i), (SELECT COUNT(*) AS c FROM n) cnt
+           |  WHERE (CAST(1 AS BIGINT) << i.i) * (CAST(1 AS BIGINT) << i.i)
+           |        >= cnt.c
            |), cent AS (
-           |  SELECT vec_id AS c_id, nx AS nc FROM n ORDER BY vec_id LIMIT 32
+           |  SELECT c_id, nc FROM (
+           |    SELECT vec_id AS c_id, nx AS nc,
+           |           ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+           |    FROM n) c, ncl
+           |  WHERE c.rn <= ncl.k
            |), assign AS (
            |  SELECT vec_id, c_id, nx, nc FROM (
            |    SELECT n.vec_id, cent.c_id, n.nx, cent.nc,
@@ -1269,9 +1278,21 @@ object Sim {
         .withColumn("nx", transform(col("embedding"),
           v => floor(v.cast("double") / col("nrm") * lit(1e6)).cast("long")))
         .select("vec_id", "nx")
-      // coarse centroids: a FIXED k=32 deterministic set (lowest
-      // vec_ids, q144's posture) — broadcast size independent of corpus
-      val cent = n.orderBy("vec_id").limit(KS)
+      // coarse centroids: ncells GROWS WITH THE CORPUS (round 15 —
+      // fixed 32 cells made per-probe cell volume linear in n, the
+      // Amplify last-decade 0.90 exponent): the smallest power of two
+      // whose SQUARE covers n, i.e. ncells ≈ √n (floor 32), computed
+      // by exact integer arithmetic so DuckDB replays the same count
+      // with no float-boundary risk. Per-probe candidates then cost
+      // nprobe·n/ncells ≈ 8·√n — sub-linear scan at every decade —
+      // while the centroid broadcast stays √n-sized (50 MB at 10¹²
+      // vectors of 64 dims: still a broadcast). Membership is the
+      // lowest-vec_id sample, deterministic at any scale.
+      val cnt = n.count()
+      var p2 = 1L
+      while (p2 * p2 < cnt) p2 <<= 1
+      val ncells = math.max(p2, 32L).toInt
+      val cent = n.orderBy("vec_id").limit(ncells)
         .select(col("vec_id").as("c_id"), col("nx").as("nc"))
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ip").desc, col("c_id"))
       val assign = n.crossJoin(broadcast(cent))
