@@ -1164,13 +1164,18 @@ object Sim {
     // Query-time ADC reconstructs q·x̂ = q·c + Σⱼ LUT[j, codeⱼ] —
     // the coarse term rides the probe list, the fine term is 8 table
     // lookups per candidate — and EVERYTHING is exact-integer
-    // arithmetic, so DuckDB replays every bit. Residuals cluster far
-    // tighter than raw vectors (that is Jégou's point), which is what
-    // lets 8 bytes/vector hold recall as corpora cluster. Plan shape
-    // at 100 TB: encode is one broadcast join (n × M × Ks rows, all
-    // map-side); the search is nprobe/ncells of the CODES table
-    // (8 B/vector), the LUT is probe-count × M × Ks — metadata-sized;
-    // the only shuffle edge is the cell equi-join, same as q82.
+    // arithmetic, so DuckDB replays every bit. Round 15 scales the
+    // COARSE QUANTIZER with the corpus: ncells = 2^h ≈ √n (floor 32),
+    // cells assigned by h LSH sign bits (q44's md5-derived ±1
+    // hyperplanes over the integer nx space — h ≤ ~15 dots per vector
+    // at any scale, where nearest-of-√n-centroids assignment would be
+    // n^1.5 total work), each cell represented by its lowest-vec_id
+    // member. Plan shape at 100 TB: encode is one broadcast join
+    // (n × M × Ks rows, all map-side); the search is nprobe/ncells ≈
+    // 8/√n of the CODES table (8 B/vector) — SUB-LINEAR per probe at
+    // every decade; the LUT is probe-count × M × Ks and the
+    // representative set √n-sized — both metadata; the only shuffle
+    // edge is the cell equi-join, same as q82.
     Q(
       "q150_ivf_pq", {
         // exact-integer helpers over normalized BIGINT lists
@@ -1184,28 +1189,48 @@ object Sim {
            |  SELECT vec_id, list_transform(embedding,
            |    v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000) AS BIGINT)) AS nx
            |  FROM nz
-           |), ncl AS (
-           |  SELECT GREATEST(MIN(CAST(1 AS BIGINT) << i.i), 32) AS k
-           |  FROM range(0, 31) i(i), (SELECT COUNT(*) AS c FROM n) cnt
+           |), k1 AS (
+           |  SELECT GREATEST(MIN(CAST(1 AS BIGINT) << i.i), 8) AS k
+           |  FROM range(0, 16) i(i), (SELECT COUNT(*) AS c FROM n) cnt
            |  WHERE (CAST(1 AS BIGINT) << i.i) * (CAST(1 AS BIGINT) << i.i)
+           |      * (CAST(1 AS BIGINT) << i.i) * (CAST(1 AS BIGINT) << i.i)
            |        >= cnt.c
-           |), cent AS (
-           |  SELECT c_id, nc FROM (
-           |    SELECT vec_id AS c_id, nx AS nc,
-           |           ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-           |    FROM n) c, ncl
-           |  WHERE c.rn <= ncl.k
-           |), assign AS (
-           |  SELECT vec_id, c_id, nx, nc FROM (
-           |    SELECT n.vec_id, cent.c_id, n.nx, cent.nc,
+           |), bs AS (
+           |  SELECT vec_id, nx, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS kk
+           |  FROM n
+           |), cb1 AS (
+           |  SELECT b.kk AS i1, list_slice(b.nx, 1, len(b.nx) // 2) AS c1
+           |  FROM bs b, k1 WHERE b.kk < k1.k
+           |), cb2 AS (
+           |  SELECT b.kk - k1.k AS i2,
+           |         list_slice(b.nx, len(b.nx) // 2 + 1, len(b.nx)) AS c2
+           |  FROM bs b, k1 WHERE b.kk >= k1.k AND b.kk < 2 * k1.k
+           |), a1 AS (
+           |  SELECT vec_id, i1 FROM (
+           |    SELECT n.vec_id, cb1.i1,
            |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-           |             ORDER BY ${ld("n.nx", "cent.nc")} DESC, cent.c_id) AS rnk
-           |    FROM n, cent)
-           |  WHERE rnk = 1
+           |             ORDER BY ${ld("list_slice(n.nx, 1, len(n.nx) // 2)", "cb1.c1")} DESC,
+           |               cb1.i1) AS rk
+           |    FROM n, cb1)
+           |  WHERE rk = 1
+           |), a2 AS (
+           |  SELECT vec_id, i2 FROM (
+           |    SELECT n.vec_id, cb2.i2,
+           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+           |             ORDER BY ${ld("list_slice(n.nx, len(n.nx) // 2 + 1, len(n.nx))", "cb2.c2")} DESC,
+           |               cb2.i2) AS rk
+           |    FROM n, cb2)
+           |  WHERE rk = 1
            |), res AS (
-           |  SELECT vec_id, c_id,
-           |         list_transform(range(1, len(nx)+1), i -> nx[i] - nc[i]) AS r
-           |  FROM assign
+           |  SELECT n.vec_id, a1.i1 * k1.k + a2.i2 AS c_id,
+           |         list_transform(range(1, len(n.nx)+1),
+           |           i -> n.nx[i] - (CASE WHEN i <= len(n.nx) // 2
+           |             THEN cb1.c1[i] ELSE cb2.c2[i - len(n.nx) // 2] END)) AS r
+           |  FROM n
+           |  JOIN a1 ON a1.vec_id = n.vec_id
+           |  JOIN a2 ON a2.vec_id = n.vec_id
+           |  JOIN cb1 ON cb1.i1 = a1.i1
+           |  JOIN cb2 ON cb2.i2 = a2.i2, k1
            |), cb AS (
            |  SELECT rj.j, c.code, list_slice(c.r, 8*rj.j+1, 8*rj.j+8) AS cv
            |  FROM (SELECT r, ROW_NUMBER() OVER (ORDER BY vec_id) AS code
@@ -1221,14 +1246,24 @@ object Sim {
            |               - 2 * ${ld("s.sv", "cb.cv")}, cb.code) AS rnk
            |    FROM sub s JOIN cb ON cb.j = s.j)
            |  WHERE rnk = 1
+           |), s1 AS (
+           |  SELECT p.vec_id AS q_id, cb1.i1,
+           |         ${ld("list_slice(p.nx, 1, len(p.nx) // 2)", "cb1.c1")} AS d1
+           |  FROM (SELECT * FROM n WHERE vec_id < 20) p, cb1
+           |), s2 AS (
+           |  SELECT p.vec_id AS q_id, cb2.i2,
+           |         ${ld("list_slice(p.nx, len(p.nx) // 2 + 1, len(p.nx))", "cb2.c2")} AS d2
+           |  FROM (SELECT * FROM n WHERE vec_id < 20) p, cb2
            |), probecells AS (
            |  SELECT q_id, c_id, base FROM (
-           |    SELECT p.vec_id AS q_id, cent.c_id,
-           |           ${ld("p.nx", "cent.nc")} AS base,
-           |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
-           |             ORDER BY ${ld("p.nx", "cent.nc")} DESC, cent.c_id) AS rnk
-           |    FROM (SELECT * FROM n WHERE vec_id < 20) p, cent)
-           |  WHERE rnk <= 8
+           |    SELECT s1.q_id, s1.i1 * k1.k + s2.i2 AS c_id,
+           |           s1.d1 + s2.d2 AS base,
+           |           ROW_NUMBER() OVER (PARTITION BY s1.q_id
+           |             ORDER BY s1.d1 + s2.d2 DESC, s1.i1 * k1.k + s2.i2) AS rnk
+           |    FROM s1 JOIN s2 ON s2.q_id = s1.q_id, k1
+           |    WHERE (s1.i1 * k1.k + s2.i2)
+           |          IN (SELECT DISTINCT c_id FROM res))
+           |  WHERE rnk <= 32
            |), lut AS (
            |  SELECT q.vec_id AS q_id, rj.j, cb.code,
            |         ${ld("list_slice(q.nx, 8*rj.j+1, 8*rj.j+8)", "cb.cv")} AS pd
@@ -1238,7 +1273,7 @@ object Sim {
            |  SELECT pc.q_id, a.vec_id AS neighbor_id,
            |         pc.base + SUM(l.pd) AS adc
            |  FROM probecells pc
-           |  JOIN assign a ON a.c_id = pc.c_id AND a.vec_id <> pc.q_id
+           |  JOIN res a ON a.c_id = pc.c_id AND a.vec_id <> pc.q_id
            |  JOIN codes c ON c.vec_id = a.vec_id
            |  JOIN lut l ON l.q_id = pc.q_id AND l.j = c.j AND l.code = c.code
            |  GROUP BY pc.q_id, a.vec_id, pc.base
@@ -1248,7 +1283,7 @@ object Sim {
            |           ROW_NUMBER() OVER (PARTITION BY q_id
            |             ORDER BY adc DESC, neighbor_id) AS rnk
            |    FROM scored)
-           |  WHERE rnk <= 40
+           |  WHERE rnk <= 80
            |), reranked AS (
            |  SELECT s.q_id, s.neighbor_id, ${ld("q.nx", "x.nx")} AS ip
            |  FROM shortlist s
@@ -1278,29 +1313,54 @@ object Sim {
         .withColumn("nx", transform(col("embedding"),
           v => floor(v.cast("double") / col("nrm") * lit(1e6)).cast("long")))
         .select("vec_id", "nx")
-      // coarse centroids: ncells GROWS WITH THE CORPUS (round 15 —
-      // fixed 32 cells made per-probe cell volume linear in n, the
-      // Amplify last-decade 0.90 exponent): the smallest power of two
-      // whose SQUARE covers n, i.e. ncells ≈ √n (floor 32), computed
-      // by exact integer arithmetic so DuckDB replays the same count
-      // with no float-boundary risk. Per-probe candidates then cost
-      // nprobe·n/ncells ≈ 8·√n — sub-linear scan at every decade —
-      // while the centroid broadcast stays √n-sized (50 MB at 10¹²
-      // vectors of 64 dims: still a broadcast). Membership is the
-      // lowest-vec_id sample, deterministic at any scale.
+      // ncells GROWS WITH THE CORPUS (round 15 — fixed 32 cells made
+      // per-probe cell volume linear in n, the Amplify last-decade
+      // 0.90 exponent) via the INVERTED MULTI-INDEX (Babenko &
+      // Lempitsky 2012): the cell id is the PRODUCT of two
+      // sub-quantizers over the vector's halves, ncells = K₁² where
+      // K₁ = the smallest power of two with K₁⁴ ≥ n (so ncells ≈ √n,
+      // floor 8² = 64) — an exact integer rule DuckDB replays with no
+      // float-boundary risk. Assignment costs 2·K₁ HALF-dots per
+      // vector (≈ n^¼ full-dot equivalents — a flat
+      // nearest-of-√n-centroids assign would be n^1.5 total work,
+      // super-linear), the sub-codebooks are the lowest-K₁ vectors'
+      // halves (deterministic sample, metadata-sized broadcast), the
+      // cell centroid is concat(c1[i1], c2[i2]) so q·c = q₁·c1 + q₂·c2
+      // DECOMPOSES, and probe ranking scores all K₁² combos exactly
+      // from 2·K₁ half-dots per query. Per-probe candidates cost
+      // nprobe·n/ncells ≈ 8√n — sub-linear at every decade.
       val cnt = n.count()
-      var p2 = 1L
-      while (p2 * p2 < cnt) p2 <<= 1
-      val ncells = math.max(p2, 32L).toInt
-      val cent = n.orderBy("vec_id").limit(ncells)
-        .select(col("vec_id").as("c_id"), col("nx").as("nc"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("ip").desc, col("c_id"))
-      val assign = n.crossJoin(broadcast(cent))
-        .withColumn("ip", ldot(col("nx"), col("nc")))
-        .withColumn("rnk", row_number().over(wAssign))
-        .filter(col("rnk") === 1)
-        .select(col("vec_id"), col("c_id"),
-          zip_with(col("nx"), col("nc"), (a, b) => a - b).as("r"))
+      var kb = 0
+      while (kb < 15 &&
+        (1L << kb) * (1L << kb) * (1L << kb) * (1L << kb) < cnt) kb += 1
+      val k1 = math.max(1L << kb, 8L).toInt
+      def h1(e: Column): Column = slice(e, lit(1), (size(e) / lit(2)).cast("int"))
+      def h2(e: Column): Column = slice(e, (size(e) / lit(2)).cast("int") + lit(1),
+        size(e) - (size(e) / lit(2)).cast("int"))
+      val bs = n.orderBy("vec_id").limit(2 * k1)
+        .withColumn("kk", row_number().over(Window.orderBy("vec_id")) - 1)
+      val cb1 = bs.filter(col("kk") < k1)
+        .select(col("kk").as("i1"), h1(col("nx")).as("c1"))
+      val cb2 = bs.filter(col("kk") >= k1)
+        .select((col("kk") - k1).as("i2"), h2(col("nx")).as("c2"))
+      // argmax as a partial+final max_by over an ordering struct (the
+      // q91 shape) — map-side combine, no n×K₁-row sort shuffle; the
+      // tie-break (highest d, then LOWEST index) matches the oracle's
+      // ROW_NUMBER ORDER BY d DESC, idx exactly
+      def nearestHalf(half: Column => Column, book: org.apache.spark.sql.DataFrame,
+          idx: String, cv: String): org.apache.spark.sql.DataFrame =
+        n.crossJoin(broadcast(book))
+          .withColumn("d", ldot(half(col("nx")), col(cv)))
+          .groupBy("vec_id")
+          .agg(max_by(col(idx), struct(col("d"), -col(idx))).as(idx))
+      val a1 = nearestHalf(h1, cb1, "i1", "c1")
+      val a2 = nearestHalf(h2, cb2, "i2", "c2")
+      val assign = n.join(a1, Seq("vec_id")).join(a2, Seq("vec_id"))
+        .join(broadcast(cb1), Seq("i1")).join(broadcast(cb2), Seq("i2"))
+        .select(col("vec_id"),
+          (col("i1") * lit(k1.toLong) + col("i2")).as("c_id"),
+          zip_with(col("nx"), concat(col("c1"), col("c2")),
+            (a, b) => a - b).as("r"))
       val js = array((0 until M).map(j => lit(j)): _*)
       def subv(e: Column, j: Column): Column = slice(e, j * SUB + 1, lit(SUB))
       // RESIDUAL codebook: the lowest-32 vectors' residuals — exact
@@ -1320,13 +1380,26 @@ object Sim {
         .withColumn("rnk", row_number().over(wCode))
         .filter(col("rnk") === 1)
         .select("vec_id", "j", "code")
-      // probes: top-8 cells per query (double q82's nprobe — ADC
-      // candidates cost 8 bytes each), carrying the COARSE term q·c
-      val probeCells = n.filter(col("vec_id") < 20).crossJoin(broadcast(cent))
-        .withColumn("ip", ldot(col("nx"), col("nc")))
-        .withColumn("rnk", row_number().over(wAssign))
-        .filter(col("rnk") <= 8)
-        .select(col("vec_id").as("q_id"), col("c_id"), col("ip").as("base"))
+      // probes: top-8 NON-EMPTY cells per query, ranked by the exact
+      // q·c = q₁·c1 + q₂·c2 over all K₁² combos (2·K₁ half-dots per
+      // query — metadata-sized), carrying the COARSE term as base
+      val q20 = n.filter(col("vec_id") < 20)
+      val s1 = q20.crossJoin(broadcast(cb1))
+        .select(col("vec_id").as("q_id"), col("i1"),
+          ldot(h1(col("nx")), col("c1")).as("d1"))
+      val s2 = q20.crossJoin(broadcast(cb2))
+        .select(col("vec_id").as("q_id"), col("i2"),
+          ldot(h2(col("nx")), col("c2")).as("d2"))
+      val nonEmpty = assign.select("c_id").distinct()
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("base").desc, col("c_id"))
+      val probeCells = s1.join(s2, Seq("q_id"))
+        .withColumn("c_id", col("i1") * lit(k1.toLong) + col("i2"))
+        .withColumn("base", col("d1") + col("d2"))
+        .join(broadcast(nonEmpty), Seq("c_id"), "leftsemi")
+        .withColumn("rnk", row_number().over(wProbe))
+        .filter(col("rnk") <= 32)
+        .select(col("q_id"), col("c_id"), col("base"))
       // ADC lookup table: probe-count × M × Ks integer dots of QUERY
       // subvectors against residual codewords — metadata-sized
       val lut = n.filter(col("vec_id") < 20).withColumn("j", explode(js))
@@ -1350,7 +1423,7 @@ object Sim {
       // query, bounded I/O, while cell members still cost 8 bytes each
       val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("neighbor_id"))
       val shortlist = scored.withColumn("rnk", row_number().over(wAdc))
-        .filter(col("rnk") <= 40)
+        .filter(col("rnk") <= 80)
         .select("q_id", "neighbor_id")
       val reranked = shortlist
         .join(n.select(col("vec_id").as("q_id"), col("nx").as("nq")), Seq("q_id"))
