@@ -1191,7 +1191,7 @@ object Sim {
            |  FROM nz
            |), k1 AS (
            |  SELECT GREATEST(MIN(CAST(1 AS BIGINT) << i.i), 8) AS k
-           |  FROM range(0, 16) i(i), (SELECT COUNT(*) AS c FROM n) cnt
+           |  FROM (SELECT COUNT(*) AS c FROM n) cnt, range(0, 16) i(i)
            |  WHERE (CAST(1 AS BIGINT) << i.i) * (CAST(1 AS BIGINT) << i.i)
            |      * (CAST(1 AS BIGINT) << i.i) * (CAST(1 AS BIGINT) << i.i)
            |        >= cnt.c
