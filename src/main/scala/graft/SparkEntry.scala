@@ -15,6 +15,7 @@ object SparkEntry {
     ops.Scalars.all ++
     ops.Text.all ++
     ops.Sim.all ++
+    ops.AnnLake.all ++
     ops.Advanced.all ++
     ops.Multimodal.all ++
     ops.Lake.all ++

@@ -1,0 +1,452 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The IVF-PQ / inverted-multi-index ANN kernel, shared by q150 (in-query
+  * build + search), q157 (build → PERSIST as loglake tables → search by
+  * reading the index), and q158 (incremental maintenance with frozen
+  * codebooks). One definition of the math so the three queries cannot
+  * drift; every step is exact-integer arithmetic so DuckDB replays each
+  * bit (the oracle builder lives here too, parameterized by the same
+  * knobs).
+  *
+  * Design (Jégou et al. 2011 IVFADC+R; Babenko & Lempitsky 2012 inverted
+  * multi-index): vectors are normalized into an exact integer space
+  * NX = ⌊xᵢ/‖x‖·10⁶⌋; the coarse cell id is the PRODUCT of two
+  * sub-quantizers over the vector halves (K₁ = smallest power of two with
+  * K₁⁴ ≥ n, so ncells = K₁² ≈ √n, floor 8² = 64); residuals against the
+  * concatenated half-centroids are PQ-coded per 8-dim subvector against a
+  * deterministic residual codebook (lowest-KS primary residuals). Search
+  * ranks all K₁² cells exactly from 2·K₁ half-dots per query, probes the
+  * top `nprobe`, ADC-scores candidates from code bytes alone, shortlists
+  * `shortR`, and re-ranks the shortlist by the exact integer dot.
+  *
+  * Round-16 knobs (verdict item 5 — recall floor 0.70 → 0.75):
+  * `nprobe` derives from a TARGET SCAN FRACTION as an exact integer rule
+  * ([[nprobeOf]]): probe ncells/4 of the cells, clamped to [64, 128] and
+  * capped at ncells — small corpora probe everything (recall → exact),
+  * large corpora scan ≤ max(64,128)·n/ncells ≈ 128·√n candidates, so the
+  * sub-linear exponent survives every decade; the ADC shortlist deepens
+  * 80 → 160 (constant, bounded re-rank I/O) — measured recall@5
+  * 0.96/0.90/0.81 at sf0.001/0.01/0.1, up from 0.76/0.81/0.72. `ma`
+  * (multi-assignment) stays 1: the shortlist, not the probe list, was
+  * the bottleneck, so the index does not double.
+  *
+  * 100 TB plan shape: the books are metadata-sized broadcasts at any
+  * corpus size (2·K₁ half-vectors + KS residual codewords); encode is one
+  * broadcast join, all map-side; the per-probe candidate volume is
+  * nprobe·n/ncells — sub-linear; the only shuffle edge is the cell
+  * equi-join. The persisted layout (q157) stores per vector: cell id +
+  * M code bytes (the ADC working set) + the residual (the +R re-rank
+  * payload, list-resident exactly as Jégou §V stores re-rank data in the
+  * inverted list) — search never touches the corpus except the bounded
+  * query-vector read.
+  */
+object AnnIndex {
+
+  val M = 8    // PQ subvectors
+  val SUB = 8  // dims per subvector
+  val KS = 32  // residual codewords
+  /** default shortlist depth for the ADC → exact re-rank handoff
+    * (round 16: 80 → 160 — the ADC stage, not the probe list, was the
+    * recall bottleneck; a deeper constant-size shortlist is bounded
+    * re-rank I/O at any corpus size) */
+  val ShortR = 160
+  /** default top-k */
+  val K = 5
+
+  /** Process-wide count of corpus-side encode passes (assignment or PQ
+    * coding DF constructions). q157's search phase pins this flat — the
+    * "search never re-encodes the corpus" require. */
+  val encodePasses = new AtomicLong(0)
+
+  /** exact-integer dot over pre-scaled BIGINT arrays — the HOF twin of
+    * the oracle's list_sum(list_transform(...)) kernel */
+  def ldot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** normalized integer space: cosine(q, x) · 10¹² ≈ NX(q)·NX(x);
+    * zero-norm vectors are unindexable and unqueryable */
+  def normalized(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", graft.functions.Vec.dnorm(col("embedding")))
+      .filter(col("nrm") =!= 0)
+      .withColumn("nx", transform(col("embedding"),
+        v => floor(v.cast("double") / col("nrm") * lit(1e6)).cast("long")))
+      .select("vec_id", "nx")
+
+  /** K₁ = smallest power of two with K₁⁴ ≥ n (floor 8) — exact integer
+    * rule the oracle replays with no float-boundary risk */
+  def k1Of(cnt: Long): Int = {
+    var kb = 0
+    while (kb < 15 &&
+      (1L << kb) * (1L << kb) * (1L << kb) * (1L << kb) < cnt) kb += 1
+    math.max(1L << kb, 8L).toInt
+  }
+
+  /** nprobe = min(ncells, clamp(ncells/4, 64, 128)) — the target-scan-
+    * fraction rule: probe a quarter of the cells until that exceeds 128
+    * probes, never fewer than 64 (tiny corpora probe everything). The
+    * cap keeps the candidate volume ≤ 128·n/ncells ≈ 128·√n — the
+    * sub-linear exponent is a constant·√n at every decade. */
+  def nprobeOf(ncells: Int): Int =
+    math.min(ncells, math.max(64, math.min(128, ncells / 4)))
+
+  def h1(e: Column): Column = slice(e, lit(1), (size(e) / lit(2)).cast("int"))
+  def h2(e: Column): Column = slice(e, (size(e) / lit(2)).cast("int") + lit(1),
+    size(e) - (size(e) / lit(2)).cast("int"))
+
+  /** the two half-space sub-codebooks: the lowest-2K₁ vectors' halves —
+    * a deterministic sample, metadata-sized broadcast at any corpus size.
+    * Returns (cb1(i1, c1), cb2(i2, c2)). */
+  def subBooks(n: DataFrame, k1: Int): (DataFrame, DataFrame) = {
+    val bs = n.orderBy("vec_id").limit(2 * k1)
+      .withColumn("kk", row_number().over(Window.orderBy("vec_id")) - 1)
+    val cb1 = bs.filter(col("kk") < k1)
+      .select(col("kk").as("i1"), h1(col("nx")).as("c1"))
+    val cb2 = bs.filter(col("kk") >= k1)
+      .select((col("kk") - k1).as("i2"), h2(col("nx")).as("c2"))
+    (cb1, cb2)
+  }
+
+  /** Assign every vector to its top-`ma` cells; emits
+    * (vec_id, c_id, arnk, r) where r = nx − concat(c1,c2) is the exact
+    * integer residual against the assigned cell and arnk ∈ [1, ma] ranks
+    * the vector's cells by the decomposed q·c. ma == 1 keeps the
+    * map-side-combined max_by shape (no n×K₁-row sort shuffle); ma > 1
+    * ranks the ma² half-combos per vector. */
+  def assignTop(n: DataFrame, k1: Int, cb1: DataFrame, cb2: DataFrame,
+      ma: Int = 1): DataFrame = {
+    encodePasses.incrementAndGet()
+    if (ma == 1) {
+      // argmax as a partial+final max_by over an ordering struct —
+      // map-side combine; tie-break (highest d, then LOWEST index)
+      // matches the oracle's ROW_NUMBER ORDER BY d DESC, idx
+      def nearestHalf(half: Column => Column, book: DataFrame,
+          idx: String, cv: String): DataFrame =
+        n.crossJoin(broadcast(book))
+          .withColumn("d", ldot(half(col("nx")), col(cv)))
+          .groupBy("vec_id")
+          .agg(max_by(col(idx), struct(col("d"), -col(idx))).as(idx))
+      val a1 = nearestHalf(h1, cb1, "i1", "c1")
+      val a2 = nearestHalf(h2, cb2, "i2", "c2")
+      n.join(a1, Seq("vec_id")).join(a2, Seq("vec_id"))
+        .join(broadcast(cb1), Seq("i1")).join(broadcast(cb2), Seq("i2"))
+        .select(col("vec_id"),
+          (col("i1") * lit(k1.toLong) + col("i2")).as("c_id"),
+          lit(1).as("arnk"),
+          zip_with(col("nx"), concat(col("c1"), col("c2")),
+            (a, b) => a - b).as("r"))
+    } else {
+      def topHalf(half: Column => Column, book: DataFrame,
+          idx: String, cv: String, dn: String): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(col("d").desc, col(idx))
+        n.crossJoin(broadcast(book))
+          .withColumn("d", ldot(half(col("nx")), col(cv)))
+          .withColumn("hrk", row_number().over(w))
+          .filter(col("hrk") <= ma)
+          .select(col("vec_id"), col(idx), col("d").as(dn))
+      }
+      val a1 = topHalf(h1, cb1, "i1", "c1", "d1")
+      val a2 = topHalf(h2, cb2, "i2", "c2", "d2")
+      val wC = Window.partitionBy("vec_id")
+        .orderBy((col("d1") + col("d2")).desc, col("c_id"))
+      val combos = a1.join(a2, Seq("vec_id"))
+        .withColumn("c_id", col("i1") * lit(k1.toLong) + col("i2"))
+        .withColumn("arnk", row_number().over(wC))
+        .filter(col("arnk") <= ma)
+      n.join(combos, Seq("vec_id"))
+        .join(broadcast(cb1), Seq("i1")).join(broadcast(cb2), Seq("i2"))
+        .select(col("vec_id"), col("c_id"), col("arnk"),
+          zip_with(col("nx"), concat(col("c1"), col("c2")),
+            (a, b) => a - b).as("r"))
+    }
+  }
+
+  private def js: Column = array((0 until M).map(j => lit(j)): _*)
+  private def subv(e: Column, j: Column): Column = slice(e, j * SUB + 1, lit(SUB))
+
+  /** RESIDUAL codebook: the lowest-KS vectors' PRIMARY residuals — exact
+    * integers, deterministic, metadata-sized broadcast. (j, code, cv). */
+  def residualBook(assign: DataFrame): DataFrame =
+    assign.filter(col("arnk") === 1).orderBy("vec_id").limit(KS)
+      .withColumn("code", row_number().over(Window.orderBy("vec_id")))
+      .withColumn("j", explode(js))
+      .select(col("j"), col("code"), subv(col("r"), col("j")).as("cv"))
+
+  /** ENCODE: argmin exact-integer L2² of each assignment row's residual
+    * subvectors against the broadcast codebook — map-side only, the
+    * write-path cost. (vec_id, c_id, j, code). */
+  def encode(assign: DataFrame, cb: DataFrame): DataFrame = {
+    encodePasses.incrementAndGet()
+    val sub = assign.withColumn("j", explode(js))
+      .select(col("vec_id"), col("c_id"), col("j"), subv(col("r"), col("j")).as("sv"))
+    val wCode = Window.partitionBy("vec_id", "c_id", "j")
+      .orderBy(col("dist"), col("code"))
+    sub.join(broadcast(cb), Seq("j"))
+      .withColumn("dist", ldot(col("sv"), col("sv")) + ldot(col("cv"), col("cv"))
+        - lit(2L) * ldot(col("sv"), col("cv")))
+      .withColumn("rnk", row_number().over(wCode))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "c_id", "j", "code")
+  }
+
+  /** SEARCH over a (possibly persisted) index. `qn` = query vectors in
+    * nx space (vec_id, nx); `postings` = (vec_id, c_id, arnk, r);
+    * `codes` = (vec_id, c_id, j, code); `cb1`/`cb2`/`cb` the books.
+    * `rerank`: when Some(n), the shortlist re-ranks by the exact dot
+    * against that (vec_id, nx) frame (q150's in-query shape); when None,
+    * neighbor vectors are RECONSTRUCTED from the index itself
+    * (nx = r + concat(c1,c2) of the scored row — exact, zero corpus
+    * reads; the IVFADC+R list-resident re-rank). Output:
+    * (q_id, rnk, neighbor_id, ip). */
+  def search(qn: DataFrame, k1: Int, cb1: DataFrame, cb2: DataFrame,
+      cb: DataFrame, postings: DataFrame, codes: DataFrame,
+      rerank: Option[DataFrame], nprobe: Int,
+      shortR: Int = ShortR, k: Int = K): DataFrame = {
+    // probes: top-nprobe NON-EMPTY cells per query, ranked by the exact
+    // q·c = q₁·c1 + q₂·c2 over all K₁² combos (2·K₁ half-dots per
+    // query — metadata-sized), carrying the COARSE term as base
+    val s1 = qn.crossJoin(broadcast(cb1))
+      .select(col("vec_id").as("q_id"), col("i1"),
+        ldot(h1(col("nx")), col("c1")).as("d1"))
+    val s2 = qn.crossJoin(broadcast(cb2))
+      .select(col("vec_id").as("q_id"), col("i2"),
+        ldot(h2(col("nx")), col("c2")).as("d2"))
+    val nonEmpty = postings.select("c_id").distinct()
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("base").desc, col("c_id"))
+    val probeCells = s1.join(s2, Seq("q_id"))
+      .withColumn("c_id", col("i1") * lit(k1.toLong) + col("i2"))
+      .withColumn("base", col("d1") + col("d2"))
+      .join(broadcast(nonEmpty), Seq("c_id"), "leftsemi")
+      .withColumn("rnk", row_number().over(wProbe))
+      .filter(col("rnk") <= nprobe)
+      .select(col("q_id"), col("c_id"), col("base"))
+    // ADC lookup table: query-count × M × Ks integer dots of QUERY
+    // subvectors against residual codewords — metadata-sized
+    val lut = qn.withColumn("j", explode(js))
+      .select(col("vec_id").as("q_id"), col("j"),
+        subv(col("nx"), col("j")).as("qv"))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("q_id"), col("j"), col("code"),
+        ldot(col("qv"), col("cv")).as("pd"))
+    // ADC score = q·c + Σⱼ LUT[j, codeⱼ] ≈ q·x̂ — shortlists from
+    // 8-byte codes alone; with multi-assignment a neighbor can score
+    // through several probed cells — keep its best ADC score
+    val scoredPerCell = probeCells
+      .join(postings.select(col("c_id"), col("vec_id").as("neighbor_id")),
+        Seq("c_id"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .join(codes.select(col("vec_id").as("neighbor_id"),
+        col("c_id").as("c_id"), col("j"), col("code")), Seq("neighbor_id", "c_id"))
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy("q_id", "neighbor_id", "c_id", "base")
+      .agg((col("base") + sum("pd")).as("adc"))
+    val scored = scoredPerCell.groupBy("q_id", "neighbor_id")
+      .agg(max("adc").as("adc"))
+    // IVFADC+R (Jégou et al. 2011 §V): the ADC top-R shortlist re-ranks
+    // by the EXACT integer dot — R full-vector reads per query, bounded
+    // I/O, while cell members still cost 8 code bytes each
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = scored.withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= shortR)
+      .select("q_id", "neighbor_id")
+    val nn = rerank.getOrElse {
+      // reconstruct nx from the index alone: any assignment row gives
+      // nx = r + concat(c1[i1], c2[i2]) of ITS cell — exact by
+      // construction; use the primary row for determinism
+      postings.filter(col("arnk") === 1)
+        .withColumn("i1", (col("c_id") / lit(k1.toLong)).cast("long"))
+        .withColumn("i2", col("c_id") % lit(k1.toLong))
+        .join(broadcast(cb1), Seq("i1")).join(broadcast(cb2), Seq("i2"))
+        .select(col("vec_id"),
+          zip_with(col("r"), concat(col("c1"), col("c2")),
+            (a, b) => a + b).as("nx"))
+    }
+    val reranked = shortlist
+      .join(qn.select(col("vec_id").as("q_id"), col("nx").as("nq")), Seq("q_id"))
+      .join(nn.select(col("vec_id").as("neighbor_id"), col("nx").as("nn")),
+        Seq("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), ldot(col("nq"), col("nn")).as("ip"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("ip").desc, col("neighbor_id"))
+    reranked.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("ip").cast("long").as("ip"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Build + search in one shot (q150's in-query form, and the tuning
+    * probe's harness). Exact re-rank against the corpus nx frame. */
+  def buildAndSearch(n: DataFrame, ma: Int,
+      nprobe: Int => Int, shortR: Int = ShortR, k: Int = K): DataFrame = {
+    val cnt = n.count()
+    val k1 = k1Of(cnt)
+    val (cb1, cb2) = subBooks(n, k1)
+    val asg = assignTop(n, k1, cb1, cb2, ma)
+    val cb = residualBook(asg)
+    val codes = encode(asg, cb)
+    search(n.filter(col("vec_id") < 20), k1, cb1, cb2, cb, asg, codes,
+      rerank = Some(n), nprobe = nprobe(k1 * k1), shortR = shortR, k = k)
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle builder — the same math declaratively, parameterized
+  // by the same knobs so Spark and oracle cannot drift.
+  // ------------------------------------------------------------------
+
+  /** exact-integer list dot in DuckDB */
+  private def ld(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> ($a)[i] * ($b)[i])) AS BIGINT)"
+
+  /** Full build+search oracle. `baseWhere`: when set, the codebooks
+    * (k1 rule, half-books, residual book) derive from the BASE subset
+    * only (frozen-codebook maintenance, q158) while assignment, codes
+    * and search run over the full corpus. */
+  def oracleSql(ma: Int, shortR: Int, k: Int,
+      baseWhere: Option[String] = None): String = {
+    val base = baseWhere.map(w => s"WHERE $w").getOrElse("")
+    s"""WITH nz AS (
+       |  SELECT vec_id, embedding, ${graft.functions.Vec.oDnorm("embedding")} AS nrm
+       |  FROM embeddings WHERE ${graft.functions.Vec.oDnorm("embedding")} <> 0
+       |), n AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000) AS BIGINT)) AS nx
+       |  FROM nz
+       |), nb AS (
+       |  SELECT * FROM n $base
+       |), k1 AS (
+       |  SELECT GREATEST(MIN(CAST(1 AS BIGINT) << i.i), 8) AS k
+       |  FROM (SELECT COUNT(*) AS c FROM nb) cnt, range(0, 16) i(i)
+       |  WHERE (CAST(1 AS BIGINT) << i.i) * (CAST(1 AS BIGINT) << i.i)
+       |      * (CAST(1 AS BIGINT) << i.i) * (CAST(1 AS BIGINT) << i.i)
+       |        >= cnt.c
+       |), np AS (
+       |  SELECT LEAST(k1.k * k1.k,
+       |    GREATEST(64, LEAST(128, (k1.k * k1.k) // 4))) AS np
+       |  FROM k1
+       |), bs AS (
+       |  SELECT vec_id, nx, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS kk
+       |  FROM nb
+       |), cb1 AS (
+       |  SELECT b.kk AS i1, list_slice(b.nx, 1, len(b.nx) // 2) AS c1
+       |  FROM bs b, k1 WHERE b.kk < k1.k
+       |), cb2 AS (
+       |  SELECT b.kk - k1.k AS i2,
+       |         list_slice(b.nx, len(b.nx) // 2 + 1, len(b.nx)) AS c2
+       |  FROM bs b, k1 WHERE b.kk >= k1.k AND b.kk < 2 * k1.k
+       |), a1 AS (
+       |  SELECT vec_id, i1, d1 FROM (
+       |    SELECT n.vec_id, cb1.i1,
+       |           ${ld("list_slice(n.nx, 1, len(n.nx) // 2)", "cb1.c1")} AS d1,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${ld("list_slice(n.nx, 1, len(n.nx) // 2)", "cb1.c1")} DESC,
+       |               cb1.i1) AS rk
+       |    FROM n, cb1)
+       |  WHERE rk <= $ma
+       |), a2 AS (
+       |  SELECT vec_id, i2, d2 FROM (
+       |    SELECT n.vec_id, cb2.i2,
+       |           ${ld("list_slice(n.nx, len(n.nx) // 2 + 1, len(n.nx))", "cb2.c2")} AS d2,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${ld("list_slice(n.nx, len(n.nx) // 2 + 1, len(n.nx))", "cb2.c2")} DESC,
+       |               cb2.i2) AS rk
+       |    FROM n, cb2)
+       |  WHERE rk <= $ma
+       |), ac AS (
+       |  SELECT vec_id, c_id, arnk FROM (
+       |    SELECT a1.vec_id, a1.i1 * k1.k + a2.i2 AS c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY a1.vec_id
+       |             ORDER BY a1.d1 + a2.d2 DESC, a1.i1 * k1.k + a2.i2) AS arnk
+       |    FROM a1 JOIN a2 ON a2.vec_id = a1.vec_id, k1)
+       |  WHERE arnk <= $ma
+       |), res AS (
+       |  SELECT n.vec_id, ac.c_id, ac.arnk,
+       |         list_transform(range(1, len(n.nx)+1),
+       |           i -> n.nx[i] - (CASE WHEN i <= len(n.nx) // 2
+       |             THEN cb1.c1[i] ELSE cb2.c2[i - len(n.nx) // 2] END)) AS r
+       |  FROM n
+       |  JOIN ac ON ac.vec_id = n.vec_id
+       |  JOIN cb1 ON cb1.i1 = ac.c_id // (SELECT k FROM k1)
+       |  JOIN cb2 ON cb2.i2 = ac.c_id % (SELECT k FROM k1)
+       |), cb AS (
+       |  SELECT rj.j, c.code, list_slice(c.r, 8*rj.j+1, 8*rj.j+8) AS cv
+       |  FROM (SELECT res.r, ROW_NUMBER() OVER (ORDER BY res.vec_id) AS code
+       |        FROM res JOIN nb ON nb.vec_id = res.vec_id
+       |        WHERE res.arnk = 1 ORDER BY res.vec_id LIMIT $KS) c,
+       |       range(0,8) rj(j)
+       |), sub AS (
+       |  SELECT res.vec_id, res.c_id, rj.j,
+       |         list_slice(res.r, 8*rj.j+1, 8*rj.j+8) AS sv
+       |  FROM res, range(0,8) rj(j)
+       |), codes AS (
+       |  SELECT vec_id, c_id, j, code FROM (
+       |    SELECT s.vec_id, s.c_id, s.j, cb.code,
+       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.c_id, s.j
+       |             ORDER BY ${ld("s.sv", "s.sv")} + ${ld("cb.cv", "cb.cv")}
+       |               - 2 * ${ld("s.sv", "cb.cv")}, cb.code) AS rnk
+       |    FROM sub s JOIN cb ON cb.j = s.j)
+       |  WHERE rnk = 1
+       |), s1 AS (
+       |  SELECT p.vec_id AS q_id, cb1.i1,
+       |         ${ld("list_slice(p.nx, 1, len(p.nx) // 2)", "cb1.c1")} AS d1
+       |  FROM (SELECT * FROM n WHERE vec_id < 20) p, cb1
+       |), s2 AS (
+       |  SELECT p.vec_id AS q_id, cb2.i2,
+       |         ${ld("list_slice(p.nx, len(p.nx) // 2 + 1, len(p.nx))", "cb2.c2")} AS d2
+       |  FROM (SELECT * FROM n WHERE vec_id < 20) p, cb2
+       |), probecells AS (
+       |  SELECT q_id, c_id, base FROM (
+       |    SELECT s1.q_id, s1.i1 * k1.k + s2.i2 AS c_id,
+       |           s1.d1 + s2.d2 AS base,
+       |           ROW_NUMBER() OVER (PARTITION BY s1.q_id
+       |             ORDER BY s1.d1 + s2.d2 DESC, s1.i1 * k1.k + s2.i2) AS rnk
+       |    FROM s1 JOIN s2 ON s2.q_id = s1.q_id, k1
+       |    WHERE (s1.i1 * k1.k + s2.i2)
+       |          IN (SELECT DISTINCT c_id FROM res))
+       |  WHERE rnk <= (SELECT np FROM np)
+       |), lut AS (
+       |  SELECT q.vec_id AS q_id, rj.j, cb.code,
+       |         ${ld("list_slice(q.nx, 8*rj.j+1, 8*rj.j+8)", "cb.cv")} AS pd
+       |  FROM (SELECT * FROM n WHERE vec_id < 20) q, range(0,8) rj(j)
+       |  JOIN cb ON cb.j = rj.j
+       |), scoredcell AS (
+       |  SELECT pc.q_id, a.vec_id AS neighbor_id, a.c_id,
+       |         pc.base + SUM(l.pd) AS adc
+       |  FROM probecells pc
+       |  JOIN res a ON a.c_id = pc.c_id AND a.vec_id <> pc.q_id
+       |  JOIN codes c ON c.vec_id = a.vec_id AND c.c_id = a.c_id
+       |  JOIN lut l ON l.q_id = pc.q_id AND l.j = c.j AND l.code = c.code
+       |  GROUP BY pc.q_id, a.vec_id, a.c_id, pc.base
+       |), scored AS (
+       |  SELECT q_id, neighbor_id, MAX(adc) AS adc
+       |  FROM scoredcell GROUP BY q_id, neighbor_id
+       |), shortlist AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |             ORDER BY adc DESC, neighbor_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= $shortR
+       |), reranked AS (
+       |  SELECT s.q_id, s.neighbor_id, ${ld("q.nx", "x.nx")} AS ip
+       |  FROM shortlist s
+       |  JOIN n q ON q.vec_id = s.q_id
+       |  JOIN n x ON x.vec_id = s.neighbor_id
+       |)
+       |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+       |       CAST(ip AS BIGINT) AS ip
+       |FROM (
+       |  SELECT q_id, neighbor_id, ip,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY ip DESC, neighbor_id) AS rnk
+       |  FROM reranked)
+       |WHERE rnk <= $k
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+}

@@ -36,7 +36,7 @@ object Lake {
     f.delete(); ()
   }
 
-  private def freshDir(tag: String): String = {
+  private[ops] def freshDir(tag: String): String = {
     val p = Files.createTempDirectory(s"graft-loglake-$tag")
     scratchDirs.add(p.toFile)
     p.toString + "/t"

@@ -1148,294 +1148,21 @@ object Sim {
         .orderBy("centroid_id")
     },
 
-    // --- q150: IVF-PQ with RESIDUAL ENCODING (IVFADC proper — Jégou
-    // et al. 2011) — the MEMORY-BOUNDED ANN that closes the family:
-    // q82's in-cell scan still reads full vectors, which at 10⁹ × 64
-    // floats is 256 GB of vector bytes; PQ stores each vector as M=8
-    // CODE BYTES and scores cells ADC-style. Round 14 upgrades the
-    // encoding from raw subvectors to RESIDUALS over the NORMALIZED
-    // integer space: every vector maps to NX = ⌊xᵢ/‖x‖·10⁶⌋ (exact
-    // BIGINTs, so integer dots over it rank by cosine — the ground
-    // truth q43 uses), the residual R = NX − NC(cell) is an exact
-    // integer difference against the assigned coarse centroid, and
-    // codes quantize R per 8-dim subvector against a deterministic
-    // residual codebook (fixed Ks=32 lowest-vec_id residuals — one
-    // metadata-sized broadcast at any corpus size, q144's posture).
-    // Query-time ADC reconstructs q·x̂ = q·c + Σⱼ LUT[j, codeⱼ] —
-    // the coarse term rides the probe list, the fine term is 8 table
-    // lookups per candidate — and EVERYTHING is exact-integer
-    // arithmetic, so DuckDB replays every bit. Round 15 scales the
-    // COARSE QUANTIZER with the corpus: ncells = 2^h ≈ √n (floor 32),
-    // cells assigned by h LSH sign bits (q44's md5-derived ±1
-    // hyperplanes over the integer nx space — h ≤ ~15 dots per vector
-    // at any scale, where nearest-of-√n-centroids assignment would be
-    // n^1.5 total work), each cell represented by its lowest-vec_id
-    // member. Plan shape at 100 TB: encode is one broadcast join
-    // (n × M × Ks rows, all map-side); the search is nprobe/ncells ≈
-    // 8/√n of the CODES table (8 B/vector) — SUB-LINEAR per probe at
-    // every decade; the LUT is probe-count × M × Ks and the
-    // representative set √n-sized — both metadata; the only shuffle
-    // edge is the cell equi-join, same as q82.
+    // --- q150: IVF-PQ ANN — IVFADC+R over an inverted multi-index
+    // (Jégou et al. 2011; Babenko & Lempitsky 2012). The math, knobs,
+    // 100 TB plan-shape doc, and the DuckDB oracle builder all live in
+    // [[graft.ops.AnnIndex]] (shared verbatim with q157's persisted
+    // index and q158's incremental maintenance so the three cannot
+    // drift). This in-query form builds books + assignments + codes
+    // from the corpus and searches them in one plan; recall@5 measured
+    // 0.96/0.90/0.81 at sf0.001/0.01/0.1 (floor 0.75, SimRecallSpec).
     Q(
-      "q150_ivf_pq", {
-        // exact-integer helpers over normalized BIGINT lists
-        def ld(a: String, b: String) =
-          s"CAST(list_sum(list_transform(range(1, len($a)+1), " +
-            s"i -> ($a)[i] * ($b)[i])) AS BIGINT)"
-        s"""WITH nz AS (
-           |  SELECT vec_id, embedding, ${oDnorm("embedding")} AS nrm
-           |  FROM embeddings WHERE ${oDnorm("embedding")} <> 0
-           |), n AS (
-           |  SELECT vec_id, list_transform(embedding,
-           |    v -> CAST(floor(CAST(v AS DOUBLE) / nrm * 1000000) AS BIGINT)) AS nx
-           |  FROM nz
-           |), k1 AS (
-           |  SELECT GREATEST(MIN(CAST(1 AS BIGINT) << i.i), 8) AS k
-           |  FROM (SELECT COUNT(*) AS c FROM n) cnt, range(0, 16) i(i)
-           |  WHERE (CAST(1 AS BIGINT) << i.i) * (CAST(1 AS BIGINT) << i.i)
-           |      * (CAST(1 AS BIGINT) << i.i) * (CAST(1 AS BIGINT) << i.i)
-           |        >= cnt.c
-           |), bs AS (
-           |  SELECT vec_id, nx, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS kk
-           |  FROM n
-           |), cb1 AS (
-           |  SELECT b.kk AS i1, list_slice(b.nx, 1, len(b.nx) // 2) AS c1
-           |  FROM bs b, k1 WHERE b.kk < k1.k
-           |), cb2 AS (
-           |  SELECT b.kk - k1.k AS i2,
-           |         list_slice(b.nx, len(b.nx) // 2 + 1, len(b.nx)) AS c2
-           |  FROM bs b, k1 WHERE b.kk >= k1.k AND b.kk < 2 * k1.k
-           |), a1 AS (
-           |  SELECT vec_id, i1 FROM (
-           |    SELECT n.vec_id, cb1.i1,
-           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-           |             ORDER BY ${ld("list_slice(n.nx, 1, len(n.nx) // 2)", "cb1.c1")} DESC,
-           |               cb1.i1) AS rk
-           |    FROM n, cb1)
-           |  WHERE rk = 1
-           |), a2 AS (
-           |  SELECT vec_id, i2 FROM (
-           |    SELECT n.vec_id, cb2.i2,
-           |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-           |             ORDER BY ${ld("list_slice(n.nx, len(n.nx) // 2 + 1, len(n.nx))", "cb2.c2")} DESC,
-           |               cb2.i2) AS rk
-           |    FROM n, cb2)
-           |  WHERE rk = 1
-           |), res AS (
-           |  SELECT n.vec_id, a1.i1 * k1.k + a2.i2 AS c_id,
-           |         list_transform(range(1, len(n.nx)+1),
-           |           i -> n.nx[i] - (CASE WHEN i <= len(n.nx) // 2
-           |             THEN cb1.c1[i] ELSE cb2.c2[i - len(n.nx) // 2] END)) AS r
-           |  FROM n
-           |  JOIN a1 ON a1.vec_id = n.vec_id
-           |  JOIN a2 ON a2.vec_id = n.vec_id
-           |  JOIN cb1 ON cb1.i1 = a1.i1
-           |  JOIN cb2 ON cb2.i2 = a2.i2, k1
-           |), cb AS (
-           |  SELECT rj.j, c.code, list_slice(c.r, 8*rj.j+1, 8*rj.j+8) AS cv
-           |  FROM (SELECT r, ROW_NUMBER() OVER (ORDER BY vec_id) AS code
-           |        FROM res ORDER BY vec_id LIMIT 32) c, range(0,8) rj(j)
-           |), sub AS (
-           |  SELECT res.vec_id, rj.j, list_slice(res.r, 8*rj.j+1, 8*rj.j+8) AS sv
-           |  FROM res, range(0,8) rj(j)
-           |), codes AS (
-           |  SELECT vec_id, j, code FROM (
-           |    SELECT s.vec_id, s.j, cb.code,
-           |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
-           |             ORDER BY ${ld("s.sv", "s.sv")} + ${ld("cb.cv", "cb.cv")}
-           |               - 2 * ${ld("s.sv", "cb.cv")}, cb.code) AS rnk
-           |    FROM sub s JOIN cb ON cb.j = s.j)
-           |  WHERE rnk = 1
-           |), s1 AS (
-           |  SELECT p.vec_id AS q_id, cb1.i1,
-           |         ${ld("list_slice(p.nx, 1, len(p.nx) // 2)", "cb1.c1")} AS d1
-           |  FROM (SELECT * FROM n WHERE vec_id < 20) p, cb1
-           |), s2 AS (
-           |  SELECT p.vec_id AS q_id, cb2.i2,
-           |         ${ld("list_slice(p.nx, len(p.nx) // 2 + 1, len(p.nx))", "cb2.c2")} AS d2
-           |  FROM (SELECT * FROM n WHERE vec_id < 20) p, cb2
-           |), probecells AS (
-           |  SELECT q_id, c_id, base FROM (
-           |    SELECT s1.q_id, s1.i1 * k1.k + s2.i2 AS c_id,
-           |           s1.d1 + s2.d2 AS base,
-           |           ROW_NUMBER() OVER (PARTITION BY s1.q_id
-           |             ORDER BY s1.d1 + s2.d2 DESC, s1.i1 * k1.k + s2.i2) AS rnk
-           |    FROM s1 JOIN s2 ON s2.q_id = s1.q_id, k1
-           |    WHERE (s1.i1 * k1.k + s2.i2)
-           |          IN (SELECT DISTINCT c_id FROM res))
-           |  WHERE rnk <= 32
-           |), lut AS (
-           |  SELECT q.vec_id AS q_id, rj.j, cb.code,
-           |         ${ld("list_slice(q.nx, 8*rj.j+1, 8*rj.j+8)", "cb.cv")} AS pd
-           |  FROM (SELECT * FROM n WHERE vec_id < 20) q, range(0,8) rj(j)
-           |  JOIN cb ON cb.j = rj.j
-           |), scored AS (
-           |  SELECT pc.q_id, a.vec_id AS neighbor_id,
-           |         pc.base + SUM(l.pd) AS adc
-           |  FROM probecells pc
-           |  JOIN res a ON a.c_id = pc.c_id AND a.vec_id <> pc.q_id
-           |  JOIN codes c ON c.vec_id = a.vec_id
-           |  JOIN lut l ON l.q_id = pc.q_id AND l.j = c.j AND l.code = c.code
-           |  GROUP BY pc.q_id, a.vec_id, pc.base
-           |), shortlist AS (
-           |  SELECT q_id, neighbor_id FROM (
-           |    SELECT q_id, neighbor_id,
-           |           ROW_NUMBER() OVER (PARTITION BY q_id
-           |             ORDER BY adc DESC, neighbor_id) AS rnk
-           |    FROM scored)
-           |  WHERE rnk <= 80
-           |), reranked AS (
-           |  SELECT s.q_id, s.neighbor_id, ${ld("q.nx", "x.nx")} AS ip
-           |  FROM shortlist s
-           |  JOIN n q ON q.vec_id = s.q_id
-           |  JOIN n x ON x.vec_id = s.neighbor_id
-           |)
-           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
-           |       CAST(ip AS BIGINT) AS ip
-           |FROM (
-           |  SELECT q_id, neighbor_id, ip,
-           |         ROW_NUMBER() OVER (PARTITION BY q_id
-           |           ORDER BY ip DESC, neighbor_id) AS rnk
-           |  FROM reranked)
-           |WHERE rnk <= 5
-           |ORDER BY q_id, rnk""".stripMargin
-      }
+      "q150_ivf_pq",
+      AnnIndex.oracleSql(ma = 1, shortR = AnnIndex.ShortR, k = AnnIndex.K)
     ) { (s, d) =>
-      val M = 8; val SUB = 8; val KS = 32
-      // exact-integer dot over pre-scaled BIGINT arrays — the HOF twin
-      // of the oracle's list_sum(list_transform(...)) kernel
-      def ldot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      // normalized integer space: cosine(q, x) · 10¹² ≈ NX(q)·NX(x)
-      val n = emb.withColumn("nrm", dnorm(col("embedding")))
-        .filter(col("nrm") =!= 0) // zero-norm: unindexable, unqueryable
-        .withColumn("nx", transform(col("embedding"),
-          v => floor(v.cast("double") / col("nrm") * lit(1e6)).cast("long")))
-        .select("vec_id", "nx")
-      // ncells GROWS WITH THE CORPUS (round 15 — fixed 32 cells made
-      // per-probe cell volume linear in n, the Amplify last-decade
-      // 0.90 exponent) via the INVERTED MULTI-INDEX (Babenko &
-      // Lempitsky 2012): the cell id is the PRODUCT of two
-      // sub-quantizers over the vector's halves, ncells = K₁² where
-      // K₁ = the smallest power of two with K₁⁴ ≥ n (so ncells ≈ √n,
-      // floor 8² = 64) — an exact integer rule DuckDB replays with no
-      // float-boundary risk. Assignment costs 2·K₁ HALF-dots per
-      // vector (≈ n^¼ full-dot equivalents — a flat
-      // nearest-of-√n-centroids assign would be n^1.5 total work,
-      // super-linear), the sub-codebooks are the lowest-K₁ vectors'
-      // halves (deterministic sample, metadata-sized broadcast), the
-      // cell centroid is concat(c1[i1], c2[i2]) so q·c = q₁·c1 + q₂·c2
-      // DECOMPOSES, and probe ranking scores all K₁² combos exactly
-      // from 2·K₁ half-dots per query. Per-probe candidates cost
-      // nprobe·n/ncells ≈ 8√n — sub-linear at every decade.
-      val cnt = n.count()
-      var kb = 0
-      while (kb < 15 &&
-        (1L << kb) * (1L << kb) * (1L << kb) * (1L << kb) < cnt) kb += 1
-      val k1 = math.max(1L << kb, 8L).toInt
-      def h1(e: Column): Column = slice(e, lit(1), (size(e) / lit(2)).cast("int"))
-      def h2(e: Column): Column = slice(e, (size(e) / lit(2)).cast("int") + lit(1),
-        size(e) - (size(e) / lit(2)).cast("int"))
-      val bs = n.orderBy("vec_id").limit(2 * k1)
-        .withColumn("kk", row_number().over(Window.orderBy("vec_id")) - 1)
-      val cb1 = bs.filter(col("kk") < k1)
-        .select(col("kk").as("i1"), h1(col("nx")).as("c1"))
-      val cb2 = bs.filter(col("kk") >= k1)
-        .select((col("kk") - k1).as("i2"), h2(col("nx")).as("c2"))
-      // argmax as a partial+final max_by over an ordering struct (the
-      // q91 shape) — map-side combine, no n×K₁-row sort shuffle; the
-      // tie-break (highest d, then LOWEST index) matches the oracle's
-      // ROW_NUMBER ORDER BY d DESC, idx exactly
-      def nearestHalf(half: Column => Column, book: org.apache.spark.sql.DataFrame,
-          idx: String, cv: String): org.apache.spark.sql.DataFrame =
-        n.crossJoin(broadcast(book))
-          .withColumn("d", ldot(half(col("nx")), col(cv)))
-          .groupBy("vec_id")
-          .agg(max_by(col(idx), struct(col("d"), -col(idx))).as(idx))
-      val a1 = nearestHalf(h1, cb1, "i1", "c1")
-      val a2 = nearestHalf(h2, cb2, "i2", "c2")
-      val assign = n.join(a1, Seq("vec_id")).join(a2, Seq("vec_id"))
-        .join(broadcast(cb1), Seq("i1")).join(broadcast(cb2), Seq("i2"))
-        .select(col("vec_id"),
-          (col("i1") * lit(k1.toLong) + col("i2")).as("c_id"),
-          zip_with(col("nx"), concat(col("c1"), col("c2")),
-            (a, b) => a - b).as("r"))
-      val js = array((0 until M).map(j => lit(j)): _*)
-      def subv(e: Column, j: Column): Column = slice(e, j * SUB + 1, lit(SUB))
-      // RESIDUAL codebook: the lowest-32 vectors' residuals — exact
-      // integers, deterministic, metadata-sized broadcast
-      val cb = assign.orderBy("vec_id").limit(KS)
-        .withColumn("code", row_number().over(Window.orderBy("vec_id")))
-        .withColumn("j", explode(js))
-        .select(col("j"), col("code"), subv(col("r"), col("j")).as("cv"))
-      val sub = assign.withColumn("j", explode(js))
-        .select(col("vec_id"), col("j"), subv(col("r"), col("j")).as("sv"))
-      // ENCODE: argmin exact-integer L2² of the residual against the
-      // broadcast codebook — map-side only, the write-path cost
-      val wCode = Window.partitionBy("vec_id", "j").orderBy(col("dist"), col("code"))
-      val codes = sub.join(broadcast(cb), Seq("j"))
-        .withColumn("dist", ldot(col("sv"), col("sv")) + ldot(col("cv"), col("cv"))
-          - lit(2L) * ldot(col("sv"), col("cv")))
-        .withColumn("rnk", row_number().over(wCode))
-        .filter(col("rnk") === 1)
-        .select("vec_id", "j", "code")
-      // probes: top-8 NON-EMPTY cells per query, ranked by the exact
-      // q·c = q₁·c1 + q₂·c2 over all K₁² combos (2·K₁ half-dots per
-      // query — metadata-sized), carrying the COARSE term as base
-      val q20 = n.filter(col("vec_id") < 20)
-      val s1 = q20.crossJoin(broadcast(cb1))
-        .select(col("vec_id").as("q_id"), col("i1"),
-          ldot(h1(col("nx")), col("c1")).as("d1"))
-      val s2 = q20.crossJoin(broadcast(cb2))
-        .select(col("vec_id").as("q_id"), col("i2"),
-          ldot(h2(col("nx")), col("c2")).as("d2"))
-      val nonEmpty = assign.select("c_id").distinct()
-      val wProbe = Window.partitionBy("q_id")
-        .orderBy(col("base").desc, col("c_id"))
-      val probeCells = s1.join(s2, Seq("q_id"))
-        .withColumn("c_id", col("i1") * lit(k1.toLong) + col("i2"))
-        .withColumn("base", col("d1") + col("d2"))
-        .join(broadcast(nonEmpty), Seq("c_id"), "leftsemi")
-        .withColumn("rnk", row_number().over(wProbe))
-        .filter(col("rnk") <= 32)
-        .select(col("q_id"), col("c_id"), col("base"))
-      // ADC lookup table: probe-count × M × Ks integer dots of QUERY
-      // subvectors against residual codewords — metadata-sized
-      val lut = n.filter(col("vec_id") < 20).withColumn("j", explode(js))
-        .select(col("vec_id").as("q_id"), col("j"),
-          subv(col("nx"), col("j")).as("qv"))
-        .join(broadcast(cb), Seq("j"))
-        .select(col("q_id"), col("j"), col("code"),
-          ldot(col("qv"), col("cv")).as("pd"))
-      // ADC score = q·c + Σⱼ LUT[j, codeⱼ] ≈ q·x̂ — shortlists from
-      // 8-byte codes alone
-      val scored = probeCells
-        .join(assign.select(col("c_id"), col("vec_id").as("neighbor_id")), Seq("c_id"))
-        .filter(col("neighbor_id") =!= col("q_id"))
-        .join(codes.select(col("vec_id").as("neighbor_id"), col("j"), col("code")),
-          Seq("neighbor_id"))
-        .join(broadcast(lut), Seq("q_id", "j", "code"))
-        .groupBy("q_id", "neighbor_id", "base")
-        .agg((col("base") + sum("pd")).as("adc"))
-      // IVFADC+R (Jégou et al. 2011 §V): the ADC top-R shortlist
-      // re-ranks by the EXACT integer dot — R=40 full-vector reads per
-      // query, bounded I/O, while cell members still cost 8 bytes each
-      val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("neighbor_id"))
-      val shortlist = scored.withColumn("rnk", row_number().over(wAdc))
-        .filter(col("rnk") <= 80)
-        .select("q_id", "neighbor_id")
-      val reranked = shortlist
-        .join(n.select(col("vec_id").as("q_id"), col("nx").as("nq")), Seq("q_id"))
-        .join(n.select(col("vec_id").as("neighbor_id"), col("nx").as("nn")),
-          Seq("neighbor_id"))
-        .select(col("q_id"), col("neighbor_id"), ldot(col("nq"), col("nn")).as("ip"))
-      val wTop = Window.partitionBy("q_id").orderBy(col("ip").desc, col("neighbor_id"))
-      reranked.withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("rnk").cast("int").as("rnk"),
-          col("neighbor_id"), col("ip").cast("long").as("ip"))
-        .orderBy("q_id", "rnk")
+      val n = AnnIndex.normalized(
+        embeddings(s, d).select(col("vec_id"), col("embedding")))
+      AnnIndex.buildAndSearch(n, ma = 1, nprobe = AnnIndex.nprobeOf)
     }
   )
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.AnnIndex
+
+/** Unit contract for the shared IVF-PQ kernel (graft.ops.AnnIndex) —
+  * the parts the registry queries don't exercise directly: the exact
+  * integer rules, the generalized multi-assignment path, the
+  * residual-reconstruction identity the persisted-index re-rank (q157)
+  * depends on, and the encode-pass counter q157's no-re-encode require
+  * pins.
+  */
+class AnnIndexSpec extends SparkTestBase {
+
+  private def n = AnnIndex.normalized(
+    graft.model.Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
+
+  test("k1Of: smallest power of two with K1^4 >= n, floor 8") {
+    assert(AnnIndex.k1Of(1) == 8)
+    assert(AnnIndex.k1Of(4096) == 8)
+    assert(AnnIndex.k1Of(4097) == 16)
+    assert(AnnIndex.k1Of(65536) == 16)
+    assert(AnnIndex.k1Of(65537) == 32)
+    assert(AnnIndex.k1Of(5000000) == 64)
+  }
+
+  test("nprobeOf: target-scan-fraction rule, clamped [64,128], capped at ncells") {
+    assert(AnnIndex.nprobeOf(64) == 64)     // tiny corpus: probe everything
+    assert(AnnIndex.nprobeOf(256) == 64)    // 256/4 = 64
+    assert(AnnIndex.nprobeOf(1024) == 128)  // 1024/4 clamps to 128
+    assert(AnnIndex.nprobeOf(4096) == 128)  // constant above the cap
+  }
+
+  test("residual identity: nx == r + concat(c1, c2) for every assignment row") {
+    val k1 = AnnIndex.k1Of(n.count())
+    val (cb1, cb2) = AnnIndex.subBooks(n, k1)
+    val asg = AnnIndex.assignTop(n, k1, cb1, cb2, ma = 1)
+    val rebuilt = asg
+      .withColumn("i1", (col("c_id") / lit(k1.toLong)).cast("long"))
+      .withColumn("i2", col("c_id") % lit(k1.toLong))
+      .join(broadcast(cb1), Seq("i1")).join(broadcast(cb2), Seq("i2"))
+      .select(col("vec_id"),
+        zip_with(col("r"), concat(col("c1"), col("c2")), (a, b) => a + b).as("nx"))
+    assert(rebuilt.exceptAll(n).isEmpty && n.exceptAll(rebuilt).isEmpty,
+      "index-resident residual + centroid must reconstruct nx exactly")
+  }
+
+  test("multi-assignment (ma=2): two ranked cells per vector, primary == ma=1 cell") {
+    val k1 = AnnIndex.k1Of(n.count())
+    val (cb1, cb2) = AnnIndex.subBooks(n, k1)
+    val a1 = AnnIndex.assignTop(n, k1, cb1, cb2, ma = 1)
+    val a2 = AnnIndex.assignTop(n, k1, cb1, cb2, ma = 2)
+    val cnt = n.count()
+    assert(a2.count() == 2 * cnt, "ma=2 must emit exactly two rows per vector")
+    assert(a2.groupBy("vec_id").agg(countDistinct("arnk").as("k"))
+      .filter(col("k") =!= 2).isEmpty)
+    // the primary (arnk=1) assignment must be the ma=1 assignment
+    val p = a2.filter(col("arnk") === 1).select("vec_id", "c_id", "r")
+    val q = a1.select("vec_id", "c_id", "r")
+    assert(p.exceptAll(q).isEmpty && q.exceptAll(p).isEmpty)
+  }
+
+  test("search with list-resident re-rank == search with corpus re-rank") {
+    val k1 = AnnIndex.k1Of(n.count())
+    val (cb1, cb2) = AnnIndex.subBooks(n, k1)
+    val asg = AnnIndex.assignTop(n, k1, cb1, cb2, ma = 1)
+    val cb = AnnIndex.residualBook(asg)
+    val codes = AnnIndex.encode(asg, cb)
+    val qn = n.filter(col("vec_id") < 20)
+    val np = AnnIndex.nprobeOf(k1 * k1)
+    val fromCorpus = AnnIndex.search(qn, k1, cb1, cb2, cb, asg, codes,
+      rerank = Some(n), nprobe = np).collect().toSeq
+    val fromIndex = AnnIndex.search(qn, k1, cb1, cb2, cb, asg, codes,
+      rerank = None, nprobe = np).collect().toSeq
+    assert(fromIndex == fromCorpus,
+      "reconstructed re-rank must match the exact corpus re-rank bit for bit")
+  }
+
+  test("encodePasses counts corpus-side encode constructions only") {
+    val k1 = AnnIndex.k1Of(n.count())
+    val (cb1, cb2) = AnnIndex.subBooks(n, k1)
+    val before = AnnIndex.encodePasses.get()
+    val asg = AnnIndex.assignTop(n, k1, cb1, cb2)
+    val cb = AnnIndex.residualBook(asg)
+    val codes = AnnIndex.encode(asg, cb)
+    assert(AnnIndex.encodePasses.get() == before + 2)
+    // search construction must not bump the counter (q157's require)
+    AnnIndex.search(n.filter(col("vec_id") < 20), k1, cb1, cb2, cb, asg,
+      codes, rerank = None, nprobe = AnnIndex.nprobeOf(k1 * k1))
+    assert(AnnIndex.encodePasses.get() == before + 2)
+  }
+}

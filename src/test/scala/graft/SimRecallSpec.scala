@@ -19,24 +19,24 @@ class SimRecallSpec extends SparkTestBase {
     assert(mean >= 0.4, f"IVF recall@5 $mean%.2f below contract floor 0.40")
   }
 
-  test("IVF-PQ residual encoding + ADC re-rank recalls >= 70% of the exact top-5") {
+  test("IVF-PQ residual encoding + ADC re-rank recalls >= 75% of the exact top-5") {
     // q150 is IVFADC+R over an INVERTED MULTI-INDEX coarse quantizer
-    // (Jégou et al. 2011 + Babenko & Lempitsky 2012, round 15): the
-    // cell id is the product of two half-space sub-quantizers
-    // (K₁ = ⌈n^¼⌉-pow2 each, disjoint lowest-vec_id samples), so
-    // ncells ≈ √n GROWS with the corpus while assignment costs 2·K₁
-    // half-dots per vector (≈ n^¼ — a flat nearest-of-√n-centroids
-    // assign would be n^1.5 total work); probes rank all K₁² combos
-    // by the exactly-decomposed q·c, ADC shortlists top-80 from
-    // 8-byte residual codes at nprobe=32, and the shortlist re-ranks
-    // by the exact integer dot (80 full-vector reads per query,
-    // bounded I/O). Measured 0.76 / 0.81 / 0.72 at sf0.001/0.01/0.1
-    // on this worst-case near-uniform corpus — above q82's
-    // exact-in-cell 0.59/0.52/0.36 at a SUB-LINEAR per-probe scan
-    // (nprobe·n/ncells ≈ 32√n vs the fixed-cell form's n/4), where
-    // the round-14 fixed-32-cell form needed a linear scan for its
-    // 0.93/0.88/0.67.
+    // (Jégou et al. 2011 + Babenko & Lempitsky 2012; the shared kernel
+    // lives in graft.ops.AnnIndex): the cell id is the product of two
+    // half-space sub-quantizers (K₁ = ⌈n^¼⌉-pow2 each, disjoint
+    // lowest-vec_id samples), so ncells ≈ √n GROWS with the corpus
+    // while assignment costs 2·K₁ half-dots per vector; probes rank
+    // all K₁² combos by the exactly-decomposed q·c. Round 16 raised
+    // the floor 0.70 → 0.75 (verdict item 5) with two constant-bounded
+    // knobs: nprobe derives from a target scan fraction
+    // (min(ncells, clamp(ncells/4, 64, 128)) — tiny corpora probe
+    // everything, large corpora stay ≤ 128·√n candidates) and the ADC
+    // shortlist deepens 80 → 160 (the measured bottleneck was the
+    // ADC→exact-re-rank handoff, not the probe list). Measured
+    // 0.96 / 0.90 / 0.81 at sf0.001/0.01/0.1 on this worst-case
+    // near-uniform corpus, up from 0.76/0.81/0.72, with the per-probe
+    // scan still sub-linear at every decade.
     val mean = graft.tools.Recall.ivfPqRecallAt5(spark, sfDir)
-    assert(mean >= 0.7, f"IVF-PQ recall@5 $mean%.2f below contract floor 0.70")
+    assert(mean >= 0.75, f"IVF-PQ recall@5 $mean%.2f below contract floor 0.75")
   }
 }
