@@ -2205,6 +2205,61 @@ object Lake {
       require(LogLake.snapshotAssembles.get() == assembles,
         "q156: the bucketed lazy plan must never assemble table state")
       q
+    },
+
+    // --- q159: MERGE SCHEMA EVOLUTION (round 16 — Delta's autoMerge,
+    // gated by loglake.merge.schemaEvolution). One MERGE whose source
+    // carries a column the table lacks (o_prio) evolves the schema IN
+    // THE SAME COMMIT: updated rows get values, carried rows read NULL
+    // out of their untouched old files, inserts land with the column.
+    // The read back through the evolved snapshot aggregates all three
+    // row classes per status — one hash certifies the evolution, the
+    // NULL-fill, and the merge semantics together. The oracle computes
+    // the same end state declaratively. At 100 TB this is a
+    // metadata-weight operation: only matched files rewrite (same as
+    // q111); the widened schema costs one manifest, never a backfill.
+    Q(
+      "q159_loglake_merge_evolve",
+      s"""WITH merged AS (
+         |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+         |         o_totalprice,
+         |         CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey % 3 END AS o_prio
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'N', o_totalprice, o_orderkey % 3
+         |  FROM orders WHERE o_orderkey % 100 = 0
+         |)
+         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS total,
+         |       CAST(SUM(o_prio) AS BIGINT) AS prio_sum,
+         |       CAST(COUNT(o_prio) AS BIGINT) AS prio_n
+         |FROM merged GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q159")
+      val ord = orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      LogLake.create(s, dir, ord, statsCols = Seq("o_orderkey"))
+      LogLake.setTableProperties(dir,
+        Map("loglake.merge.schemaEvolution" -> "true"))
+      val upd = ord.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("o_prio", col("o_orderkey") % 3)
+      val ins = ord.filter(col("o_orderkey") % 100 === 0)
+        .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          (col("o_orderkey") % 3).as("o_prio"))
+      LogLake.merge(s, dir, upd.unionByName(ins), keyCols = Seq("o_orderkey"),
+        statsCols = Seq("o_orderkey"))
+      val out = LogLake.snapshot(s, dir)
+      require(out.schema.fieldNames.contains("o_prio") &&
+        out.schema("o_prio").nullable,
+        "q159: the merge must have evolved the schema additively")
+      out.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"),
+          sum("o_prio").cast("long").as("prio_sum"),
+          count("o_prio").as("prio_n"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -76,6 +76,14 @@ private[graft] object CheckpointParquet {
   private val KAggBytes = "loglake.part.bytes"
   private val KAggRows = "loglake.part.rows"
   private val KAggDvs = "loglake.part.dvs"
+  /** Round 16 (ADVICE r15): the part's POLICY aggregates — the union of
+    * stats-column keys across every record (so stats inheritance never
+    * depends on which file happens to be first in a part), and the
+    * count of files whose NAME carries no parseable bucket tag (so
+    * bucketed lazy plans and bucket-id pruning can verify the tags are
+    * trustworthy from one footer read instead of a body scan). */
+  private val KStatsCols = "loglake.part.statscols"
+  private val KAggUntagged = "loglake.part.untagged"
 
   /** (fileCount, sumBytes where known, sumRows, dvCount) for one part,
     * from its footer alone — None for parts written before the
@@ -91,6 +99,25 @@ private[graft] object CheckpointParquet {
       rw <- Option(kv.get(KAggRows)).map(_.toLong)
       d <- Option(kv.get(KAggDvs)).map(_.toLong)
     } yield PartAgg(f, b, rw, d)
+  }
+
+  /** The part's stats-column key union — None for parts written before
+    * the policy footer existed (callers fall back to record sampling). */
+  def readStatsCols(conf: Configuration, src: Path): Option[Seq[String]] = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
+    val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
+    Option(kv.get(KStatsCols)).map { json =>
+      val arr = mapper.readTree(json)
+      (0 until arr.size()).map(arr.get(_).asText())
+    }
+  }
+
+  /** The part's count of bucket-untagged file names — None for parts
+    * written before the footer existed (callers treat as untrusted). */
+  def readUntagged(conf: Configuration, src: Path): Option[Long] = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
+    val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
+    Option(kv.get(KAggUntagged)).map(_.toLong)
   }
 
   def write(conf: Configuration, dest: Path, c: Checkpoint,
@@ -118,6 +145,11 @@ private[graft] object CheckpointParquet {
       ws.aFiles += 1; ws.aRows += a.rows
       if (a.bytes > 0) ws.aBytes += a.bytes
       if (a.dv.nonEmpty) ws.aDvs += 1
+      ws.aStatsCols ++= a.stats.keysIterator
+      new Path(a.path).getName match {
+        case LogLake.BucketTagName(_) => ()
+        case _ => ws.aUntagged += 1
+      }
       val g = gf.newGroup()
       g.add("path", a.path)
       g.add("rows", a.rows)
@@ -145,6 +177,8 @@ private[graft] object CheckpointParquet {
       base: java.util.Map[String, String])
       extends org.apache.parquet.hadoop.api.WriteSupport[Group] {
     var aFiles = 0L; var aBytes = 0L; var aRows = 0L; var aDvs = 0L
+    var aUntagged = 0L
+    val aStatsCols = scala.collection.mutable.TreeSet.empty[String]
     private var gw: org.apache.parquet.example.data.GroupWriter = _
     override def init(conf: Configuration)
         : org.apache.parquet.hadoop.api.WriteSupport.WriteContext =
@@ -160,6 +194,10 @@ private[graft] object CheckpointParquet {
       m.put(KAggBytes, aBytes.toString)
       m.put(KAggRows, aRows.toString)
       m.put(KAggDvs, aDvs.toString)
+      m.put(KAggUntagged, aUntagged.toString)
+      val cols = mapper.createArrayNode()
+      aStatsCols.foreach(cols.add)
+      m.put(KStatsCols, mapper.writeValueAsString(cols))
       new org.apache.parquet.hadoop.api.WriteSupport.FinalizedWriteContext(m)
     }
   }

@@ -257,6 +257,33 @@ object LogLake {
     * mid-sweep reader) is skipped entirely, which is sound because a
     * checkpoint is purely an accelerator: an earlier complete one plus
     * a longer manifest tail resolves the same state. */
+  /** Distributed planning posture (round 16 — VERDICT r15 #3): the
+    * explicit `loglake.planning.distributed` property wins BOTH ways
+    * ("true"/"false"); with it UNSET, planning auto-enables once the
+    * latest checkpoint's body bytes reach
+    * `loglake.planning.autoMinCheckpointBytes` (default 64 MiB ≈ the
+    * 10⁶-file mark where eager state assembly starts to hurt) — the
+    * same posture as the round-15 bootstrap auto-select: a naive user's
+    * 10⁸-file table must not plan eagerly just because nobody
+    * discovered a property. The signal is one log listing plus part
+    * lengths — never a body parse, never assembled state. Threshold 0
+    * forces auto-ON for any checkpointed table. */
+  private[sources] def distributedPlanningOn(dir: String): Boolean =
+    distributedPlanningOn(dir, tableProperties(dir))
+
+  private[sources] def distributedPlanningOn(dir: String,
+      props: Map[String, String]): Boolean =
+    props.get("loglake.planning.distributed") match {
+      case Some(v) => v.trim.equalsIgnoreCase("true")
+      case None =>
+        val thr = props.get("loglake.planning.autoMinCheckpointBytes")
+          .flatMap(_.toLongOption).getOrElse(64L << 20)
+        listCheckpoints(dir).lastOption.exists { case (_, parts) =>
+          val f = fs(dir)
+          parts.map(p => f.getFileStatus(p).getLen).sum >= thr
+        }
+    }
+
   private def listCheckpoints(dir: String): Seq[(Long, Seq[Path])] = {
     val f = fs(dir)
     val lp = logPath(dir)
@@ -659,10 +686,10 @@ object LogLake {
     * matches NULL). */
   def pruneFiles(dir: String, column: String, lo: Any, hi: Any,
       asOf: Option[Long] = None): (Seq[AddFile], Int) = {
-    // opt-in distributed routing: at 10⁸-file scale the resolved state
+    // distributed routing (explicit opt-in, or auto above the
+    // checkpoint-size threshold): at 10⁸-file scale the resolved state
     // has no business on the driver at all — see planFilesDistributed
-    if (tableProperties(dir).get("loglake.planning.distributed")
-        .contains("true")) {
+    if (distributedPlanningOn(dir)) {
       SparkSession.getActiveSession match {
         case Some(s) =>
           val (kept, total, schema) = distributedPrunePass(s, dir, asOf) {
@@ -896,9 +923,10 @@ object LogLake {
     * back, without reading code. */
   private[sources] def lazyPlanEx(dir: String, target: Long,
       allowDvs: Boolean = false): Either[String, LazyPlan] = {
-    if (!tableProperties(dir).get("loglake.planning.distributed")
-        .contains("true"))
-      return Left("loglake.planning.distributed is not set")
+    if (!distributedPlanningOn(dir))
+      return Left("loglake.planning.distributed is off (explicit false, " +
+        "or unset with the checkpoint below " +
+        "loglake.planning.autoMinCheckpointBytes)")
     // BUCKETED tables are eligible (round 15): bucket ids ride the
     // file NAMES the skipping job already returns, and the spec is
     // table metadata — the relation hands the planner the same
@@ -1051,23 +1079,64 @@ object LogLake {
         planSurvivors(spark, p, a => constraintsKeep(cs, a) && extra(a))._1
       case None => eager._1.filter(a => constraintsKeep(cs, a) && extra(a))
     }
-    /** Broad stats-column inheritance basis, INDEPENDENT of any
-      * candidate prune: the manifest-tail adds plus the first record
-      * of every checkpoint part under the lazy plan (part-count-sized
-      * — one ranged read each), the full prior file list otherwise.
+    /** Broad stats-column inheritance basis (PHYSICAL key union),
+      * INDEPENDENT of any candidate prune: the manifest-tail adds'
+      * keys plus, per checkpoint part, the part's FULL stats-key union
+      * from its policy footer (round 16 — ADVICE r15: first-record
+      * sampling under-inherited when stats collection was enabled
+      * mid-life and older stat-less files led a part; legacy parts
+      * without the footer keep the one-sampled-record fallback).
       * A pruned candidate set must never be the basis — an insert-only
       * merge whose prune empties (keys outside every file's envelope,
       * the common append-style upsert) would inherit Nil and silently
       * turn default file skipping off for the newly committed files,
-      * violating [[inheritedStats]]' contract. Same sampling rule as
-      * the append path in [[write]]. */
-    lazy val statsBasis: Seq[AddFile] = plan match {
+      * violating [[inheritedStats]]' contract. Same rule as the append
+      * path in [[write]]. */
+    lazy val statsKeys: Seq[String] = plan match {
       case Some(p) =>
         val conf = fs(dir).getConf
-        p.delta.map(_._2) ++
-          p.parts.flatMap(pp => CheckpointParquet.readFirst(conf, new Path(pp)))
-      case None => eager._1
+        (p.delta.iterator.flatMap(_._2.stats.keysIterator) ++
+          p.parts.iterator.flatMap { pp =>
+            val path = new Path(pp)
+            CheckpointParquet.readStatsCols(conf, path) match {
+              case Some(ks) => ks.iterator
+              case None => CheckpointParquet.readFirst(conf, path)
+                .iterator.flatMap(_.stats.keysIterator)
+            }
+          }).toSeq.distinct
+      case None => eager._1.iterator.flatMap(_.stats.keysIterator).toSeq.distinct
     }
+
+    /** Are this snapshot's bucket tags TRUSTWORTHY — i.e., does every
+      * active file carry a parseable tag? Under the lazy plan the
+      * answer comes from the parts' policy footers plus the tail (a
+      * legacy part without the footer is UNKNOWN → untrusted); eagerly
+      * it is the same [[allBucketTagged]] scan the relation gate uses.
+      * Mixed tagged/untagged states are evidence of a foreign writer
+      * (ADVICE r15) — consumers must then drop the BucketSpec / skip
+      * bucket-id pruning rather than trust any individual tag. */
+    lazy val bucketTagsTrusted: Boolean = plan match {
+      case Some(p) => lazyBucketTagsTrusted(dir, p)
+      case None => allBucketTagged(eager._1)
+    }
+  }
+
+  /** [[Discovery.bucketTagsTrusted]] for a bare [[LazyPlan]] (the read
+    * relation): every checkpoint part's policy footer must report ZERO
+    * untagged file names (a legacy part without the footer is unknown
+    * → untrusted) and every tail add must carry a parseable tag. One
+    * footer read per part + the in-memory tail — never a body scan. */
+  private[sources] def lazyBucketTagsTrusted(dir: String,
+      plan: LazyPlan): Boolean = {
+    val conf = fs(dir).getConf
+    plan.parts.forall(pp =>
+      CheckpointParquet.readUntagged(conf, new Path(pp)).contains(0L)) &&
+      plan.delta.forall { case (_, a) =>
+        new Path(a.path).getName match {
+          case BucketTagName(_) => true
+          case _ => false
+        }
+      }
   }
 
   /** Same comparison class under [[typedRender]]/[[cmp]] — the
@@ -2168,8 +2237,11 @@ object LogLake {
       files: Seq[AddFile], schema: StructType, keys: DataFrame,
       keyCols: Seq[String]): Seq[AddFile] =
     keyBucketIds(dir, schema, keys, keyCols) match {
-      case Some(ids) => files.filter(bucketIdKeep(ids))
-      case None => files
+      // all-or-nothing tag gate (round 16 — ADVICE r15): any untagged
+      // active file is evidence of a foreign writer, so no tag is
+      // trusted and the full candidate set scans
+      case Some(ids) if allBucketTagged(files) => files.filter(bucketIdKeep(ids))
+      case _ => files
     }
 
   /** Per-file bucket admission against a key-id set: a TAGGED file
@@ -2462,7 +2534,7 @@ object LogLake {
     val aligned = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val miss = !coalesce(condition, lit(false))
     val newAdds = writeData(spark, dir, aligned,
-      inheritedStats(disc.statsBasis, statsCols, aligned.schema, schema),
+      inheritedStats(disc.statsKeys, statsCols, aligned.schema, schema),
       physMap(schema))
     val offending = readAdds(spark, dir, schema, newAdds)
       .filter(miss).limit(1).collect()
@@ -2505,13 +2577,52 @@ object LogLake {
             // survivors keep their row ids under tracking (materialized)
             val kept = trackedRead(spark, dir, schema, touched).filter(miss)
             (writeData(spark, dir, kept,
-              inheritedStats(disc.statsBasis, statsCols, schema, schema),
+              inheritedStats(disc.statsKeys, statsCols, schema, schema),
               physMap(schema)), touched.map(_.path), cdcFiles)
           }
       }
     // the region's replacement rows are NEW rows — fresh base row ids
     commit(dir, "overwrite", txnId, readV, schema.json,
       assignBaseRowIds(dir, newAdds ++ survivorAdds), removes, cdc)
+  }
+
+  /** MERGE INTO schema evolution (round 16 — Delta's
+    * `autoMerge.enabled`, per-table): with
+    * `loglake.merge.schemaEvolution = true`, a merge source carrying
+    * columns the table lacks EVOLVES the table additively in the same
+    * commit — the new columns are forced nullable (old files read them
+    * as NULL; under column mapping each draws a fresh physical name via
+    * [[evolvedSchema]]), and retype/drop/rename still refuse through
+    * [[evolvedSchema]]'s rules. Off (the default) the caller keeps its
+    * exact-match contract. The committed manifest carries the evolved
+    * schema while conflict validation still compares winners against
+    * the schema the merge READ (`readSchemaJson`), exactly like the
+    * additive branch publish. */
+  private def mergeEvolvedSchema(dir: String, table: StructType,
+      source: StructType): StructType = {
+    if (!tableProperties(dir).get("loglake.merge.schemaEvolution")
+        .contains("true")) return table
+    // unlike append evolution, a merge source may be NARROWER than the
+    // table (clause expressions pull what they need) — so only the two
+    // additive rules apply: no retype, and new columns arrive nullable
+    val tByName = table.fields.map(f => f.name -> f).toMap
+    source.fields.foreach { f =>
+      tByName.get(f.name).foreach { t =>
+        require(t.dataType == f.dataType,
+          s"loglake: merge cannot retype column ${f.name} from " +
+            s"${t.dataType.simpleString} to ${f.dataType.simpleString} " +
+            s"at $dir — schema evolution is additive only")
+      }
+    }
+    val added0 = source.fields.filterNot(f => tByName.contains(f.name))
+      .map(_.copy(nullable = true))
+    // under column mapping every NEW column draws a generated physical
+    // name — same rule as append evolution ([[evolvedSchema]])
+    val added =
+      if (!isMapped(table)) added0
+      else added0.map(f => StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().putString(PhysKey, s"col-${UUID.randomUUID()}").build()))
+    if (added.isEmpty) table else StructType(table.fields ++ added)
   }
 
   /** Schema contract per op: `create` sets it, `overwrite` may replace
@@ -2601,27 +2712,22 @@ object LogLake {
     // nothing); only OVERWRITE assembles its remove list, and it does
     // so through the distributed prune, never resolve
     lazy val disc = new Discovery(spark, dir, readV) // readV>0 paths only
-    val (priorFiles, priorSchema, statsBasis)
-        : (Seq[AddFile], StructType, Seq[AddFile]) =
+    val (priorFiles, priorSchema, statsKeys0)
+        : (Seq[AddFile], StructType, Seq[String]) =
       if (readV == 0L) (Seq.empty, null, Seq.empty)
       else disc.plan match {
         case Some(p) =>
-          // stats-column inheritance basis: the tail adds PLUS the
-          // first record of EVERY checkpoint part (part-count-sized —
-          // one ranged read each). Tail-only sampling could miss a
-          // column the steady state records; one legacy record must
-          // not silently narrow the policy either, so the union is
-          // deliberately broad (inheritedStats unions stats keys)
-          val conf = fs(dir).getConf
-          val basis = p.delta.map(_._2) ++
-            p.parts.flatMap(pp => CheckpointParquet.readFirst(conf, new Path(pp)))
+          // stats-column inheritance basis: the tail adds' keys PLUS
+          // every checkpoint part's stats-key union from its policy
+          // footer (round 16 — legacy parts fall back to one sampled
+          // record inside Discovery.statsKeys)
           val prior =
             if (op == "overwrite") planSurvivors(spark, p, _ => true)._1
             else Seq.empty
-          (prior, p.schema, basis)
+          (prior, p.schema, disc.statsKeys)
         case None =>
           val (f0, s0) = disc.eager
-          (f0, s0, f0)
+          (f0, s0, disc.statsKeys)
       }
     // GENERATED columns absent from the incoming frame are computed
     // here (Delta's GENERATED ALWAYS AS); frames that DO carry them
@@ -2641,7 +2747,7 @@ object LogLake {
     val removes =
       if (op == "overwrite") priorFiles.map(_.path) else Nil
     val adds = writeData(spark, dir, df,
-      inheritedStats(statsBasis, statsCols, df.schema, tableSchema),
+      inheritedStats(statsKeys0, statsCols, df.schema, tableSchema),
       physMap(tableSchema))
     // an append that stages no ROWS commits nothing (zero-row parts an
     // eager writer opened are swept) — this is what lets the streaming
@@ -2719,7 +2825,10 @@ object LogLake {
     }
     val readV = currentVersion(dir)
     val disc = new Discovery(spark, dir, readV)
-    val schema = disc.schema
+    val readSchema = disc.schema
+    // under loglake.merge.schemaEvolution, source-only columns evolve
+    // the table additively in this same commit; otherwise identity
+    val schema = mergeEvolvedSchema(dir, readSchema, source.schema)
     require(schema.fieldNames.sorted.sameElements(source.schema.fieldNames.sorted),
       s"loglake: merge source columns ${source.columns.mkString(",")} must match " +
         s"table columns ${schema.fieldNames.mkString(",")}")
@@ -2744,10 +2853,12 @@ object LogLake {
         case Some(_) =>
           // bucketed layouts bound candidates to the keys' buckets on
           // the DISTRIBUTED path too (round 15) — the id set rides the
-          // skipping-job closure
+          // skipping-job closure; tags trusted only when the policy
+          // footers + tail prove every active file is tagged (ADVICE r15)
           keyBucketIds(dir, schema, keys, keyCols) match {
-            case Some(ids) => disc.candidatesWhere(cs, bucketIdKeep(ids))
-            case None => disc.candidates(cs)
+            case Some(ids) if disc.bucketTagsTrusted =>
+              disc.candidatesWhere(cs, bucketIdKeep(ids))
+            case _ => disc.candidates(cs)
           }
         case None => bucketPruneForKeys(dir, disc.eager._1, schema,
           keys, keyCols).filter(constraintsKeep(cs, _))
@@ -2769,7 +2880,7 @@ object LogLake {
     // one sampled record per checkpoint part), never the pruned
     // candidates — an insert-only merge whose envelope prune empties
     // must not silently disable default file skipping
-    val statsBasis = disc.statsBasis
+    val statsKeys0 = disc.statsKeys
 
     // write-time CDC (Delta's _change_data design): a MERGE is the one
     // commit whose changes the read-side diff cannot label exactly —
@@ -2827,7 +2938,7 @@ object LogLake {
           carried.unionByName(srcW.select(carried.columns.toIndexedSeq.map(col): _*))
       }
       val adds = writeData(spark, dir, rewritten,
-        inheritedStats(statsBasis, statsCols, src.schema, schema), physMap(schema))
+        inheritedStats(statsKeys0, statsCols, src.schema, schema), physMap(schema))
       val cdc: Seq[String] = tgtOpt match {
         case Some(tgt) if cdfEnabled(dir) =>
           // labels: matched target rows are pre-images (one per row,
@@ -2847,7 +2958,8 @@ object LogLake {
         case _ => Nil
       }
       commit(dir, "merge", txnId, readV, schema.json,
-        assignBaseRowIds(dir, adds), touched.map(_.path), cdc)
+        assignBaseRowIds(dir, adds), touched.map(_.path), cdc,
+        readSchemaJson = readSchema.json)
     } finally {
       if (reused) tgtOpt.foreach(_.unpersist())
       keys.unpersist(false)
@@ -2923,7 +3035,11 @@ object LogLake {
     }
     val readV = currentVersion(dir)
     val disc = new Discovery(spark, dir, readV)
-    val schema = disc.schema
+    val readSchema = disc.schema
+    // under loglake.merge.schemaEvolution, source-only columns evolve
+    // the table additively in this same commit (clauses may then assign
+    // them; unassigned rows read NULL) — identity otherwise
+    val schema = mergeEvolvedSchema(dir, readSchema, source.schema)
     require(keyCols.forall(schema.fieldNames.contains),
       s"loglake: merge keys ${keyCols.mkString(",")} must be table columns")
     require(keyCols.forall(source.columns.contains),
@@ -2948,8 +3064,11 @@ object LogLake {
         case Some(cs) => disc.plan match {
           case Some(_) =>
             keyBucketIds(dir, schema, keys, keyCols) match {
-              case Some(ids) => disc.candidatesWhere(cs, bucketIdKeep(ids))
-              case None => disc.candidates(cs)
+              // tags trusted only when the policy footers + tail prove
+              // every active file is tagged (ADVICE r15)
+              case Some(ids) if disc.bucketTagsTrusted =>
+                disc.candidatesWhere(cs, bucketIdKeep(ids))
+              case _ => disc.candidates(cs)
             }
           case None => bucketPruneForKeys(dir, disc.eager._1, schema,
             keys, keyCols).filter(constraintsKeep(cs, _))
@@ -2987,8 +3106,8 @@ object LogLake {
     val keyTouched = keyCandidates.filter(a =>
       keyTouchedNames(new Path(a.path).getName))
     val touched = (keyTouched ++ nmbsTouched).distinctBy(_.path)
-    // broad basis, not the pruned candidates — see [[Discovery.statsBasis]]
-    val statsBasis = disc.statsBasis
+    // broad basis, not the pruned candidates — see [[Discovery.statsKeys]]
+    val statsKeys0 = disc.statsKeys
 
     val tracking = rowTrackingEnabled(dir)
     val cdf = cdfEnabled(dir)
@@ -3074,7 +3193,7 @@ object LogLake {
             plain.filter(col("__fresh")).drop("__fresh").drop(RowIdCol)))
 
       val adds = writeData(spark, dir, rewritten,
-        inheritedStats(statsBasis, statsCols, schema, schema), physMap(schema))
+        inheritedStats(statsKeys0, statsCols, schema, schema), physMap(schema))
       if (touched.isEmpty && adds.forall(_.rows == 0L)) {
         // nothing claimed anything — no commit (sweep the empty parts)
         val fsys = fs(dir)
@@ -3128,7 +3247,8 @@ object LogLake {
           if (touched.isEmpty) Nil else writeCdc(spark, dir, cdcDf, schema)
         }
       commit(dir, "merge", txnId, readV, schema.json,
-        assignBaseRowIds(dir, adds), touched.map(_.path), cdc)
+        assignBaseRowIds(dir, adds), touched.map(_.path), cdc,
+        readSchemaJson = readSchema.json)
     } finally {
       if (reused) tgtRead.foreach(_.unpersist())
       keys.unpersist(false)
@@ -3212,7 +3332,7 @@ object LogLake {
     val kept = trackedRead(spark, dir, schema, touched)
       .filter(!coalesce(condition, lit(false))) // NULL-condition rows survive, as in SQL DELETE
     val adds = writeData(spark, dir, kept,
-      inheritedStats(disc.statsBasis, statsCols, schema, schema), physMap(schema))
+      inheritedStats(disc.statsKeys, statsCols, schema, schema), physMap(schema))
     commit(dir, "delete", txnId, readV, schema.json, adds, touched.map(_.path), cdc)
   }
 
@@ -3290,7 +3410,7 @@ object LogLake {
           set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
         }): _*))
       val newAdds = writeData(spark, dir, updated,
-        inheritedStats(disc.statsBasis, statsCols, schema, schema), physMap(schema))
+        inheritedStats(disc.statsKeys, statsCols, schema, schema), physMap(schema))
       val (dvAdds, removes) = attachDvs(spark, dir, schema, touched, hit)
       return commit(dir, "update", txnId, readV, schema.json,
         dvAdds ++ newAdds, removes, cdc)
@@ -3306,7 +3426,7 @@ object LogLake {
     val rewritten = regen(trackedRead(spark, dir, schema, touched)
       .select(passId(projected): _*))
     val adds = writeData(spark, dir, rewritten,
-      inheritedStats(disc.statsBasis, statsCols, schema, schema), physMap(schema))
+      inheritedStats(disc.statsKeys, statsCols, schema, schema), physMap(schema))
     commit(dir, "update", txnId, readV, schema.json, adds, touched.map(_.path), cdc)
   }
 
@@ -5084,15 +5204,21 @@ object LogLake {
     * are PHYSICAL names; the returned list is LOGICAL (what the write
     * path and its `nameMap` speak) — a dropped column's stats simply
     * stop being tracked. */
-  private def inheritedStats(prior: Seq[AddFile], statsCols: Seq[String],
+  private def inheritedStats(priorKeys: Seq[String], statsCols: Seq[String],
       incoming: StructType, table: StructType): Seq[String] =
     if (statsCols.nonEmpty) statsCols
     else {
       val toLogical = table.fields.iterator.map(f => physName(f) -> f.name).toMap
       val cols = incoming.fieldNames.toSet
-      prior.iterator.flatMap(_.stats.keys).distinct
-        .flatMap(toLogical.get).filter(cols).toSeq
+      priorKeys.distinct.flatMap(toLogical.get).filter(cols)
     }
+
+  /** [[inheritedStats]] over a concrete file list (eager callers). */
+  private def inheritedStats(prior: Seq[AddFile], statsCols: Seq[String],
+      incoming: StructType, table: StructType)(
+      implicit d: DummyImplicit): Seq[String] =
+    inheritedStats(prior.iterator.flatMap(_.stats.keysIterator).toSeq,
+      statsCols, incoming, table)
 
   /** Stage `df` (LOGICAL column names) as parquet under the table's
     * PHYSICAL column names, move the parts to `data/` under fresh UUID
@@ -5653,7 +5779,7 @@ object LogLake {
       // until someone also discovers the format property.
       val parquetBody = props.get("loglake.checkpoint.format") match {
         case Some(fmt) => fmt.trim.equalsIgnoreCase("parquet")
-        case None => props.get("loglake.planning.distributed").contains("true")
+        case None => distributedPlanningOn(dir, props)
       }
       // the distributed-planning posture extends to the WRITE side:
       // derive the new checkpoint from the previous one on executors
@@ -5662,7 +5788,7 @@ object LogLake {
       // 1 (no usable previous checkpoint): bootstrap from the manifest
       // log itself — both as jobs, state never on the driver
       if (parquetBody &&
-          props.get("loglake.planning.distributed").contains("true") &&
+          distributedPlanningOn(dir, props) &&
           (writeCheckpointDistributed(dir, v,
             if (partSize <= 0L) 1000000L else partSize) ||
            writeCheckpointBootstrap(dir, v,

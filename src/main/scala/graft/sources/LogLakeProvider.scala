@@ -257,8 +257,14 @@ object LogLakeProvider {
       // pruning survive the lazy plan too. A SORTED spec's
       // outputOrdering check pays one listFiles job at planning (Spark
       // groups files per bucket to prove ≤1-file-per-bucket) — still
-      // never an assembled state.
+      // never an assembled state. Round 16 (ADVICE r15): the spec is
+      // served only when the parts' policy footers + tail prove every
+      // active file carries a parseable tag — one untagged file
+      // (foreign manifest, converted original) now degrades to an
+      // unbucketed scan exactly like the eager path, instead of
+      // failing every read under distributed planning.
       val buckets = LogLake.bucketSpec(dir)
+        .filter(_ => LogLake.lazyBucketTagsTrusted(dir, plan))
         .map(bs => BucketSpec(bs.n, bs.cols, bs.sortCols))
       return HadoopFsRelation(index, partitionSchema = index.partitionSchema,
         dataSchema = plan.schema, bucketSpec = buckets,

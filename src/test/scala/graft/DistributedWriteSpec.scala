@@ -331,4 +331,38 @@ class DistributedWriteSpec extends SparkTestBase {
         s"fresh-region replaceWhere files must carry inherited k stats, got $bf")
     }
   }
+
+  test("mid-life stats enablement: inheritance reads the part's footer union, not its first record") {
+    // ADVICE r15: sampling only the FIRST record of each checkpoint
+    // part under-inherits when stats collection was enabled mid-life —
+    // older stat-less files lead the part AND the manifest tail can be
+    // stat-less too, so the one sampled record hides the policy. The
+    // policy footer (round 16) carries the part's full stats-key
+    // union. Layout pinned here: stat-less files first (v2-v5), a
+    // k-stats era in the middle (v6-v9), stat-less again through the
+    // checkpoint boundary and the whole tail (v10-v13) — the union is
+    // visible ONLY through the footer.
+    val dir = tmp("midlife")
+    LogLake.createEmpty(dir, Seq((1L, "x")).toDF("k", "v").schema)
+    LogLake.setTableProperties(dir, Map(
+      "loglake.checkpoint.format" -> "parquet",
+      "loglake.checkpoint.partSizeFiles" -> "32",
+      "loglake.dataSkippingNumIndexedCols" -> "0",
+      "loglake.planning.distributed" -> "true"))
+    (0 until 12).foreach { i =>
+      val stats = if (i >= 4 && i < 8) Seq("k") else Nil
+      LogLake.append(spark, dir,
+        Seq((i * 100L, s"a$i")).toDF("k", "v").repartition(1),
+        statsCols = stats)
+    }
+    LogLake.clearSnapshotCache()
+    val beforePaths = LogLake.activeState(dir)._1.map(_.path).toSet
+    // insert-only merge far outside every envelope (prune empties too)
+    LogLake.merge(spark, dir, Seq((900000L, "i1")).toDF("k", "v"), Seq("k"))
+    LogLake.clearSnapshotCache()
+    val fresh = LogLake.activeState(dir)._1.filterNot(a => beforePaths(a.path))
+    assert(fresh.nonEmpty && fresh.forall(_.stats.contains("k")),
+      s"mid-life stats policy must inherit from the footer union, got " +
+        s"${fresh.map(_.stats)}")
+  }
 }

@@ -338,6 +338,90 @@ class LazyIndexSpec extends SparkTestBase {
     assert(LogLake.allBucketTagged(LogLake.activeState(dir)._1))
   }
 
+  test("a foreign untagged file degrades the bucketed lazy plan to an unbucketed scan") {
+    // ADVICE r15: the lazy path used to hand the planner a BucketSpec
+    // unconditionally — one untagged active file (foreign manifest)
+    // made every read FAIL loudly under distributed planning while the
+    // eager path degraded gracefully. Round 16: the parts' policy
+    // footers + the manifest tail prove all-tagged; when they can't,
+    // the lazy relation drops the spec and stays READABLE, mirroring
+    // the eager degrade. Simulated foreign writer: rename one
+    // tail-add's data file to an untagged name and patch its manifest.
+    val dir = buildBucketed(520) // checkpoint at v10, tail beyond it
+    LogLake.append(spark, dir,
+      Seq((9001L, "foreign")).toDF("k", "v").repartition(1))
+    // tamper: the latest manifest's single add loses its bucket tag
+    val log = new java.io.File(dir, "_loglake")
+    val numbered = """(\d+)\.json""".r
+    val manifest = log.listFiles().flatMap(f => f.getName match {
+      case numbered(v) => Some(v.toLong -> f)
+      case _ => None
+    }).maxBy(_._1)._2
+    val body = new String(Files.readAllBytes(manifest.toPath), "UTF-8")
+    val tagged = """data/[0-9a-f-]+_(\d+)\.parquet""".r
+    val hit = tagged.findFirstIn(body).getOrElse(
+      fail(s"no tagged add in ${manifest.getName}"))
+    val foreign = hit.replaceAll("""_(\d+)\.parquet$""", ".foreign.parquet")
+    assert(new java.io.File(dir, hit).renameTo(new java.io.File(dir, foreign)))
+    Files.write(manifest.toPath, body.replace(hit, foreign).getBytes("UTF-8"))
+    // the local FS checksums sidecar .crc files — drop the stale ones
+    // (a real foreign writer brings its own object store)
+    new java.io.File(log, s".${manifest.getName}.crc").delete()
+    LogLake.clearSnapshotCache()
+    // the read STAYS lazy and STAYS readable — just unbucketed
+    val df = spark.read.format("loglake").load(dir)
+    assert(index(df).isInstanceOf[LazyLogLakeFileIndex],
+      "the untagged file must not knock the table off the lazy plan")
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.relation.bucketSpec.isEmpty,
+      "an untagged active file must drop the BucketSpec (foreign writer)")
+    assert(df.count() == 521L, "the degraded scan must still serve every row")
+    assert(df.filter(col("k") === 9001L).count() == 1L)
+  }
+
+  test("default posture (no property): auto-lazy above the checkpoint-size threshold") {
+    // VERDICT r15 #3: a naive user's huge table must not plan eagerly
+    // just because nobody discovered loglake.planning.distributed. The
+    // explicit property still wins both ways.
+    val dir = tmp("auto")
+    LogLake.createEmpty(dir, Seq((1L, "x")).toDF("k", "v").schema)
+    LogLake.setTableProperties(dir, Map(
+      "loglake.checkpoint.format" -> "parquet",
+      "loglake.checkpoint.partSizeFiles" -> "4"))
+    (0 until 12).foreach(i =>
+      LogLake.append(spark, dir,
+        Seq((i * 10L, s"a$i")).toDF("k", "v").repartition(1)))
+    // small table, no property: below the 64 MiB default → eager
+    LogLake.clearSnapshotCache()
+    assert(index(spark.read.format("loglake").load(dir))
+      .isInstanceOf[LogLakeFileIndex],
+      "a small table with no property must keep the eager index")
+    // same table "at scale": the threshold property models a checkpoint
+    // past the auto mark — the read plans lazily with NO
+    // planning.distributed property set, and DESCRIBE DETAIL says so
+    LogLake.setTableProperties(dir,
+      Map("loglake.planning.autoMinCheckpointBytes" -> "1"))
+    LogLake.clearSnapshotCache()
+    val before = LogLake.snapshotAssembles.get()
+    val df = spark.read.format("loglake").load(dir)
+    assert(index(df).isInstanceOf[LazyLogLakeFileIndex],
+      "above the threshold with no property, planning must go lazy")
+    assert(df.count() == 12L)
+    assert(LogLake.snapshotAssembles.get() == before)
+    LogLake.clearSnapshotCache()
+    assert(LogLake.detailDf(spark, dir).head().getAs[String]("lazyPlan")
+      == "eligible", "DESCRIBE DETAIL must surface auto-eligibility")
+    // explicit false overrides auto-on
+    LogLake.setTableProperties(dir,
+      Map("loglake.planning.distributed" -> "false"))
+    LogLake.clearSnapshotCache()
+    assert(index(spark.read.format("loglake").load(dir))
+      .isInstanceOf[LogLakeFileIndex],
+      "explicit false must win over the auto threshold")
+  }
+
   test("a pre-parquet table auto-migrates at its next checkpoint and goes lazy") {
     // simulate a pre-round-13 table: json checkpoint bodies on disk,
     // NO format property — flipping on distributed planning alone must

@@ -166,4 +166,82 @@ class MergeClausesSpec extends SparkTestBase {
     assert(v == v0, "no matched rows, no insert clause -> no commit")
     assert(snap(dir) == Set((1L, "a", 10L)))
   }
+
+  // ---- MERGE schema evolution (round 16 — Delta's autoMerge) ----
+
+  private val evoOn = Map("loglake.merge.schemaEvolution" -> "true")
+
+  test("merge evolution: a source-only column evolves the table in the same commit") {
+    val dir = tmp("evo")
+    LogLake.create(spark, dir, kvn((1L, "a", 10L), (2L, "b", 20L)))
+    LogLake.setTableProperties(dir, evoOn)
+    val src = Seq((2L, "B", 22L, "new2"), (5L, "e", 50L, "new5"))
+      .toDF("k", "v", "n", "extra")
+    LogLake.mergeClauses(spark, dir, src, Seq("k"), Seq(
+      MatchedUpdate(None, Map("v" -> col("source.v"),
+        "extra" -> col("source.extra"))),
+      NotMatchedInsert(None, Map("k" -> col("source.k"),
+        "v" -> col("source.v"), "n" -> col("source.n"),
+        "extra" -> col("source.extra")))))
+    val out = LogLake.snapshot(spark, dir)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "v", "n", "extra"))
+    assert(out.schema("extra").nullable, "evolved columns must be nullable")
+    assert(out.as[(Long, String, Long, Option[String])].collect().toSet == Set(
+      (1L, "a", 10L, None),            // carried: old file serves NULL
+      (2L, "B", 20L, Some("new2")),    // updated, evolved column assigned
+      (5L, "e", 50L, Some("new5"))))   // inserted with the new column
+  }
+
+  test("merge evolution: off by default — the simple merge keeps exact-match") {
+    val dir = tmp("evo-off")
+    LogLake.create(spark, dir, kvn((1L, "a", 10L)))
+    val widened = Seq((1L, "A", 11L, true)).toDF("k", "v", "n", "flag")
+    val e = intercept[IllegalArgumentException] {
+      LogLake.merge(spark, dir, widened, keyCols = Seq("k"))
+    }
+    assert(e.getMessage.contains("must match table columns"))
+  }
+
+  test("merge evolution: the simple whole-row merge widens too") {
+    val dir = tmp("evo-simple")
+    LogLake.create(spark, dir, kvn((1L, "a", 10L), (2L, "b", 20L)))
+    LogLake.setTableProperties(dir, evoOn)
+    LogLake.merge(spark, dir,
+      Seq((2L, "B", 22L, 7L), (9L, "i", 90L, 9L)).toDF("k", "v", "n", "m"),
+      keyCols = Seq("k"))
+    assert(LogLake.snapshot(spark, dir)
+      .as[(Long, String, Long, Option[Long])].collect().toSet ==
+      Set((1L, "a", 10L, None), (2L, "B", 22L, Some(7L)), (9L, "i", 90L, Some(9L))))
+  }
+
+  test("merge evolution: retype still refuses") {
+    val dir = tmp("evo-retype")
+    LogLake.create(spark, dir, kvn((1L, "a", 10L)))
+    LogLake.setTableProperties(dir, evoOn)
+    val retyped = Seq((1L, "A", "not-a-long")).toDF("k", "v", "n")
+    val e = intercept[IllegalArgumentException] {
+      LogLake.mergeClauses(spark, dir, retyped, Seq("k"),
+        Seq(MatchedUpdate(None, Map("v" -> col("source.v")))))
+    }
+    assert(e.getMessage.contains("cannot retype"))
+  }
+
+  test("merge evolution under column mapping: the new column draws a physical name") {
+    val dir = tmp("evo-map")
+    LogLake.create(spark, dir, kvn((1L, "a", 10L)))
+    LogLake.renameColumn(spark, dir, "v", "label") // activates mapping
+    LogLake.setTableProperties(dir, evoOn)
+    LogLake.mergeClauses(spark, dir,
+      Seq((1L, "A", 11L, 99L)).toDF("k", "label", "n", "score"), Seq("k"),
+      Seq(MatchedUpdate(None, Map("label" -> col("source.label"),
+        "score" -> col("source.score")))))
+    val out = LogLake.snapshot(spark, dir)
+    assert(out.as[(Long, String, Long, Option[Long])].collect().toSet ==
+      Set((1L, "A", 10L, Some(99L))))
+    // a later rename of the evolved column keeps serving its data —
+    // only possible if it got its own physical name
+    LogLake.renameColumn(spark, dir, "score", "points")
+    assert(LogLake.snapshot(spark, dir)
+      .select("points").as[Option[Long]].collect().toSeq == Seq(Some(99L)))
+  }
 }
