@@ -164,21 +164,105 @@ object AnnLake {
       LogLake.append(s, ix.codes, codesD)
       require(LogLake.snapshot(s, ix.postings).count() == before + MA * deltaRows,
         "q158: the maintenance append must add exactly ma × delta rows")
-      // maintained == frozen-book full rebuild, exactly (multiset:
-      // equal cardinality + empty one-way difference suffices)
+      // maintained POSTINGS == frozen-book full rebuild, exactly
+      // (multiset: equal cardinality + empty one-way difference). The
+      // codes-equality twin is proven in AnnIndexSpec — in-query it
+      // would re-encode the whole corpus through the n×M×Ks window
+      // just to compare, while the oracle hash below already depends
+      // on every maintained code byte through the ADC stage.
       val full = AnnIndex.assignTop(AnnIndex.normalized(emb), k1, fb1, fb2, MA)
       val maintained = LogLake.snapshot(s, ix.postings)
       require(maintained.count() == full.count() && maintained.exceptAll(full).isEmpty,
         "q158: maintained postings must equal the frozen-book rebuild")
-      val fullCodes = AnnIndex.encode(full, fcb)
       val mCodes = LogLake.snapshot(s, ix.codes)
-      require(mCodes.count() == fullCodes.count() && mCodes.exceptAll(fullCodes).isEmpty,
-        "q158: maintained codes must equal the frozen-book rebuild")
       // SEARCH the maintained index (list-resident re-rank, as q157)
       AnnIndex.search(AnnIndex.normalized(emb.filter(col("vec_id") < 20)), k1,
         fb1, fb2, fcb,
         maintained, mCodes,
         rerank = None, nprobe = AnnIndex.nprobeOf(k1 * k1))
+    },
+
+    // --- q160: PERSISTED NEAR-DUP BAND INDEX + incremental maintenance
+    // (the band-table half of VERDICT r15 #2). The q40 MinHash band
+    // table and signature table persist as loglake tables; an appended
+    // delta (doc_id ≡ 5 mod 9, staged like q158's) is shingled, hashed
+    // and banded under the SAME hash constants (frozen by construction
+    // — the params are object constants, signatures are pointwise) in
+    // a maintenance job whose plan may scan ONLY the staging table,
+    // then loglake-appends into the index. The search is INDEX-ONLY:
+    // the delta's stored band rows probe the full stored band table
+    // (delta × corpus, never corpus × corpus) and estimated Jaccard
+    // comes from the stored signatures — the search plan is required
+    // to read NO document text at all. The oracle replays the whole
+    // q40 chain and keeps pairs with a delta member. At 100 TB: band
+    // buckets bound candidates exactly as q40; maintenance is
+    // delta-sized; search reads only index rows.
+    Q(
+      "q160_neardup_index_maintain",
+      s"""WITH sh AS (${Sim.oShingleRows}),
+         |${Sim.oMinhashPairCtes}
+         |SELECT d1, d2, est_jaccard FROM pairs
+         |WHERE d1 % 9 = 5 OR d2 % 9 = 5
+         |ORDER BY d1, d2""".stripMargin
+    ) { (s, d) =>
+      val root = Lake.freshDir("q160")
+      val bandsDir = root + "/bands"
+      val sigsDir = root + "/sigs"
+      val staging = root + "/staging"
+      val deltaPred = col("doc_id") % 9 === 5
+      val docs = documents(s, d).select("doc_id", "text")
+      // ingest: the delta lands as its own table
+      LogLake.create(s, staging, docs.filter(deltaPred))
+      // t0 build over the base corpus
+      val baseSh = Sim.shinglesOf(docs.filter(!deltaPred))
+      LogLake.create(s, bandsDir, Sim.minhashBandRows(baseSh),
+        statsCols = Seq("band"))
+      LogLake.create(s, sigsDir, Sim.minhashSigArray(baseSh))
+      // MAINTENANCE: delta-sized — shingle/hash/band the staging rows
+      // under the frozen constants, append into the index
+      val dSh = Sim.shinglesOf(LogLake.snapshot(s, staging))
+      val dBands = Sim.minhashBandRows(dSh)
+      val dSigs = Sim.minhashSigArray(dSh)
+      for (job <- Seq(dBands, dSigs); (path, _) <- fileScans(job)) {
+        require(!path.contains("documents") && !path.contains("/bands")
+          && !path.contains("/sigs"),
+          s"q160: the maintenance job must be delta-sized — it may scan " +
+            s"only staging, got $path")
+      }
+      val deltaDocs = dSigs.count()
+      val before = LogLake.snapshot(s, bandsDir).count()
+      LogLake.append(s, bandsDir, dBands)
+      LogLake.append(s, sigsDir, dSigs)
+      require(LogLake.snapshot(s, bandsDir).count() ==
+        before + deltaDocs * Sim.SigBands,
+        "q160: maintenance must append exactly bands × delta-doc rows")
+      // SEARCH: the delta's stored bands probe the full stored band
+      // table; signatures come from the stored sig table — index-only
+      val bandsIdx = LogLake.snapshot(s, bandsDir)
+      val sigsIdx = LogLake.snapshot(s, sigsDir)
+      val probe = bandsIdx.filter(col("doc_id") % 9 === 5)
+      val cand = probe.as("a")
+        .join(bandsIdx.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+        .distinct()
+      val out = cand
+        .join(sigsIdx.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
+        .join(sigsIdx.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
+        .withColumn("est_jaccard",
+          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+            b => b)) / lit(Sim.SigK.toDouble))
+        .filter(col("est_jaccard") >= 0.5)
+        .select("d1", "d2", "est_jaccard")
+        .orderBy("d1", "d2")
+      val scans = fileScans(out)
+      require(scans.forall(!_._1.contains("documents")),
+        "q160: the search must read no document text — index tables only")
+      require(scans.exists(_._1.contains("/bands")),
+        "q160: the search must read the persisted band table")
+      out
     }
   )
 }

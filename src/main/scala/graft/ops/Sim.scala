@@ -43,7 +43,7 @@ object Sim {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(shingles(col("w")))).as("s"))
 
-  private val oShingleRows: String =
+  private[graft] val oShingleRows: String =
     s"""SELECT doc_id, unnest(list_distinct(${oShingles("w")})) AS s
        |FROM (SELECT doc_id, ${oWords("text")} AS w FROM documents)
        |WHERE len(w) >= 3""".stripMargin
@@ -157,6 +157,40 @@ object Sim {
       .distinct()
   }
 
+  /** The PERSISTED-INDEX forms of the q40 pipeline (round 16, q160):
+    * (doc_id, band, sig) band-bucket rows and (doc_id, sig array)
+    * signatures from a shingle frame. The hash parameters (HashA/
+    * HashB/P/K/BandRows) are object constants, so signatures are
+    * FROZEN BY CONSTRUCTION — maintaining an appended delta is a
+    * pointwise per-doc computation that cannot drift from the base
+    * build. Shared with [[graft.ops.AnnLake]]'s q160. */
+  private[graft] def minhashBandRows(sh: org.apache.spark.sql.DataFrame) = {
+    val bandStructs = (0 until NBands).map { b =>
+      val sig = concat_ws(",",
+        (b * BandRows until (b + 1) * BandRows).map(k => col(s"m$k").cast("string")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    minhashSignatures(sh)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  private[graft] def minhashSigArray(sh: org.apache.spark.sql.DataFrame) =
+    minhashSignatures(sh).select(col("doc_id"),
+      array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
+
+  private[graft] val SigK: Int = K
+  private[graft] val SigBands: Int = NBands
+
+  /** Distinct word-3-gram shingles from an arbitrary (doc_id, text)
+    * frame — [[shingleRows]] without the table binding (q160's staging
+    * reads). */
+  private[graft] def shinglesOf(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("w")))).as("s"))
+
   private[graft] def minhashPairs(sh: org.apache.spark.sql.DataFrame) = {
     val minsig = minhashSignatures(sh)
     val cand = minhashCandidates(minsig)
@@ -173,7 +207,7 @@ object Sim {
 
   /** Oracle CTE chain `hm → minsig → bands → cand → sigs → pairs`;
     * expects a CTE named `sh(doc_id, s)` to be in scope. */
-  private val oMinhashPairCtes: String = {
+  private[graft] val oMinhashPairCtes: String = {
     val oMins = (0 until K)
       .map(k => s"MIN((${HashA(k)} * hm + ${HashB(k)}) % $P) AS m$k").mkString(",\n         ")
     val oBandSigs = (0 until NBands).map { b =>

@@ -76,6 +76,30 @@ class AnnIndexSpec extends SparkTestBase {
       "reconstructed re-rank must match the exact corpus re-rank bit for bit")
   }
 
+  test("frozen-book maintenance: base ∪ delta assignments AND codes equal the full rebuild") {
+    // the q158 equality contract, codes half included (the in-query
+    // require keeps the cheap postings half; this pins the pointwise
+    // property the maintenance relies on for BOTH tables)
+    val full = n
+    val base = full.filter(col("vec_id") % 7 =!= 3)
+    val delta = full.filter(col("vec_id") % 7 === 3)
+    val k1 = AnnIndex.k1Of(base.count()) // FROZEN on the base
+    val (cb1, cb2) = AnnIndex.subBooks(base, k1)
+    val asgB = AnnIndex.assignTop(base, k1, cb1, cb2)
+    val cb = AnnIndex.residualBook(asgB)
+    val asgD = AnnIndex.assignTop(delta, k1, cb1, cb2)
+    val incPost = asgB.unionByName(asgD)
+    val incCodes = AnnIndex.encode(asgB, cb).unionByName(AnnIndex.encode(asgD, cb))
+    val fullPost = AnnIndex.assignTop(full, k1, cb1, cb2)
+    val fullCodes = AnnIndex.encode(fullPost, cb)
+    assert(incPost.count() == fullPost.count() &&
+      incPost.exceptAll(fullPost).isEmpty,
+      "incremental postings must equal the frozen-book full rebuild")
+    assert(incCodes.count() == fullCodes.count() &&
+      incCodes.exceptAll(fullCodes).isEmpty,
+      "incremental codes must equal the frozen-book full rebuild")
+  }
+
   test("encodePasses counts corpus-side encode constructions only") {
     val k1 = AnnIndex.k1Of(n.count())
     val (cb1, cb2) = AnnIndex.subBooks(n, k1)
