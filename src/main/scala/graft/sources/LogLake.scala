@@ -278,11 +278,35 @@ object LogLake {
       case None =>
         val thr = props.get("loglake.planning.autoMinCheckpointBytes")
           .flatMap(_.toLongOption).getOrElse(64L << 20)
-        listCheckpoints(dir).lastOption.exists { case (_, parts) =>
-          val f = fs(dir)
-          parts.map(p => f.getFileStatus(p).getLen).sum >= thr
-        }
+        thr <= latestCheckpointBytes(dir)
     }
+
+  /** Latest checkpoint's body-byte sum — the auto-enable signal.
+    * Memoized per table with a short TTL (and invalidated by this
+    * process's own checkpoint writes): the signal is consulted on
+    * EVERY read/write of a property-less table, and a directory
+    * listing per consult is measurable across a workload (+5 % on the
+    * loglake bench suite when it was unmemoized). The decision it
+    * feeds is one-way and coarse (a table crossing 64 MiB is noticed
+    * at most [[AutoBytesTtlMs]] late), so staleness is harmless. */
+  private val AutoBytesTtlMs = 30000L
+  private val autoBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def latestCheckpointBytes(dir: String): Long = {
+    val now = System.currentTimeMillis()
+    val hit = autoBytesCache.get(dir)
+    if (hit != null && hit._1 > now) return hit._2
+    val bytes = listCheckpoints(dir).lastOption.map { case (_, parts) =>
+      val f = fs(dir)
+      parts.map(p => f.getFileStatus(p).getLen).sum
+    }.getOrElse(0L)
+    autoBytesCache.put(dir, (now + AutoBytesTtlMs, bytes))
+    bytes
+  }
+
+  private[sources] def invalidateAutoBytes(dir: String): Unit =
+    autoBytesCache.remove(dir)
 
   private def listCheckpoints(dir: String): Seq[(Long, Seq[Path])] = {
     val f = fs(dir)
@@ -5853,7 +5877,7 @@ object LogLake {
       System.err.println(
         s"loglake: checkpoint write at v$v failed (best-effort, " +
           s"table still consistent): $e")
-    }
+    } finally invalidateAutoBytes(dir) // the auto-enable byte signal moved
 
   /** CHECKPOINT WRITE AS A JOB (Delta's checkpoint-job posture — the
     * write-side twin of [[partPruneJob]]): the new checkpoint derives
