@@ -301,6 +301,10 @@ object LogLake {
       val f = fs(dir)
       parts.map(p => f.getFileStatus(p).getLen).sum
     }.getOrElse(0L)
+    // bounded: a long-lived JVM touching thousands of scratch tables
+    // must not grow this map forever — entries are per-table and TTL'd,
+    // so a full reset just costs one re-listing each
+    if (autoBytesCache.size() > 4096) autoBytesCache.clear()
     autoBytesCache.put(dir, (now + AutoBytesTtlMs, bytes))
     bytes
   }
