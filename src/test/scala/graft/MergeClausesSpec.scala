@@ -226,6 +226,29 @@ class MergeClausesSpec extends SparkTestBase {
     assert(e.getMessage.contains("cannot retype"))
   }
 
+  test("merge evolution composes with CDC: change rows carry the evolved column") {
+    val dir = tmp("evo-cdf")
+    LogLake.create(spark, dir, kvn((1L, "a", 10L), (2L, "b", 20L)))
+    LogLake.setTableProperties(dir,
+      evoOn + ("loglake.enableChangeDataFeed" -> "true"))
+    LogLake.mergeClauses(spark, dir,
+      Seq((2L, "B", 22L, "x2"), (7L, "g", 70L, "x7"))
+        .toDF("k", "v", "n", "extra"), Seq("k"), Seq(
+        MatchedUpdate(None, Map("v" -> col("source.v"),
+          "extra" -> col("source.extra"))),
+        NotMatchedInsert(None, Map("k" -> col("source.k"),
+          "v" -> col("source.v"), "n" -> col("source.n"),
+          "extra" -> col("source.extra")))))
+    val feed = LogLake.changeFeed(spark, dir, 1L, LogLake.currentVersion(dir))
+      .select(col("_change_type"), col("k"), col("v"), col("extra"))
+      .as[(String, Long, String, Option[String])].collect().toSeq.sorted
+    assert(feed == Seq(
+      ("insert", 7L, "g", Some("x7")),
+      ("update_postimage", 2L, "B", Some("x2")),
+      ("update_preimage", 2L, "b", None)), // pre-image predates the column
+      s"got $feed")
+  }
+
   test("merge evolution under column mapping: the new column draws a physical name") {
     val dir = tmp("evo-map")
     LogLake.create(spark, dir, kvn((1L, "a", 10L)))
