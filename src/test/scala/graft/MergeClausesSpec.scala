@@ -249,6 +249,29 @@ class MergeClausesSpec extends SparkTestBase {
       s"got $feed")
   }
 
+  test("merge evolution keeps row identity through the widening rewrite") {
+    val dir = tmp("evo-rid")
+    LogLake.createEmpty(dir, kvn((1L, "a", 10L)).schema)
+    LogLake.setTableProperties(dir, evoOn +
+      ("loglake.enableRowTracking" -> "true"))
+    LogLake.append(spark, dir, kvn((1L, "a", 10L), (2L, "b", 20L)))
+    def ids(): Map[Long, Long] =
+      LogLake.snapshotWithRowIds(spark, dir)
+        .select(col("k"), col(LogLake.RowIdField)).as[(Long, Long)]
+        .collect().toMap
+    val before = ids()
+    LogLake.mergeClauses(spark, dir,
+      Seq((2L, "B", 22L, 5L)).toDF("k", "v", "n", "extra"), Seq("k"), Seq(
+        MatchedUpdate(None, Map("v" -> col("source.v"),
+          "extra" -> col("source.extra")))))
+    val after = ids()
+    assert(after(1L) == before(1L) && after(2L) == before(2L),
+      "a widening update must keep both the updated and carried rows' ids")
+    assert(LogLake.snapshot(spark, dir)
+      .as[(Long, String, Long, Option[Long])].collect().toSet ==
+      Set((1L, "a", 10L, None), (2L, "B", 20L, Some(5L))))
+  }
+
   test("merge evolution under column mapping: the new column draws a physical name") {
     val dir = tmp("evo-map")
     LogLake.create(spark, dir, kvn((1L, "a", 10L)))
