@@ -206,17 +206,26 @@ object AnnIndex {
   def search(qn: DataFrame, k1: Int, cb1: DataFrame, cb2: DataFrame,
       cb: DataFrame, postings: DataFrame, codes: DataFrame,
       rerank: Option[DataFrame], nprobe: Int,
-      shortR: Int = ShortR, k: Int = K): DataFrame = {
+      shortR: Int = ShortR, k: Int = K,
+      cells: Option[DataFrame] = None): DataFrame = {
     // probes: top-nprobe NON-EMPTY cells per query, ranked by the exact
     // q·c = q₁·c1 + q₂·c2 over all K₁² combos (2·K₁ half-dots per
-    // query — metadata-sized), carrying the COARSE term as base
+    // query — metadata-sized), carrying the COARSE term as base.
+    // `cells`: the persisted (c_id, cnt) occupancy summary (round 17,
+    // VERDICT r16 #6) — ncells ≈ √n rows, the books' size class — so
+    // probe ranking reads √n summary rows instead of scanning + distinct-
+    // shuffling the n-row postings table. It must be the EXACT occupied
+    // set: the postings files' c_id min/max stats only bound ranges, and
+    // a range-superset would let empty cells consume probe slots and
+    // change results (the oracle's IN (SELECT DISTINCT c_id …) is exact).
     val s1 = qn.crossJoin(broadcast(cb1))
       .select(col("vec_id").as("q_id"), col("i1"),
         ldot(h1(col("nx")), col("c1")).as("d1"))
     val s2 = qn.crossJoin(broadcast(cb2))
       .select(col("vec_id").as("q_id"), col("i2"),
         ldot(h2(col("nx")), col("c2")).as("d2"))
-    val nonEmpty = postings.select("c_id").distinct()
+    val nonEmpty = cells.map(_.filter(col("cnt") > 0).select("c_id"))
+      .getOrElse(postings.select("c_id").distinct())
     val wProbe = Window.partitionBy("q_id")
       .orderBy(col("base").desc, col("c_id"))
     val probeCells = s1.join(s2, Seq("q_id"))

@@ -41,12 +41,19 @@ object AnnLake {
   private val MA = 1
 
   /** index table layout under one scratch root */
-  private case class IndexDirs(root: String) {
+  private[ops] case class IndexDirs(root: String) {
     val books1 = root + "/books1"     // (i1, c1)        — metadata-sized
     val books2 = root + "/books2"     // (i2, c2)        — metadata-sized
     val rescb  = root + "/rescb"      // (j, code, cv)   — metadata-sized
     val postings = root + "/postings" // (vec_id, c_id, arnk, r)
     val codes  = root + "/codes"      // (vec_id, c_id, j, code)
+    /** (c_id, cnt) cell-occupancy summary — ncells ≈ √n rows, so probe
+      * ranking never scans postings (round 17, VERDICT r16 #6).
+      * Maintained INCREMENTALLY: append maintenance upserts +delta
+      * counts, delete maintenance subtracts the deleted rows' counts
+      * and drops zeroed cells — exact at every step, because a
+      * range-superset from file stats would change probe sets. */
+    val cells = root + "/cells"
   }
 
   /** Build books/assignments/codes from `n` and persist them; k1 rides
@@ -62,10 +69,27 @@ object AnnLake {
     LogLake.create(s, ix.books1, cb1)
     LogLake.create(s, ix.books2, cb2)
     LogLake.create(s, ix.rescb, cb)
-    LogLake.create(s, ix.postings, asg, statsCols = Seq("c_id"))
-    LogLake.create(s, ix.codes, codes, statsCols = Seq("c_id"))
+    LogLake.create(s, ix.postings, asg, statsCols = Seq("c_id", "vec_id"))
+    LogLake.create(s, ix.codes, codes, statsCols = Seq("c_id", "vec_id"))
+    LogLake.create(s, ix.cells,
+      asg.groupBy("c_id").agg(count(lit(1)).as("cnt")))
     LogLake.setTableProperties(ix.postings, Map("ann.k1" -> k1.toString))
     k1
+  }
+
+  /** Upsert a maintenance delta's per-cell counts into the occupancy
+    * summary: +cnt for touched cells, insert fresh cells, drop zeroed
+    * ones. `deltaCounts` = (c_id, dcnt) with dcnt negative for deletes.
+    * Cost: one merge over a √n-row table — metadata-sized. */
+  private def upsertCells(s: org.apache.spark.sql.SparkSession,
+      cellsDir: String, deltaCounts: org.apache.spark.sql.DataFrame): Unit = {
+    import LogLake.MergeClause._
+    LogLake.mergeClauses(s, cellsDir, deltaCounts, Seq("c_id"), Seq(
+      MatchedDelete(Some(col("target.cnt") + col("source.dcnt") <= 0L)),
+      MatchedUpdate(None,
+        Map("cnt" -> (col("target.cnt") + col("source.dcnt")))),
+      NotMatchedInsert(Some(col("source.dcnt") > 0L),
+        Map("c_id" -> col("source.c_id"), "cnt" -> col("source.dcnt")))))
   }
 
   /** Every parquet scan in `df`'s physical plan, as (pathString, scan).
@@ -107,7 +131,8 @@ object AnnLake {
         LogLake.snapshot(s, ix.books1), LogLake.snapshot(s, ix.books2),
         LogLake.snapshot(s, ix.rescb), LogLake.snapshot(s, ix.postings),
         LogLake.snapshot(s, ix.codes),
-        rerank = None, nprobe = AnnIndex.nprobeOf(k1 * k1))
+        rerank = None, nprobe = AnnIndex.nprobeOf(k1 * k1),
+        cells = Some(LogLake.snapshot(s, ix.cells)))
       require(AnnIndex.encodePasses.get() == passes,
         "q157: the search phase must never re-encode the corpus")
       val scans = fileScans(res)
@@ -117,6 +142,14 @@ object AnnLake {
         "q157: the only corpus read must be the vec_id-filtered query scan")
       require(scans.exists(_._1.contains("/postings")),
         "q157: the search must read the persisted postings table")
+      // round 17 (VERDICT r16 #6): probe ranking reads the √n-row
+      // occupancy summary, NOT the postings table — only the ADC join
+      // and the list-resident re-rank reconstruct touch postings
+      require(scans.exists(_._1.contains("/cells")),
+        "q157: probe ranking must read the persisted cell summary")
+      require(scans.count(_._1.contains("/postings")) <= 2,
+        "q157: postings may appear only in the ADC and re-rank stages — " +
+          "the probe stage must not scan it")
       res
     },
 
@@ -162,8 +195,13 @@ object AnnLake {
       val before = LogLake.snapshot(s, ix.postings).count()
       LogLake.append(s, ix.postings, asgD)
       LogLake.append(s, ix.codes, codesD)
+      upsertCells(s, ix.cells,
+        asgD.groupBy("c_id").agg(count(lit(1)).as("dcnt")))
       require(LogLake.snapshot(s, ix.postings).count() == before + MA * deltaRows,
         "q158: the maintenance append must add exactly ma × delta rows")
+      require(LogLake.snapshot(s, ix.cells).agg(sum("cnt")).first().getLong(0)
+        == before + MA * deltaRows,
+        "q158: the maintained cell summary must account for every posting")
       // maintained POSTINGS == frozen-book full rebuild, exactly
       // (multiset: equal cardinality + empty one-way difference). The
       // codes-equality twin is proven in AnnIndexSpec — in-query it
@@ -179,7 +217,8 @@ object AnnLake {
       AnnIndex.search(AnnIndex.normalized(emb.filter(col("vec_id") < 20)), k1,
         fb1, fb2, fcb,
         maintained, mCodes,
-        rerank = None, nprobe = AnnIndex.nprobeOf(k1 * k1))
+        rerank = None, nprobe = AnnIndex.nprobeOf(k1 * k1),
+        cells = Some(LogLake.snapshot(s, ix.cells)))
     },
 
     // --- q160: PERSISTED NEAR-DUP BAND INDEX + incremental maintenance

@@ -90,35 +90,66 @@ private[graft] object CheckpointParquet {
     * aggregates existed. */
   final case class PartAgg(files: Long, bytes: Long, rows: Long, dvs: Long)
 
-  def readAggregates(conf: Configuration, src: Path): Option[PartAgg] = {
+  /** Footer key-value metadata, memoized per part PATH: checkpoint
+    * part files are immutable once named, and the three policy readers
+    * below are consulted on every relation build / merge of a
+    * lazy-planned table — without the memo each consult re-opened the
+    * footer (ADVICE r16: readStatsCols + readUntagged opened the same
+    * footer twice per operation). LRU-bounded so a long-lived JVM over
+    * thousands of scratch tables stays flat; eviction costs one footer
+    * re-read, never a stampede. */
+  private val footerKvCache =
+    new java.util.LinkedHashMap[String, Map[String, String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, String]]): Boolean =
+        size() > 8192
+    }
+
+  private def footerKv(conf: Configuration, src: Path): Map[String, String] = {
+    val key = src.toString
+    footerKvCache.synchronized {
+      val hit = footerKvCache.get(key)
+      if (hit != null) return hit
+    }
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
     val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
+    val m = {
+      import scala.jdk.CollectionConverters._
+      kv.asScala.toMap
+    }
+    footerKvCache.synchronized { footerKvCache.put(key, m) }
+    m
+  }
+
+  def readAggregates(conf: Configuration, src: Path): Option[PartAgg] = {
+    val kv = footerKv(conf, src)
     for {
-      f <- Option(kv.get(KAggFiles)).map(_.toLong)
-      b <- Option(kv.get(KAggBytes)).map(_.toLong)
-      rw <- Option(kv.get(KAggRows)).map(_.toLong)
-      d <- Option(kv.get(KAggDvs)).map(_.toLong)
+      f <- kv.get(KAggFiles).map(_.toLong)
+      b <- kv.get(KAggBytes).map(_.toLong)
+      rw <- kv.get(KAggRows).map(_.toLong)
+      d <- kv.get(KAggDvs).map(_.toLong)
     } yield PartAgg(f, b, rw, d)
   }
 
   /** The part's stats-column key union — None for parts written before
     * the policy footer existed (callers fall back to record sampling). */
-  def readStatsCols(conf: Configuration, src: Path): Option[Seq[String]] = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
-    val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
-    Option(kv.get(KStatsCols)).map { json =>
+  def readStatsCols(conf: Configuration, src: Path): Option[Seq[String]] =
+    footerKv(conf, src).get(KStatsCols).map { json =>
       val arr = mapper.readTree(json)
       (0 until arr.size()).map(arr.get(_).asText())
     }
-  }
 
   /** The part's count of bucket-untagged file names — None for parts
-    * written before the footer existed (callers treat as untrusted). */
-  def readUntagged(conf: Configuration, src: Path): Option[Long] = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
-    val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
-    Option(kv.get(KAggUntagged)).map(_.toLong)
-  }
+    * written before the footer existed (callers fall back to the eager
+    * name scan, see [[LogLake.lazyBucketTagsTrusted]]). */
+  def readUntagged(conf: Configuration, src: Path): Option[Long] =
+    footerKv(conf, src).get(KAggUntagged).map(_.toLong)
+
+  /** TEST-ONLY: when false, [[write]] omits the round-16 policy keys
+    * (stats-col union + untagged count) so specs can fabricate a
+    * faithful PRE-policy-footer part and exercise the legacy
+    * fallbacks; never flipped outside tests. */
+  private[graft] var writePolicyFooter = true
 
   def write(conf: Configuration, dest: Path, c: Checkpoint,
       files: Iterator[AddFile], header: Boolean): Unit = {
@@ -194,10 +225,12 @@ private[graft] object CheckpointParquet {
       m.put(KAggBytes, aBytes.toString)
       m.put(KAggRows, aRows.toString)
       m.put(KAggDvs, aDvs.toString)
-      m.put(KAggUntagged, aUntagged.toString)
-      val cols = mapper.createArrayNode()
-      aStatsCols.foreach(cols.add)
-      m.put(KStatsCols, mapper.writeValueAsString(cols))
+      if (writePolicyFooter) {
+        m.put(KAggUntagged, aUntagged.toString)
+        val cols = mapper.createArrayNode()
+        aStatsCols.foreach(cols.add)
+        m.put(KStatsCols, mapper.writeValueAsString(cols))
+      }
       new org.apache.parquet.hadoop.api.WriteSupport.FinalizedWriteContext(m)
     }
   }
@@ -297,5 +330,23 @@ private[graft] object CheckpointParquet {
     val reader: ParquetReader[Group] =
       ParquetReader.builder(new GroupReadSupport(), src).withConf(conf).build()
     try Option(reader.read()).map(decode) finally reader.close()
+  }
+
+  /** Does `p` hold for every record's path in this part? Streams the
+    * body decoding only the path field — the LEGACY-part fallback for
+    * policy questions the footer cannot answer (parts written before
+    * the policy footer existed, ADVICE r16); short-circuits on the
+    * first counterexample. */
+  def forallPaths(conf: Configuration, src: Path)(p: String => Boolean): Boolean = {
+    val reader: ParquetReader[Group] =
+      ParquetReader.builder(new GroupReadSupport(), src).withConf(conf).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        if (!p(g.getString("path", 0))) return false
+        g = reader.read()
+      }
+      true
+    } finally reader.close()
   }
 }

@@ -297,14 +297,27 @@ object LogLake {
     val now = System.currentTimeMillis()
     val hit = autoBytesCache.get(dir)
     if (hit != null && hit._1 > now) return hit._2
-    val bytes = listCheckpoints(dir).lastOption.map { case (_, parts) =>
+    // a part vacuumed/rewritten between the listing and the stat must
+    // degrade (one re-list, then eager planning), never fail the read
+    // or write that merely consulted the posture signal (ADVICE r16)
+    def sum(): Long = listCheckpoints(dir).lastOption.map { case (_, parts) =>
       val f = fs(dir)
       parts.map(p => f.getFileStatus(p).getLen).sum
     }.getOrElse(0L)
+    val bytes = try sum() catch {
+      case _: java.io.FileNotFoundException =>
+        try sum() catch { case _: java.io.FileNotFoundException => 0L }
+    }
     // bounded: a long-lived JVM touching thousands of scratch tables
-    // must not grow this map forever — entries are per-table and TTL'd,
-    // so a full reset just costs one re-listing each
-    if (autoBytesCache.size() > 4096) autoBytesCache.clear()
+    // must not grow this map forever — entries are per-table and TTL'd.
+    // Evict only EXPIRED entries on overflow; wiping fresh ones would
+    // stampede a re-listing across every hot table at once
+    if (autoBytesCache.size() > 4096) {
+      val it = autoBytesCache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue._1 <= now) it.remove()
+      // every entry still fresh (4096 tables touched inside one TTL):
+      // accept the overshoot — the TTL drains it within 30 s
+    }
     autoBytesCache.put(dir, (now + AutoBytesTtlMs, bytes))
     bytes
   }
@@ -1151,14 +1164,29 @@ object LogLake {
 
   /** [[Discovery.bucketTagsTrusted]] for a bare [[LazyPlan]] (the read
     * relation): every checkpoint part's policy footer must report ZERO
-    * untagged file names (a legacy part without the footer is unknown
-    * → untrusted) and every tail add must carry a parseable tag. One
-    * footer read per part + the in-memory tail — never a body scan. */
+    * untagged file names, and every tail add must carry a parseable
+    * tag. One footer read per part + the in-memory tail — never a body
+    * scan — EXCEPT for a legacy part written before the policy footer
+    * existed: there the answer falls back to streaming that part's
+    * file NAMES once (ADVICE r16 — silently dropping the BucketSpec
+    * was a quiet perf regression for every pre-footer bucketed table;
+    * removed-since files are skipped, matching the eager active-set
+    * check, and the next checkpoint rewrite retires the fallback). */
   private[sources] def lazyBucketTagsTrusted(dir: String,
       plan: LazyPlan): Boolean = {
     val conf = fs(dir).getConf
-    plan.parts.forall(pp =>
-      CheckpointParquet.readUntagged(conf, new Path(pp)).contains(0L)) &&
+    plan.parts.forall { pp =>
+      val path = new Path(pp)
+      CheckpointParquet.readUntagged(conf, path) match {
+        case Some(u) => u == 0L
+        case None => CheckpointParquet.forallPaths(conf, path) { p =>
+          plan.removedEver.contains(p) || (new Path(p).getName match {
+            case BucketTagName(_) => true
+            case _ => false
+          })
+        }
+      }
+    } &&
       plan.delta.forall { case (_, a) =>
         new Path(a.path).getName match {
           case BucketTagName(_) => true
@@ -2632,18 +2660,31 @@ object LogLake {
         .contains("true")) return table
     // unlike append evolution, a merge source may be NARROWER than the
     // table (clause expressions pull what they need) — so only the two
-    // additive rules apply: no retype, and new columns arrive nullable
-    val tByName = table.fields.map(f => f.name -> f).toMap
+    // additive rules apply: no retype, and new columns arrive nullable.
+    // Matching is CASE-INSENSITIVE (ADVICE r16): Spark's default
+    // resolver is, so a source column differing only in case must bind
+    // to the existing column (Delta's autoMerge normalization), never
+    // add a case-twin the resolver could not disambiguate.
+    val tByName = table.fields.map(f => f.name.toLowerCase -> f).toMap
     source.fields.foreach { f =>
-      tByName.get(f.name).foreach { t =>
+      tByName.get(f.name.toLowerCase).foreach { t =>
         require(t.dataType == f.dataType,
           s"loglake: merge cannot retype column ${f.name} from " +
             s"${t.dataType.simpleString} to ${f.dataType.simpleString} " +
             s"at $dir — schema evolution is additive only")
+        require(t.name == f.name,
+          s"loglake: merge source column ${f.name} matches table column " +
+            s"${t.name} only by case — rename the source column; a " +
+            "case-twin would be unresolvable under case-insensitive " +
+            "analysis")
       }
     }
-    val added0 = source.fields.filterNot(f => tByName.contains(f.name))
+    val added0 = source.fields.filterNot(f => tByName.contains(f.name.toLowerCase))
       .map(_.copy(nullable = true))
+    val dupNew = added0.groupBy(_.name.toLowerCase).filter(_._2.length > 1)
+    require(dupNew.isEmpty,
+      s"loglake: merge source adds case-colliding new columns " +
+        s"${dupNew.values.flatten.map(_.name).mkString(", ")} at $dir")
     // under column mapping every NEW column draws a generated physical
     // name — same rule as append evolution ([[evolvedSchema]])
     val added =
@@ -2662,23 +2703,34 @@ object LogLake {
     * the manifest and corrupt reads of every older file. */
   private def evolvedSchema(table: StructType, incoming: StructType,
       dir: String): String = {
-    val tByName = table.fields.map(f => f.name -> f).toMap
+    // case-insensitive binding, as in [[mergeEvolvedSchema]] (ADVICE
+    // r16): an incoming column differing only in case is the SAME
+    // column (and must keep the table's spelling), never a new one
+    val tByName = table.fields.map(f => f.name.toLowerCase -> f).toMap
     incoming.fields.foreach { f =>
-      tByName.get(f.name).foreach { t =>
+      tByName.get(f.name.toLowerCase).foreach { t =>
         require(t.dataType == f.dataType,
           s"loglake: append cannot retype column ${f.name} from " +
             s"${t.dataType.simpleString} to ${f.dataType.simpleString} at $dir")
+        require(t.name == f.name,
+          s"loglake: append column ${f.name} matches table column " +
+            s"${t.name} only by case — an evolved case-twin would be " +
+            "unresolvable under case-insensitive analysis")
       }
     }
-    val inNames = incoming.fieldNames.toSet
-    val missing = table.fieldNames.filterNot(inNames.contains)
+    val inNames = incoming.fieldNames.map(_.toLowerCase).toSet
+    val missing = table.fieldNames.filterNot(n => inNames.contains(n.toLowerCase))
     require(missing.isEmpty,
       s"loglake: append is missing table columns ${missing.mkString(", ")} " +
         s"at $dir (drop/rename is not an append)")
-    val added0 = incoming.fields.filterNot(f => tByName.contains(f.name))
+    val added0 = incoming.fields.filterNot(f => tByName.contains(f.name.toLowerCase))
     added0.foreach(f => require(f.nullable,
       s"loglake: new column ${f.name} must be nullable — old files have " +
         s"no values for it"))
+    val dupNew = added0.groupBy(_.name.toLowerCase).filter(_._2.length > 1)
+    require(dupNew.isEmpty,
+      s"loglake: append adds case-colliding new columns " +
+        s"${dupNew.values.flatten.map(_.name).mkString(", ")} at $dir")
     // once mapping is active, every NEW column gets a generated physical
     // name — a later column re-using a DROPPED column's logical name
     // must never read the dropped data out of old files

@@ -381,6 +381,29 @@ class LazyIndexSpec extends SparkTestBase {
     assert(df.filter(col("k") === 9001L).count() == 1L)
   }
 
+  test("a legacy pre-policy-footer part keeps the BucketSpec via the name-scan fallback") {
+    // ADVICE r16: a checkpoint written before the policy footer existed
+    // answers readUntagged with None — treating that as untrusted
+    // silently dropped bucket-id pruning for every existing bucketed
+    // table until its next checkpoint rewrite. The fallback streams
+    // that part's file NAMES once instead.
+    val dir = try {
+      graft.sources.CheckpointParquet.writePolicyFooter = false
+      buildBucketed(520)
+    } finally graft.sources.CheckpointParquet.writePolicyFooter = true
+    LogLake.clearSnapshotCache()
+    val df = spark.read.format("loglake").load(dir)
+    assert(index(df).isInstanceOf[LazyLogLakeFileIndex],
+      "a legacy part must not knock the table off the lazy plan")
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.relation.bucketSpec.nonEmpty,
+      "all-tagged legacy parts must keep the BucketSpec through the " +
+        "name-scan fallback, not silently degrade")
+    assert(df.count() == 520L)
+  }
+
   test("default posture (no property): auto-lazy above the checkpoint-size threshold") {
     // VERDICT r15 #3: a naive user's huge table must not plan eagerly
     // just because nobody discovered loglake.planning.distributed. The

@@ -290,4 +290,42 @@ class MergeClausesSpec extends SparkTestBase {
     assert(LogLake.snapshot(spark, dir)
       .select("points").as[Option[Long]].collect().toSeq == Seq(Some(99L)))
   }
+
+  test("merge evolution matches case-insensitively: a case-twin never evolves in") {
+    // ADVICE r16: under Spark's default case-insensitive resolver a
+    // source column 'N' IS the table's 'n' — silently adding it would
+    // leave the table with two names no query can disambiguate.
+    // Delta's autoMerge normalizes; we refuse loudly (binding would
+    // stage data files under the wrong-case physical name).
+    val dir = tmp("evo-case")
+    LogLake.create(spark, dir, kvn((1L, "a", 10L)))
+    LogLake.setTableProperties(dir, evoOn)
+    val caseTwin = Seq((1L, "A", 11L)).toDF("k", "v", "N")
+    val e = intercept[IllegalArgumentException] {
+      LogLake.mergeClauses(spark, dir, caseTwin, Seq("k"),
+        Seq(MatchedUpdate(None, Map("v" -> col("source.v")))))
+    }
+    assert(e.getMessage.contains("only by case"))
+    assert(LogLake.snapshot(spark, dir).schema.fieldNames.toSeq ==
+      Seq("k", "v", "n"), "the refused merge must not have evolved anything")
+    // and two NEW source columns colliding only by case refuse too —
+    // either alone would be additive, together they are unresolvable
+    val dupNew = Seq((1L, "A", 11L, 1L, 2L)).toDF("k", "v", "n", "extra", "Extra")
+    val e2 = intercept[IllegalArgumentException] {
+      LogLake.mergeClauses(spark, dir, dupNew, Seq("k"),
+        Seq(MatchedUpdate(None, Map("v" -> col("source.v")))))
+    }
+    assert(e2.getMessage.contains("case-colliding"))
+  }
+
+  test("append evolution matches case-insensitively too") {
+    val dir = tmp("evo-case-append")
+    LogLake.create(spark, dir, kvn((1L, "a", 10L)))
+    val e = intercept[IllegalArgumentException] {
+      LogLake.append(spark, dir, Seq((2L, "b", 20L)).toDF("k", "V", "n"))
+    }
+    assert(e.getMessage.contains("only by case"),
+      "a case-differing append column must refuse as a case bind, " +
+        "not read as drop-plus-add")
+  }
 }
