@@ -316,10 +316,17 @@ object AnnIndex {
   /** Full build+search oracle. `baseWhere`: when set, the codebooks
     * (k1 rule, half-books, residual book) derive from the BASE subset
     * only (frozen-codebook maintenance, q158) while assignment, codes
-    * and search run over the full corpus. */
+    * and search run over the full corpus. `indexWhere`: when set, the
+    * SEARCHABLE index rows (postings + codes) restrict to the
+    * surviving vectors (delete maintenance, q161) while the codebooks
+    * still derive from the pre-delete corpus — frozen books never
+    * un-learn a deleted vector, exactly like the Spark path's stored
+    * books. */
   def oracleSql(ma: Int, shortR: Int, k: Int,
-      baseWhere: Option[String] = None): String = {
+      baseWhere: Option[String] = None,
+      indexWhere: Option[String] = None): String = {
     val base = baseWhere.map(w => s"WHERE $w").getOrElse("")
+    val iw = indexWhere.map(w => s"WHERE $w").getOrElse("")
     s"""WITH nz AS (
        |  SELECT vec_id, embedding, ${graft.functions.Vec.oDnorm("embedding")} AS nrm
        |  FROM embeddings WHERE ${graft.functions.Vec.oDnorm("embedding")} <> 0
@@ -401,6 +408,10 @@ object AnnIndex {
        |               - 2 * ${ld("s.sv", "cb.cv")}, cb.code) AS rnk
        |    FROM sub s JOIN cb ON cb.j = s.j)
        |  WHERE rnk = 1
+       |), resq AS (
+       |  SELECT * FROM res $iw
+       |), codesq AS (
+       |  SELECT * FROM codes $iw
        |), s1 AS (
        |  SELECT p.vec_id AS q_id, cb1.i1,
        |         ${ld("list_slice(p.nx, 1, len(p.nx) // 2)", "cb1.c1")} AS d1
@@ -417,7 +428,7 @@ object AnnIndex {
        |             ORDER BY s1.d1 + s2.d2 DESC, s1.i1 * k1.k + s2.i2) AS rnk
        |    FROM s1 JOIN s2 ON s2.q_id = s1.q_id, k1
        |    WHERE (s1.i1 * k1.k + s2.i2)
-       |          IN (SELECT DISTINCT c_id FROM res))
+       |          IN (SELECT DISTINCT c_id FROM resq))
        |  WHERE rnk <= (SELECT np FROM np)
        |), lut AS (
        |  SELECT q.vec_id AS q_id, rj.j, cb.code,
@@ -428,8 +439,8 @@ object AnnIndex {
        |  SELECT pc.q_id, a.vec_id AS neighbor_id, a.c_id,
        |         pc.base + SUM(l.pd) AS adc
        |  FROM probecells pc
-       |  JOIN res a ON a.c_id = pc.c_id AND a.vec_id <> pc.q_id
-       |  JOIN codes c ON c.vec_id = a.vec_id AND c.c_id = a.c_id
+       |  JOIN resq a ON a.c_id = pc.c_id AND a.vec_id <> pc.q_id
+       |  JOIN codesq c ON c.vec_id = a.vec_id AND c.c_id = a.c_id
        |  JOIN lut l ON l.q_id = pc.q_id AND l.j = c.j AND l.code = c.code
        |  GROUP BY pc.q_id, a.vec_id, a.c_id, pc.base
        |), scored AS (

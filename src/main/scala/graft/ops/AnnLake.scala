@@ -221,6 +221,98 @@ object AnnLake {
         cells = Some(LogLake.snapshot(s, ix.cells)))
     },
 
+    // --- q161: DELETE PROPAGATION INTO THE PERSISTED ANN INDEX
+    // (VERDICT r16 #1). The corpus is a loglake table with the change
+    // data feed on; a slice is erased through the merge-on-read DV
+    // path; maintenance consumes the corpus CDC's delete events and
+    // deletes the affected vec_ids from postings/codes through the
+    // MERGE clause walk (the source is the CDC keys, so candidate
+    // discovery is the changed-rows × index-rows semi-join with
+    // key-envelope pruning — never an index rebuild), and subtracts
+    // the deleted rows' per-cell counts from the occupancy summary,
+    // dropping zeroed cells. Pinned in-query: the CDC read touches
+    // ONLY change files (never the corpus data through its DVs), the
+    // cell-delta job touches only CDC + postings, the maintained
+    // postings equal a frozen-book rebuild over the SURVIVING corpus
+    // (both directions — frozen books never un-learn), and the search
+    // returns NO deleted neighbor. The oracle replays the full build
+    // with codebooks from the pre-delete corpus and the searchable
+    // rows restricted to survivors (`indexWhere`).
+    // 100 TB shape: erasure cost is O(changed rows) CDC + a pruned
+    // merge over the postings files holding those keys; search cost is
+    // unchanged; nothing ever rescans the corpus.
+    Q(
+      "q161_ann_index_delete",
+      AnnIndex.oracleSql(ma = MA, shortR = AnnIndex.ShortR, k = AnnIndex.K,
+        indexWhere = Some("vec_id % 5 <> 1"))
+    ) { (s, d) =>
+      import LogLake.MergeClause._
+      val root = Lake.freshDir("q161")
+      val ix = IndexDirs(root)
+      val corpus = root + "/corpus"
+      val delPred = col("vec_id") % 5 === 1
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      LogLake.create(s, corpus, emb)
+      LogLake.setTableProperties(corpus,
+        Map("loglake.enableChangeDataFeed" -> "true"))
+      // t0 BUILD over the full corpus of record
+      buildAndPersist(s, ix, AnnIndex.normalized(LogLake.snapshot(s, corpus)))
+      val k1 = LogLake.tableProperties(ix.postings)("ann.k1").toInt
+      // ERASURE: merge-on-read delete — kilobyte DV sidecars, and the
+      // write-time CDC records exactly the erased rows
+      val v0 = LogLake.currentVersion(corpus)
+      val v1 = LogLake.delete(s, corpus, delPred, mor = true)
+      // MAINTENANCE: the delete keys come from the change feed, never
+      // from rescanning the corpus
+      val deleted = LogLake.changeFeed(s, corpus, v0, v1)
+        .filter(col("_change_type") === "delete")
+        .select("vec_id")
+      require(fileScans(deleted).forall(_._1.contains("/cdc/")),
+        "q161: the delete keys must come from change files only — " +
+          "never a corpus rescan through its DVs")
+      val passes = AnnIndex.encodePasses.get()
+      // per-cell count decrements: the one changed-rows × index-rows
+      // semi-join (postings' vec_id stats bound the files it reads)
+      val cellDeltas = LogLake.snapshot(s, ix.postings)
+        .join(deleted, Seq("vec_id"))
+        .groupBy("c_id").agg((-count(lit(1))).as("dcnt"))
+      require(fileScans(cellDeltas).forall { case (p, _) =>
+        p.contains("/postings") || p.contains("/cdc/") },
+        "q161: the cell-delta job may scan only the postings index and " +
+          "the change feed")
+      LogLake.mergeClauses(s, ix.postings, deleted, Seq("vec_id"),
+        Seq(MatchedDelete(None)))
+      LogLake.mergeClauses(s, ix.codes, deleted, Seq("vec_id"),
+        Seq(MatchedDelete(None)))
+      upsertCells(s, ix.cells, cellDeltas)
+      require(AnnIndex.encodePasses.get() == passes,
+        "q161: delete maintenance must never re-encode anything")
+      // maintained postings == frozen-book rebuild over the SURVIVORS
+      val fb1 = LogLake.snapshot(s, ix.books1)
+      val fb2 = LogLake.snapshot(s, ix.books2)
+      val survivors = AnnIndex.normalized(LogLake.snapshot(s, corpus))
+      val full = AnnIndex.assignTop(survivors, k1, fb1, fb2, MA)
+      val maintained = LogLake.snapshot(s, ix.postings)
+      require(maintained.count() == full.count() &&
+        maintained.exceptAll(full).isEmpty,
+        "q161: maintained postings must equal the frozen-book rebuild " +
+          "over the surviving corpus")
+      require(LogLake.snapshot(s, ix.cells).agg(sum("cnt")).first().getLong(0)
+        == maintained.count(),
+        "q161: the cell summary must account for exactly the survivors")
+      // SEARCH the maintained index; queries keep the full slate (a
+      // deleted vector may still QUERY — it must never be RETURNED)
+      val res = AnnIndex.search(
+        AnnIndex.normalized(emb.filter(col("vec_id") < 20)), k1,
+        fb1, fb2, LogLake.snapshot(s, ix.rescb),
+        maintained, LogLake.snapshot(s, ix.codes),
+        rerank = None, nprobe = AnnIndex.nprobeOf(k1 * k1),
+        cells = Some(LogLake.snapshot(s, ix.cells)))
+      require(res.filter(col("neighbor_id") % 5 === 1).isEmpty,
+        "q161: the search must never return an erased neighbor")
+      res
+    },
+
     // --- q160: PERSISTED NEAR-DUP BAND INDEX + incremental maintenance
     // (the band-table half of VERDICT r15 #2). The q40 MinHash band
     // table and signature table persist as loglake tables; an appended
@@ -301,6 +393,92 @@ object AnnLake {
         "q160: the search must read no document text — index tables only")
       require(scans.exists(_._1.contains("/bands")),
         "q160: the search must read the persisted band table")
+      out
+    },
+
+    // --- q163: DELETE PROPAGATION INTO THE NEAR-DUP BAND INDEX (the
+    // band-family half of VERDICT r16 #1, mirroring q161). The
+    // documents corpus is a loglake table with the change feed on; a
+    // slice is erased through the DV path; maintenance consumes the
+    // CDC's delete events and merge-deletes the erased doc_ids from
+    // the band and signature tables (changed-rows × index-rows
+    // semi-join with doc_id key-envelope pruning — never re-shingling
+    // anything). Pinned: CDC-only key sourcing, maintained bands ≡ a
+    // full re-shingle over the SURVIVING corpus (both directions —
+    // the erasure must be exact, not approximate), and the index-only
+    // search returns no pair touching an erased doc. Oracle: the q40
+    // chain over survivors, pairs filtered to the probe slice.
+    // 100 TB shape: erasure is O(changed docs × bands) through the
+    // pruned merge; the corpus text is read ZERO times after t0.
+    Q(
+      "q163_neardup_index_delete",
+      s"""WITH sh0 AS (${Sim.oShingleRows}),
+         |sh AS (SELECT * FROM sh0 WHERE doc_id % 9 <> 4),
+         |${Sim.oMinhashPairCtes}
+         |SELECT d1, d2, est_jaccard FROM pairs
+         |WHERE d1 % 9 = 5 OR d2 % 9 = 5
+         |ORDER BY d1, d2""".stripMargin
+    ) { (s, d) =>
+      import LogLake.MergeClause._
+      val root = Lake.freshDir("q163")
+      val bandsDir = root + "/bands"
+      val sigsDir = root + "/sigs"
+      val corpus = root + "/corpus"
+      val delPred = col("doc_id") % 9 === 4
+      LogLake.create(s, corpus, documents(s, d).select("doc_id", "text"))
+      LogLake.setTableProperties(corpus,
+        Map("loglake.enableChangeDataFeed" -> "true"))
+      // t0 build over the full corpus of record
+      val sh0 = Sim.shinglesOf(LogLake.snapshot(s, corpus))
+      LogLake.create(s, bandsDir, Sim.minhashBandRows(sh0),
+        statsCols = Seq("band", "doc_id"))
+      LogLake.create(s, sigsDir, Sim.minhashSigArray(sh0),
+        statsCols = Seq("doc_id"))
+      // ERASURE + CDC-sourced maintenance
+      val v0 = LogLake.currentVersion(corpus)
+      val v1 = LogLake.delete(s, corpus, delPred, mor = true)
+      val deleted = LogLake.changeFeed(s, corpus, v0, v1)
+        .filter(col("_change_type") === "delete")
+        .select("doc_id")
+      require(fileScans(deleted).forall(_._1.contains("/cdc/")),
+        "q163: the delete keys must come from change files only")
+      LogLake.mergeClauses(s, bandsDir, deleted, Seq("doc_id"),
+        Seq(MatchedDelete(None)))
+      LogLake.mergeClauses(s, sigsDir, deleted, Seq("doc_id"),
+        Seq(MatchedDelete(None)))
+      // maintained bands == full re-shingle over the SURVIVORS
+      val rebuilt = Sim.minhashBandRows(Sim.shinglesOf(
+        LogLake.snapshot(s, corpus)))
+      val bandsIdx = LogLake.snapshot(s, bandsDir)
+      require(bandsIdx.count() == rebuilt.count() &&
+        bandsIdx.exceptAll(rebuilt).isEmpty,
+        "q163: maintained bands must equal the survivor rebuild")
+      // SEARCH: index-only, as q160 — the probe slice's stored bands
+      // probe the full stored band table
+      val sigsIdx = LogLake.snapshot(s, sigsDir)
+      val probe = bandsIdx.filter(col("doc_id") % 9 === 5)
+      val cand = probe.as("a")
+        .join(bandsIdx.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+        .distinct()
+      val out = cand
+        .join(sigsIdx.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
+        .join(sigsIdx.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
+        .withColumn("est_jaccard",
+          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+            b => b)) / lit(Sim.SigK.toDouble))
+        .filter(col("est_jaccard") >= 0.5)
+        .select("d1", "d2", "est_jaccard")
+        .orderBy("d1", "d2")
+      val scans = fileScans(out)
+      require(scans.forall { case (p, _) =>
+        !p.contains("documents") && !p.contains("/corpus") },
+        "q163: the search must read no document text — index tables only")
+      require(out.filter(col("d1") % 9 === 4 || col("d2") % 9 === 4).isEmpty,
+        "q163: the search must never pair with an erased document")
       out
     }
   )
