@@ -2260,6 +2260,67 @@ object Lake {
           sum("o_prio").cast("long").as("prio_sum"),
           count("o_prio").as("prio_n"))
         .orderBy("o_orderstatus")
+    },
+
+    // --- q164: CREATE OR REPLACE + column DEFAULTs + time travel
+    // (VERDICT r16 #5). A table grows a column with a DEFAULT; an
+    // append that OMITS the column gets the write-time fill while the
+    // pre-default rows stay NULL (defaults never rewrite history);
+    // then `CREATE OR REPLACE TABLE … AS …` atomically swaps schema +
+    // contents in ONE commit and the PRE-replace generation stays
+    // servable by version. Output = post-replace rows ∪ time-traveled
+    // pre-replace rows — the oracle replays both generations from the
+    // source parquet, so the hash certifies the fill values, the
+    // NULL/default split, the replace query, and the preserved
+    // history together. At 100 TB: the replace costs one commit +
+    // the new contents' write; the old generation costs nothing until
+    // retention reclaims it.
+    Q(
+      "q164_replace_defaults",
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k, o_custkey AS cust FROM orders
+         |  WHERE o_orderkey % 10 = 0
+         |), late AS (
+         |  SELECT o_orderkey AS k, o_custkey AS cust FROM orders
+         |  WHERE o_orderkey % 10 = 1
+         |), pre AS (
+         |  SELECT k, cust, CAST(NULL AS VARCHAR) AS src FROM base
+         |  UNION ALL SELECT k, cust, 'late' FROM late
+         |), post AS (
+         |  SELECT k, cust * 2 AS v FROM pre
+         |  WHERE src IS NOT NULL OR k % 20 = 0
+         |)
+         |SELECT 'post' AS era, k, v, CAST(NULL AS VARCHAR) AS src FROM post
+         |UNION ALL
+         |SELECT 'pre' AS era, k, cust AS v, src FROM pre
+         |ORDER BY era, k""".stripMargin
+    ) { (s, d) =>
+      val dir = freshDir("q164")
+      def slice(m: Int) = orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"))
+        .filter(col("k") % 10 === m)
+      LogLake.create(s, dir, slice(0))
+      LogLake.addColumn(dir, org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.StringType, nullable = true))
+      s.sql(s"ALTER TABLE '$dir' ALTER COLUMN src SET DEFAULT 'late'")
+      // the append OMITS src — the write-time fill supplies 'late'
+      LogLake.append(s, dir, slice(1))
+      val vPre = LogLake.currentVersion(dir)
+      LogLake.snapshot(s, dir).createOrReplaceTempView("q164_pre")
+      s.sql(s"CREATE OR REPLACE TABLE '$dir' AS " +
+        "SELECT k, cust * 2 AS v FROM q164_pre " +
+        "WHERE src IS NOT NULL OR k % 20 = 0")
+      require(LogLake.currentVersion(dir) == vPre + 1,
+        "q164: the replace must be exactly ONE commit — no drop+create")
+      val post = LogLake.snapshot(s, dir)
+      require(post.schema.fieldNames.toSeq == Seq("k", "v"),
+        "q164: the replace must have swapped the schema")
+      val pre = LogLake.snapshot(s, dir, asOf = Some(vPre))
+      post.select(lit("post").as("era"), col("k"), col("v"),
+          lit(null).cast("string").as("src"))
+        .unionByName(pre.select(lit("pre").as("era"), col("k"),
+          col("cust").as("v"), col("src")))
+        .orderBy("era", "k")
     }
   )
 }

@@ -2811,15 +2811,26 @@ object LogLake {
       }
     // GENERATED columns absent from the incoming frame are computed
     // here (Delta's GENERATED ALWAYS AS); frames that DO carry them
-    // are validated by the staged-file pass instead
-    val df =
-      if (readV == 0L) df0
+    // are validated by the staged-file pass instead. DEFAULT columns
+    // fill first (round 17) — append only: a frame omitting a
+    // defaulted column gets the constant; overwrite/create define the
+    // schema, so omission there MEANS the new schema lacks it.
+    val df = {
+      val filled =
+        if (op != "append" || readV == 0L) df0
+        else columnDefaults(dir).foldLeft(df0) { case (d, (c, e)) =>
+          if (d.columns.exists(_.equalsIgnoreCase(c))) d
+          else priorSchema.fields.find(_.name == c)
+            .map(f => d.withColumn(c, expr(e).cast(f.dataType))).getOrElse(d)
+        }
+      if (readV == 0L) filled
       else assignIdentity(spark, dir,
-        generatedColumns(dir).foldLeft(df0) { case (d, (c, e)) =>
+        generatedColumns(dir).foldLeft(filled) { case (d, (c, e)) =>
           if (d.columns.contains(c)) d
           else priorSchema.fields.find(_.name == c)
             .map(f => d.withColumn(c, expr(e).cast(f.dataType))).getOrElse(d)
         })
+    }
     val schemaJson =
       if (op == "append" && readV > 0L) evolvedSchema(priorSchema, df.schema, dir)
       else df.schema.json
@@ -4084,6 +4095,67 @@ object LogLake {
         s"${generatedColumns(dir).keys.toSeq.sorted.mkString(", ")})")
     unsetTableProperties(dir, Seq(GenPrefix + column))
   }
+
+  // -------------------------------------------------- column defaults
+
+  private val DefPrefix = "loglake.columnDefault."
+
+  /** Column DEFAULT values (round 17 — Delta/SQL `DEFAULT`):
+    * `column -> constant SQL expression`, applied as WRITE-TIME FILL —
+    * an APPEND whose frame omits a defaulted column gets it filled
+    * (cast to the column type) before schema validation, so producers
+    * keep writing the old shape after a column lands. Appends only:
+    * CREATE and OVERWRITE define/replace the schema, so an omitted
+    * column there is an intentional schema without it. Rows written
+    * BEFORE the default existed read NULL (no existence defaults —
+    * the fill never rewrites history), which is exactly what makes
+    * default-vs-legacy distinguishable under time travel. */
+  def columnDefaults(dir: String): Map[String, String] =
+    tableProperties(dir).collect {
+      case (k, v) if k.startsWith(DefPrefix) => k.stripPrefix(DefPrefix) -> v
+    }
+
+  /** Define `column DEFAULT exprSql`. The column must exist, the
+    * expression must be CONSTANT (no column references — SQL default
+    * semantics; a row-dependent fill is a generated column), and it
+    * must cast to the column's type. */
+  def setColumnDefault(spark: SparkSession, dir: String,
+      column: String, exprSql: String): Unit = {
+    val schema = declaredSchema(dir)
+    require(schema.fieldNames.contains(column),
+      s"loglake: cannot default unknown column $column (table has " +
+        s"${schema.fieldNames.mkString(", ")})")
+    require(constraintRefs(spark, exprSql).isEmpty,
+      s"loglake: DEFAULT for $column must be a constant expression — " +
+        s"($exprSql) references columns; use a generated column for " +
+        "row-dependent values")
+    // the cast must succeed now, not at some future append
+    spark.range(1)
+      .select(expr(exprSql).cast(schema(column).dataType)).collect()
+    setTableProperties(dir, Map(DefPrefix + column -> exprSql))
+  }
+
+  def dropColumnDefault(dir: String, column: String): Unit = {
+    require(columnDefaults(dir).contains(column),
+      s"loglake: no default on column `$column` at $dir (have: " +
+        s"${columnDefaults(dir).keys.toSeq.sorted.mkString(", ")})")
+    unsetTableProperties(dir, Seq(DefPrefix + column))
+  }
+
+  /** CREATE OR REPLACE TABLE (round 17 — Delta's atomic replace): ONE
+    * overwrite-class commit swaps contents AND schema on the SAME
+    * commit log, so concurrent readers see either the old or the new
+    * table whole, and time travel to the pre-replace version keeps
+    * serving the old contents until log retention expires them. A
+    * nonexistent target degenerates to CREATE. Table properties
+    * (constraints, CDF, defaults, …) survive — they are table
+    * configuration, not contents; drop the ones the new schema
+    * obsoletes. */
+  def replaceTable(spark: SparkSession, dir: String, df: DataFrame,
+      statsCols: Seq[String] = Nil, txnId: String = ""): Long =
+    if (currentVersion(dir) == 0L)
+      create(spark, dir, df, statsCols = statsCols, txnId = txnId)
+    else overwrite(spark, dir, df, statsCols, txnId)
 
   // ------------------------------------------------- identity columns
 

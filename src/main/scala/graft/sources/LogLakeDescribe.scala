@@ -84,6 +84,33 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+($T)\\s+DROP\\s+BRANCH\\s+([\\w-]+)\\s*;?\\s*""".r
   private val ShowBranches =
     s"""(?is)\\s*SHOW\\s+BRANCHES\\s+($T)\\s*;?\\s*""".r
+  /** Atomic replace (round 17 — Delta's CREATE OR REPLACE TABLE): the
+    * AS-SELECT form commits contents + schema as ONE overwrite-class
+    * commit on the existing log, time travel preserved ([[LogLake
+    * .replaceTable]]). Only the AS form is claimed — a bare column-list
+    * CREATE OR REPLACE stays with the delegate/catalog path. */
+  private val CreateOrReplace =
+    s"""(?is)\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+($T)\\s+AS\\s+((?:SELECT|VALUES|WITH|TABLE)\\b.+?)\\s*;?\\s*""".r
+  /** Column DEFAULTs (round 17): `ALTER TABLE t ALTER COLUMN c SET
+    * DEFAULT <expr>` / `… DROP DEFAULT` — write-time fill on appends
+    * that omit the column ([[LogLake.setColumnDefault]]). */
+  private val SetDefault =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($T)\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+DEFAULT\\s+(.+?)\\s*;?\\s*""".r
+  private val DropDefault =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($T)\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+DROP\\s+DEFAULT\\s*;?\\s*""".r
+
+  /** SQL-drivable ANN search over a persisted index (round 17):
+    * `ANN SEARCH '<indexRoot>' FROM <queryTable> WHERE <predicate>` —
+    * rewrites at parse time into [[graft.ops.AnnLake.searchIndex]]'s
+    * fully-distributed plan (books broadcast, probe ranking from the
+    * cell summary, ADC over stored codes, list-resident re-rank), so
+    * the SQL path and the Scala path are the SAME plan, never a
+    * driver-side collect. The WHERE clause is mandatory: an unbounded
+    * query-vector scan is the one corpus-sized read the search
+    * contract forbids. */
+  private val AnnSearch =
+    s"""(?is)\\s*ANN\\s+SEARCH\\s+($T)\\s+FROM\\s+($T)\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
+
   /** `CREATE TABLE t (…)` with column-level GENERATED clauses — claimed
     * only when the balanced column body actually contains GENERATED
     * ALWAYS (the stock grammar rejects the clause); plain CREATEs stay
@@ -131,6 +158,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CreateCols(target, rest)
         if GraftSqlShapes.hasGeneratedClause(rest) =>
       GraftSqlShapes.parseCreateGenerated(target.trim, rest)
+    case CreateOrReplace(target, query) =>
+      LogLakeCreateOrReplaceCommand(target.trim, query.trim)
+    case DropDefault(target, column) =>
+      LogLakeDropColumnDefaultCommand(target.trim, column)
+    case SetDefault(target, column, e) =>
+      LogLakeSetColumnDefaultCommand(target.trim, column, e.trim)
+    case AnnSearch(root, src, pred) =>
+      val session = org.apache.spark.sql.SparkSession.active
+      val rootDir = root.trim.stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\"")
+      graft.ops.AnnLake.searchIndex(session, rootDir,
+        session.table(src.trim)
+          .filter(org.apache.spark.sql.functions.expr(pred)))
+        .queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -367,6 +408,42 @@ final case class LogLakeConvertCommand(target: String) extends LeafRunnableComma
     val v = LogLake.convert(session, dir)
     Seq(Row(v, LogLake.detailDf(session, dir)
       .select("numFiles").collect().head.getLong(0)))
+  }
+}
+
+/** `CREATE OR REPLACE TABLE t AS <query>` — atomic replace: one
+  * overwrite-class commit swaps schema + contents on the SAME log
+  * (readers see old-or-new whole; time travel to the pre-replace
+  * version keeps serving), or a plain CREATE when the target does not
+  * exist. The stock catalog path would drop-then-create — two commits
+  * and a lost history. */
+final case class LogLakeCreateOrReplaceCommand(target: String,
+    query: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = DescribeTarget.attrs(StructType(Seq(
+    StructField("version", LongType, nullable = false))))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = DescribeTarget.newTableDir(session, target)
+    Seq(Row(LogLake.replaceTable(session, dir, session.sql(query))))
+  }
+}
+
+final case class LogLakeSetColumnDefaultCommand(target: String,
+    column: String, exprSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    LogLake.setColumnDefault(session,
+      DescribeTarget.dir(session, target), column, exprSql)
+    Seq.empty
+  }
+}
+
+final case class LogLakeDropColumnDefaultCommand(target: String,
+    column: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    LogLake.dropColumnDefault(DescribeTarget.dir(session, target), column)
+    Seq.empty
   }
 }
 

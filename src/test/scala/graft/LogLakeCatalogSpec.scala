@@ -487,4 +487,55 @@ class LogLakeCatalogSpec extends SparkTestBase {
     // rejection is fine, but the row must not land
     assert(spark.sql(s"SELECT count(*) FROM loglake.$db.n").as[Long].head() == 1L)
   }
+
+  test("CREATE OR REPLACE TABLE ... AS is one atomic commit with preserved time travel") {
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.r (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO loglake.$db.r VALUES (1, 'a'), (2, 'b')")
+    val vPre = spark.sql(s"DESCRIBE HISTORY loglake.$db.r")
+      .agg(org.apache.spark.sql.functions.max("version")).as[Long].head()
+    spark.sql(s"CREATE OR REPLACE TABLE loglake.$db.r AS " +
+      s"SELECT k * 10 AS kk FROM loglake.$db.r")
+    // exactly one commit — drop+create would reset the log instead
+    val hist = spark.sql(s"DESCRIBE HISTORY loglake.$db.r")
+    assert(hist.agg(org.apache.spark.sql.functions.max("version"))
+      .as[Long].head() == vPre + 1)
+    assert(spark.sql(s"SELECT kk FROM loglake.$db.r ORDER BY kk")
+      .as[Long].collect().toSeq == Seq(10L, 20L))
+    // the pre-replace generation still serves, old schema and all
+    assert(spark.sql(
+      s"SELECT v FROM loglake.$db.r VERSION AS OF $vPre ORDER BY k")
+      .as[String].collect().toSeq == Seq("a", "b"))
+    // and a replace of a table that does not exist yet is a CREATE
+    spark.sql(s"CREATE OR REPLACE TABLE loglake.$db.fresh AS SELECT 7 AS x")
+    assert(spark.sql(s"SELECT x FROM loglake.$db.fresh").as[Int].head() == 7)
+  }
+
+  test("ALTER COLUMN SET DEFAULT fills omitted columns on append; DROP DEFAULT stops it") {
+    val db = freshDb()
+    spark.sql(s"CREATE TABLE loglake.$db.dft (k BIGINT, src STRING)")
+    spark.sql(s"INSERT INTO loglake.$db.dft VALUES (1, 'explicit')")
+    spark.sql(s"ALTER TABLE loglake.$db.dft ALTER COLUMN src SET DEFAULT 'filled'")
+    // the Scala append path omitting the column takes the fill
+    val dir = spark.sql(s"DESCRIBE DETAIL loglake.$db.dft")
+      .select("location").as[String].head()
+    LogLake.append(spark, dir, Seq(2L).toDF("k"))
+    assert(spark.sql(s"SELECT src FROM loglake.$db.dft WHERE k = 2")
+      .as[String].head() == "filled")
+    // a frame that CARRIES the column is untouched
+    LogLake.append(spark, dir, Seq((3L, "mine")).toDF("k", "src"))
+    assert(spark.sql(s"SELECT src FROM loglake.$db.dft WHERE k = 3")
+      .as[String].head() == "mine")
+    spark.sql(s"ALTER TABLE loglake.$db.dft ALTER COLUMN src DROP DEFAULT")
+    val miss = intercept[IllegalArgumentException] {
+      LogLake.append(spark, dir, Seq(4L).toDF("k"))
+    }
+    assert(miss.getMessage.contains("missing table columns"),
+      "after DROP DEFAULT an omitted column must refuse loudly again")
+    // a default must be constant — column references refuse
+    val e = intercept[IllegalArgumentException] {
+      LogLake.setColumnDefault(spark, dir, "src", "concat('x', src)")
+    }
+    assert(e.getMessage.contains("constant"))
+  }
 }
