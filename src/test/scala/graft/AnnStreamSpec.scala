@@ -84,4 +84,61 @@ class AnnStreamSpec extends SparkTestBase {
       rerank = None, nprobe = AnnIndex.nprobeOf(k1 * k1)).collect()
     assert(out.nonEmpty && out.length % AnnIndex.K == 0)
   }
+
+  test("maintainStream API: appends, deletes and updates flow from the corpus CDC, exactly once") {
+    // VERDICT r16 #3: the spec'd foreachBatch pattern as an engine
+    // surface — AnnLake.maintainStream reads the corpus table's change
+    // feed and applies erasures + arrivals under the frozen books with
+    // per-(table, epoch) txnIds. Here the corpus takes an APPEND, a
+    // DV DELETE and an UPDATE after the build; one AvailableNow run
+    // catches the index up, a restart on the same checkpoint is a
+    // no-op, and the result equals the frozen-book rebuild over the
+    // corpus's CURRENT snapshot.
+    val root = java.nio.file.Files.createTempDirectory("annms").toString
+    val corpus = s"$root/corpus"
+    val emb = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val deltaPred = col("vec_id") % 5 === 2
+    LogLake.create(spark, corpus, emb.filter(!deltaPred))
+    LogLake.setTableProperties(corpus,
+      Map("loglake.enableChangeDataFeed" -> "true"))
+    val k1 = graft.ops.AnnLake.buildIndex(spark, root,
+      LogLake.snapshot(spark, corpus))
+    val vBuild = LogLake.currentVersion(corpus)
+    // corpus evolves: arrivals, erasures, and an in-place update
+    LogLake.append(spark, corpus, emb.filter(deltaPred))
+    LogLake.delete(spark, corpus, col("vec_id") % 7 === 0, mor = true)
+    LogLake.update(spark, corpus, col("vec_id") % 11 === 3,
+      Map("embedding" -> reverse(col("embedding"))))
+    val cp = java.nio.file.Files.createTempDirectory("annms-chk").toString
+    def run(): Unit = {
+      val q = graft.ops.AnnLake.maintainStream(spark, corpus, root, cp, vBuild)
+      q.awaitTermination(180000)
+    }
+    run()
+    val count1 = LogLake.snapshot(spark, s"$root/postings").count()
+    run() // restart, nothing new admitted: no duplicates, no re-deletes
+    val maintained = LogLake.snapshot(spark, s"$root/postings")
+    assert(maintained.count() == count1,
+      "a restarted stream with no new commits must change nothing")
+    // maintained == frozen-book rebuild over the CURRENT corpus
+    val fb1 = LogLake.snapshot(spark, s"$root/books1")
+    val fb2 = LogLake.snapshot(spark, s"$root/books2")
+    val expect = AnnIndex.assignTop(
+      AnnIndex.normalized(LogLake.snapshot(spark, corpus)), k1, fb1, fb2)
+    assert(maintained.count() == expect.count() &&
+      maintained.exceptAll(expect).isEmpty,
+      "streamed appends+deletes+updates must converge to the " +
+        "frozen-book rebuild over the surviving corpus")
+    // the cell summary accounts for exactly the maintained postings
+    assert(LogLake.snapshot(spark, s"$root/cells")
+      .agg(sum("cnt")).first().getLong(0) == maintained.count())
+    // erased keys are gone; updated keys re-indexed (still present)
+    assert(maintained.filter(col("vec_id") % 7 === 0).isEmpty)
+    val sOut = graft.ops.AnnLake.searchIndex(spark, root,
+      emb.filter(col("vec_id") < 20)).collect()
+    assert(sOut.nonEmpty && sOut.length % AnnIndex.K == 0)
+    assert(!sOut.exists(_.getLong(2) % 7 == 0),
+      "the maintained index must never return an erased neighbor")
+  }
 }
