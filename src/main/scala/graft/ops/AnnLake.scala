@@ -217,6 +217,122 @@ object AnnLake {
       cells = Some(LogLake.snapshot(s, ix.cells)))
   }
 
+  // ------------------------------------------------------------------
+  // Codebook lifecycle (round 17 — VERDICT r16 #2): drift signal +
+  // staged retrain with an ATOMIC swap.
+  //
+  // Incremental maintenance freezes the codebooks, and a distribution-
+  // shifted corpus slowly starves them: new vectors land in the wrong
+  // coarse cells and their residuals stop matching any codeword, so
+  // recall sags even though every maintenance invariant still holds.
+  // The lifecycle needs three things: a MEASURED staleness signal
+  // (recall against exact ground truth over a probe set), a rebuild
+  // that never disturbs readers, and a swap no reader can observe
+  // half-done.
+  //
+  // The swap problem: the index is SIX tables — six publishes can
+  // never be mutually atomic, and a reader pairing new books with old
+  // postings computes garbage. So the versioned layout adds ONE level
+  // of indirection: generations are immutable directory trees
+  // (`root/g<N>/…`, written once, never mutated after publish) and a
+  // single-row META table (`root/meta`, the only mutable piece) names
+  // the current generation. The retrain builds g<N+1> invisibly, the
+  // audit reads it through a BRANCH of meta (write-audit-publish: the
+  // staged pointer flip is a real commit on the branch head, invisible
+  // to main), and publishing the branch IS the swap — one commit on
+  // one table, so every reader resolves either g<N> or g<N+1> whole.
+  // ------------------------------------------------------------------
+
+  private def metaDir(root: String): String = root + "/meta"
+
+  /** The generation's table directory — immutable once its generation
+    * has been published. */
+  def genDir(root: String, gen: Long): String = s"$root/g$gen"
+
+  /** The published generation (main readers' view). */
+  def currentGen(s: org.apache.spark.sql.SparkSession, root: String): Long =
+    LogLake.snapshot(s, metaDir(root)).select("gen").first().getLong(0)
+
+  /** Build generation 1 under the versioned layout and publish the
+    * pointer. Returns k1. */
+  def buildIndexVersioned(s: org.apache.spark.sql.SparkSession, root: String,
+      corpus: org.apache.spark.sql.DataFrame): Int = {
+    import s.implicits._
+    val k1 = buildIndex(s, genDir(root, 1L), corpus)
+    LogLake.create(s, metaDir(root), Seq(1L).toDF("gen"))
+    k1
+  }
+
+  /** Search through the generation pointer. */
+  def searchVersioned(s: org.apache.spark.sql.SparkSession, root: String,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int = AnnIndex.K): org.apache.spark.sql.DataFrame =
+    searchIndex(s, genDir(root, currentGen(s, root)), queries, k)
+
+  /** The drift SIGNAL: mean recall@k of the index at `indexDir`
+    * against the EXACT top-k over `corpus`, for `queries`. The exact
+    * side is a brute-force audit job (probe-count × corpus dots) — run
+    * it on a sampled probe set on a schedule, not per query. */
+  def recallAt(s: org.apache.spark.sql.SparkSession, indexDir: String,
+      corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int = AnnIndex.K): Double = {
+    val n = AnnIndex.normalized(corpus.select(col("vec_id"), col("embedding")))
+    val qn = AnnIndex.normalized(queries.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("q_id"), col("nx").as("nq"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    val exact = qn.crossJoin(n)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        AnnIndex.ldot(col("nq"), col("nx")).as("ip"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "neighbor_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val got = searchIndex(s, indexDir, queries, k)
+      .select("q_id", "neighbor_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    require(exact.nonEmpty, "recallAt needs a non-empty probe set")
+    val per = exact.map { case (q, ex) =>
+      (ex & got.getOrElse(q, Set.empty)).size.toDouble / ex.size }
+    per.sum / per.size
+  }
+
+  /** STAGE a retrain: rebuild fresh codebooks + index over `corpus`
+    * into the NEXT generation (invisible — no reader resolves it), and
+    * flip the pointer ON A BRANCH of the meta table so the audit can
+    * search the staged generation end to end through [[LogLake
+    * .branchDir]]. Main readers keep resolving the old generation
+    * until [[publishRetrain]]. Returns the staged generation. */
+  def retrainStaged(s: org.apache.spark.sql.SparkSession, root: String,
+      corpus: org.apache.spark.sql.DataFrame): Long = {
+    import s.implicits._
+    val next = currentGen(s, root) + 1L
+    buildIndex(s, genDir(root, next), corpus)
+    LogLake.createBranch(s, metaDir(root), "retrain")
+    LogLake.overwrite(s, LogLake.branchDir(metaDir(root), "retrain"),
+      Seq(next).toDF("gen"))
+    next
+  }
+
+  /** The staged generation as a branch reader sees it (the audit's
+    * view of what PUBLISH would make current). */
+  def stagedGen(s: org.apache.spark.sql.SparkSession, root: String): Long =
+    LogLake.snapshot(s, LogLake.branchDir(metaDir(root), "retrain"))
+      .select("gen").first().getLong(0)
+
+  /** PUBLISH the staged retrain: one branch-publish commit on the meta
+    * table — the atomic swap. Readers resolve either generation whole;
+    * the superseded generation's tables are untouched (time-travel
+    * style rollback = retrainStaged from its corpus, or a manual meta
+    * overwrite). */
+  def publishRetrain(s: org.apache.spark.sql.SparkSession,
+      root: String): Long =
+    LogLake.publishBranch(s, metaDir(root), "retrain")
+
   /** Every parquet scan in `df`'s physical plan, as (pathString, scan).
     * Walks `sparkPlan` (pre-AQE): under adaptive execution the executed
     * plan is an AdaptiveSparkPlanExec whose inner tree is not a child,
