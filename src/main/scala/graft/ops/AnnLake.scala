@@ -205,7 +205,13 @@ object AnnLake {
   def searchIndex(s: org.apache.spark.sql.SparkSession, root: String,
       queries: org.apache.spark.sql.DataFrame,
       k: Int = AnnIndex.K): org.apache.spark.sql.DataFrame = {
-    val ix = IndexDirs(root)
+    // a LIFECYCLE-MANAGED root (generation pointer present) resolves
+    // through the pointer, so the SQL statement and every reader pick
+    // up a published retrain with no caller change
+    val ix =
+      if (LogLake.currentVersion(metaDir(root)) > 0L)
+        IndexDirs(genDir(root, currentGen(s, root)))
+      else IndexDirs(root)
     val k1 = LogLake.tableProperties(ix.postings)("ann.k1").toInt
     AnnIndex.search(
       AnnIndex.normalized(queries.select(col("vec_id"), col("embedding"))),
@@ -482,6 +488,47 @@ object AnnLake {
         scans.exists(_._1.contains("/cells")),
         "q162: the SQL statement must plan as an index read")
       res
+    },
+
+    // --- q165: STREAMING MAINTENANCE UNDER THE ORACLE GATE (VERDICT
+    // r16 #3's "if expressible" — it is). The corpus takes an ordinary
+    // APPEND and a merge-on-read DELETE after the build; ONE
+    // [[maintainStream]] catch-up run (AvailableNow) drains the change
+    // feed into the index — per-key final states, frozen books,
+    // txnId'd epochs — and the search over the maintained index is
+    // hash-compared against the declarative replay: codebooks from the
+    // base slice (`baseWhere`), searchable rows = the final survivors
+    // (`indexWhere`). One hash certifies the streaming pipeline's
+    // admission, final-state resolution, frozen-book encoding, erasure
+    // and the index-only search together.
+    Q(
+      "q165_ann_maintain_stream",
+      AnnIndex.oracleSql(ma = MA, shortR = AnnIndex.ShortR, k = AnnIndex.K,
+        baseWhere = Some("vec_id % 7 <> 3"),
+        indexWhere = Some("vec_id % 5 <> 1"))
+    ) { (s, d) =>
+      val root = Lake.freshDir("q165")
+      val corpus = root + "/corpus"
+      val basePred = col("vec_id") % 7 =!= 3
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      LogLake.create(s, corpus, emb.filter(basePred))
+      LogLake.setTableProperties(corpus,
+        Map("loglake.enableChangeDataFeed" -> "true"))
+      buildIndex(s, root, LogLake.snapshot(s, corpus))
+      val vBuild = LogLake.currentVersion(corpus)
+      // the corpus evolves through ordinary commits — no index code
+      LogLake.append(s, corpus, emb.filter(!basePred))
+      LogLake.delete(s, corpus, col("vec_id") % 5 === 1, mor = true)
+      // one hands-free catch-up run drains the feed into the index
+      maintainStream(s, corpus, root, root + "/chk", vBuild)
+        .awaitTermination(300000)
+      val maintained = LogLake.snapshot(s, IndexDirs(root).postings)
+      require(LogLake.snapshot(s, IndexDirs(root).cells)
+        .agg(sum("cnt")).first().getLong(0) == maintained.count(),
+        "q165: the cell summary must account for exactly the survivors")
+      require(maintained.filter(col("vec_id") % 5 === 1).isEmpty,
+        "q165: erased keys must not remain indexed")
+      searchIndex(s, root, emb.filter(col("vec_id") < 20))
     },
 
     // --- q161: DELETE PROPAGATION INTO THE PERSISTED ANN INDEX

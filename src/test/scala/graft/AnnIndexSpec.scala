@@ -100,6 +100,33 @@ class AnnIndexSpec extends SparkTestBase {
       "incremental codes must equal the frozen-book full rebuild")
   }
 
+  test("delete maintenance: erasing keys equals the frozen-book rebuild over survivors, codes included") {
+    // the q161 equality contract, codes half included (q161's in-query
+    // require keeps the postings half; this pins the pointwise twin):
+    // assignment and encoding are per-row under frozen books, so
+    // erasure commutes with the build — filter(assign(full)) ==
+    // assign(filter(full)), and likewise for codes.
+    val full = n
+    val survPred = col("vec_id") % 5 =!= 1
+    val k1 = AnnIndex.k1Of(full.count()) // books frozen on FULL corpus
+    val (cb1, cb2) = AnnIndex.subBooks(full, k1)
+    val asgF = AnnIndex.assignTop(full, k1, cb1, cb2)
+    val cb = AnnIndex.residualBook(asgF)
+    val codesF = AnnIndex.encode(asgF, cb)
+    // maintenance semantics: delete matching index rows in place
+    val maintained = asgF.filter(survPred)
+    val maintainedCodes = codesF.filter(survPred)
+    // rebuild under the SAME frozen books over the surviving corpus
+    val rePost = AnnIndex.assignTop(full.filter(survPred), k1, cb1, cb2)
+    val reCodes = AnnIndex.encode(rePost, cb)
+    assert(maintained.count() == rePost.count() &&
+      maintained.exceptAll(rePost).isEmpty,
+      "deleted postings must equal the survivor rebuild")
+    assert(maintainedCodes.count() == reCodes.count() &&
+      maintainedCodes.exceptAll(reCodes).isEmpty,
+      "deleted codes must equal the survivor rebuild")
+  }
+
   test("encodePasses counts corpus-side encode constructions only") {
     val k1 = AnnIndex.k1Of(n.count())
     val (cb1, cb2) = AnnIndex.subBooks(n, k1)

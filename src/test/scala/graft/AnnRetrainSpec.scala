@@ -94,6 +94,13 @@ class AnnRetrainSpec extends SparkTestBase {
     assert(AnnLake.currentGen(spark, root) == 2L)
     val out = AnnLake.searchVersioned(spark, root, shiftProbes).collect()
     assert(out.nonEmpty && out.length % graft.ops.AnnIndex.K == 0)
+    // the SQL statement resolves the generation pointer too — a
+    // published retrain needs no caller change on any surface
+    shiftProbes.createOrReplaceTempView("retrain_probes")
+    val sqlOut = spark.sql(
+      s"ANN SEARCH '$root' FROM retrain_probes WHERE vec_id < 0").collect()
+    assert(sqlOut.toSeq == out.toSeq,
+      "the SQL search must serve the published generation")
     // the superseded generation is untouched — a reader that resolved
     // gen 1 an instant before the flip still reads a whole, consistent
     // index (generations are immutable; only the pointer moved)
