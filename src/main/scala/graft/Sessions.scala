@@ -29,6 +29,12 @@ object Sessions {
       .config("spark.sql.catalog.loglake.warehouse", "/tmp/graft_loglake_warehouse")
       // Managed tables (bucketed-join demos/tests) go to tmp, not cwd.
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // Fork-free local chmod: without libhadoop, RawLocalFileSystem
+      // forks /bin/chmod per created file/dir (hundreds of forks per
+      // write-heavy query); NioLocalFileSystem does the same permission
+      // change in-process (graft.sources.NioLocalFileSystem).
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
 
   /** A sibling session sharing the SparkContext (and cached data) but with

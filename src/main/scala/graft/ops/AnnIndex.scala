@@ -290,7 +290,13 @@ object AnnIndex {
   }
 
   /** Build + search in one shot (q150's in-query form, and the tuning
-    * probe's harness). Exact re-rank against the corpus nx frame. */
+    * probe's harness). Exact re-rank against the corpus nx frame.
+    * Deliberately NOT persisted: everything downstream of the count is
+    * ONE action, where Spark's reused-exchange/subtree machinery
+    * already dedups the repeated references — measured r17, persisting
+    * n + asg here made q150 1.75× SLOWER (array-row cache
+    * serialization cost with no cross-action reuse to amortize it),
+    * while the multi-action build in AnnLake.buildAndPersist gains. */
   def buildAndSearch(n: DataFrame, ma: Int,
       nprobe: Int => Int, shortR: Int = ShortR, k: Int = K): DataFrame = {
     val cnt = n.count()

@@ -66,23 +66,38 @@ object AnnLake {
 
   /** Build books/assignments/codes from `n` and persist them; k1 rides
     * the postings table's properties so a later reader needs no corpus
-    * pass to recover it. Returns k1. */
+    * pass to recover it. Returns k1.
+    *
+    * The build lineage fans out into six table writes (count, books,
+    * rescb, postings, codes, cells) — unmaterialized, each write would
+    * recompute the corpus-sized normalization + assignment from the
+    * source (five extra corpus passes, guide §1.2 "don't recompute").
+    * The normalized corpus and the assignment are persisted for the
+    * build's duration and dropped before returning; both are in-query
+    * scratch of THIS build (the q42 materialized-intermediate pattern),
+    * never state carried across runs. */
   private def buildAndPersist(s: org.apache.spark.sql.SparkSession,
-      ix: IndexDirs, n: org.apache.spark.sql.DataFrame): Int = {
-    val k1 = AnnIndex.k1Of(n.count())
-    val (cb1, cb2) = AnnIndex.subBooks(n, k1)
-    val asg = AnnIndex.assignTop(n, k1, cb1, cb2, MA)
-    val cb = AnnIndex.residualBook(asg)
-    val codes = AnnIndex.encode(asg, cb)
-    LogLake.create(s, ix.books1, cb1)
-    LogLake.create(s, ix.books2, cb2)
-    LogLake.create(s, ix.rescb, cb)
-    LogLake.create(s, ix.postings, asg, statsCols = Seq("c_id", "vec_id"))
-    LogLake.create(s, ix.codes, codes, statsCols = Seq("c_id", "vec_id"))
-    LogLake.create(s, ix.cells,
-      asg.groupBy("c_id").agg(count(lit(1)).as("cnt")))
-    LogLake.setTableProperties(ix.postings, Map("ann.k1" -> k1.toString))
-    k1
+      ix: IndexDirs, n0: org.apache.spark.sql.DataFrame): Int = {
+    val n = n0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val k1 = AnnIndex.k1Of(n.count())
+      val (cb1, cb2) = AnnIndex.subBooks(n, k1)
+      val asg = AnnIndex.assignTop(n, k1, cb1, cb2, MA)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cb = AnnIndex.residualBook(asg)
+        val codes = AnnIndex.encode(asg, cb)
+        LogLake.create(s, ix.books1, cb1)
+        LogLake.create(s, ix.books2, cb2)
+        LogLake.create(s, ix.rescb, cb)
+        LogLake.create(s, ix.postings, asg, statsCols = Seq("c_id", "vec_id"))
+        LogLake.create(s, ix.codes, codes, statsCols = Seq("c_id", "vec_id"))
+        LogLake.create(s, ix.cells,
+          asg.groupBy("c_id").agg(count(lit(1)).as("cnt")))
+        LogLake.setTableProperties(ix.postings, Map("ann.k1" -> k1.toString))
+        k1
+      } finally asg.unpersist(false)
+    } finally n.unpersist(false)
   }
 
   /** Upsert a maintenance delta's per-cell counts into the occupancy
@@ -179,15 +194,21 @@ object AnnLake {
               Seq(MatchedDelete(None)), txnId = s"annm-pdel:$epoch")
             LogLake.mergeClauses(s, ix.codes, keys, Seq("vec_id"),
               Seq(MatchedDelete(None)), txnId = s"annm-cdel:$epoch")
+            // three actions read the delta assignment (postings append,
+            // codes encode+append, cells upsert) — persist the epoch's
+            // O(changed rows) frame so the CDC batch is assigned once
             val asg = AnnIndex.assignTop(AnnIndex.normalized(finals), k1,
               fb1, fb2, MA)
-            LogLake.append(s, ix.postings, asg,
-              statsCols = Seq("c_id", "vec_id"), txnId = s"annm-padd:$epoch")
-            LogLake.append(s, ix.codes, AnnIndex.encode(asg, fcb),
-              statsCols = Seq("c_id", "vec_id"), txnId = s"annm-cadd:$epoch")
-            upsertCells(s, ix.cells,
-              asg.groupBy("c_id").agg(count(lit(1)).as("dcnt")),
-              txnId = s"annm-cellpos:$epoch")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              LogLake.append(s, ix.postings, asg,
+                statsCols = Seq("c_id", "vec_id"), txnId = s"annm-padd:$epoch")
+              LogLake.append(s, ix.codes, AnnIndex.encode(asg, fcb),
+                statsCols = Seq("c_id", "vec_id"), txnId = s"annm-cadd:$epoch")
+              upsertCells(s, ix.cells,
+                asg.groupBy("c_id").agg(count(lit(1)).as("dcnt")),
+                txnId = s"annm-cellpos:$epoch")
+            } finally asg.unpersist(false)
           }
         } finally keys.unpersist(false)
         ()
@@ -431,6 +452,11 @@ object AnnLake {
           s"q158: the maintenance job must be delta-sized — it may scan " +
             s"only staging + books, got $path")
       }
+      // the delta assignment feeds three actions (postings append,
+      // codes encode+append, cells upsert) — persist AFTER the scan-
+      // shape requires above, which must see the file-scan plan, not
+      // an InMemoryTableScan
+      asgD.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deltaRows = nd.count()
       val before = LogLake.snapshot(s, ix.postings).count()
       LogLake.append(s, ix.postings, asgD)
@@ -448,10 +474,15 @@ object AnnLake {
       // would re-encode the whole corpus through the n×M×Ks window
       // just to compare, while the oracle hash below already depends
       // on every maintained code byte through the ADC stage.
+      // the rebuild feeds two actions (count + exceptAll) — persist so
+      // the full-corpus assignment computes once for the pin
       val full = AnnIndex.assignTop(AnnIndex.normalized(emb), k1, fb1, fb2, MA)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val maintained = LogLake.snapshot(s, ix.postings)
       require(maintained.count() == full.count() && maintained.exceptAll(full).isEmpty,
         "q158: maintained postings must equal the frozen-book rebuild")
+      full.unpersist(false)
+      asgD.unpersist(false)
       val mCodes = LogLake.snapshot(s, ix.codes)
       // SEARCH the maintained index (list-resident re-rank, as q157)
       AnnIndex.search(AnnIndex.normalized(emb.filter(col("vec_id") < 20)), k1,
@@ -601,12 +632,16 @@ object AnnLake {
       val fb1 = LogLake.snapshot(s, ix.books1)
       val fb2 = LogLake.snapshot(s, ix.books2)
       val survivors = AnnIndex.normalized(LogLake.snapshot(s, corpus))
+      // two actions (count + exceptAll) over the rebuild — persist so
+      // the survivor assignment computes once for the pin
       val full = AnnIndex.assignTop(survivors, k1, fb1, fb2, MA)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val maintained = LogLake.snapshot(s, ix.postings)
       require(maintained.count() == full.count() &&
         maintained.exceptAll(full).isEmpty,
         "q161: maintained postings must equal the frozen-book rebuild " +
           "over the surviving corpus")
+      full.unpersist(false)
       require(LogLake.snapshot(s, ix.cells).agg(sum("cnt")).first().getLong(0)
         == maintained.count(),
         "q161: the cell summary must account for exactly the survivors")
@@ -654,26 +689,35 @@ object AnnLake {
       val docs = documents(s, d).select("doc_id", "text")
       // ingest: the delta lands as its own table
       LogLake.create(s, staging, docs.filter(deltaPred))
-      // t0 build over the base corpus
-      val baseSh = Sim.shinglesOf(docs.filter(!deltaPred))
-      LogLake.create(s, bandsDir, Sim.minhashBandRows(baseSh),
+      // t0 build over the base corpus: the band table and the signature
+      // table are two projections of ONE wide-signature aggregation —
+      // persist it so the corpus-sized shingle+min-agg lineage runs
+      // once, not once per created table
+      val baseSigs = Sim.minhashSignaturesOf(Sim.shinglesOf(docs.filter(!deltaPred)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      LogLake.create(s, bandsDir, Sim.bandRowsOfSigs(baseSigs),
         statsCols = Seq("band"))
-      LogLake.create(s, sigsDir, Sim.minhashSigArray(baseSh))
+      LogLake.create(s, sigsDir, Sim.sigArrayOfSigs(baseSigs))
+      baseSigs.unpersist(false)
       // MAINTENANCE: delta-sized — shingle/hash/band the staging rows
       // under the frozen constants, append into the index
-      val dSh = Sim.shinglesOf(LogLake.snapshot(s, staging))
-      val dBands = Sim.minhashBandRows(dSh)
-      val dSigs = Sim.minhashSigArray(dSh)
+      val dSigsW = Sim.minhashSignaturesOf(
+        Sim.shinglesOf(LogLake.snapshot(s, staging)))
+      val dBands = Sim.bandRowsOfSigs(dSigsW)
+      val dSigs = Sim.sigArrayOfSigs(dSigsW)
       for (job <- Seq(dBands, dSigs); (path, _) <- fileScans(job)) {
         require(!path.contains("documents") && !path.contains("/bands")
           && !path.contains("/sigs"),
           s"q160: the maintenance job must be delta-sized — it may scan " +
             s"only staging, got $path")
       }
+      // persist AFTER the scan-shape requires (they must see file scans)
+      dSigsW.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deltaDocs = dSigs.count()
       val before = LogLake.snapshot(s, bandsDir).count()
       LogLake.append(s, bandsDir, dBands)
       LogLake.append(s, sigsDir, dSigs)
+      dSigsW.unpersist(false)
       require(LogLake.snapshot(s, bandsDir).count() ==
         before + deltaDocs * Sim.SigBands,
         "q160: maintenance must append exactly bands × delta-doc rows")
@@ -738,12 +782,16 @@ object AnnLake {
       LogLake.create(s, corpus, documents(s, d).select("doc_id", "text"))
       LogLake.setTableProperties(corpus,
         Map("loglake.enableChangeDataFeed" -> "true"))
-      // t0 build over the full corpus of record
-      val sh0 = Sim.shinglesOf(LogLake.snapshot(s, corpus))
-      LogLake.create(s, bandsDir, Sim.minhashBandRows(sh0),
+      // t0 build over the full corpus of record — one persisted wide-
+      // signature aggregation feeds both created tables (see q160)
+      val sigs0 = Sim.minhashSignaturesOf(
+        Sim.shinglesOf(LogLake.snapshot(s, corpus)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      LogLake.create(s, bandsDir, Sim.bandRowsOfSigs(sigs0),
         statsCols = Seq("band", "doc_id"))
-      LogLake.create(s, sigsDir, Sim.minhashSigArray(sh0),
+      LogLake.create(s, sigsDir, Sim.sigArrayOfSigs(sigs0),
         statsCols = Seq("doc_id"))
+      sigs0.unpersist(false)
       // ERASURE + CDC-sourced maintenance
       val v0 = LogLake.currentVersion(corpus)
       val v1 = LogLake.delete(s, corpus, delPred, mor = true)
@@ -756,13 +804,16 @@ object AnnLake {
         Seq(MatchedDelete(None)))
       LogLake.mergeClauses(s, sigsDir, deleted, Seq("doc_id"),
         Seq(MatchedDelete(None)))
-      // maintained bands == full re-shingle over the SURVIVORS
+      // maintained bands == full re-shingle over the SURVIVORS; two
+      // actions (count + exceptAll) read the rebuild — persist it
       val rebuilt = Sim.minhashBandRows(Sim.shinglesOf(
         LogLake.snapshot(s, corpus)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bandsIdx = LogLake.snapshot(s, bandsDir)
       require(bandsIdx.count() == rebuilt.count() &&
         bandsIdx.exceptAll(rebuilt).isEmpty,
         "q163: maintained bands must equal the survivor rebuild")
+      rebuilt.unpersist(false)
       // SEARCH: index-only, as q160 — the probe slice's stored bands
       // probe the full stored band table
       val sigsIdx = LogLake.snapshot(s, sigsDir)

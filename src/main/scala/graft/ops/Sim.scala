@@ -164,20 +164,37 @@ object Sim {
     * FROZEN BY CONSTRUCTION — maintaining an appended delta is a
     * pointwise per-doc computation that cannot drift from the base
     * build. Shared with [[graft.ops.AnnLake]]'s q160. */
-  private[graft] def minhashBandRows(sh: org.apache.spark.sql.DataFrame) = {
+  private[graft] def minhashBandRows(sh: org.apache.spark.sql.DataFrame) =
+    bandRowsOfSigs(minhashSignatures(sh))
+
+  /** band rows from an ALREADY-COMPUTED wide signature frame — lets a
+    * caller that needs bands AND the signature array (q160/q163 index
+    * builds) persist one signature aggregation instead of running the
+    * shingle+min-agg lineage once per derived table */
+  private[graft] def bandRowsOfSigs(minsig: org.apache.spark.sql.DataFrame) = {
     val bandStructs = (0 until NBands).map { b =>
       val sig = concat_ws(",",
         (b * BandRows until (b + 1) * BandRows).map(k => col(s"m$k").cast("string")): _*)
       struct(lit(b).as("band"), sig.as("sig"))
     }
-    minhashSignatures(sh)
+    minsig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
   private[graft] def minhashSigArray(sh: org.apache.spark.sql.DataFrame) =
-    minhashSignatures(sh).select(col("doc_id"),
+    sigArrayOfSigs(minhashSignatures(sh))
+
+  /** signature-array projection of an already-computed wide signature
+    * frame (see [[bandRowsOfSigs]]) */
+  private[graft] def sigArrayOfSigs(minsig: org.apache.spark.sql.DataFrame) =
+    minsig.select(col("doc_id"),
       array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
+
+  /** the wide (doc_id, m0…m{K−1}) signature frame, for callers that
+    * materialize it once across several derived tables */
+  private[graft] def minhashSignaturesOf(sh: org.apache.spark.sql.DataFrame) =
+    minhashSignatures(sh)
 
   private[graft] val SigK: Int = K
   private[graft] val SigBands: Int = NBands

@@ -51,7 +51,14 @@ object WireLog {
   val WriterStamp = "_WRITER"
   val TmpDir = "_tmp"
 
-  def fs(dir: String): FileSystem = new Path(dir).getFileSystem(new Configuration())
+  def fs(dir: String): FileSystem = {
+    val conf = new Configuration()
+    // fork-free local chmod (see NioLocalFileSystem); FileSystem.get
+    // caches per scheme, so this also standardizes which impl every
+    // later caller of file:// receives in-process
+    conf.set("fs.file.impl", classOf[NioLocalFileSystem].getName)
+    new Path(dir).getFileSystem(conf)
+  }
 
   def segName(n: Long): String = f"$SegPrefix$n%020d"
 
