@@ -64,18 +64,41 @@ object AnnIndex {
     * "search never re-encodes the corpus" require. */
   val encodePasses = new AtomicLong(0)
 
-  /** exact-integer dot over pre-scaled BIGINT arrays — the HOF twin of
-    * the oracle's list_sum(list_transform(...)) kernel */
+  /** exact-integer dot over pre-scaled BIGINT arrays — the codegen
+    * twin of the oracle's list_sum(list_transform(...)) kernel.
+    * Identical math and null semantics to the
+    * `aggregate(zip_with(a, b, _*_), 0L, _+_)` HOF fold it replaced
+    * ([[graft.expressions.LongDotProduct]]) — the HOF form is
+    * CodegenFallback and was ~15 % of executor CPU on the ANN queries
+    * (r17 JFR). */
   def ldot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftBridge.column(graft.expressions.LongDotProduct(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** codegen zip_with(a, b, _−_) / _+_ twins (residual + reconstruct) */
+  private def lzipSub(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expressions.LongZipSub(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+  private def lzipAdd(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.expressions.LongZipAdd(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
 
   /** normalized integer space: cosine(q, x) · 10¹² ≈ NX(q)·NX(x);
-    * zero-norm vectors are unindexable and unqueryable */
+    * zero-norm vectors are unindexable and unqueryable. The per-element
+    * projection is the codegen [[graft.expressions.NormScale]] — the
+    * `transform(…)` HOF it replaces is CodegenFallback and this runs
+    * per corpus row in every build and per query vector in every
+    * search (identical arithmetic: ⌊(eᵢ/nrm)·10⁶⌋ as long). */
   def normalized(emb: DataFrame): DataFrame =
     emb.withColumn("nrm", graft.functions.Vec.dnorm(col("embedding")))
       .filter(col("nrm") =!= 0)
-      .withColumn("nx", transform(col("embedding"),
-        v => floor(v.cast("double") / col("nrm") * lit(1e6)).cast("long")))
+      .withColumn("nx", org.apache.spark.sql.GraftBridge.column(
+        graft.expressions.NormScale(
+          org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+          org.apache.spark.sql.GraftBridge.expression(col("nrm")))))
       .select("vec_id", "nx")
 
   /** K₁ = smallest power of two with K₁⁴ ≥ n (floor 8) — exact integer
@@ -138,8 +161,7 @@ object AnnIndex {
         .select(col("vec_id"),
           (col("i1") * lit(k1.toLong) + col("i2")).as("c_id"),
           lit(1).as("arnk"),
-          zip_with(col("nx"), concat(col("c1"), col("c2")),
-            (a, b) => a - b).as("r"))
+          lzipSub(col("nx"), concat(col("c1"), col("c2"))).as("r"))
     } else {
       def topHalf(half: Column => Column, book: DataFrame,
           idx: String, cv: String, dn: String): DataFrame = {
@@ -161,8 +183,7 @@ object AnnIndex {
       n.join(combos, Seq("vec_id"))
         .join(broadcast(cb1), Seq("i1")).join(broadcast(cb2), Seq("i2"))
         .select(col("vec_id"), col("c_id"), col("arnk"),
-          zip_with(col("nx"), concat(col("c1"), col("c2")),
-            (a, b) => a - b).as("r"))
+          lzipSub(col("nx"), concat(col("c1"), col("c2"))).as("r"))
     }
   }
 
@@ -264,23 +285,33 @@ object AnnIndex {
     val shortlist = scored.withColumn("rnk", row_number().over(wAdc))
       .filter(col("rnk") <= shortR)
       .select("q_id", "neighbor_id")
-    val nn = rerank.getOrElse {
-      // reconstruct nx from the index alone: any assignment row gives
-      // nx = r + concat(c1[i1], c2[i2]) of ITS cell — exact by
-      // construction; use the primary row for determinism
-      postings.filter(col("arnk") === 1)
-        .withColumn("i1", (col("c_id") / lit(k1.toLong)).cast("long"))
-        .withColumn("i2", col("c_id") % lit(k1.toLong))
-        .join(broadcast(cb1), Seq("i1")).join(broadcast(cb2), Seq("i2"))
-        .select(col("vec_id"),
-          zip_with(col("r"), concat(col("c1"), col("c2")),
-            (a, b) => a + b).as("nx"))
-    }
-    val reranked = shortlist
+    val qSide = shortlist
       .join(qn.select(col("vec_id").as("q_id"), col("nx").as("nq")), Seq("q_id"))
-      .join(nn.select(col("vec_id").as("neighbor_id"), col("nx").as("nn")),
-        Seq("neighbor_id"))
-      .select(col("q_id"), col("neighbor_id"), ldot(col("nq"), col("nn")).as("ip"))
+    val reranked = rerank match {
+      case Some(src) =>
+        qSide.join(src.select(col("vec_id").as("neighbor_id"), col("nx").as("nn")),
+            Seq("neighbor_id"))
+          .select(col("q_id"), col("neighbor_id"), ldot(col("nq"), col("nn")).as("ip"))
+      case None =>
+        // reconstruct nx from the index alone: any assignment row gives
+        // nx = r + concat(c1[i1], c2[i2]) of ITS cell — exact by
+        // construction; use the primary row for determinism (unique per
+        // vec_id, so the join multiset is unchanged). The shortlist
+        // join comes FIRST (r17): reconstruction is then evaluated on
+        // ≤ queries × shortR joined rows instead of once per index row
+        // — same math per row, identical result, but a 10⁸-vector
+        // index no longer pays a books-join + zip-add per posting row
+        // per search.
+        qSide.join(postings.filter(col("arnk") === 1)
+            .select(col("vec_id").as("neighbor_id"), col("c_id"), col("r")),
+            Seq("neighbor_id"))
+          .withColumn("i1", (col("c_id") / lit(k1.toLong)).cast("long"))
+          .withColumn("i2", col("c_id") % lit(k1.toLong))
+          .join(broadcast(cb1), Seq("i1")).join(broadcast(cb2), Seq("i2"))
+          .select(col("q_id"), col("neighbor_id"),
+            ldot(col("nq"),
+              lzipAdd(col("r"), concat(col("c1"), col("c2")))).as("ip"))
+    }
     val wTop = Window.partitionBy("q_id").orderBy(col("ip").desc, col("neighbor_id"))
     reranked.withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= k)
