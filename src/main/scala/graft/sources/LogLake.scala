@@ -5584,6 +5584,33 @@ object LogLake {
         s"`$c` <=> CAST(($e) AS ${tableNow(c).dataType.sql})" }
     val constraints = checkConstraints(dir).toSeq.sortBy(_._1) ++
       notNull.map(c => s"__notnull_$c" -> s"`$c` IS NOT NULL") ++ genCons
+    // FOOTER FAST PATH (r17 optimization): when nothing needs a DATA
+    // pass — no CHECK / NOT NULL / generated-column validation, no
+    // row-id sentinel — the per-file min/max/nullCount/rowCount the
+    // aggregate below would compute are already IN the staged parquet
+    // footers (written by this very writer, parquet-mr 1.16: row-group
+    // statistics untruncated by default, dropped only above 4 KB).
+    // Reading footers is driver-side metadata I/O — it removes one
+    // Spark action (job + planning) from EVERY ordinary write. Exact
+    // parity with the aggregate is required (stats feed pruning AND
+    // metadata-only MIN/MAX) and holds because both sides compare
+    // bytewise-UTF8/signed-numeric, and code-point prefix truncation
+    // commutes with min/max under that order (monotone prefix map) —
+    // [[footerAddFiles]] returns None (falling through to the
+    // aggregate) on ANY column whose footer stats are absent, unset,
+    // or of a type whose parity is not proven (float/double/decimal
+    // NaN/scale rendering).
+    // NOT NULL invariants ride the footers too: a column's footer null
+    // count of zero IS the proof the aggregate's __notnull flag would
+    // compute; any nonzero (or unreadable) count falls back to the
+    // aggregate, which raises the standard row-naming violation error.
+    if (checkConstraints(dir).isEmpty && genCons.isEmpty && !materializedRowIds) {
+      footerAddFiles(dir, moved, stagedSchema, nameMap, statsCols,
+        notNull.map(c => nameMap.getOrElse(c, c))) match {
+        case Some(adds) => return adds
+        case None => ()
+      }
+    }
     // staged files carry physical names; surface the read under LOGICAL
     // names (constraint expressions and statsCols are logical) in the
     // same projection that captures the metadata file path
@@ -5650,6 +5677,8 @@ object LogLake {
           AddFile(s"$DataDir/${p.getName}", 0L, Map.empty, len,
             partitionValues = pv,
             baseRowId = if (materializedRowIds) MaterializedRowIds else NoRowIds)
+        // (kept in sync with footerAddFiles — the footer fast path
+        // mirrors exactly this construction)
         case Some(r) =>
           val brid =
             if (!materializedRowIds) NoRowIds
@@ -5665,6 +5694,183 @@ object LogLake {
             len, partitionValues = pv, baseRowId = brid)
       }
     }
+  }
+
+  /** The footer fast path behind [[finishStaged]]: per-file
+    * rows/min/max/nullCount from the staged parquet FOOTERS — pure
+    * driver-side metadata reads, no Spark action. Returns None
+    * whenever exact parity with the aggregate path cannot be
+    * guaranteed from the footer alone; the caller then runs the
+    * aggregate, so this is an accelerator, never a semantics change:
+    *
+    *  - stats-column types are limited to bool/integral/date/timestamp/
+    *    string. Floats/doubles (parquet omits NaN-tainted stats and
+    *    ±0.0 ordering differs from Spark's) and decimals (scale
+    *    rendering) fall back.
+    *  - a column chunk with absent/unset statistics (e.g. dropped
+    *    above parquet-mr's 4 KB cap — huge text extremes) falls back.
+    *  - value parity: parquet compares strings as unsigned UTF-8 bytes
+    *    and numerics signed — the same total orders Spark's min/max
+    *    use; date INT32 IS the epoch-day rendering and timestamp INT64
+    *    (TIMESTAMP_MICROS, the session's output type) IS the micros
+    *    rendering [[typedRender]] stores; string code-point prefix
+    *    truncation commutes with bytewise min/max (prefix is monotone),
+    *    so feeding FULL footer extremes into [[renderStats]] equals
+    *    the aggregate's truncate-then-min result. */
+  private def footerAddFiles(dir: String,
+      moved: Seq[(Path, Long, Map[String, String])],
+      stagedSchema: StructType, nameMap: Map[String, String],
+      statsCols: Seq[String],
+      notNullPhys: Seq[String] = Nil): Option[Seq[AddFile]] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    // (sparkType, parquet primitive, parquet logical annotation) must
+    // agree on the value's MEANING before a raw footer int/binary can
+    // stand in for the aggregate's external value — e.g. a timestamp
+    // footer long is only the micros rendering when the annotation
+    // says TIMESTAMP(MICROS); anything else falls back
+    def annotationOk(dt: DataType,
+        pt: org.apache.parquet.schema.PrimitiveType): Boolean = dt match {
+      case BooleanType => pt.getPrimitiveTypeName == BOOLEAN
+      case ByteType | ShortType | IntegerType => pt.getPrimitiveTypeName == INT32
+      // float/double: parquet's comparator is Double.compare — the
+      // same NaN-largest / -0.0<0.0 total order Spark's min/max
+      // aggregates use (SQLOrderingUtil), so extremes round-trip; a
+      // NaN-tainted chunk stores NaN as its max in BOTH paths
+      case FloatType => pt.getPrimitiveTypeName == FLOAT
+      case DoubleType => pt.getPrimitiveTypeName == DOUBLE
+      case LongType => pt.getPrimitiveTypeName == INT64 &&
+        (pt.getLogicalTypeAnnotation == null ||
+          pt.getLogicalTypeAnnotation.isInstanceOf[
+            LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+      case DateType => pt.getPrimitiveTypeName == INT32 &&
+        pt.getLogicalTypeAnnotation.isInstanceOf[
+          LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+      case TimestampType => pt.getPrimitiveTypeName == INT64 &&
+        (pt.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+          case _ => false
+        })
+      case StringType => pt.getPrimitiveTypeName == BINARY &&
+        pt.getLogicalTypeAnnotation.isInstanceOf[
+          LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      case _ => false
+    }
+    val physCols: Seq[(String, String, DataType)] = statsCols.map { c =>
+      val phys = nameMap.getOrElse(c, c)
+      stagedSchema.fields.find(_.name == phys) match {
+        case Some(f) => (c, phys, f.dataType)
+        case None => return None
+      }
+    }
+    val supported = physCols.forall { case (_, _, dt) => dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType | TimestampType | StringType => true
+      case _ => false
+    } }
+    if (!supported) return None
+    // test hook: lets the parity spec force the aggregate path on
+    // identical data and diff the rendered stats byte-for-byte
+    if (sys.props.get("loglake.stats.footerFastPath").contains("off")) return None
+    val prefixLen = stringStatsPrefixLen(dir)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    try {
+      val out = moved.map { case (p, len, pv) =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          var rows = 0L
+          val it0 = blocks.iterator()
+          while (it0.hasNext) rows += it0.next().getRowCount
+          if (rows == 0L)
+            AddFile(s"$DataDir/${p.getName}", 0L, Map.empty, len,
+              partitionValues = pv, baseRowId = NoRowIds)
+          else {
+            // NOT NULL proof: zero footer nulls in every chunk of the
+            // column. A nested column (leaf paths) or unset count falls
+            // back; a VIOLATION falls back too — the aggregate then
+            // raises the standard error naming an offending row.
+            for (phys <- notNullPhys) {
+              val it = blocks.iterator()
+              while (it.hasNext) {
+                val b = it.next()
+                var found: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+                val ci = b.getColumns.iterator()
+                while (ci.hasNext && found == null) {
+                  val x = ci.next()
+                  val path = x.getPath.toArray
+                  if (path.length == 1 && path(0) == phys) found = x
+                }
+                if (found == null) return None
+                val st = found.getStatistics
+                if (st == null || !st.isNumNullsSet || st.getNumNulls > 0L)
+                  return None
+              }
+            }
+            val stats = physCols.map { case (_, phys, dt) =>
+              var nulls = 0L
+              var mn: AnyRef = null
+              var mx: AnyRef = null
+              var cmp: java.util.Comparator[AnyRef] = null
+              val it = blocks.iterator()
+              while (it.hasNext) {
+                val b = it.next()
+                val cc = {
+                  var found: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+                  val ci = b.getColumns.iterator()
+                  while (ci.hasNext && found == null) {
+                    val x = ci.next()
+                    val path = x.getPath.toArray
+                    if (path.length == 1 && path(0) == phys) found = x
+                  }
+                  found
+                }
+                if (cc == null || !annotationOk(dt, cc.getPrimitiveType)) return None
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty || !st.isNumNullsSet) return None
+                nulls += st.getNumNulls
+                if (st.hasNonNullValue) {
+                  val bmn = st.genericGetMin.asInstanceOf[AnyRef]
+                  val bmx = st.genericGetMax.asInstanceOf[AnyRef]
+                  if (cmp == null)
+                    cmp = st.comparator.asInstanceOf[java.util.Comparator[AnyRef]]
+                  if (mn == null || cmp.compare(bmn, mn) < 0) mn = bmn
+                  if (mx == null || cmp.compare(bmx, mx) > 0) mx = bmx
+                } else if (st.getNumNulls != b.getRowCount) return None
+              }
+              val rendered =
+                if (mn == null) ColStats("null", "", "", nulls)
+                else renderStats(footerValue(mn), footerValue(mx), nulls, prefixLen)
+              phys -> rendered
+            }.toMap
+            AddFile(s"$DataDir/${p.getName}", rows, stats, len,
+              partitionValues = pv, baseRowId = NoRowIds)
+          }
+        } finally reader.close()
+      }
+      footerStatsHits.incrementAndGet()
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
+  /** Process-wide count of writes served by the footer fast path —
+    * lets FooterStatsSpec prove the path actually fires (a parity
+    * spec against a silently-falling-back fast path would be vacuous). */
+  private[graft] val footerStatsHits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Footer statistics value → the external value class the aggregate
+    * path's `collect()` would hand [[renderStats]] (exact rendering
+    * parity; see [[typedRender]]): parquet Binary(UTF8) → String;
+    * INT32-backed date stays the epoch-day int, INT64-backed
+    * TIMESTAMP_MICROS stays the micros long — identical digit strings
+    * to the java.sql.Date/Timestamp cases. */
+  private def footerValue(v: AnyRef): Any = v match {
+    case b: org.apache.parquet.io.api.Binary =>
+      new String(b.getBytes, java.nio.charset.StandardCharsets.UTF_8)
+    case other => other
   }
 
   /** Ops whose commit must re-validate the version they READ from —
@@ -5889,8 +6095,32 @@ object LogLake {
     if (f.exists(target)) return false
     val tmp = new Path(logPath(dir), s"_tmp/m-${UUID.randomUUID()}")
     WireLog.writeSmallFile(f, tmp, content)
-    if (!f.rename(tmp, target)) { f.delete(tmp, false); return false }
-    WireLog.readSmallFile(f, target).contains(content)
+    // Local FS: POSIX rename OVERWRITES an existing target, so the
+    // rename + read-back below has a lost-commit window — racer B's
+    // rename can replace racer A's manifest AFTER A's read-back
+    // verified it (both then believe they own v, and A's adds vanish
+    // from table state; surfaced by BranchSpec's concurrent-publish
+    // race once r17's faster write path tightened the interleave).
+    // link(2) is the atomic no-overwrite publish: it fails EEXIST
+    // atomically, so exactly one racer wins. Non-local filesystems
+    // keep rename + read-back (their rename contract fails on an
+    // existing destination).
+    val scheme = target.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val nioTarget = java.nio.file.Paths.get(target.toUri.getPath)
+      val nioTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(nioTarget, nioTmp)
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+      }
+    } else {
+      if (!f.rename(tmp, target)) { f.delete(tmp, false); return false }
+      WireLog.readSmallFile(f, target).contains(content)
+    }
   }
 
   /** Best-effort, byte-idempotent: the same version always resolves to
