@@ -360,6 +360,33 @@ object AnnLake {
       root: String): Long =
     LogLake.publishBranch(s, metaDir(root), "retrain")
 
+  /** Order-insensitive multiset fingerprint of a frame: (row count,
+    * Σ xxhash64(whole row) as decimal). Columns are sorted by name so
+    * two frames with the same columns in different order fingerprint
+    * identically; the decimal sum cannot overflow under ANSI mode
+    * (2⁶³·rowcount ≪ 10³⁸). The sum is ADDITIVE over disjoint multisets
+    * — fp(A ⊎ B) = fp(A) + fp(B) — which is what lets the maintenance
+    * certificates below check "maintained = untouched ⊎ delta" with
+    * three aggregate-only scans and no join, no sort, no exceptAll.
+    * (round 18, VERDICT r17 #1: the old pins re-ran the corpus-sized
+    * frozen-book assignment / re-shingle per query solely to certify
+    * maintenance equivalence.) */
+  private[ops] def fingerprint(df: org.apache.spark.sql.DataFrame)
+      : (Long, java.math.BigDecimal) = {
+    val cols = df.columns.sorted.map(col)
+    val r = df.agg(
+      count(lit(1)),
+      sum(xxhash64(struct(cols: _*))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).first()
+    (r.getLong(0),
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+  }
+
+  /** fp(a) + fp(b) — the fingerprint of the disjoint union a ⊎ b. */
+  private[ops] def fpPlus(a: (Long, java.math.BigDecimal),
+      b: (Long, java.math.BigDecimal)): (Long, java.math.BigDecimal) =
+    (a._1 + b._1, a._2.add(b._2))
+
   /** Every parquet scan in `df`'s physical plan, as (pathString, scan).
     * Walks `sparkPlan` (pre-AQE): under adaptive execution the executed
     * plan is an AdaptiveSparkPlanExec whose inner tree is not a child,
@@ -452,37 +479,48 @@ object AnnLake {
           s"q158: the maintenance job must be delta-sized — it may scan " +
             s"only staging + books, got $path")
       }
-      // the delta assignment feeds three actions (postings append,
-      // codes encode+append, cells upsert) — persist AFTER the scan-
-      // shape requires above, which must see the file-scan plan, not
-      // an InMemoryTableScan
+      // the delta assignment feeds four actions (postings append,
+      // codes encode+append, cells upsert, certificate fingerprint) —
+      // persist AFTER the scan-shape requires above, which must see
+      // the file-scan plan, not an InMemoryTableScan
       asgD.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deltaRows = nd.count()
-      val before = LogLake.snapshot(s, ix.postings).count()
-      LogLake.append(s, ix.postings, asgD)
-      LogLake.append(s, ix.codes, codesD)
-      upsertCells(s, ix.cells,
-        asgD.groupBy("c_id").agg(count(lit(1)).as("dcnt")))
-      require(LogLake.snapshot(s, ix.postings).count() == before + MA * deltaRows,
-        "q158: the maintenance append must add exactly ma × delta rows")
-      require(LogLake.snapshot(s, ix.cells).agg(sum("cnt")).first().getLong(0)
-        == before + MA * deltaRows,
-        "q158: the maintained cell summary must account for every posting")
-      // maintained POSTINGS == frozen-book full rebuild, exactly
-      // (multiset: equal cardinality + empty one-way difference). The
-      // codes-equality twin is proven in AnnIndexSpec — in-query it
-      // would re-encode the whole corpus through the n×M×Ks window
-      // just to compare, while the oracle hash below already depends
-      // on every maintained code byte through the ADC stage.
-      // the rebuild feeds two actions (count + exceptAll) — persist so
-      // the full-corpus assignment computes once for the pin
-      val full = AnnIndex.assignTop(AnnIndex.normalized(emb), k1, fb1, fb2, MA)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val maintained = LogLake.snapshot(s, ix.postings)
-      require(maintained.count() == full.count() && maintained.exceptAll(full).isEmpty,
-        "q158: maintained postings must equal the frozen-book rebuild")
-      full.unpersist(false)
-      asgD.unpersist(false)
+      val maintained = try {
+        val deltaRows = nd.count()
+        // pre-append fingerprint: the untouched side of the certificate
+        val fpBefore = fingerprint(LogLake.snapshot(s, ix.postings))
+        val before = fpBefore._1
+        LogLake.append(s, ix.postings, asgD)
+        LogLake.append(s, ix.codes, codesD)
+        upsertCells(s, ix.cells,
+          asgD.groupBy("c_id").agg(count(lit(1)).as("dcnt")))
+        require(LogLake.snapshot(s, ix.postings).count() == before + MA * deltaRows,
+          "q158: the maintenance append must add exactly ma × delta rows")
+        require(LogLake.snapshot(s, ix.cells).agg(sum("cnt")).first().getLong(0)
+          == before + MA * deltaRows,
+          "q158: the maintained cell summary must account for every posting")
+        // maintained POSTINGS == frozen-book full rebuild, exactly —
+        // certified DELTA-SCOPED (round 18, VERDICT r17 #1). assignTop
+        // is pointwise per vec_id (argmax against the broadcast books),
+        // so rebuild(base ∪ delta) = rebuild(base) ⊎ rebuild(delta);
+        // rebuild(base) is the t0 postings (same frozen books, same
+        // deterministic math) and rebuild(delta) is asgD, computed
+        // fresh above from storage-read books. Multiset equality is
+        // checked with the additive fingerprint:
+        //   fp(maintained) = fp(pre-append postings) + fp(asgD)
+        // — three aggregate-only scans, no corpus-sized re-assignment
+        // (the old pin re-ran assignTop over the ENTIRE corpus, ~O(n)
+        // book-dots + an exceptAll shuffle, per query run). Injected-
+        // corruption coverage: AnnLakeCertSpec flips one stored byte
+        // and proves this certificate trips. The codes-equality twin
+        // is proven in AnnIndexSpec — in-query it would re-encode the
+        // whole corpus through the n×M×Ks window just to compare,
+        // while the oracle hash below already depends on every
+        // maintained code byte through the ADC stage.
+        val m = LogLake.snapshot(s, ix.postings)
+        require(fingerprint(m) == fpPlus(fpBefore, fingerprint(asgD)),
+          "q158: maintained postings must equal the frozen-book rebuild")
+        m
+      } finally asgD.unpersist(false)
       val mCodes = LogLake.snapshot(s, ix.codes)
       // SEARCH the maintained index (list-resident re-rank, as q157)
       AnnIndex.search(AnnIndex.normalized(emb.filter(col("vec_id") < 20)), k1,
@@ -612,36 +650,53 @@ object AnnLake {
         "q161: the delete keys must come from change files only — " +
           "never a corpus rescan through its DVs")
       val passes = AnnIndex.encodePasses.get()
-      // per-cell count decrements: the one changed-rows × index-rows
-      // semi-join (postings' vec_id stats bound the files it reads)
-      val cellDeltas = LogLake.snapshot(s, ix.postings)
+      // the rows erasure must remove: the one changed-rows × index-rows
+      // semi-join (postings' vec_id stats bound the files it reads) —
+      // feeds both the per-cell count decrements and the certificate
+      val delPostings = LogLake.snapshot(s, ix.postings)
         .join(deleted, Seq("vec_id"))
+      val cellDeltas = delPostings
         .groupBy("c_id").agg((-count(lit(1))).as("dcnt"))
       require(fileScans(cellDeltas).forall { case (p, _) =>
         p.contains("/postings") || p.contains("/cdc/") },
         "q161: the cell-delta job may scan only the postings index and " +
           "the change feed")
-      LogLake.mergeClauses(s, ix.postings, deleted, Seq("vec_id"),
-        Seq(MatchedDelete(None)))
-      LogLake.mergeClauses(s, ix.codes, deleted, Seq("vec_id"),
-        Seq(MatchedDelete(None)))
-      upsertCells(s, ix.cells, cellDeltas)
-      require(AnnIndex.encodePasses.get() == passes,
-        "q161: delete maintenance must never re-encode anything")
-      // maintained postings == frozen-book rebuild over the SURVIVORS
+      // delPostings feeds two actions (cells merge source + certificate
+      // fingerprint) — persist AFTER the scan-shape require above
+      delPostings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maintained = try {
+        // pre-merge fingerprints: the t0 index and its to-be-erased rows
+        val fpT0 = fingerprint(LogLake.snapshot(s, ix.postings))
+        val fpErased = fingerprint(delPostings)
+        LogLake.mergeClauses(s, ix.postings, deleted, Seq("vec_id"),
+          Seq(MatchedDelete(None)))
+        LogLake.mergeClauses(s, ix.codes, deleted, Seq("vec_id"),
+          Seq(MatchedDelete(None)))
+        upsertCells(s, ix.cells, cellDeltas)
+        require(AnnIndex.encodePasses.get() == passes,
+          "q161: delete maintenance must never re-encode anything")
+        // maintained postings == frozen-book rebuild over the SURVIVORS,
+        // certified DELTA-SCOPED (round 18, VERDICT r17 #1). assignTop
+        // is pointwise per vec_id, so rebuild(survivors) is exactly the
+        // t0 postings restricted to surviving keys — i.e. t0 minus the
+        // erased-key rows captured in delPostings above. The additive
+        // fingerprint checks that multiset identity directly:
+        //   fp(t0) = fp(maintained) + fp(erased rows)
+        // plus an explicit no-erased-key-survives semi-join — three
+        // aggregate-only scans and one pruned semi-join instead of the
+        // old pin's full survivor re-assignment (O(n) book-dots) +
+        // exceptAll shuffle per query run. AnnLakeCertSpec proves the
+        // certificate trips on an injected one-byte corruption.
+        val m = LogLake.snapshot(s, ix.postings)
+        require(fpT0 == fpPlus(fingerprint(m), fpErased),
+          "q161: maintained postings must equal the frozen-book rebuild " +
+            "over the surviving corpus")
+        require(m.join(deleted, Seq("vec_id"), "left_semi").isEmpty,
+          "q161: no erased key may remain in the maintained postings")
+        m
+      } finally delPostings.unpersist(false)
       val fb1 = LogLake.snapshot(s, ix.books1)
       val fb2 = LogLake.snapshot(s, ix.books2)
-      val survivors = AnnIndex.normalized(LogLake.snapshot(s, corpus))
-      // two actions (count + exceptAll) over the rebuild — persist so
-      // the survivor assignment computes once for the pin
-      val full = AnnIndex.assignTop(survivors, k1, fb1, fb2, MA)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val maintained = LogLake.snapshot(s, ix.postings)
-      require(maintained.count() == full.count() &&
-        maintained.exceptAll(full).isEmpty,
-        "q161: maintained postings must equal the frozen-book rebuild " +
-          "over the surviving corpus")
-      full.unpersist(false)
       require(LogLake.snapshot(s, ix.cells).agg(sum("cnt")).first().getLong(0)
         == maintained.count(),
         "q161: the cell summary must account for exactly the survivors")
@@ -800,20 +855,32 @@ object AnnLake {
         .select("doc_id")
       require(fileScans(deleted).forall(_._1.contains("/cdc/")),
         "q163: the delete keys must come from change files only")
+      // pre-merge fingerprints: the t0 band table and its to-be-erased
+      // rows (the changed-docs × index-rows semi-join, doc_id-pruned)
+      val fpT0 = fingerprint(LogLake.snapshot(s, bandsDir))
+      val fpErased = fingerprint(
+        LogLake.snapshot(s, bandsDir).join(deleted, Seq("doc_id")))
       LogLake.mergeClauses(s, bandsDir, deleted, Seq("doc_id"),
         Seq(MatchedDelete(None)))
       LogLake.mergeClauses(s, sigsDir, deleted, Seq("doc_id"),
         Seq(MatchedDelete(None)))
-      // maintained bands == full re-shingle over the SURVIVORS; two
-      // actions (count + exceptAll) read the rebuild — persist it
-      val rebuilt = Sim.minhashBandRows(Sim.shinglesOf(
-        LogLake.snapshot(s, corpus)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // maintained bands == full re-shingle over the SURVIVORS,
+      // certified DELTA-SCOPED (round 18, VERDICT r17 #1). Signatures
+      // are pointwise per doc under the frozen hash constants, so the
+      // survivor rebuild is exactly the t0 band table restricted to
+      // surviving doc_ids — t0 minus the erased-key rows. The additive
+      // fingerprint checks that multiset identity directly:
+      //   fp(t0 bands) = fp(maintained bands) + fp(erased rows)
+      // plus a no-erased-key-survives semi-join — stored-row scans
+      // only, instead of the old pin's full corpus re-shingle +
+      // 128-permutation MinHash + exceptAll shuffle per query run.
+      // AnnLakeCertSpec proves the certificate trips on an injected
+      // one-byte corruption.
       val bandsIdx = LogLake.snapshot(s, bandsDir)
-      require(bandsIdx.count() == rebuilt.count() &&
-        bandsIdx.exceptAll(rebuilt).isEmpty,
+      require(fpT0 == fpPlus(fingerprint(bandsIdx), fpErased),
         "q163: maintained bands must equal the survivor rebuild")
-      rebuilt.unpersist(false)
+      require(bandsIdx.join(deleted, Seq("doc_id"), "left_semi").isEmpty,
+        "q163: no erased doc may remain in the maintained band table")
       // SEARCH: index-only, as q160 — the probe slice's stored bands
       // probe the full stored band table
       val sigsIdx = LogLake.snapshot(s, sigsDir)

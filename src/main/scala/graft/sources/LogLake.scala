@@ -3186,6 +3186,8 @@ object LogLake {
         val conds = nmbsCls.map {
           case NotMatchedBySourceUpdate(c, _) => c
           case NotMatchedBySourceDelete(c) => c
+          case other => throw new IllegalStateException(
+            s"loglake: unexpected clause in the not-matched-by-source set: $other")
         }
         if (conds.exists(_.isEmpty)) disc.allFiles
         else {
@@ -3258,10 +3260,14 @@ object LogLake {
       val matchedOut = walk(matchedCls.map {
         case MatchedUpdate(c, set) => c -> mk(set, fresh = false, rid = None)
         case MatchedDelete(c) => c -> nullOut
+        case other => throw new IllegalStateException(
+          s"loglake: non-MATCHED clause in the matched set: $other")
       }, carryTgt)
       val nmbsOut = walk(nmbsCls.map {
         case NotMatchedBySourceUpdate(c, set) => c -> mk(set, fresh = false, rid = None)
         case NotMatchedBySourceDelete(c) => c -> nullOut
+        case other => throw new IllegalStateException(
+          s"loglake: unexpected clause in the not-matched-by-source set: $other")
       }, carryTgt)
       val insertOut = walk(insertCls.map {
         case NotMatchedInsert(c, values) =>
@@ -3319,11 +3325,15 @@ object LogLake {
             case MatchedUpdate(c, set) => c -> array(
               chg("update_preimage", Map.empty), chg("update_postimage", set))
             case MatchedDelete(c) => c -> array(chg("delete", Map.empty))
+            case other => throw new IllegalStateException(
+              s"loglake: non-MATCHED clause in the matched set: $other")
           }, none)
           val nmbsChg = walkChg(nmbsCls.map {
             case NotMatchedBySourceUpdate(c, set) => c -> array(
               chg("update_preimage", Map.empty), chg("update_postimage", set))
             case NotMatchedBySourceDelete(c) => c -> array(chg("delete", Map.empty))
+            case other => throw new IllegalStateException(
+              s"loglake: unexpected clause in the not-matched-by-source set: $other")
           }, none)
           val insertChg = walkChg(insertCls.map {
             case NotMatchedInsert(c, values) =>
@@ -5703,10 +5713,16 @@ object LogLake {
     * guaranteed from the footer alone; the caller then runs the
     * aggregate, so this is an accelerator, never a semantics change:
     *
-    *  - stats-column types are limited to bool/integral/date/timestamp/
-    *    string. Floats/doubles (parquet omits NaN-tainted stats and
-    *    ±0.0 ordering differs from Spark's) and decimals (scale
-    *    rendering) fall back.
+    *  - stats-column types are limited to bool/integral/float/double/
+    *    date/timestamp/string. Decimals (scale rendering) always fall
+    *    back. Float/double chunks with NaN-tainted extremes fall back
+    *    (parquet-mr omits the stats, so `isEmpty` trips), and a
+    *    float/double extreme of ±0.0 falls back too: parquet-mr's
+    *    writer WIDENS zero bounds per the float sort-order rule (a
+    *    +0.0 min is stored as -0.0, a -0.0 max as +0.0), so a stored
+    *    zero extreme may differ in sign from the value the aggregate
+    *    would compute — and these stats feed metadata-only MIN/MAX
+    *    answers, where -0.0 vs 0.0 is observable.
     *  - a column chunk with absent/unset statistics (e.g. dropped
     *    above parquet-mr's 4 KB cap — huge text extremes) falls back.
     *  - value parity: parquet compares strings as unsigned UTF-8 bytes
@@ -5736,8 +5752,9 @@ object LogLake {
       case ByteType | ShortType | IntegerType => pt.getPrimitiveTypeName == INT32
       // float/double: parquet's comparator is Double.compare — the
       // same NaN-largest / -0.0<0.0 total order Spark's min/max
-      // aggregates use (SQLOrderingUtil), so extremes round-trip; a
-      // NaN-tainted chunk stores NaN as its max in BOTH paths
+      // aggregates use (SQLOrderingUtil), so NONZERO extremes
+      // round-trip; ±0.0 extremes are widened by parquet-mr's writer
+      // and fall back in the stats loop below
       case FloatType => pt.getPrimitiveTypeName == FLOAT
       case DoubleType => pt.getPrimitiveTypeName == DOUBLE
       case LongType => pt.getPrimitiveTypeName == INT64 &&
@@ -5840,6 +5857,17 @@ object LogLake {
                   if (mn == null || cmp.compare(bmn, mn) < 0) mn = bmn
                   if (mx == null || cmp.compare(bmx, mx) > 0) mx = bmx
                 } else if (st.getNumNulls != b.getRowCount) return None
+              }
+              // parquet-mr widens float/double ZERO bounds on write
+              // (min +0.0 → stored -0.0, max -0.0 → stored +0.0, per
+              // the Parquet float sort-order rule), so a stored zero
+              // extreme may not be the sign the aggregate would
+              // compute — fall back (r18, ADVICE r17)
+              dt match {
+                case FloatType | DoubleType if mn != null &&
+                  (mn.asInstanceOf[Number].doubleValue() == 0d ||
+                    mx.asInstanceOf[Number].doubleValue() == 0d) => return None
+                case _ => ()
               }
               val rendered =
                 if (mn == null) ColStats("null", "", "", nulls)
@@ -6116,6 +6144,13 @@ object LogLake {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           f.delete(tmp, false); false
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          // a `file:` mount without hard-link support (or tmp vanished):
+          // degrade to the rename + read-back path rather than
+          // propagating — same failure contract as before r17's
+          // createLink change (r18, ADVICE r17)
+          if (!f.rename(tmp, target)) { f.delete(tmp, false); false }
+          else WireLog.readSmallFile(f, target).contains(content)
       }
     } else {
       if (!f.rename(tmp, target)) { f.delete(tmp, false); return false }

@@ -76,15 +76,48 @@ class FooterStatsSpec extends SparkTestBase {
     assert(statsOf(d3) === statsOf(d4))
   }
 
-  test("footer stats ≡ aggregate on double edges: ±Inf, -0.0, denormals") {
+  test("footer stats ≡ aggregate on double edges: ±Inf, denormals") {
     val df = Seq(
       (1L, Some(Double.NegativeInfinity), Some(1.5f)),
-      (2L, Some(Double.PositiveInfinity), Some(-0.0f)),
+      (2L, Some(Double.PositiveInfinity), Some(-2.5f)),
       (3L, Some(java.lang.Double.MIN_VALUE), Some(Float.PositiveInfinity)),
       (4L, None, None)
     ).toDF("k", "d", "f")
     val (d1, d2) = both("inf", df)
     assert(statsOf(d1) === statsOf(d2))
+  }
+
+  test("±0.0 float/double extremes fall back (parquet-mr widens zero bounds) with parity") {
+    // parquet-mr's writer widens zero bounds per the float sort-order
+    // rule: a +0.0 min is STORED as -0.0 and a -0.0 max as +0.0, so a
+    // footer-served zero extreme could render the wrong sign where the
+    // aggregate (and the oracle) see the true value. The fast path must
+    // fall back on any ±0.0 extreme (r18, ADVICE r17) — and the
+    // fallback must keep the rendered stats identical.
+    val zeroMin = Seq(
+      (1L, Some(0.0d), Some(-0.0f)),   // d: min exactly +0.0
+      (2L, Some(3.5d), Some(-0.0f)),   // f: min = max = -0.0
+      (3L, None, None)
+    ).toDF("k", "d", "f")
+    val (d1, d2) = both("zeroext", zeroMin, expectFooter = false)
+    assert(statsOf(d1) === statsOf(d2))
+    val zeroMax = Seq(
+      (1L, Some(-0.0d), Some(-7.5f)),  // d: max exactly -0.0 (all -0.0)
+      (2L, Some(-0.0d), Some(-1.5f)),
+      (3L, None, None)
+    ).toDF("k", "d", "f")
+    val (d3, d4) = both("zeromax", zeroMax, expectFooter = false)
+    assert(statsOf(d3) === statsOf(d4))
+    // a file with NONZERO float/double extremes that merely CONTAINS
+    // zeros is still footer-served — the fallback keys on extremes
+    // (one file, so the zero is interior to ITS extremes)
+    val nonzeroExt = Seq(
+      (1L, Some(-1.0d), Some(-3.5f)),
+      (2L, Some(0.0d), Some(0.0f)),
+      (3L, Some(2.0d), Some(4.5f))
+    ).toDF("k", "d", "f").coalesce(1)
+    val (d5, d6) = both("zeroinside", nonzeroExt)
+    assert(statsOf(d5) === statsOf(d6))
   }
 
   test("NaN columns fall back (parquet omits NaN-tainted stats) with parity") {
