@@ -299,7 +299,7 @@ object Sim {
 
   private def corpusKey(d: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val f = p.getFileSystem(graft.sources.WireLog.sharedConf)
     val sts =
       if (f.getFileStatus(p).isDirectory) f.listStatus(p).toSeq
       else Seq(f.getFileStatus(p))

@@ -111,7 +111,10 @@ private[graft] object CheckpointParquet {
       val hit = footerKvCache.get(key)
       if (hit != null) return hit
     }
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
+    // open(file, options): the no-options overload constructs a fresh
+    // hadoop Configuration per call (classpath scan) — see WireLog.sharedConf
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf),
+      org.apache.parquet.HadoopReadOptions.builder(conf, src).build())
     val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
     val m = {
       import scala.jdk.CollectionConverters._
@@ -252,7 +255,8 @@ private[graft] object CheckpointParquet {
       : (Long, String, Map[String, Long], Set[String], Set[String]) = {
     val in = HadoopInputFile.fromPath(src, conf)
     val kv = {
-      val r = ParquetFileReader.open(in)
+      val r = ParquetFileReader.open(in,
+        org.apache.parquet.HadoopReadOptions.builder(conf, src).build())
       try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
     }
     def opt(k: String): Option[String] = Option(kv.get(k))

@@ -877,8 +877,7 @@ object LogLake {
       .parallelize(partStrs, partStrs.size)
       .map { pStr =>
         val p = new Path(pStr)
-        val pf = p.getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
+        val pf = p.getFileSystem(WireLog.sharedConf)
         val c =
           try {
             if (pStr.endsWith(".parquet"))
@@ -1344,8 +1343,7 @@ object LogLake {
         .parallelize(plan.parts, plan.parts.size)
         .map { pStr =>
           val p = new Path(pStr)
-          val pf = p.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
+          val pf = p.getFileSystem(WireLog.sharedConf)
           val c = CheckpointParquet.read(pf.getConf, p)
           val rm = removedB.value
           val out = scala.collection.mutable.HashSet[Seq[String]]()
@@ -2158,16 +2156,19 @@ object LogLake {
     f.mkdirs(tmp.getParent)
     val out = f.create(tmp, false)
     try out.write(bytes) finally out.close()
-    if (f.exists(target) || !f.rename(tmp, target)) f.delete(tmp, false)
-    // read back whatever is published now — covers both the lost race
-    // and local-FS rename-replace semantics (ours may have clobbered a
-    // concurrent winner's; byte equality is the only safe witness).
-    // Transient I/O failures rethrow as themselves: misreporting one
-    // as a "race" would hand the user destructive advice
-    val back = readFully(f, target)
-    require(java.util.Arrays.equals(back, bytes),
-      s"loglake: $what spec create race at $dir — a concurrent create " +
-        "published a different spec; delete the table directory to start over")
+    // atomic put-if-absent ([[casPutFile]]): exactly one racer's spec
+    // publishes (the exists + rename form this replaces could let two
+    // DIFFERING specs each read back their own bytes on local FS — the
+    // r17 manifest lost-commit window). A loser reads back whatever IS
+    // published: byte-equal = idempotent retry, proceed; differing =
+    // loud. Transient I/O failures rethrow as themselves: misreporting
+    // one as a "race" would hand the user destructive advice
+    if (!casPutFile(f, tmp, target, bytes)) {
+      val back = readFully(f, target)
+      require(java.util.Arrays.equals(back, bytes),
+        s"loglake: $what spec create race at $dir — a concurrent create " +
+          "published a different spec; delete the table directory to start over")
+    }
   }
 
   // ---------------------------------------------------------- bucketing
@@ -4781,11 +4782,14 @@ object LogLake {
       val out = f.create(tmp, false)
       try out.write(bytes) finally out.close()
       val target = new Path(cp, f"$next%020d.json")
-      // same CAS rule as manifests: exists-check + rename + read back
-      // OWN bytes — a photo-finish loser whose rename silently replaced
-      // the winner's file (POSIX semantics) detects it and retries
-      if (!f.exists(target) && f.rename(tmp, target)
-          && java.util.Arrays.equals(readFully(f, target), bytes)) return
+      // same CAS rule as manifests — [[casPutFile]]'s atomic hard-link
+      // put-if-absent. The exists + rename + read-back form this
+      // replaces had the manifest lost-commit window (r17): on local
+      // FS, racing registrants serializing rename → read-back each saw
+      // their OWN bytes and ALL won — two concurrent createBranch("x")
+      // both returned success over one clone directory (caught by
+      // BranchSpec's concurrent same-name create race, r18)
+      if (!f.exists(target) && casPutFile(f, tmp, target, bytes)) return
       f.delete(tmp, false) // lost the race — re-read and retry
       attempts += 1
     }
@@ -5122,8 +5126,7 @@ object LogLake {
           val deltaB = sc.broadcast(p.delta.toMap); broadcasts += deltaB
           val partRows = sc.parallelize(p.parts, p.parts.size).flatMap { pStr =>
             val path = new Path(pStr)
-            val c = CheckpointParquet.read(
-              new org.apache.hadoop.conf.Configuration(), path)
+            val c = CheckpointParquet.read(WireLog.sharedConf, path)
             val rm = removedB.value; val d = deltaB.value
             c.files.iterator.filterNot(a => rm.contains(a.path))
               .map(a => d.getOrElse(a.path, a)).flatMap(keepNamesOf)
@@ -5142,8 +5145,7 @@ object LogLake {
       .flatMap { sub =>
         val base =
           if (sub.isEmpty) new Path(dirStr) else new Path(dirStr, sub)
-        val lfs = base.getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
+        val lfs = base.getFileSystem(WireLog.sharedConf)
         if (!lfs.exists(base)) Iterator.empty
         else {
           val it = lfs.listStatusIterator(base)
@@ -5193,8 +5195,7 @@ object LogLake {
             it.foreach { rel =>
               val p = new Path(new Path(dirStr), rel)
               if (cached == null)
-                cached = p.getFileSystem(
-                  new org.apache.hadoop.conf.Configuration())
+                cached = p.getFileSystem(WireLog.sharedConf)
               cached.delete(p, false)
             }
         }
@@ -5618,9 +5619,9 @@ object LogLake {
       footerAddFiles(dir, moved, stagedSchema, nameMap, statsCols,
         notNull.map(c => nameMap.getOrElse(c, c))) match {
         case Some(adds) => return adds
-        case None => ()
+        case None => footerStatsFallbacks.incrementAndGet()
       }
-    }
+    } else footerStatsGated.incrementAndGet()
     // staged files carry physical names; surface the read under LOGICAL
     // names (constraint expressions and statsCols are logical) in the
     // same projection that captures the metadata file path
@@ -5792,11 +5793,16 @@ object LogLake {
     // identical data and diff the rendered stats byte-for-byte
     if (sys.props.get("loglake.stats.footerFastPath").contains("off")) return None
     val prefixLen = stringStatsPrefixLen(dir)
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = WireLog.sharedConf
     try {
       val out = moved.map { case (p, len, pv) =>
+        // open(file, options): the no-options overload builds a FRESH
+        // hadoop Configuration inside ParquetReadOptions.Builder — a
+        // full classpath scan for default resources per footer open
+        // (the top remaining driver hotspot in the r18 JFR profile)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf),
+          org.apache.parquet.HadoopReadOptions.builder(conf, p).build())
         try {
           val blocks = reader.getFooter.getBlocks
           var rows = 0L
@@ -5888,6 +5894,17 @@ object LogLake {
     * lets FooterStatsSpec prove the path actually fires (a parity
     * spec against a silently-falling-back fast path would be vacuous). */
   private[graft] val footerStatsHits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** ELIGIBLE writes the footer path declined (absent/unset/unproven
+    * footer stats → None, the aggregate ran) — counted at the
+    * [[finishStaged]] call site; with [[footerStatsHits]] this is the
+    * measured hit rate per workload (r18, VERDICT r17 #3). */
+  private[graft] val footerStatsFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Writes GATED out of the footer path before it was tried (CHECK /
+    * generated-column constraints or a row-id sentinel require the
+    * data pass) — the remainder of the write population. */
+  private[graft] val footerStatsGated = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Footer statistics value → the external value class the aggregate
     * path's `collect()` would hand [[renderStats]] (exact rendering
@@ -6113,26 +6130,29 @@ object LogLake {
     b.result()
   }
 
-  /** Put-if-absent of one version file. Pre-check + rename covers
-    * HDFS-like filesystems (rename fails onto an existing file); the
-    * read-back covers the local filesystem, whose rename REPLACES —
-    * whoever's bytes survive is the winner, every other writer observes
-    * foreign content and reports failure. */
-  private def casPublish(f: FileSystem, dir: String, v: Long, content: String): Boolean = {
-    val target = versionFile(dir, v)
-    if (f.exists(target)) return false
-    val tmp = new Path(logPath(dir), s"_tmp/m-${UUID.randomUUID()}")
-    WireLog.writeSmallFile(f, tmp, content)
-    // Local FS: POSIX rename OVERWRITES an existing target, so the
-    // rename + read-back below has a lost-commit window — racer B's
-    // rename can replace racer A's manifest AFTER A's read-back
-    // verified it (both then believe they own v, and A's adds vanish
-    // from table state; surfaced by BranchSpec's concurrent-publish
-    // race once r17's faster write path tightened the interleave).
-    // link(2) is the atomic no-overwrite publish: it fails EEXIST
-    // atomically, so exactly one racer wins. Non-local filesystems
-    // keep rename + read-back (their rename contract fails on an
-    // existing destination).
+  /** Atomic put-if-absent of one small file whose content is already
+    * staged at `tmp` — the CAS primitive behind every log publication
+    * (manifests, the KV registries, create-time specs). Returns true
+    * iff OUR bytes are the published ones; `tmp` is consumed on every
+    * outcome.
+    *
+    * Local FS: POSIX rename OVERWRITES an existing target, so
+    * rename + read-back has a lost-commit window — racer B's rename can
+    * replace racer A's file AFTER A's read-back verified it (both then
+    * believe they own the slot; surfaced by BranchSpec's concurrent
+    * races as the interleave tightened, first in r17 for manifests and
+    * again in r18 for the branches KV registry once the shared-conf
+    * change made fs() faster). link(2) is the atomic no-overwrite
+    * publish: it fails EEXIST atomically, so exactly one racer wins.
+    * Non-local filesystems keep rename + read-back (their rename
+    * contract fails on an existing destination). A `file:` mount
+    * without hard-link support (or a vanished tmp) degrades to
+    * rename + read-back rather than propagating (ADVICE r17). */
+  private def casPutFile(f: FileSystem, tmp: Path, target: Path,
+      content: Array[Byte]): Boolean = {
+    def renameReadBack(): Boolean =
+      if (!f.rename(tmp, target)) { f.delete(tmp, false); false }
+      else java.util.Arrays.equals(readFully(f, target), content)
     val scheme = target.toUri.getScheme
     if (scheme == null || scheme == "file") {
       val nioTarget = java.nio.file.Paths.get(target.toUri.getPath)
@@ -6145,17 +6165,19 @@ object LogLake {
         case _: java.nio.file.FileAlreadyExistsException =>
           f.delete(tmp, false); false
         case _: UnsupportedOperationException | _: java.io.IOException =>
-          // a `file:` mount without hard-link support (or tmp vanished):
-          // degrade to the rename + read-back path rather than
-          // propagating — same failure contract as before r17's
-          // createLink change (r18, ADVICE r17)
-          if (!f.rename(tmp, target)) { f.delete(tmp, false); false }
-          else WireLog.readSmallFile(f, target).contains(content)
+          renameReadBack()
       }
-    } else {
-      if (!f.rename(tmp, target)) { f.delete(tmp, false); return false }
-      WireLog.readSmallFile(f, target).contains(content)
-    }
+    } else renameReadBack()
+  }
+
+  /** Put-if-absent of one version file — [[casPutFile]] over the
+    * rendered manifest. */
+  private def casPublish(f: FileSystem, dir: String, v: Long, content: String): Boolean = {
+    val target = versionFile(dir, v)
+    if (f.exists(target)) return false
+    val tmp = new Path(logPath(dir), s"_tmp/m-${UUID.randomUUID()}")
+    WireLog.writeSmallFile(f, tmp, content)
+    casPutFile(f, tmp, target, content.getBytes("UTF-8"))
   }
 
   /** Best-effort, byte-idempotent: the same version always resolves to
@@ -6356,7 +6378,7 @@ object LogLake {
       try spark.sparkContext
         .parallelize(groups.toSeq.zipWithIndex, groups.size)
         .map { case (grp, gi) =>
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = WireLog.sharedConf
           val lfs = new Path(logDirStr).getFileSystem(conf)
           val rm = removedB.value
           val d = deltaB.value
@@ -6471,7 +6493,7 @@ object LogLake {
     // not state)
     val summaries = sc.parallelize(segments.toSeq.zipWithIndex, segments.size)
       .map { case (seg, si) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = WireLog.sharedConf
         val lfs = new Path(seg.head._2).getFileSystem(conf)
         val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
         var schemaJson = ""
@@ -6510,7 +6532,7 @@ object LogLake {
     import org.apache.spark.sql.functions.{col, struct, max, min, max_by, when}
     val acts = sc.parallelize(segments.toSeq, segments.size)
       .flatMap { seg =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = WireLog.sharedConf
         val lfs = new Path(seg.head._2).getFileSystem(conf)
         seg.iterator.flatMap { case (mv, pStr) =>
           val m = readManifest(lfs, new Path(pStr))
@@ -6585,7 +6607,7 @@ object LogLake {
         .map(_._2)
         .foreachPartition { it =>
           val pi = org.apache.spark.TaskContext.getPartitionId()
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = WireLog.sharedConf
           val lfs = new Path(logDirStr).getFileSystem(conf)
           val tmp = new Path(logDirStr, s"_tmp/c-${UUID.randomUUID()}")
           CheckpointParquet.write(conf, tmp,

@@ -51,14 +51,25 @@ object WireLog {
   val WriterStamp = "_WRITER"
   val TmpDir = "_tmp"
 
-  def fs(dir: String): FileSystem = {
+  /** ONE Hadoop conf per JVM for every log-side FileSystem / parquet
+    * footer access. A fresh `new Configuration()` re-reads its default
+    * resources (core-default.xml, core-site.xml, …) through a full
+    * classpath scan on first property access — with a 300-jar Spark
+    * classpath that scan was the single largest driver-side cost in the
+    * r18 JFR profile (~26% of main-thread samples, paid again on every
+    * commit/snapshot because fs() constructed a conf per call). The conf
+    * is never mutated after construction; executors referencing it build
+    * one lazily per JVM. */
+  lazy val sharedConf: Configuration = {
     val conf = new Configuration()
     // fork-free local chmod (see NioLocalFileSystem); FileSystem.get
     // caches per scheme, so this also standardizes which impl every
     // later caller of file:// receives in-process
     conf.set("fs.file.impl", classOf[NioLocalFileSystem].getName)
-    new Path(dir).getFileSystem(conf)
+    conf
   }
+
+  def fs(dir: String): FileSystem = new Path(dir).getFileSystem(sharedConf)
 
   def segName(n: Long): String = f"$SegPrefix$n%020d"
 
