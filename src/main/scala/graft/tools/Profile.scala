@@ -20,11 +20,15 @@ object Profile {
         println(s"===== $n ====="); fn(spark, sfDir).explain("formatted")
       } else {
         for (round <- 1 to 3) {
+          // label every job with query+round so event-log attribution can
+          // split warm iterations from cold ones (guide §1: label your jobs)
+          spark.sparkContext.setJobDescription(s"$n#$round")
           val t0 = System.nanoTime()
           // same full-evaluation sink as Bench (count() would let Catalyst
           // prune columns and drop sorts)
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           println(f"[$n round $round] ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          spark.sparkContext.setJobDescription(null)
         }
       }
     }
