@@ -179,13 +179,12 @@ object Analytic {
     ) { (s, d) =>
       val li = lineitem(s, d)
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-      // both value orders in ONE tagged kernel pass (r18: one source
-      // scan + one range shuffle, was two of each — see valuesAtRanksMulti)
-      val picked = RankPick.valuesAtRanksMulti(li, "l_returnflag", Seq(
-        "l_quantity" -> Seq("median_qty" -> RankPick.discRank(1, 2),
-          "p90_qty" -> RankPick.discRank(9, 10)),
-        "l_extendedprice" -> Seq("median_price" -> RankPick.discRank(1, 2))))
-      RankPick.pivotLabels(picked, "l_returnflag",
+      val qty = RankPick.valuesAtRanks(li, "l_returnflag", "l_quantity",
+        Seq("median_qty" -> RankPick.discRank(1, 2),
+          "p90_qty" -> RankPick.discRank(9, 10)))
+      val price = RankPick.valuesAtRanks(li, "l_returnflag", "l_extendedprice",
+        Seq("median_price" -> RankPick.discRank(1, 2)))
+      RankPick.pivotLabels(qty.unionByName(price), "l_returnflag",
           Seq("median_qty", "p90_qty", "median_price"))
         .drop("n")
         .orderBy("l_returnflag")
@@ -231,18 +230,15 @@ object Analytic {
     ) { (s, d) =>
       val li = lineitem(s, d)
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-      // both value orders in ONE tagged kernel pass (r18: one source
-      // scan + one range shuffle, was two of each — see valuesAtRanksMulti)
-      val picked = RankPick.valuesAtRanksMulti(li, "l_returnflag", Seq(
-        "l_quantity" -> Seq(
-          "vq50l" -> "CAST(floor((n - 1) * 0.5) AS BIGINT) + 1",
-          "vq50h" -> "CAST(floor((n - 1) * 0.5) AS BIGINT) + 2",
-          "vq90l" -> "CAST(floor((n - 1) * 0.9) AS BIGINT) + 1",
-          "vq90h" -> "CAST(floor((n - 1) * 0.9) AS BIGINT) + 2"),
-        "l_extendedprice" -> Seq(
-          "vp50l" -> "CAST(floor((n - 1) * 0.5) AS BIGINT) + 1",
-          "vp50h" -> "CAST(floor((n - 1) * 0.5) AS BIGINT) + 2")))
-      val a = RankPick.pivotLabels(picked, "l_returnflag",
+      val qty = RankPick.valuesAtRanks(li, "l_returnflag", "l_quantity", Seq(
+        "vq50l" -> "CAST(floor((n - 1) * 0.5) AS BIGINT) + 1",
+        "vq50h" -> "CAST(floor((n - 1) * 0.5) AS BIGINT) + 2",
+        "vq90l" -> "CAST(floor((n - 1) * 0.9) AS BIGINT) + 1",
+        "vq90h" -> "CAST(floor((n - 1) * 0.9) AS BIGINT) + 2"))
+      val price = RankPick.valuesAtRanks(li, "l_returnflag", "l_extendedprice", Seq(
+        "vp50l" -> "CAST(floor((n - 1) * 0.5) AS BIGINT) + 1",
+        "vp50h" -> "CAST(floor((n - 1) * 0.5) AS BIGINT) + 2"))
+      val a = RankPick.pivotLabels(qty.unionByName(price), "l_returnflag",
         Seq("vq50l", "vq50h", "vq90l", "vq90h", "vp50l", "vp50h"))
       // frac = 0 (single-row groups, or p·(n−1) landing on a rank) must
       // short-circuit to v_lo: the rank-above value may not exist, and

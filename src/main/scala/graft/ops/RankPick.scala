@@ -105,81 +105,6 @@ object RankPick {
       .select(col(g), col("n"), col("label"), col(v).as("value"))
   }
 
-  /** Multi-value-column form of [[valuesAtRanks]] (round 18, VERDICT
-    * r17 #5): q49/q96 need ranks over TWO value orders (quantity and
-    * price), which as two kernel calls cost two source scans, two range
-    * shuffles, two count summaries and two broadcasts. Tagging each row
-    * as (group, which, value) — one row per requested value column —
-    * and range-partitioning by (which, group, value) runs every order
-    * in ONE shuffle: a (which, group) slice is contiguous exactly as a
-    * (group) slice is in the single-column form, so the per-slice
-    * arithmetic (offsets, totals, local ranks) is unchanged with the
-    * composite group key. Same shuffled bytes (2n tagged rows vs n+n),
-    * half the passes over the source and half the fixed per-job cost.
-    * Output is identical to unioning the single-column calls: one row
-    * per (group, in-range target) with `g`, `n`, `label`, `value` —
-    * labels must be unique across value columns.
-    *
-    * @param cols (which value column, its (label, rank expr) targets) */
-  def valuesAtRanksMulti(df: DataFrame, g: String,
-      cols: Seq[(String, Seq[(String, String)])]): DataFrame = {
-    require(cols.nonEmpty, "valuesAtRanksMulti needs at least one value column")
-    val labels = cols.flatMap(_._2.map(_._1))
-    require(labels.distinct.size == labels.size,
-      s"rank-pick labels must be unique across value columns: $labels")
-    val spark = df.sparkSession
-    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // one row per (source row, value column): the explode keeps a NULL
-    // value as a row (struct elements are never pruned), so per-which
-    // counts equal the source row count — exactly the single-column
-    // kernel's count(1) semantics
-    val tagged = df.select(col(g), explode(array(cols.map { case (vc, _) =>
-        struct(lit(vc).as("__which"), col(vc).as("__v"))
-      }: _*)).as("x"))
-      .select(col(g), col("x.__which").as("__which"), col("x.__v").as("__v"))
-    val part = tagged
-      .repartitionByRange(shufflePartitions, col("__which"), col(g), col("__v"))
-      .withColumn("pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // P×(G·W) rows — metadata, not data
-    val cnt = part.groupBy("pid", "__which", g).agg(count(lit(1)).as("c"))
-    val off = cnt.withColumn("off",
-      coalesce(
-        sum("c").over(Window.partitionBy("__which", g).orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-    val totals = cnt.groupBy("__which", g).agg(sum("c").as("n"))
-
-    // each which carries its own target list
-    val perWhich = cols.map { case (vc, targets) =>
-      vc -> array(targets.map { case (label, at) =>
-        struct(lit(label).as("label"), expr(at).cast("long").as("t"))
-      }: _*)
-    }
-    val tgtArr = perWhich.tail.foldLeft(
-      when(col("__which") === perWhich.head._1, perWhich.head._2)) {
-      case (acc, (w, arr)) => acc.when(col("__which") === w, arr)
-    }
-    val tgt = totals.select(col("__which"), col(g), col("n"),
-        explode(tgtArr).as("x"))
-      .select(col("__which"), col(g), col("n"),
-        col("x.label").as("label"), col("x.t").as("t"))
-      .filter(col("t").between(lit(1L), col("n")))
-
-    val loc = tgt.join(off, Seq("__which", g))
-      .filter(col("t") > col("off") && col("t") <= col("off") + col("c"))
-      .select(col("pid"), col("__which"), col(g), col("n"), col("label"),
-        (col("t") - col("off")).as("lr"))
-
-    val cand = part.join(broadcast(loc), Seq("pid", "__which", g))
-      .withColumn("rnk", row_number()
-        .over(Window.partitionBy("pid", "__which", g, "label")
-          .orderBy("__v")).cast("long"))
-    cand.filter(col("rnk") === col("lr"))
-      .select(col(g), col("n"), col("label"), col("__v").as("value"))
-  }
-
   /** Pivot `valuesAtRanks` output to one row per group with one column
     * per label (NULL where the target was out of range). */
   def pivotLabels(ranked: DataFrame, g: String, labels: Seq[String]): DataFrame =

@@ -99,33 +99,6 @@ class RankPickSpec extends SparkTestBase {
     assert(out.select("value").as[Double].head() == 5000.0)
   }
 
-  test("multi-column fused pass ≡ union of single-column passes (r18)") {
-    // q49/q96 now run both value orders through valuesAtRanksMulti (one
-    // tagged range shuffle); its output must equal the two single-column
-    // calls it replaced, row for row — across ties, NULLs (in one column
-    // but not the other), skew, and out-of-range targets.
-    for (seed <- Seq(5, 19, 83)) {
-      val rnd = new scala.util.Random(seed)
-      val rows = (1 to 1500).map { _ =>
-        val g = s"g${if (rnd.nextBoolean()) 0 else rnd.nextInt(4)}"
-        val a = if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(12).toDouble)
-        val b = Some((rnd.nextGaussian() * 50).floor)
-        (g, a, b)
-      } :+ (("lone", Option(7.0), Option(-3.0)))
-      val df = rows.toDF("g", "a", "b")
-      val ta = Seq("a_med" -> RankPick.MedianRank, "a_p90" -> RankPick.discRank(9, 10),
-        "a_beyond" -> "n + 1")
-      val tb = Seq("b_med" -> RankPick.MedianRank, "b_first" -> "1")
-      def norm(d: org.apache.spark.sql.DataFrame) =
-        d.orderBy("g", "label").collect().map(_.toString).toSeq
-      val fused = norm(RankPick.valuesAtRanksMulti(df, "g", Seq("a" -> ta, "b" -> tb)))
-      val unioned = norm(
-        RankPick.valuesAtRanks(df, "g", "a", ta)
-          .unionByName(RankPick.valuesAtRanks(df, "g", "b", tb)))
-      assert(fused == unioned, s"mismatch at seed $seed")
-    }
-  }
-
   test("result is independent of the shuffle partition count") {
     val rows = (1 to 3000).map(i => (s"g${i % 3}", (i * 37 % 101).toDouble))
     val byPartitions = Seq("2", "7").map { p =>
