@@ -68,9 +68,23 @@ object Amplify {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    val (nd, ne) = (spark.read.parquet(s"$out/documents.parquet").count(),
-      spark.read.parquet(s"$out/embeddings.parquet").count())
-    println(s"[amplify] $out: $nd docs, $ne embeddings (${factor}x $src)")
+    // lineitem too (r18, VERDICT r17 #2 — the parallel-scaling probe
+    // solo-benches the q96 rank kernel on amplified data): replica r
+    // offsets the order key so per-order structure is preserved and
+    // the key space stays disjoint; value columns are copied verbatim,
+    // which is harmless here (no pair-quadratic structure to distort —
+    // the rank kernel's cost is rows × log(rows), not pair density).
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until factor).map { r =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r * 100000000L))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val (nd, ne, nl) = (spark.read.parquet(s"$out/documents.parquet").count(),
+      spark.read.parquet(s"$out/embeddings.parquet").count(),
+      spark.read.parquet(s"$out/lineitem.parquet").count())
+    println(s"[amplify] $out: $nd docs, $ne embeddings, $nl lineitem (${factor}x $src)")
     spark.stop()
   }
 }
