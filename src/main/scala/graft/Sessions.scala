@@ -21,6 +21,17 @@ object Sessions {
       // AQE: runtime partition coalescing + skew-join splitting — the
       // at-scale defaults we design for.
       .config("spark.sql.adaptive.enabled", "true")
+      // Loglake scans pass EXPLICIT file lists resolved from the log —
+      // above this many paths Spark launches a whole Spark JOB just to
+      // re-stat them (InMemoryFileIndex parallel listing, ~100-200 ms
+      // of scheduling per scan at the default threshold of 32, paid by
+      // every snapshot read of a 32+-file table). The log already knows
+      // these files exist; driver-side listing of a few hundred paths
+      // is microseconds locally and a bounded batch of RPCs on object
+      // storage (the Delta posture: table state never FS-listed). Tables
+      // big enough to exceed this are served by the distributed-planning
+      // path, which ships file lists from checkpoints, not listings.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       // Custom codegen expressions (scaled_dot, …) as SQL functions.
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // The loglake SQL front door: CREATE/INSERT/SELECT/MERGE INTO …
